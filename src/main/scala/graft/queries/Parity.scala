@@ -1,0 +1,510 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables.load
+import graft.util.Exact._
+import graft.ops.{AggOps, CleanOps}
+
+/** Reference-parity operator suite over the driver testdata (TPC-H-ish
+  * star schema + events), one named query per operator family in
+  * SURVEY.md §2. Each query is the Spark-first expression of a shape the
+  * reference computes in PySpark/Databricks-SQL; citations inline.
+  *
+  * Scale notes apply to every query here: filters/projections sit directly
+  * on the parquet scan (pushdown + pruning), small dims join via broadcast,
+  * fact-fact joins shuffle on their keys, aggregates are two-phase hash
+  * (partial map-side), top-k is TakeOrderedAndProject (no full sort).
+  */
+object Parity {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = load(s, dir, n)
+
+  // ---------------------------------------------------------------------
+  // q01 — scan + filter + groupBy multi-aggregate (SURVEY §2.4 A2/A3;
+  // pricing-summary shape). Covers P4 predicate, exact sums, avg, count.
+  val q01 = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---------------------------------------------------------------------
+  // q02 — fact⋈dim broadcast join + top-k (SURVEY §2.3 J3, §2.6 O1:
+  // ORDER BY revenue DESC LIMIT 100 → TakeOrderedAndProject).
+  val q02 = Q(
+    "q02_top_parts_by_revenue",
+    """SELECT p.p_partkey AS part_id, p.p_name AS part_name, p.p_brand AS brand,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, part_id
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_partkey").as("part_id"), col("p_name").as("part_name"), col("p_brand").as("brand"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        dsum(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("part_id"))
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------------
+  // q03 — conditional "pivot-style" counts by day (SURVEY §2.4 A1: exact
+  // event-type literals, `03_gold/03_gold_aggregate.py:48-54`).
+  val q03 = Q(
+    "q03_events_daily",
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS purchase_revenue
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY event_date""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(
+        countIf(col("event_type") === "view").as("views"),
+        countIf(col("event_type") === "click").as("clicks"),
+        countIf(col("event_type") === "signup").as("signups"),
+        countIf(col("event_type") === "error").as("errors"),
+        countIf(col("event_type") === "purchase").as("purchases"),
+        dsumIf(col("event_type") === "purchase", col("value")).as("purchase_revenue"))
+      .orderBy("event_date")
+  }
+
+  // ---------------------------------------------------------------------
+  // q04 — FULL OUTER USING-join with coalesced keys + zero-fill measures
+  // (SURVEY §2.3 J2 — the load-bearing full_outer coalesce shape,
+  // `03_gold/03_gold_aggregate.py:78-88`).
+  val q04 = Q(
+    "q04_views_purchases_full_outer",
+    """SELECT user_id,
+      |  COALESCE(v.views, 0) AS views,
+      |  COALESCE(p.purchases, 0) AS purchases,
+      |  COALESCE(p.revenue, 0.0) AS revenue
+      |FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS views
+      |      FROM events WHERE event_type = 'view' GROUP BY user_id) v
+      |FULL OUTER JOIN
+      |     (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS purchases,
+      |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |      FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+      |USING (user_id)
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(count(lit(1)).as("views"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("purchases"), dsum(col("value")).as("revenue"))
+    v.join(p, Seq("user_id"), "full_outer") // Seq-join coalesces the key — do not use ===
+      .select(
+        col("user_id"),
+        coalesce(col("views"), lit(0L)).as("views"),
+        coalesce(col("purchases"), lit(0L)).as("purchases"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q05 — dedup-keep-latest via row_number window (SURVEY §2.5 W1, the
+  // reference's only window function; unique tie-break on event_id).
+  val q05 = Q(
+    "q05_latest_event_per_user",
+    """SELECT user_id, event_id, event_type, value
+      |FROM (SELECT user_id, event_id, event_type, value,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) x
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    CleanOps.dedupLatest(
+        t(s, dir, "events"),
+        Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q06 — ID normalization cast chain (SURVEY §2.2 P2: clean_id
+  // "1050.0" → "1050", `02_silver/02_silver_transform.py:41-42`).
+  // The raw id is synthesized as a float-formatted string, as CSV
+  // inference would have produced it.
+  val q06 = Q(
+    "q06_clean_id",
+    """SELECT CAST(CAST(CAST(CAST(CAST(o_custkey AS DOUBLE) AS VARCHAR) AS DOUBLE) AS BIGINT) AS VARCHAR) AS customer_id,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY customer_id""".stripMargin) { (s, dir) =>
+    val rawId = col("o_custkey").cast(DoubleType).cast(StringType) // "123.0"
+    t(s, dir, "orders")
+      .select(CleanOps.cleanId(rawId).as("customer_id"))
+      .groupBy("customer_id")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("customer_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q07 — UNION ALL of labeled scalar aggregates: the site-wide funnel
+  // (SURVEY §2.7 U1 + §2.4 A8, `analysis/dashboard_queries/03_Site Wide
+  // Funnel.sql`).
+  val q07 = Q(
+    "q07_funnel",
+    """SELECT funnel_stage, n FROM (
+      |  SELECT '1. Views' AS funnel_stage, COUNT(*) AS n FROM events WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT '2. Clicks' AS funnel_stage, COUNT(*) AS n FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT '3. Purchases' AS funnel_stage, COUNT(*) AS n FROM events WHERE event_type = 'purchase'
+      |) ORDER BY n DESC, funnel_stage""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    def stage(label: String, typ: String): DataFrame =
+      ev.filter(col("event_type") === typ)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(label).as("funnel_stage"), col("n"))
+    stage("1. Views", "view")
+      .unionByName(stage("2. Clicks", "click"))
+      .unionByName(stage("3. Purchases", "purchase"))
+      .orderBy(col("n").desc, col("funnel_stage"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q08 — GROUP BY + HAVING post-agg filter (SURVEY §2.4 A9, the DQ
+  // duplicate-detection shape `04_data_quality_checks.py:61-66`).
+  val q08 = Q(
+    "q08_repeat_customers",
+    """SELECT o_custkey AS customer_id, COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) > 12
+      |ORDER BY customer_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 12)
+      .orderBy("customer_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q09 — COUNT(DISTINCT) per group (SURVEY §2.4 A7).
+  val q09 = Q(
+    "q09_status_summary",
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------------
+  // q10 — multi-measure session-style rollup (SURVEY §2.4 A4: min/max/
+  // count/conditional-sum per key; duration via epoch-micros difference,
+  // `03_gold/03_gold_aggregate.py:166-197`). `min` replaces the
+  // reference's non-deterministic `first` (SURVEY §5 risk register).
+  val q10 = Q(
+    "q10_user_activity",
+    """SELECT user_id,
+      |  MIN(ts) AS first_ts,
+      |  MAX(ts) AS last_ts,
+      |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        countIf(col("event_type") === "purchase").as("n_purchases"),
+        dsumIf(col("event_type") === "purchase", col("value")).as("revenue"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q11 — customer LTV rollup + dim join + top-k (SURVEY §2.4 A5 + §2.6
+  // O4: `03_gold/03_gold_aggregate.py:226-242`, Customer 360 dashboard).
+  val q11 = Q(
+    "q11_customer_ltv",
+    """SELECT c.c_custkey AS customer_id, c.c_name AS name, c.c_mktsegment AS segment,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_revenue,
+      |  COUNT(*) AS n_orders,
+      |  CAST(MIN(o.o_orderdate) AS DATE) AS first_order_date,
+      |  CAST(MAX(o.o_orderdate) AS DATE) AS last_order_date
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY lifetime_revenue DESC, customer_id
+      |LIMIT 1000""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey").as("customer_id"), col("c_name").as("name"), col("c_mktsegment").as("segment"))
+      .agg(
+        dsum(col("o_totalprice")).as("lifetime_revenue"),
+        count(lit(1)).as("n_orders"),
+        to_date(min(col("o_orderdate"))).as("first_order_date"),
+        to_date(max(col("o_orderdate"))).as("last_order_date"))
+      .orderBy(col("lifetime_revenue").desc, col("customer_id"))
+      .limit(1000)
+  }
+
+  // ---------------------------------------------------------------------
+  // q12 — BETWEEN date-range predicate + monthly rollup (SURVEY §2.2 P9,
+  // the parameterized-dashboard WHERE shape; params frozen here for the
+  // oracle — the parameterized form is Dashboards.monthlySales).
+  val q12 = Q(
+    "q12_monthly_sales_1996",
+    """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderdate").between(
+        lit("1996-01-01 00:00:00").cast(TimestampType),
+        lit("1996-12-31 00:00:00").cast(TimestampType)))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"),
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_order_value"))
+      .orderBy("month")
+  }
+
+  // ---------------------------------------------------------------------
+  // q13 — the DQ gate as one labeled result set (SURVEY §2.11): null
+  // checks, range checks, and an orphan check via LEFT ANTI join.
+  val q13 = Q(
+    "q13_dq_summary",
+    """SELECT check_name, bad FROM (
+      |  SELECT 'null_customer_name' AS check_name, COUNT(*) AS bad FROM customer WHERE c_name IS NULL OR c_mktsegment IS NULL
+      |  UNION ALL
+      |  SELECT 'nonpositive_quantity' AS check_name, COUNT(*) AS bad FROM lineitem WHERE l_quantity <= 0
+      |  UNION ALL
+      |  SELECT 'bad_discount' AS check_name, COUNT(*) AS bad FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+      |  UNION ALL
+      |  SELECT 'orphan_lineitem' AS check_name, COUNT(*) AS bad
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL
+      |) ORDER BY check_name""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer")
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    def check(name: String, bad: DataFrame): DataFrame =
+      bad.agg(count(lit(1)).as("bad")).select(lit(name).as("check_name"), col("bad"))
+    check("null_customer_name", cust.filter(col("c_name").isNull || col("c_mktsegment").isNull))
+      .unionByName(check("nonpositive_quantity", li.filter(col("l_quantity") <= 0)))
+      .unionByName(check("bad_discount", li.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+      .unionByName(check("orphan_lineitem",
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")))
+      .orderBy("check_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q14 — capped conversion percentages with NULL-safe division (SURVEY
+  // §2.8 least/when: `03_gold/03_gold_aggregate.py:137-152`, README's
+  // ">100% conversion" and "div-by-zero" regression classes).
+  val q14 = Q(
+    "q14_user_conversion",
+    """SELECT user_id, views, clicks, purchases,
+      |  CASE WHEN views > 0 THEN LEAST(CAST(100.0 AS DOUBLE), CAST(purchases AS DOUBLE) * CAST(100.0 AS DOUBLE) / views) END AS view_to_purchase_pct,
+      |  CASE WHEN clicks > 0 THEN LEAST(CAST(100.0 AS DOUBLE), CAST(purchases AS DOUBLE) * CAST(100.0 AS DOUBLE) / clicks) END AS click_to_purchase_pct
+      |FROM (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+      |  FROM events GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        countIf(col("event_type") === "view").as("views"),
+        countIf(col("event_type") === "click").as("clicks"),
+        countIf(col("event_type") === "purchase").as("purchases"))
+      .select(
+        col("user_id"), col("views"), col("clicks"), col("purchases"),
+        AggOps.cappedPct(col("purchases").cast(DoubleType), col("views")).as("view_to_purchase_pct"),
+        AggOps.cappedPct(col("purchases").cast(DoubleType), col("clicks")).as("click_to_purchase_pct"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q15 — "Sales Overview" dashboard shape: daily rollup, date-desc order,
+  // preview limit (SURVEY §2.6 O2, `analysis/dashboard_queries/02_Sales
+  // Overview.sql`).
+  val q15 = Q(
+    "q15_sales_overview",
+    """SELECT CAST(o_orderdate AS DATE) AS order_date,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '2000-01-01 00:00:00' AND TIMESTAMP '2000-03-31 00:00:00'
+      |GROUP BY 1
+      |ORDER BY order_date DESC""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_orderdate").between(
+        lit("2000-01-01 00:00:00").cast(TimestampType),
+        lit("2000-03-31 00:00:00").cast(TimestampType)))
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("revenue"),
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_order_value"))
+      .orderBy(col("order_date").desc)
+  }
+
+  // ---------------------------------------------------------------------
+  // q16 — Customer 360: LEFT join + coalesce zero-fill + datediff against
+  // a frozen as-of date + CASE segmentation (SURVEY §2.3 J6, §2.8;
+  // `03_gold/03_gold_aggregate.py:245-272` with current_date frozen to
+  // 2002-01-01 for determinism per SURVEY §5).
+  val q16 = Q(
+    "q16_customer_360",
+    """SELECT c.c_custkey AS customer_id, c.c_name AS name, c.c_mktsegment AS segment,
+      |  COALESCE(o.lifetime_revenue, 0.0) AS lifetime_revenue,
+      |  COALESCE(o.n_orders, 0) AS n_orders,
+      |  DATE_DIFF('day', o.last_order_date, DATE '2002-01-01') AS days_since_last_order,
+      |  CASE WHEN COALESCE(o.lifetime_revenue, 0.0) >= 1500000.0 THEN 'vip'
+      |       WHEN COALESCE(o.lifetime_revenue, 0.0) >= 750000.0 THEN 'loyal'
+      |       WHEN COALESCE(o.n_orders, 0) > 0 THEN 'active'
+      |       ELSE 'prospect' END AS tier
+      |FROM customer c
+      |LEFT JOIN (SELECT o_custkey,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_revenue,
+      |             COUNT(*) AS n_orders,
+      |             CAST(MAX(o_orderdate) AS DATE) AS last_order_date
+      |           FROM orders GROUP BY o_custkey) o
+      |ON c.c_custkey = o.o_custkey
+      |ORDER BY lifetime_revenue DESC, customer_id
+      |LIMIT 1000""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer")
+    val oAgg = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        dsum(col("o_totalprice")).as("lifetime_revenue"),
+        count(lit(1)).as("n_orders"),
+        to_date(max(col("o_orderdate"))).as("last_order_date"))
+    val ltv = coalesce(col("lifetime_revenue"), lit(0.0))
+    val nOrders = coalesce(col("n_orders"), lit(0L))
+    c.join(oAgg, c("c_custkey") === oAgg("o_custkey"), "left")
+      .select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment"),
+        ltv.as("lifetime_revenue"),
+        nOrders.as("n_orders"),
+        datediff(lit("2002-01-01").cast(DateType), col("last_order_date")).as("days_since_last_order"),
+        when(ltv >= 1500000.0, "vip")
+          .when(ltv >= 750000.0, "loyal")
+          .when(nOrders > 0, "active")
+          .otherwise("prospect").as("tier"))
+      .orderBy(col("lifetime_revenue").desc, col("customer_id"))
+      .limit(1000)
+  }
+
+  // ---------------------------------------------------------------------
+  // q17 — JSON property extraction from a string column (events.props is
+  // a JSON blob; extension beyond the reference's scalar-function set).
+  val q17 = Q(
+    "q17_json_props",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+      |  COUNT(json_extract_string(props, '$.k')) AS n_with_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(sum(k).as("total_k"), count(k).as("n_with_k"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // q18 — multi-hop dim chain (region ⋈ nation ⋈ customer ⋈ orders):
+  // broadcast the whole dim side, shuffle only the fact aggregate.
+  val q18 = Q(
+    "q18_revenue_by_nation",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+      |  COUNT(DISTINCT c.c_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM region r
+      |JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY region, nation""".stripMargin) { (s, dir) =>
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val dims = c
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("region"), col("n_name").as("nation"))
+    o.join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+      .groupBy("region", "nation")
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("region", "nation")
+  }
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+}

@@ -1,0 +1,53 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet table loader for the driver testdata layout
+  * (`<dir>/<name>.parquet`, see /root/repo/TESTDATA.md).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects unless nanos are read as raw longs; we read the long and
+    // truncate to microseconds (the data is µs-precision, so exact).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None    => df
+    }
+  }
+}
+
+/** Oracle-exact numeric helpers.
+  *
+  * Spark sums doubles in partition order, which is non-deterministic and
+  * never bit-identical to a single-threaded oracle. Casting to DECIMAL
+  * before the sum makes the aggregate exact and order-independent; casting
+  * the exact decimal back to DOUBLE is a deterministic, correctly-rounded
+  * conversion in both Spark and DuckDB, so results hash-compare equal.
+  * This also reflects how a production engine should aggregate money at
+  * 100 TB: decimal partial aggregates are exact under any shuffle order.
+  */
+object Exact {
+  /** Exact, order-independent sum of a money-like double column. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Exact average: exact decimal sum (as double) over the non-null count.
+    * Mirrors `CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE) / COUNT(x)`.
+    */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(c)
+
+  /** Conditional long count: SUM(CASE WHEN cond THEN 1 ELSE 0 END). */
+  def countIf(cond: Column): Column =
+    sum(when(cond, 1L).otherwise(0L))
+
+  /** Conditional exact sum: SUM(CASE WHEN cond THEN x ELSE 0 END). */
+  def dsumIf(cond: Column, c: Column, scale: Int = 2): Column =
+    sum(when(cond, c).otherwise(lit(0.0)).cast(DecimalType(18, scale)))
+      .cast(DoubleType)
+}
