@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables.load
+import graft.functions.TextFns._
+import graft.functions.VectorFns
+
+/** Deduplication operators for large-scale training-data pipelines, over
+  * the `documents` / `embeddings` tables: exact (hash-groupBy), n-gram
+  * Jaccard, MinHash signatures + LSH banding, SimHash, and embedding-
+  * cosine near-dup.
+  *
+  * Scale design: every variant is a shuffle-on-key plan — hash keys,
+  * shingles, LSH band buckets — never an all-pairs comparison, except
+  * where a blocking key (label / band) bounds the pair count first. At
+  * 100 TB the shingle-explode join is the canonical near-dup plan
+  * (band-bucket join ~ linear in corpus size), while brute-force pair
+  * queries here exist as oracle-checkable baselines.
+  */
+object LlmDedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+
+  // DuckDB fragment: polynomial char hash of string expr S, matching
+  // TextFns.polyHash(S, mult, mod). f(0,c1)=c1 makes init-less
+  // list_reduce equal Spark's 0-seeded fold.
+  private def duckPolyHash(s: String, mult: Long, mod: Long): String =
+    s"list_reduce(list_transform(range(1, len($s)+1), i -> ascii(substr($s,i,1))), (a,b) -> (a::BIGINT*$mult+b) % $mod)"
+
+  private def duckHash62(s: String): String =
+    s"${duckPolyHash(s, 31L, Mod31)} + ${duckPolyHash(s, 37L, Mod31)} * 2147483648"
+
+  // ---------------------------------------------------------------------
+  // qd01 — exact dedup stats via content-hash groupBy: the O(n) scale
+  // path (md5 of normalized text as the shuffle key).
+  val qd01 = Q(
+    "qd01_dedup_exact",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(lower(text))) AS n_unique_texts,
+      |  COUNT(*) - COUNT(DISTINCT md5(lower(text))) AS n_duplicates
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val h = md5(lower(col("text")))
+    docs(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(h).as("n_unique_texts"),
+        (count(lit(1)) - countDistinct(h)).as("n_duplicates"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // qd02 — word-2-gram Jaccard near-dup pairs, exact: explode distinct
+  // shingles, self-join on the shingle (shuffle key = shingle, never an
+  // n^2 cross join), count intersections, Jaccard from set sizes.
+  val qd02 = Q(
+    "qd02_jaccard_pairs",
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
+      |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |         ELSE [] END) AS s FROM tok),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      |      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT p.doc_a, p.doc_b, p.inter, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
+      |FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+      |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.05
+      |ORDER BY jaccard DESC, doc_a, doc_b
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir).select(col("doc_id"), array_distinct(shingles(col("text"), 2)).as("s"))
+    val ex = d.select(col("doc_id"), explode(col("s")).as("g"))
+    val sz = d.select(col("doc_id"), size(col("s")).cast(LongType).as("n"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")).cast(DoubleType)
+    pairs
+      .join(sz.as("sa").withColumnRenamed("n", "n_a"), col("doc_a") === col("sa.doc_id")).drop("doc_id")
+      .join(sz.as("sb").withColumnRenamed("n", "n_b"), col("doc_b") === col("sb.doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"), jac.as("jaccard"))
+      .filter(jac >= 0.05)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------------
+  // qd03 — MinHash signatures (k=16) over word-3-gram shingles. The
+  // signature itself is oracle-checked value-by-value; LSH banding over
+  // it is qd04.
+  val qd03 = Q(
+    "qd03_minhash_signatures",
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END) AS s FROM tok),
+       |hs AS (SELECT doc_id, list_transform(s, g -> ${duckPolyHash("g", 31L, ModBig)}) AS h FROM sh)
+       |SELECT doc_id, j,
+       |  list_min(list_transform(h, x -> (x*(389*(j+1)+1) + 211*(j+1)+7) % $ModBig)) AS minhash
+       |FROM hs, range(0, 16) r(j)
+       |ORDER BY doc_id, j""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), g => hash31(g)).as("h"))
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(15L))).as("j"), col("h"))
+      .select(col("doc_id"), col("j"), minhashAt(col("h"), col("j")).as("minhash"))
+      .orderBy("doc_id", "j")
+  }
+
+  // ---------------------------------------------------------------------
+  // qd04 — MinHash + LSH banding near-dup pairs (the 100 TB scale path:
+  // candidate generation is a groupBy on (band, band-signature), never a
+  // pairwise scan; candidates are then verified with exact Jaccard).
+  // Not expressible as readable ANSI SQL → rows-only check here;
+  // behavior is pinned by LlmDedupSpec against brute-force Jaccard.
+  val qd04 = Q.noOracle("qd04_minhash_lsh_pairs") { (s, dir) =>
+    val k = 16
+    val bandRows = 4 // 4 bands of 4 rows
+    val d = docs(s, dir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"), minhashSig(transform(col("sh"), g => hash31(g)), k).as("sig"))
+    // band key: one row per (doc, band), key = the band's slice of the sig
+    val banded = d.select(
+      col("doc_id"),
+      explode(sequence(lit(0), lit(k / bandRows - 1))).as("band"),
+      col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws("-", slice(col("sig"), col("band") * bandRows + 1, lit(bandRows))).as("band_key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    val sets = d.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
+          size(array_union(col("sa.sh"), col("sb.sh"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  // ---------------------------------------------------------------------
+  // qd05 — SimHash fingerprints (62-bit, majority vote per bit over token
+  // hashes): near-dup docs land within small Hamming distance.
+  val qd05 = Q(
+    "qd05_simhash",
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |th AS (SELECT doc_id, list_transform(t, g -> ${duckHash62("g")}) AS h FROM tok)
+       |SELECT doc_id,
+       |  list_reduce(list_transform(range(0, 62), b ->
+       |    CASE WHEN list_reduce(list_transform(h, x -> ((x >> b) & 1)*2 - 1), (p,q) -> p+q) > 0
+       |         THEN (1::BIGINT << b) ELSE 0::BIGINT END), (p,q) -> p+q) AS simhash
+       |FROM th
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), transform(tokens(col("text")), g => hash62(g)).as("th"))
+      .select(col("doc_id"), simhash(col("th")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qd06 — embedding-cosine near-dup pairs, blocked by label (realistic
+  // blocking: at 100 TB you never do unblocked all-pairs; the blocking
+  // key here stands in for an LSH/IVF bucket).
+  private def duckCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x)+1), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (p,q) -> p+q)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  val qd06 = Q(
+    "qd06_embedding_neardup",
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       |  ${duckCos("a.embedding", "b.embedding")} AS cos_sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |ORDER BY cos_sim DESC, id_a, id_b
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    val e = load(s, dir, "embeddings")
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        col("a.label").as("label"),
+        VectorFns.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06)
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables.load
+import graft.functions.VectorFns._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * qs01 is the exact brute-force baseline: broadcast the (small) query
+  * set against the corpus — at 100 TB this is the "score a handful of
+  * probes" path, linear in corpus size with no shuffle (broadcast join +
+  * per-partition top-k via TakeOrdered).
+  *
+  * qs02 is the scale path: sign-bit LSH bucketing — candidate generation
+  * becomes an equi-join on the bucket id, so the corpus side is touched
+  * once and only same-bucket candidates are scored. Recall vs qs01 is
+  * pinned in LlmSimilaritySpec.
+  */
+object LlmSimilarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  private def duckCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x)+1), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (p,q) -> p+q)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  // ---------------------------------------------------------------------
+  // qs01 — exact cosine top-5 neighbors for query vectors vec_id < 8.
+  val qs01 = Q(
+    "qs01_cosine_topk",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |        ${duckCos("q.qe", "c.embedding")} AS cos_sim
+       |      FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM s) ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // qs02 — LSH-bucketed ANN: 6 deterministic hyperplanes -> 64 buckets;
+  // candidates are only the corpus vectors in the query's bucket. Not
+  // SQL-expressible compactly -> rows-only check; recall pinned in tests.
+  val qs02 = Q.noOracle("qs02_ann_lsh_topk") { (s, dir) =>
+    val planes = hyperplanes(nPlanes = 6, dim = 64)
+    val e = emb(s, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(qs01, qs02)
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables.load
+import graft.functions.TextFns._
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting. All per-row map-side
+  * work (no shuffle except final aggregates/sorts) — at 100 TB these run
+  * as a single pass over the corpus inside whole-stage codegen.
+  */
+object LlmText {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+
+  private val stopEn = Seq("the", "a", "and", "of", "is")
+  private val stopDe = Seq("der", "die", "und", "das", "nicht")
+  private val stopEs = Seq("el", "los", "y", "las", "una")
+  private val stopFr = Seq("le", "les", "et", "est", "vous")
+  private val stopZh = Seq("的", "是", "了", "我", "不")
+
+  private def duckIn(vocab: Seq[String]): String =
+    vocab.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  // ---------------------------------------------------------------------
+  // qt01 — n-gram/stopword-marker language ID: score each language by
+  // marker-token hits, argmax with a fixed priority order (deterministic
+  // tie-break). A real pipeline swaps in bigger marker sets; the plan
+  // shape (one map pass) is the point.
+  val qt01 = Q(
+    "qt01_langid",
+    s"""WITH tok AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopEn)}))::BIGINT AS score_en,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopDe)}))::BIGINT AS score_de,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopEs)}))::BIGINT AS score_es,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopFr)}))::BIGINT AS score_fr,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopZh)}))::BIGINT AS score_zh
+       |FROM tok)
+       |SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+       |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+       |       WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+       |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+       |       WHEN score_fr >= score_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val withScores = docs(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        vocabHits(col("t"), stopEn).as("score_en"),
+        vocabHits(col("t"), stopDe).as("score_de"),
+        vocabHits(col("t"), stopEs).as("score_es"),
+        vocabHits(col("t"), stopFr).as("score_fr"),
+        vocabHits(col("t"), stopZh).as("score_zh"))
+    val en = col("score_en"); val de = col("score_de"); val es = col("score_es")
+    val fr = col("score_fr"); val zh = col("score_zh")
+    withScores
+      .withColumn("pred_lang",
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qt02 — per-doc quality scoring: token stats, type/token ratio,
+  // stopword ratio, and a weighted score (the length/punct/stopword
+  // heuristic family used by pretraining-data filters).
+  private val stopQuality = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  val qt02 = Q(
+    "qt02_quality_score",
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    length(text)::BIGINT AS n_chars,
+       |    len(t)::BIGINT AS n_tokens,
+       |    len(list_distinct(t))::BIGINT AS n_distinct_tokens,
+       |    list_reduce(list_transform(t, x -> len(x)::BIGINT), (a,b) -> a+b) AS sum_token_len,
+       |    len(list_filter(t, x -> x IN ${duckIn(stopQuality)}))::BIGINT AS n_stopwords
+       |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents))
+       |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+       |  CAST(sum_token_len AS DOUBLE) / n_tokens AS avg_token_len,
+       |  CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS type_token_ratio,
+       |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+       |  (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) * CAST(0.5 AS DOUBLE)
+       |    + (CAST(n_stopwords AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)
+       |    + LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(200.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS quality_score
+       |FROM c
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("t"))).cast(LongType).as("n_distinct_tokens"),
+        aggregate(transform(col("t"), x => length(x).cast(LongType)), lit(0L), (a, b) => a + b)
+          .as("sum_token_len"),
+        vocabHits(col("t"), stopQuality).as("n_stopwords"))
+    val ttr = col("n_distinct_tokens").cast(DoubleType) / col("n_tokens")
+    val swr = col("n_stopwords").cast(DoubleType) / col("n_tokens")
+    base.select(
+      col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct_tokens"),
+      (col("sum_token_len").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
+      ttr.as("type_token_ratio"),
+      swr.as("stopword_ratio"),
+      (ttr * lit(0.5) + swr * lit(0.3) +
+        least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(200.0)) * lit(0.2))
+        .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qt03 — token counting per source: whitespace tokens + a BPE-ish
+  // regex tokenizer (letters / digits / single punctuation).
+  val qt03 = Q(
+    "qt03_token_stats",
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(lower(text), ' '))::BIGINT AS n_ws,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe
+      |  FROM documents)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(SUM(n_ws) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+      |  MAX(n_ws) AS max_tokens,
+      |  MIN(n_ws) AS min_tokens
+      |FROM c
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(
+        col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_ws"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("n_bpe"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_ws_tokens"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
+        (sum(col("n_ws")).cast(DoubleType) / count(lit(1))).as("avg_tokens_per_doc"),
+        max(col("n_ws")).as("max_tokens"),
+        min(col("n_ws")).as("min_tokens"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // qt04 — document fingerprinting: 62-bit rolling-hash content id (the
+  // cheap exact-dup / shard-assignment key at corpus scale).
+  val qt04 = Q(
+    "qt04_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_transform(range(1, len(text)+1), i -> ascii(substr(text,i,1))), (a,b) -> (a::BIGINT*31+b) % 2147483647)
+      |  + list_reduce(list_transform(range(1, len(text)+1), i -> ascii(substr(text,i,1))), (a,b) -> (a::BIGINT*37+b) % 2147483647) * 2147483648 AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), hash62(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04)
+}
