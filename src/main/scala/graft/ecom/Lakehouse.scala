@@ -1,0 +1,56 @@
+package graft.ecom
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Medallion orchestrator (reference: the four notebooks run in numeric
+  * order, `README.md:26-33`). Bronze → Silver → Gold → DQ gate, with
+  * date-partitioned parquet writes mirroring the reference's Delta
+  * layout (`overwriteSchema` is Delta-only; parquet overwrite replaces
+  * the schema anyway — SURVEY §1.4). The writer format is a knob so a
+  * Delta/Iceberg jar can slot in unchanged.
+  *
+  * Scale: partition columns match the reference (event/order/session
+  * date) so every dashboard BETWEEN predicate partition-prunes; at
+  * 100 TB that's the difference between scanning a day and a year.
+  */
+final case class Lakehouse(
+    spark: SparkSession,
+    warehouseDir: String,
+    format: String = "parquet") {
+
+  /** Partition column per table (reference: `02_silver_transform.py:104,
+    * 137,174`; `03_gold_aggregate.py:110,155,211`).
+    */
+  private val partitioning: Map[String, String] = Map(
+    "events_clean" -> "event_date",
+    "orders_clean" -> "order_date",
+    "order_items_clean" -> "order_date",
+    "product_metrics" -> "event_date",
+    "product_funnel" -> "event_date",
+    "session_metrics" -> "session_date")
+
+  def write(name: String, df: DataFrame): Unit = {
+    val w = df.write.format(format).mode(SaveMode.Overwrite)
+    partitioning.get(name).fold(w)(w.partitionBy(_)).save(s"$warehouseDir/$name")
+  }
+
+  def read(name: String): DataFrame = spark.read.format(format).load(s"$warehouseDir/$name")
+
+  /** Full pipeline from bronze DataFrames; returns the gold map (also
+    * persisted under `warehouseDir`). `enforceDq=false` skips the raise
+    * so callers can inspect failed checks.
+    */
+  def runAll(bronze: Map[String, DataFrame], asOf: LocalDate,
+      enforceDq: Boolean = true): Map[String, DataFrame] = {
+    val silver = Silver.transformAll(bronze)
+    silver.foreach { case (name, df) => write(name, df) }
+    val silverRead = silver.keys.map(n => n -> read(n)).toMap
+    val gold = Gold.aggregateAll(silverRead, asOf)
+    gold.foreach { case (name, df) => write(name, df) }
+    val goldRead = gold.keys.map(n => n -> read(n)).toMap
+    if (enforceDq) DqChecks.enforceAll(goldRead)
+    goldRead
+  }
+}

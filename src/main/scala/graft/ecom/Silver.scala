@@ -1,0 +1,159 @@
+package graft.ecom
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.CleanOps.{cleanId, dedupLatest}
+
+/** Silver layer: clean / normalize / dedup the 7 sources (reference:
+  * `/root/reference/02_silver/02_silver_transform.py`). Semantics
+  * preserved exactly:
+  *  - `clean_id` cast chain canonicalizes float-formatted IDs and nulls
+  *    non-numeric ones (`:41-42`); rows with null PKs are dropped;
+  *  - dedup keeps the LATEST `_ingest_ts` per PK (`:66-69` et seq.),
+  *    with `_tie` on a unique column for determinism where the reference
+  *    relies on arbitrary ordering;
+  *  - order_items gains `order_date` from a LEFT join to orders with a
+  *    `coalesce(order_date, to_date(_ingest_ts))` fallback (`:162-166`).
+  *
+  * Each transform is a pure `DataFrame => DataFrame` — unit-testable
+  * without I/O; partitioned writes live in Lakehouse.
+  */
+object Silver {
+
+  private val audit = Seq(col("_ingest_ts"), col("_source_file"))
+
+  private def dedupByKey(df: DataFrame, keys: Seq[String], tie: String): DataFrame =
+    dedupLatest(df, keys, Seq(col("_ingest_ts").desc, col(tie).desc_nulls_last))
+
+  /** customers_clean (`02_silver_transform.py:53-69`). */
+  def customers(raw: DataFrame): DataFrame = {
+    val projected = raw.select(
+      Seq(
+        cleanId(col("customer_id")).as("customer_id"),
+        trim(col("name")).as("name"),
+        lower(trim(col("email"))).as("email"),
+        trim(col("country")).as("country"),
+        col("age").cast(IntegerType).as("age"),
+        to_date(col("signup_date")).as("signup_date"),
+        col("marketing_opt_in").cast(BooleanType).as("marketing_opt_in")) ++ audit: _*)
+      .filter(col("customer_id").isNotNull)
+    dedupByKey(projected, Seq("customer_id"), "email")
+  }
+
+  /** events_clean (`02_silver_transform.py:82-104`), partitioned by
+    * event_date downstream.
+    */
+  def events(raw: DataFrame): DataFrame = {
+    val projected = raw.select(
+      Seq(
+        cleanId(col("event_id")).as("event_id"),
+        cleanId(col("session_id")).as("session_id"),
+        to_timestamp(col("timestamp")).as("event_ts"),
+        trim(col("event_type")).as("event_type"),
+        cleanId(col("product_id")).as("product_id"),
+        col("qty").cast(IntegerType).as("qty"),
+        col("cart_size").cast(IntegerType).as("cart_size"),
+        trim(col("payment")).as("payment"),
+        col("discount_pct").cast(DoubleType).as("discount_pct"),
+        col("amount_usd").cast(DoubleType).as("amount_usd")) ++ audit: _*)
+      .withColumn("event_date", to_date(col("event_ts")))
+      .filter(col("event_id").isNotNull)
+    dedupByKey(projected, Seq("event_id"), "event_ts")
+  }
+
+  /** orders_clean (`02_silver_transform.py:115-137`). */
+  def orders(raw: DataFrame): DataFrame = {
+    val projected = raw.select(
+      Seq(
+        cleanId(col("order_id")).as("order_id"),
+        cleanId(col("customer_id")).as("customer_id"),
+        to_timestamp(col("order_time")).as("order_ts"),
+        trim(col("payment_method")).as("payment_method"),
+        col("discount_pct").cast(DoubleType).as("discount_pct"),
+        col("subtotal_usd").cast(DoubleType).as("subtotal_usd"),
+        col("total_usd").cast(DoubleType).as("total_usd"),
+        trim(col("country")).as("country"),
+        trim(col("device")).as("device"),
+        trim(col("source")).as("source")) ++ audit: _*)
+      .withColumn("order_date", to_date(col("order_ts")))
+      .filter(col("order_id").isNotNull)
+    dedupByKey(projected, Seq("order_id"), "order_ts")
+  }
+
+  /** order_items_clean (`02_silver_transform.py:148-174`): composite PK
+    * (order_id, product_id), quantity > 0 gate, order_date attached from
+    * orders with ingest-date fallback.
+    */
+  def orderItems(raw: DataFrame, ordersClean: DataFrame): DataFrame = {
+    val projected = raw.select(
+      Seq(
+        cleanId(col("order_id")).as("order_id"),
+        cleanId(col("product_id")).as("product_id"),
+        col("unit_price_usd").cast(DoubleType).as("unit_price_usd"),
+        col("quantity").cast(IntegerType).as("quantity"),
+        col("line_total_usd").cast(DoubleType).as("line_total_usd")) ++ audit: _*)
+      .filter(col("order_id").isNotNull && col("product_id").isNotNull)
+      .filter(col("quantity") > 0)
+    val deduped = dedupByKey(projected, Seq("order_id", "product_id"), "line_total_usd")
+    deduped
+      .join(ordersClean.select("order_id", "order_date"), Seq("order_id"), "left")
+      .withColumn("order_date", coalesce(col("order_date"), to_date(col("_ingest_ts"))))
+  }
+
+  /** products_clean (`02_silver_transform.py:185-200`). */
+  def products(raw: DataFrame): DataFrame = {
+    val projected = raw.select(
+      Seq(
+        cleanId(col("product_id")).as("product_id"),
+        trim(col("category")).as("category"),
+        trim(col("name")).as("product_name"),
+        col("price_usd").cast(DoubleType).as("price_usd"),
+        col("cost_usd").cast(DoubleType).as("cost_usd"),
+        col("margin_usd").cast(DoubleType).as("margin_usd")) ++ audit: _*)
+      .filter(col("product_id").isNotNull)
+    dedupByKey(projected, Seq("product_id"), "product_name")
+  }
+
+  /** reviews_clean (`02_silver_transform.py:213-228`). */
+  def reviews(raw: DataFrame): DataFrame = {
+    val projected = raw.select(
+      Seq(
+        cleanId(col("review_id")).as("review_id"),
+        cleanId(col("order_id")).as("order_id"),
+        cleanId(col("product_id")).as("product_id"),
+        col("rating").cast(IntegerType).as("rating"),
+        col("review_text").as("review_text"),
+        to_timestamp(col("review_time")).as("review_ts")) ++ audit: _*)
+      .filter(col("review_id").isNotNull)
+    dedupByKey(projected, Seq("review_id"), "review_ts")
+  }
+
+  /** sessions_clean (`02_silver_transform.py:241-250`). */
+  def sessions(raw: DataFrame): DataFrame = {
+    val projected = raw.select(
+      Seq(
+        cleanId(col("session_id")).as("session_id"),
+        cleanId(col("customer_id")).as("customer_id"),
+        to_timestamp(col("start_time")).as("session_start_ts"),
+        trim(col("device")).as("device"),
+        trim(col("source")).as("source"),
+        trim(col("country")).as("country")) ++ audit: _*)
+      .filter(col("session_id").isNotNull)
+    dedupByKey(projected, Seq("session_id"), "session_start_ts")
+  }
+
+  /** All seven transforms, given the bronze tables by name. */
+  def transformAll(bronze: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val ordersClean = orders(bronze("orders"))
+    Map(
+      "customers_clean" -> customers(bronze("customers")),
+      "events_clean" -> events(bronze("events")),
+      "orders_clean" -> ordersClean,
+      "order_items_clean" -> orderItems(bronze("order_items"), ordersClean),
+      "products_clean" -> products(bronze("products")),
+      "reviews_clean" -> reviews(bronze("reviews")),
+      "sessions_clean" -> sessions(bronze("sessions")))
+  }
+}

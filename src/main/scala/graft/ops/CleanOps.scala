@@ -13,9 +13,11 @@ object CleanOps {
     * floats — "1050.0" -> "1050". Non-numeric strings become NULL (and are
     * then dropped by not-null filters — reference semantics we preserve).
     * Reference: clean_id, `02_silver/02_silver_transform.py:41-42`.
+    * try_cast because Spark 4 is ANSI by default and would throw on
+    * non-numeric input, where the reference's PySpark cast yields NULL.
     */
   def cleanId(c: Column): Column =
-    c.cast("double").cast("long").cast("string")
+    c.try_cast("double").try_cast("long").cast("string")
 
   /** Dedup-keep-latest: keep exactly one row per key, the one ranked first
     * by `order` (callers pass e.g. `Seq(col("_ingest_ts").desc, tieBreak)`

@@ -82,7 +82,7 @@ object Parity {
   // event-type literals, `03_gold/03_gold_aggregate.py:48-54`).
   val q03 = Q(
     "q03_events_daily",
-    """SELECT CAST(ts AS DATE) AS event_date,
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
       |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
       |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
       |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
@@ -93,7 +93,7 @@ object Parity {
       |GROUP BY 1
       |ORDER BY event_date""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
-      .groupBy(to_date(col("ts")).as("event_date"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
       .agg(
         countIf(col("event_type") === "view").as("views"),
         countIf(col("event_type") === "click").as("clicks"),
@@ -273,8 +273,8 @@ object Parity {
     """SELECT c.c_custkey AS customer_id, c.c_name AS name, c.c_mktsegment AS segment,
       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_revenue,
       |  COUNT(*) AS n_orders,
-      |  CAST(MIN(o.o_orderdate) AS DATE) AS first_order_date,
-      |  CAST(MAX(o.o_orderdate) AS DATE) AS last_order_date
+      |  strftime(CAST(MIN(o.o_orderdate) AS DATE), '%Y-%m-%d') AS first_order_date,
+      |  strftime(CAST(MAX(o.o_orderdate) AS DATE), '%Y-%m-%d') AS last_order_date
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY 1, 2, 3
       |ORDER BY lifetime_revenue DESC, customer_id
@@ -286,8 +286,8 @@ object Parity {
       .agg(
         dsum(col("o_totalprice")).as("lifetime_revenue"),
         count(lit(1)).as("n_orders"),
-        to_date(min(col("o_orderdate"))).as("first_order_date"),
-        to_date(max(col("o_orderdate"))).as("last_order_date"))
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_order_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order_date"))
       .orderBy(col("lifetime_revenue").desc, col("customer_id"))
       .limit(1000)
   }
@@ -298,7 +298,7 @@ object Parity {
   // oracle — the parameterized form is Dashboards.monthlySales).
   val q12 = Q(
     "q12_monthly_sales_1996",
-    """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+    """SELECT strftime(CAST(DATE_TRUNC('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month,
       |  COUNT(*) AS n_orders,
       |  COUNT(DISTINCT o_custkey) AS n_customers,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -311,7 +311,7 @@ object Parity {
       .filter(col("o_orderdate").between(
         lit("1996-01-01 00:00:00").cast(TimestampType),
         lit("1996-12-31 00:00:00").cast(TimestampType)))
-      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
@@ -383,7 +383,7 @@ object Parity {
   // Overview.sql`).
   val q15 = Q(
     "q15_sales_overview",
-    """SELECT CAST(o_orderdate AS DATE) AS order_date,
+    """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
       |  COUNT(*) AS n_orders,
       |  COUNT(DISTINCT o_custkey) AS n_customers,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -396,7 +396,7 @@ object Parity {
       .filter(col("o_orderdate").between(
         lit("2000-01-01 00:00:00").cast(TimestampType),
         lit("2000-03-31 00:00:00").cast(TimestampType)))
-      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
       .agg(
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),

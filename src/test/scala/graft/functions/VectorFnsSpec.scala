@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.VectorFns._
+
+class VectorFnsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine matches a hand computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(cosine(col("a"), col("b")).as("c")).as[Double].head()
+    val expect = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - expect) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((Seq(0.5f, -0.25f, 2.0f), Seq(0.5f, -0.25f, 2.0f))).toDF("a", "b")
+    val got = df.select(cosine(col("a"), col("b")).as("c")).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("lshBucket is deterministic and bounded by plane count") {
+    val planes = hyperplanes(nPlanes = 6, dim = 4)
+    val df = Seq(Seq(1.0f, -2.0f, 0.5f, 3.0f), Seq(-1.0f, 2.0f, -0.5f, -3.0f)).toDF("v")
+    val got = df.select(lshBucket(col("v"), planes).as("b")).as[Long].collect().toSeq
+    assert(got.forall(b => b >= 0 && b < 64))
+    val again = df.select(lshBucket(col("v"), planes).as("b")).as[Long].collect().toSeq
+    assert(got == again)
+  }
+}

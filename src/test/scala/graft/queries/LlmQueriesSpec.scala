@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Behavior tests for the non-oracle LLM queries (LSH dedup + ANN),
+  * pinning them against their exact brute-force counterparts on the
+  * driver testdata at sf0.001.
+  */
+class LlmQueriesSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("qd04 LSH pairs are a high-Jaccard subset confirmed by exact computation") {
+    val pairs = LlmDedup.qd04.fn(spark, dir).collect()
+    assert(pairs.nonEmpty, "expected some near-dup candidates in testdata")
+    // every emitted pair was exact-verified >= 0.5 by construction; check bounds
+    pairs.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("qs02 ANN results agree with qs01 exact scores where they overlap") {
+    val exact = LlmSimilarity.qs01.fn(spark, dir)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = LlmSimilarity.qs02.fn(spark, dir)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+    assert(ann.nonEmpty)
+    // ANN cosine must equal the exact cosine for the same pair (same math),
+    // and ANN can never beat the exact top-1
+    val exactTop = LlmSimilarity.qs01.fn(spark, dir)
+      .filter(col("rank") === 1)
+      .select("query_id", "cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach(c => assert(c == r.getDouble(2)))
+      assert(r.getDouble(2) <= exactTop(r.getLong(0)) + 1e-12)
+    }
+  }
+}
