@@ -30,12 +30,12 @@ object TextFns {
   /** Polynomial rolling hash over the characters of a string:
     * fold (acc * mult + ascii(char)) % mod. Matches DuckDB's
     * list_reduce over ascii(substr(...)) because f(0, c1) == c1.
+    * Backed by the native codegen'd [[PolyHash]] expression — one JIT'd
+    * loop per string, not per-character interpreted lambdas.
     */
   def polyHash(c: Column, mult: Long, mod: Long): Column =
-    aggregate(
-      sequence(lit(1), length(c)),
-      lit(0L),
-      (acc, i) => (acc * lit(mult) + ascii(c.substr(i, lit(1))).cast(LongType)) % lit(mod))
+    org.apache.spark.sql.graft.shims.column(
+      PolyHash(org.apache.spark.sql.graft.shims.expression(c), mult, mod))
 
   /** Default 31-bit string hash used by minhash. */
   def hash31(c: Column): Column = polyHash(c, 31L, ModBig)
@@ -48,16 +48,13 @@ object TextFns {
     polyHash(c, 31L, Mod31) + polyHash(c, 37L, Mod31) * lit(2147483648L)
 
   /** Word n-gram shingles: ["a","b","c","d"] with n=3 ->
-    * ["a b c","b c d"]. Empty array when the doc has fewer than n tokens
-    * (guarded because Spark's `sequence(1, k)` runs DESCENDING for k<1).
+    * ["a b c","b c d"]. Empty array when the doc has fewer than n tokens.
+    * Backed by the native codegen'd [[WordShingles]] expression (one
+    * split per doc instead of one per lambda element_at).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.shims.column(
+      WordShingles(org.apache.spark.sql.graft.shims.expression(c), n))
 
   /** MinHash value for permutation `j` (a column) over an array of
     * shingle hashes: min over shingles of (h * a_j + b_j) % P with the

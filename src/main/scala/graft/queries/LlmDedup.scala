@@ -56,14 +56,20 @@ object LlmDedup {
   }
 
   // ---------------------------------------------------------------------
-  // qd02 — word-2-gram Jaccard near-dup pairs, exact: explode distinct
+  // qd02 — word-3-gram Jaccard near-dup pairs, exact: explode distinct
   // shingles, self-join on the shingle (shuffle key = shingle, never an
   // n^2 cross join), count intersections, Jaccard from set sizes.
+  // 3-grams (not 2-grams) on purpose: the shingle is the shuffle key, and
+  // its selectivity bounds the pair blow-up. On this corpus 2-grams have
+  // ~900 distinct values with doc-frequency in the hundreds (≈36M join
+  // pairs at sf0.1 — quadratic in df, fatal at 100 TB), while 3-grams
+  // have ~27K distinct values with max df ≈ 25. Same df-capping logic a
+  // production near-dup miner applies to stop-shingles.
   val qd02 = Q(
     "qd02_jaccard_pairs",
     """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 2
-      |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |         ELSE [] END) AS s FROM tok),
       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
@@ -75,7 +81,7 @@ object LlmDedup {
       |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.05
       |ORDER BY jaccard DESC, doc_a, doc_b
       |LIMIT 100""".stripMargin) { (s, dir) =>
-    val d = docs(s, dir).select(col("doc_id"), array_distinct(shingles(col("text"), 2)).as("s"))
+    val d = docs(s, dir).select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
     val ex = d.select(col("doc_id"), explode(col("s")).as("g"))
     val sz = d.select(col("doc_id"), size(col("s")).cast(LongType).as("n"))
     val pairs = ex.as("a")
@@ -107,11 +113,19 @@ object LlmDedup {
        |  list_min(list_transform(h, x -> (x*(389*(j+1)+1) + 211*(j+1)+7) % $ModBig)) AS minhash
        |FROM hs, range(0, 16) r(j)
        |ORDER BY doc_id, j""".stripMargin) { (s, dir) =>
+    // Plan shape: explode shingles → hash each ONCE (the Generate is a
+    // projection barrier, so the char-level hash isn't duplicated into
+    // the 16 per-permutation lambdas) → explode j → two-phase hash
+    // aggregate MIN (map-side partial → codegen'd all the way). This is
+    // the distributed-minhash plan that scales linearly in corpus size.
     docs(s, dir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), g => hash31(g)).as("h"))
-      .select(col("doc_id"), explode(sequence(lit(0L), lit(15L))).as("j"), col("h"))
-      .select(col("doc_id"), col("j"), minhashAt(col("h"), col("j")).as("minhash"))
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("g"))
+      .select(col("doc_id"), hash31(col("g")).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0L), lit(15L))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(min(
+        (col("h") * (lit(389L) * (col("j") + 1) + 1) + lit(211L) * (col("j") + 1) + 7)
+          % lit(ModBig)).as("minhash"))
       .orderBy("doc_id", "j")
   }
 
@@ -124,10 +138,23 @@ object LlmDedup {
   val qd04 = Q.noOracle("qd04_minhash_lsh_pairs") { (s, dir) =>
     val k = 16
     val bandRows = 4 // 4 bands of 4 rows
+    // Signature + shingle set in ONE grouped pass over exploded shingles:
+    // each shingle is hashed exactly once (Generate is a projection
+    // barrier), then k MIN aggregates + collect_list run as a single
+    // two-phase aggregation. Computing the signature array inline with
+    // higher-order lambdas instead re-evaluates the char-level hash k
+    // times per shingle in interpreted (CodegenFallback) eval — measured
+    // 30× slower at sf0.1.
+    val mins = (0 until k).map(j =>
+      min((col("h") * lit(389L * (j + 1) + 1) + lit(211L * (j + 1) + 7)) % lit(ModBig))
+        .as(s"_m$j"))
     val d = docs(s, dir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"), minhashSig(transform(col("sh"), g => hash31(g)), k).as("sig"))
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("g"))
+      .select(col("doc_id"), col("g"), hash31(col("g")).as("h"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("g")).as("sh"), mins: _*)
+      .select(col("doc_id"), col("sh"),
+        array((0 until k).map(j => col(s"_m$j")): _*).as("sig"))
     // band key: one row per (doc, band), key = the band's slice of the sig
     val banded = d.select(
       col("doc_id"),
@@ -166,9 +193,21 @@ object LlmDedup {
        |         THEN (1::BIGINT << b) ELSE 0::BIGINT END), (p,q) -> p+q) AS simhash
        |FROM th
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Explode tokens → hash each ONCE → 62 per-bit vote SUMs in a single
+    // two-phase hash aggregate, then reassemble the fingerprint from the
+    // vote signs. Same result as the array-lambda formulation but the
+    // hot path (one hash per token + 62 shift/add per row) is a plain
+    // codegen'd aggregate instead of interpreted nested lambdas.
+    val votes = (0 until 62).map(b =>
+      sum(shiftright(col("h"), b) % lit(2L) * lit(2L) - lit(1L)).as(s"_v$b"))
+    val fp = (0 until 62).map(b =>
+      when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     docs(s, dir)
-      .select(col("doc_id"), transform(tokens(col("text")), g => hash62(g)).as("th"))
-      .select(col("doc_id"), simhash(col("th")).as("simhash"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .select(col("doc_id"), hash62(col("tk")).as("h"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
       .orderBy("doc_id")
   }
 
