@@ -1,0 +1,153 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: images / audio / video travel through the
+  * pipeline as opaque `binary` payload columns plus typed metadata, and
+  * decode / feature-extract / resize / frame-sample run as typed
+  * `mapPartitions` stages (the Scala analogue of `mapInPandas`: one
+  * iterator per partition, so per-batch setup — a real codec context, an
+  * inference session — is amortized across the partition, never paid
+  * per row).
+  *
+  * Scale design: payloads stay opaque bytes until the latest possible
+  * stage (no decode before a filter that could drop the row); decoded
+  * frames/features are columnar primitives (ints / array<double>) so
+  * everything downstream is codegen-able; per-media work is
+  * embarrassingly parallel — partitioning by media_id keeps any stateful
+  * codec local to one task. At 100 TB the payload column dominates I/O,
+  * so operators that only need metadata (qm01-style) must prune it —
+  * Spark's column pruning drops `payload` from the scan when the plan
+  * never touches it.
+  *
+  * ==== STUB boundary ====
+  * This container has no image/audio codec libraries, so `Codecs` fakes
+  * the decode deterministically from the payload bytes. Every fake is
+  * clearly marked; the Spark-side plumbing (schemas, encoders, batch
+  * shape, partitioning) is real and is what the tests pin.
+  */
+object MediaOps {
+
+  /** An undecoded media row: opaque payload + the metadata a real
+    * ingest would carry (mime kind, declared byte length).
+    */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded-image metadata + a fixed-width feature vector. */
+  final case class DecodedImage(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_bytes: Long,
+      features: Array[Double])
+
+  /** One sampled video frame: parent media, frame index, frame payload. */
+  final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Decoded-audio metadata + RMS loudness. */
+  final case class DecodedAudio(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      rms: Double)
+
+  // -----------------------------------------------------------------------
+  /** Deterministic codec fakes. A production build replaces the bodies
+    * with real codec calls (e.g. javax.imageio / ffmpeg bindings); the
+    * signatures — bytes in, typed struct out, pure, batch-safe — are the
+    * contract the pipeline depends on.
+    */
+  object Codecs {
+    /** STUB decode: dimensions derived from byte length (square-ish,
+      * 3 channels), features = normalized 8-bin byte histogram. A real
+      * implementation decodes the actual image here.
+      */
+    def decodeImage(id: Long, payload: Array[Byte]): DecodedImage = {
+      val n = payload.length
+      val width = math.max(1, math.sqrt(n.toDouble).toInt)
+      val height = (n + width - 1) / width
+      val hist = new Array[Double](8)
+      var i = 0
+      while (i < n) { hist((payload(i) & 0xff) >> 5) += 1; i += 1 }
+      if (n > 0) { var b = 0; while (b < 8) { hist(b) /= n; b += 1 } }
+      DecodedImage(id, width, height, 3, n.toLong, hist)
+    }
+
+    /** STUB resize: real code interpolates pixels; the fake rescales the
+      * metadata and keeps the histogram (it is scale-invariant).
+      */
+    def resize(img: DecodedImage, w: Int, h: Int): DecodedImage =
+      img.copy(width = w, height = h)
+
+    /** STUB audio decode: bytes as signed 8-bit PCM at a fixed rate. */
+    def decodeAudio(id: Long, payload: Array[Byte]): DecodedAudio = {
+      val n = payload.length
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val s = payload(i).toDouble / 128.0; acc += s * s; i += 1 }
+      DecodedAudio(id, 16000, n.toLong, if (n == 0) 0.0 else math.sqrt(acc / n))
+    }
+  }
+
+  // -----------------------------------------------------------------------
+  /** Decode a batch of images. mapPartitions (not map) so a real codec
+    * would init once per partition; the iterator is consumed lazily —
+    * constant memory regardless of partition size.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup would go here (codec context, model session)
+      it.map(m => Codecs.decodeImage(m.media_id, m.payload))
+    }
+  }
+
+  /** Resize decoded images to a fixed target. */
+  def resizeImages(imgs: Dataset[DecodedImage], w: Int, h: Int): Dataset[DecodedImage] = {
+    import imgs.sparkSession.implicits._
+    imgs.mapPartitions(it => it.map(Codecs.resize(_, w, h)))
+  }
+
+  /** Sample every `stride`-th fixed-size frame of each "video" payload.
+    * flatMap keeps this a single map-side pass: no shuffle, output rows
+    * stream out per input row (frame explosion never materializes a
+    * whole video's frames in memory at once beyond one row's list).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && stride > 0)
+    media.flatMap { m =>
+      val nFrames = (m.payload.length + frameBytes - 1) / frameBytes
+      (0 until nFrames by stride).iterator.map { f =>
+        val from = f * frameBytes
+        val until = math.min(from + frameBytes, m.payload.length)
+        Frame(m.media_id, f, java.util.Arrays.copyOfRange(m.payload, from, until))
+      }
+    }
+  }
+
+  /** Decode a batch of audio payloads. */
+  def decodeAudios(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map(m => Codecs.decodeAudio(m.media_id, m.payload)))
+  }
+
+  // -----------------------------------------------------------------------
+  /** The driver testdata ships no binary tables, so media rows are
+    * derived deterministically from `documents`: payload = UTF-8 bytes
+    * of the text, kind round-robins by doc_id. This is an adapter for
+    * tests/queries, not a synthetic data generator — every byte comes
+    * from the testdata.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+}

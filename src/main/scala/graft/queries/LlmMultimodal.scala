@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MediaOps
+import graft.util.Tables.load
+
+/** Multimodal-column queries over documents-derived media payloads
+  * (binary column + typed metadata; see graft.multimodal.MediaOps for
+  * the stub boundary). Kind assignment is doc_id % 3: 0=image, 1=audio,
+  * 2=video — mirrored literally in the oracle SQL.
+  */
+object LlmMultimodal {
+
+  private def media(s: SparkSession, dir: String) =
+    MediaOps.mediaFromDocuments(s, load(s, dir, "documents"))
+
+  // ---------------------------------------------------------------------
+  // qm01 — image decode (stub) metadata: byte length + derived dims.
+  // The decode itself is the mapPartitions stage; the oracle reproduces
+  // the deterministic dimension formula from the UTF-8 byte length.
+  val qm01 = Q(
+    "qm01_image_metadata",
+    """WITH m AS (SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |d AS (SELECT media_id, n_bytes,
+      |        GREATEST(1, CAST(FLOOR(SQRT(CAST(n_bytes AS DOUBLE))) AS BIGINT)) AS width
+      |      FROM m)
+      |SELECT media_id, width, (n_bytes + width - 1) // width AS height,
+      |  CAST(3 AS BIGINT) AS channels, n_bytes
+      |FROM d
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val imgs = MediaOps.decodeImages(media(s, dir).filter(col("kind") === "image"))
+    imgs.select(
+        col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        col("n_bytes"))
+      .orderBy("media_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qm02 — video frame sampling (64-byte frames, every 4th): per-media
+  // sampled-frame count and byte coverage. The oracle recomputes both
+  // from the byte length with the same stride arithmetic.
+  val qm02 = Q(
+    "qm02_frame_sampling",
+    """WITH m AS (SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT media_id, n, (n + 63) // 64 AS nf FROM m)
+      |SELECT media_id,
+      |  CAST(len(range(0, nf, 4)) AS BIGINT) AS n_sampled_frames,
+      |  CAST(list_reduce(list_transform(range(0, nf, 4), fr -> least(64, n - fr * 64)),
+      |       (a, b) -> a + b) AS BIGINT) AS sampled_bytes
+      |FROM f
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    MediaOps.sampleFrames(media(s, dir).filter(col("kind") === "video"),
+        frameBytes = 64, stride = 4)
+      .groupBy("media_id")
+      .agg(
+        count(lit(1)).as("n_sampled_frames"),
+        sum(length(col("frame_bytes")).cast("long")).as("sampled_bytes"))
+      .orderBy("media_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qm03 — audio decode (stub): sample counts + RMS loudness. Byte-wise
+  // RMS over a BLOB is not SQL-expressible in the oracle -> rows-only
+  // check; the numeric behavior is pinned in MultimodalSpec.
+  val qm03 = Q.noOracle("qm03_audio_rms") { (s, dir) =>
+    MediaOps.decodeAudios(media(s, dir).filter(col("kind") === "audio"))
+      .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("rms"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(qm01, qm02, qm03)
+}
