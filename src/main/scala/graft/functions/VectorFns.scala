@@ -16,12 +16,15 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorFns {
 
-  /** Dot product of two float-array columns, computed in double. */
+  /** Dot product of two float-array columns, computed in double.
+    * Backed by the native codegen'd [[FloatVecDot]] expression (one
+    * JIT'd loop per row vs interpreted zip_with/aggregate lambdas).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, v) => acc + v)
+    org.apache.spark.sql.graft.shims.column(
+      FloatVecDot(
+        org.apache.spark.sql.graft.shims.expression(a),
+        org.apache.spark.sql.graft.shims.expression(b)))
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
