@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest path for the events table — an extension
+  * beyond the reference (which is 100% batch; SURVEY §2.9): the same
+  * event-stream analytics the gold layer computes in batch, expressed as
+  * unbounded transforms. Every transform here is a pure
+  * `DataFrame => DataFrame` usable on BOTH `spark.readStream` input and
+  * a batch DataFrame — one definition, two execution modes — so the
+  * medallion pipeline can move to incremental ingest without rewriting
+  * query logic.
+  *
+  * Scale: watermarks bound state (late events beyond 1h are dropped, so
+  * state size tracks the window count, not the stream length); windowed
+  * aggregations shuffle on (window, key) like any groupBy; the custom
+  * per-user state in [[runningUserStats]] is keyed state in the state
+  * store — partitioned by user, constant per-key size.
+  */
+object EventStreams {
+
+  /** Raw event row as produced by the testdata adapter (ts is µs-precision). */
+  final case class EventRow(
+      event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, value: Double)
+
+  /** Per-user running aggregate maintained by mapGroupsWithState. */
+  final case class UserStats(
+      user_id: Long, n_events: Long, n_purchases: Long,
+      revenue: Double, last_ts: java.sql.Timestamp)
+
+  /** Streaming schema of the events source (matches
+    * /root/testdata events.parquet after the nanos→µs adaptation in
+    * graft.util.Tables.load).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("ts", TimestampType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Open an unbounded read of an events directory (files appearing in
+    * `dir` are ingested incrementally — the streaming analogue of the
+    * bronze CSV ingest).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  // ---------------------------------------------------------------------
+  /** Tumbling-daily event counts by type with a 1-hour watermark: the
+    * streaming twin of the batch q03_events_daily rollup. Late events
+    * (> 1h behind the max seen ts) are dropped and their window's state
+    * evicted — state is bounded by (days in flight × event types).
+    */
+  def dailyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("day.start").as("day"), col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows per user (30-minute inactivity gap): computes the
+    * sessionization the reference receives pre-materialized
+    * (SURVEY §2.9) directly from the raw stream.
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+          .as("session_revenue"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_revenue"))
+
+  // ---------------------------------------------------------------------
+  /** Arbitrary stateful processing: a per-user running profile via
+    * mapGroupsWithState — the pattern for state Spark's built-in
+    * aggregations can't express (decaying counters, fraud rules,
+    * cross-event sequences). Emits the updated profile on every trigger
+    * in which the user appears.
+    */
+  def runningUserStats(events: Dataset[EventRow]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[EventRow], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(
+            UserStats(userId, 0L, 0L, 0.0, new java.sql.Timestamp(0L)))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserStats(
+              userId,
+              acc.n_events + 1,
+              acc.n_purchases + (if (e.event_type == "purchase") 1 else 0),
+              acc.revenue + (if (e.event_type == "purchase") e.value else 0.0),
+              if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the collected result table (test/utility harness; production
+    * callers use their own writeStream).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

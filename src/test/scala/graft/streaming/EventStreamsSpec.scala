@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+import graft.streaming.EventStreams._
+
+/** Streaming semantics pinned via MemoryStream: batch/stream parity of
+  * the windowed transforms, watermark-driven late-data handling, and the
+  * custom keyed state.
+  */
+class EventStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val day1 = Seq(
+    EventRow(1L, 10L, ts("2024-01-01 10:00:00"), "view", 0.0),
+    EventRow(2L, 10L, ts("2024-01-01 10:10:00"), "purchase", 25.0),
+    EventRow(3L, 11L, ts("2024-01-01 11:00:00"), "view", 0.0),
+    EventRow(4L, 11L, ts("2024-01-02 09:00:00"), "purchase", 75.0))
+
+  test("dailyTypeCounts: stream result equals the same transform run in batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = dailyTypeCounts(in.toDF()).writeStream
+      .format("memory").queryName("daily_counts").outputMode(OutputMode.Append()).start()
+    // Append mode emits a window only once the watermark passes it: feed
+    // day1 in trigger 1, then a far-future event in trigger 2 to advance
+    // the watermark past every day1 window.
+    in.addData(day1)
+    q.processAllAvailable()
+    in.addData(EventRow(99L, 1L, ts("2024-01-05 00:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("daily_counts")
+      .select("day", "event_type", "n", "total_value")
+    val batch = dailyTypeCounts(day1.toDF())
+      .filter(col("day") < ts("2024-01-05 00:00:00"))
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("userSessions: 30-minute gap splits sessions; revenue attributed per session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    in.addData(
+      EventRow(1L, 10L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      EventRow(2L, 10L, ts("2024-01-01 10:20:00"), "purchase", 30.0), // same session
+      EventRow(3L, 10L, ts("2024-01-01 12:00:00"), "purchase", 40.0), // new session (gap > 30m)
+      EventRow(9L, 99L, ts("2024-01-02 00:00:00"), "view", 0.0))     // watermark pusher
+    val out = runToMemory(userSessions(in.toDF()), "sessions", OutputMode.Append())
+      .filter(col("user_id") === 10L)
+      .orderBy("session_start")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Double]("session_revenue") == 30.0)
+    assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Double]("session_revenue") == 40.0)
+  }
+
+  test("runningUserStats: keyed state accumulates across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = runningUserStats(in.toDS()).writeStream
+      .format("memory").queryName("user_stats").outputMode(OutputMode.Update()).start()
+    in.addData(day1.take(2)) // user 10: view + purchase 25
+    q.processAllAvailable()
+    in.addData(EventRow(5L, 10L, ts("2024-01-03 08:00:00"), "purchase", 10.0))
+    q.processAllAvailable()
+    q.stop()
+    // Update mode emits one row per (trigger, user); the latest row for
+    // user 10 carries the full accumulated state.
+    val rows = spark.table("user_stats").filter(col("user_id") === 10L)
+      .orderBy(col("last_ts").desc).collect()
+    assert(rows.nonEmpty)
+    val last = rows.head
+    assert(last.getAs[Long]("n_events") == 3)
+    assert(last.getAs[Long]("n_purchases") == 2)
+    assert(last.getAs[Double]("revenue") == 35.0)
+    assert(last.getAs[Timestamp]("last_ts") == ts("2024-01-03 08:00:00"))
+  }
+}
