@@ -18,60 +18,8 @@ import graft.SparkSuite
 class EcomPipelineSpec extends SparkSuite {
   import spark.implicits._
 
-  private val t1 = Timestamp.valueOf("2025-01-01 00:00:00")
-  private val t2 = Timestamp.valueOf("2025-01-02 00:00:00")
-
-  private def raw(table: String, rows: Seq[Seq[String]], ingestTs: Timestamp): DataFrame = {
-    val schema = Schemas.all(table)
-    val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq(_)))
-    Bronze.stampAt(spark.createDataFrame(rdd, schema), s"$table.csv", ingestTs)
-  }
-
-  private lazy val bronze: Map[String, DataFrame] = Map(
-    "customers" -> raw("customers", Seq(
-      Seq("1.0", " Ada ", " ADA@X.COM ", "JP", "30", "2024-01-01", "true"),
-      Seq("1", "Ada Newer", "ada@x.com", "JP", "31", "2024-01-01", "true"), // dup PK after clean_id
-      Seq("2", "Bob", "bob@x.com", "US", "40", "2024-02-01", "false"),     // no sessions -> AOV null
-      Seq("junk", "Eve", "eve@x.com", "DE", "50", "2024-03-01", "true")    // non-numeric id -> dropped
-    ), t1).unionByName(raw("customers", Seq(
-      Seq("1", "Ada Latest", "ada@x.com", "JP", "31", "2024-01-01", "true") // latest ingest wins
-    ), t2)),
-    "events" -> raw("events", Seq(
-      //        ev  sess ts                     type          prod  qty cart pay   disc amt
-      Seq("10", "100", "2025-01-05 10:00:00", "page_view",   "7.0", "1", "0", "",     "0", "0"),
-      Seq("11", "100", "2025-01-05 10:05:00", "add_to_cart", "7",   "1", "1", "",     "0", "0"),
-      Seq("12", "100", "2025-01-05 10:10:00", "purchase",    "7",   "1", "1", "card", "0", "50.0"),
-      Seq("13", "101", "2025-01-05 11:00:00", "add_to_cart", "8",   "2", "1", "",     "0", "0"), // cart w/o view ("quick add")
-      Seq("14", "101", "2025-01-05 11:01:00", "purchase",    "8",   "1", "1", "card", "0", "30.0"),
-      Seq("12", "100", "2025-01-05 10:10:00", "purchase",    "7",   "1", "1", "card", "0", "50.0") // dup event_id
-    ), t1),
-    "orders" -> raw("orders", Seq(
-      Seq("500", "1", "2025-01-05 10:12:00", "card", "0", "50", "50", "JP", "desktop", "organic")
-    ), t1),
-    "order_items" -> raw("order_items", Seq(
-      Seq("500", "7", "50", "1", "50"),
-      Seq("500", "9", "10", "0", "0"),   // quantity<=0 -> dropped
-      Seq("999", "8", "30", "1", "30")   // orphan order -> order_date falls back to ingest date
-    ), t1),
-    "products" -> raw("products", Seq(
-      Seq("7", "Electronics", "Widget", "50", "30", "20"),
-      Seq("8", "Toys", "Gadget", "30", "10", "20"),
-      Seq("9", "Books", "NeverViewed", "10", "5", "5") // zero events, zero valid orders
-    ), t1),
-    "reviews" -> raw("reviews", Seq(
-      Seq("r1", "500", "7", "4", "good", "2025-01-06 00:00:00"), // non-numeric review_id -> dropped
-      Seq("300", "500", "7", "4", "good", "2025-01-06 00:00:00"),
-      Seq("301", "500", "7", "2", "meh", "2025-01-06 00:00:00")
-    ), t1),
-    "sessions" -> raw("sessions", Seq(
-      Seq("100", "1", "2025-01-05 09:59:00", "desktop", "organic", "JP")
-      // session 101 missing -> session_metrics coalesce fallbacks
-    ), t1))
-
-  private lazy val gold: Map[String, DataFrame] = {
-    val dir = Files.createTempDirectory("graft-lakehouse").toString
-    Lakehouse(spark, dir).runAll(bronze, asOf = LocalDate.parse("2025-02-01"))
-  }
+  private lazy val bronze: Map[String, DataFrame] = EcomFixtures.bronze(spark)
+  private lazy val gold: Map[String, DataFrame] = EcomFixtures.gold(spark)
 
   test("silver: clean_id + dedup-keep-latest semantics") {
     val silver = Silver.transformAll(bronze)
