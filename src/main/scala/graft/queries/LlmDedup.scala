@@ -241,5 +241,25 @@ object LlmDedup {
       .limit(100)
   }
 
-  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06)
+  // ---------------------------------------------------------------------
+  // qd07 — sketch-based dedup stats: HLL++ approximate distinct content
+  // hashes next to the exact count. At 100 TB the exact countDistinct
+  // shuffles every distinct hash; the sketch is a constant-size partial
+  // aggregate (one ~kilobyte buffer per group per partition) — the only
+  // way to answer "how much duplication is there" in one pass over a
+  // corpus that doesn't fit a shuffle. Sketch internals differ across
+  // engines -> rows-only check; the error bound is pinned in
+  // LlmQueriesSpec against the exact column.
+  val qd07 = Q.noOracle("qd07_dedup_sketch_stats") { (s, dir) =>
+    val h = md5(lower(col("text")))
+    docs(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(h).as("exact_unique"),
+        approx_count_distinct(h, 0.02).as("approx_unique"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07)
 }

@@ -23,6 +23,15 @@ class LlmQueriesSpec extends SparkSuite {
     }
   }
 
+  test("qd07 HLL sketch distinct is within the configured error of exact") {
+    LlmDedup.qd07.fn(spark, dir).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_unique").toDouble
+      val approx = r.getAs[Long]("approx_unique").toDouble
+      assert(math.abs(approx - exact) <= math.max(1.0, 0.05 * exact),
+        s"source=${r.getAs[String]("source")}: approx=$approx exact=$exact")
+    }
+  }
+
   test("qs02 ANN results agree with qs01 exact scores where they overlap") {
     val exact = LlmSimilarity.qs01.fn(spark, dir)
       .select("query_id", "neighbor_id", "cos_sim").collect()
