@@ -38,6 +38,13 @@ final case class Lakehouse(
 
   def read(name: String): DataFrame = spark.read.format(format).load(s"$warehouseDir/$name")
 
+  /** Register tables for the SQL entry point (reference EP2: every DQ
+    * check and %sql cell runs `spark.sql` against the catalog —
+    * `04_data_quality_checks.py:24`, `01_bronze_ingest.py:42-49`).
+    */
+  def registerViews(tables: Map[String, DataFrame]): Unit =
+    tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+
   /** Full pipeline from bronze DataFrames; returns the gold map (also
     * persisted under `warehouseDir`). `enforceDq=false` skips the raise
     * so callers can inspect failed checks.
