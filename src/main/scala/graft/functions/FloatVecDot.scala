@@ -24,6 +24,9 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 
   override def dataType: DataType = DoubleType
 
+  // pure function of the children: lets ConstantFolding collapse literals
+  override def foldable: Boolean = left.foldable && right.foldable
+
   private def elemOk(t: DataType) = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false

@@ -23,6 +23,8 @@ case class PolyHash(child: Expression, mult: Long, mod: Long)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  // pure function of the child: lets ConstantFolding collapse literal inputs
+  override def foldable: Boolean = child.foldable
   override def checkInputDataTypes() =
     if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

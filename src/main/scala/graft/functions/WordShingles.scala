@@ -25,6 +25,9 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // pure function of the child: lets ConstantFolding collapse literal inputs
+  override def foldable: Boolean = child.foldable
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
