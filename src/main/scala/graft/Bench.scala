@@ -10,7 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // sorted order: stable run-to-run attribution of JVM/codegen warmup
+    // Warmup at the smallest SF: JIT + codegen compile every plan shape
+    // once so the timed loop measures steady-state execution, not
+    // first-call compilation (order-independent timings).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => }
+      }
+    }
+    // sorted order: stable run-to-run attribution
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output column of the physical

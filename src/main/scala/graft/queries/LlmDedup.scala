@@ -115,17 +115,22 @@ object LlmDedup {
        |ORDER BY doc_id, j""".stripMargin) { (s, dir) =>
     // Plan shape: explode shingles → hash each ONCE (the Generate is a
     // projection barrier, so the char-level hash isn't duplicated into
-    // the 16 per-permutation lambdas) → explode j → two-phase hash
-    // aggregate MIN (map-side partial → codegen'd all the way). This is
+    // the 16 per-permutation lambdas) → ONE two-phase aggregate with 16
+    // MIN columns (map-side combine reduces each partition to one row
+    // per doc BEFORE the shuffle — 16 longs per doc on the wire, not 16
+    // rows) → unpivot to (doc_id, j, minhash) after the shuffle. This is
     // the distributed-minhash plan that scales linearly in corpus size.
+    val mins = (0 until 16).map(j =>
+      min((col("h") * lit(389L * (j + 1) + 1) + lit(211L * (j + 1) + 7)) % lit(ModBig))
+        .as(s"_m$j"))
     docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("g"))
       .select(col("doc_id"), hash31(col("g")).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0L), lit(15L))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(min(
-        (col("h") * (lit(389L) * (col("j") + 1) + 1) + lit(211L) * (col("j") + 1) + 7)
-          % lit(ModBig)).as("minhash"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until 16).map(j => col(s"_m$j")): _*)).as(Seq("j", "minhash")))
+      .select(col("doc_id"), col("j").cast(LongType).as("j"), col("minhash"))
       .orderBy("doc_id", "j")
   }
 
