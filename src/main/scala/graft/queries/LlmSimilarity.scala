@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -83,5 +83,67 @@ object LlmSimilarity {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(qs01, qs02)
+  // ---------------------------------------------------------------------
+  // qs03 — IVF ANN: k-means coarse quantizer (deterministic seeds = the k
+  // lowest vec_ids, 2 Lloyd iterations), then probe the nprobe nearest
+  // cells per query. The scale anatomy mirrors MLlib k-means: centroids
+  // live on the driver (k×dim doubles) and ship into ONE map-side argmax
+  // expression per pass — assignment never shuffles or blows up rows;
+  // the only shuffles are the per-cell centroid averages (k×dim rows)
+  // and the final per-query top-k. Corpus cells are the IVF inverted
+  // lists: probing touches ~nprobe/k of the corpus.
+  val qs03 = Q.noOracle("qs03_ann_ivf_topk") { (s, dir) =>
+    val k = 16
+    val nprobe = 4
+    val e = emb(s, dir)
+
+    def litVec(c: Array[Double]): Column = array(c.map(lit).toSeq: _*)
+    // index of the most-similar centroid, computed per row with no blowup
+    def bestCell(v: Column, cents: Seq[Array[Double]]): Column = {
+      val sims = array(cents.map(c => cosine(v, litVec(c))): _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+
+    // deterministic init: the k lowest vec_ids
+    var centroids: Seq[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    // Lloyd iterations: assign (map-side) -> per-cell mean (tiny shuffle)
+    for (_ <- 1 to 2) {
+      val means = e.select(bestCell(col("embedding"), centroids).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+
+    // inverted lists: corpus tagged with its cell
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      bestCell(col("embedding"), centroids).as("cell"))
+    // probe set: nprobe nearest cells per query
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        posexplode(array(centroids.map(c => cosine(col("embedding"), litVec(c))): _*))
+          .as(Seq("cell", "cell_sim")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probes = qs.withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    // score only the probed cells' lists, exact cosine, top-5
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(qs01, qs02, qs03)
 }

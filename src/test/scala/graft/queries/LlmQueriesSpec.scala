@@ -32,6 +32,26 @@ class LlmQueriesSpec extends SparkSuite {
     }
   }
 
+  test("qs03 IVF ANN scores are exact for returned pairs with decent top-5 recall") {
+    val exact = LlmSimilarity.qs01.fn(spark, dir)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = LlmSimilarity.qs02.fn(spark, dir) // warm plans; qs03 below
+    val got = LlmSimilarity.qs03.fn(spark, dir)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // same cosine math as the exact query for any overlapping pair
+      exact.get(key).foreach(c => assert(c == r.getDouble(2)))
+    }
+    // recall@5 vs exact: probing 4/16 cells must find at least half of
+    // the true top-5 across all queries on this data
+    val trueTop = exact.keySet
+    val hits = got.map(r => (r.getLong(0), r.getLong(1))).count(trueTop.contains)
+    assert(hits.toDouble / trueTop.size >= 0.5, s"recall=${hits.toDouble / trueTop.size}")
+  }
+
   test("qs02 ANN results agree with qs01 exact scores where they overlap") {
     val exact = LlmSimilarity.qs01.fn(spark, dir)
       .select("query_id", "neighbor_id", "cos_sim").collect()
