@@ -504,7 +504,36 @@ object Parity {
       .orderBy("region", "nation")
   }
 
+  // ---------------------------------------------------------------------
+  // q19 — supplier-side fact join: per-nation supplier revenue (completes
+  // table coverage: every testdata table is read by some query). Shape:
+  // fact shuffles once to the broadcast-joined dim rollup.
+  val q19 = Q(
+    "q19_supplier_revenue",
+    """SELECT n.n_name AS nation, s.s_name AS supplier,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, supplier
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val dims = sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"), col("s_name").as("supplier"))
+    li.join(broadcast(dims), li("l_suppkey") === dims("s_suppkey"))
+      .groupBy("nation", "supplier")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("supplier"))
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }

@@ -76,6 +76,17 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_revenue"))
 
+  /** Streaming exact dedup by event_id: the unbounded twin of the batch
+    * dedup-keep-latest (SURVEY §2.5 W1). State holds only ids younger
+    * than the watermark — `dropDuplicatesWithinWatermark` evicts ids
+    * once no late duplicate can still arrive, so state is bounded by
+    * (event rate × watermark delay), not stream length.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---------------------------------------------------------------------
   /** Arbitrary stateful processing: a per-user running profile via
     * mapGroupsWithState — the pattern for state Spark's built-in

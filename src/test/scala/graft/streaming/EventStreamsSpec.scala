@@ -61,6 +61,23 @@ class EventStreamsSpec extends SparkSuite {
     assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Double]("session_revenue") == 40.0)
   }
 
+  test("dedupEvents: duplicate event_ids within the watermark emit once, across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = dedupEvents(in.toDF()).writeStream
+      .format("memory").queryName("deduped").outputMode(OutputMode.Append()).start()
+    in.addData(
+      EventRow(1L, 10L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      EventRow(1L, 10L, ts("2024-01-01 10:00:00"), "view", 0.0), // same-trigger dup
+      EventRow(2L, 10L, ts("2024-01-01 10:01:00"), "click", 0.0))
+    q.processAllAvailable()
+    in.addData(EventRow(1L, 10L, ts("2024-01-01 10:02:00"), "view", 0.0)) // cross-trigger dup
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("deduped").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("runningUserStats: keyed state accumulates across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
