@@ -168,5 +168,63 @@ object LlmText {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04)
+  // ---------------------------------------------------------------------
+  // qt05 — deterministic per-group sampling: take 5 docs per source,
+  // chosen by rank over a content hash (the reproducible "uniform"
+  // sample a training-data pipeline shards with — same rows on every
+  // run, every engine, any partitioning; no RNG state to coordinate).
+  // row_number over (source, hash) compiles to WindowGroupLimit: each
+  // partition keeps only its local top-5 before the shuffle.
+  val qt05 = Q(
+    "qt05_doc_sampling",
+    """SELECT source, doc_id, h FROM (
+      |  SELECT source, doc_id,
+      |    list_reduce(list_transform(range(1, len(text)+1), i -> ascii(substr(text,i,1))), (a,b) -> (a::BIGINT*31+b) % 1000000007) AS h,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+      |      list_reduce(list_transform(range(1, len(text)+1), i -> ascii(substr(text,i,1))), (a,b) -> (a::BIGINT*31+b) % 1000000007),
+      |      doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5
+      |ORDER BY source, h, doc_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), hash31(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("source", "doc_id", "h")
+      .orderBy("source", "h", "doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qt06 — corpus length distribution: exact interpolated percentiles of
+  // token counts per language (the length-filter calibration step of a
+  // pretraining pipeline). Spark `percentile` and DuckDB `quantile_cont`
+  // share the linear-interpolation definition.
+  val qt06 = Q(
+    "qt06_length_percentiles",
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  quantile_cont(n_tokens, 0.5) AS p50,
+      |  quantile_cont(n_tokens, 0.9) AS p90,
+      |  quantile_cont(n_tokens, 0.99) AS p99,
+      |  CAST(MIN(n_tokens) AS DOUBLE) AS min_tokens,
+      |  CAST(MAX(n_tokens) AS DOUBLE) AS max_tokens
+      |FROM (SELECT lang, len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM documents)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50"),
+        percentile(col("n_tokens"), lit(0.9)).as("p90"),
+        percentile(col("n_tokens"), lit(0.99)).as("p99"),
+        min(col("n_tokens")).cast(DoubleType).as("min_tokens"),
+        max(col("n_tokens")).cast(DoubleType).as("max_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04, qt05, qt06)
 }
