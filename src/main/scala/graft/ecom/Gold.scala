@@ -40,7 +40,9 @@ object Gold {
     val orderMetrics = orderItemsClean
       .groupBy(col("order_date"), col("product_id"))
       .agg(
-        sum(col("line_total_usd")).as("revenue"),
+        // decimal partial sum: order-independent under any shuffle (plain
+        // double sum drifts in the last bit with partition order)
+        graft.util.Exact.dsum(col("line_total_usd")).as("revenue"),
         sum(col("quantity")).cast(LongType).as("units_sold"))
       .withColumnRenamed("order_date", "event_date")
     val productAttrs = productsClean.select("product_id", "category", "product_name", "price_usd")

@@ -533,7 +533,117 @@ object Parity {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------------
+  // q20 — the production Gold.productFunnel model end-to-end over
+  // testdata: adapt the raw event stream to the reference event shape
+  // (props.k as product id; view→page_view, click→add_to_cart) and run
+  // the REAL gold code, oracle-checking the full silver→gold computation
+  // (conditional counts, capped/NULL-safe percentages, rounding) at SF
+  // scale — not just the operator shapes in isolation.
+  val q20 = Q(
+    "q20_gold_product_funnel_e2e",
+    """WITH ev AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      |    json_extract_string(props, '$.k') AS product_id,
+      |    CASE event_type WHEN 'view' THEN 'page_view'
+      |                    WHEN 'click' THEN 'add_to_cart'
+      |                    ELSE event_type END AS event_type
+      |  FROM events),
+      |agg AS (
+      |  SELECT event_date, product_id,
+      |    CAST(SUM(CASE WHEN event_type = 'page_view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      |    CAST(SUM(CASE WHEN event_type = 'add_to_cart' THEN 1 ELSE 0 END) AS BIGINT) AS carts,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT event_date, product_id, views, carts, purchases,
+      |  ROUND(CASE WHEN views > 0 THEN LEAST(CAST(100.0 AS DOUBLE), CAST(carts AS DOUBLE) * CAST(100.0 AS DOUBLE) / views) END, 2) AS view_to_cart_pct,
+      |  ROUND(CASE WHEN carts > 0 THEN LEAST(CAST(100.0 AS DOUBLE), CAST(purchases AS DOUBLE) * CAST(100.0 AS DOUBLE) / carts) END, 2) AS cart_to_purchase_pct,
+      |  ROUND(CASE WHEN views > 0 THEN LEAST(CAST(100.0 AS DOUBLE), CAST(purchases AS DOUBLE) * CAST(100.0 AS DOUBLE) / views) END, 2) AS view_to_purchase_pct
+      |FROM agg
+      |WHERE product_id IS NOT NULL
+      |ORDER BY event_date, product_id""".stripMargin) { (s, dir) =>
+    val adapted = t(s, dir, "events").select(
+      date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+      get_json_object(col("props"), "$.k").as("product_id"),
+      when(col("event_type") === "view", "page_view")
+        .when(col("event_type") === "click", "add_to_cart")
+        .otherwise(col("event_type")).as("event_type"))
+    graft.ecom.Gold.productFunnel(adapted)
+      .orderBy("event_date", "product_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q21 — the production Gold.productMetrics model end-to-end: all four
+  // silver inputs adapted deterministically from testdata events, then
+  // the REAL gold code (conditional counts ⟗ order rollup USING-join
+  // with zero-fill, broadcast dim + review joins), oracle-checked
+  // column-for-column.
+  val q21 = Q(
+    "q21_gold_product_metrics_e2e",
+    """WITH ev AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      |    json_extract_string(props, '$.k') AS product_id,
+      |    CASE event_type WHEN 'view' THEN 'page_view'
+      |                    WHEN 'click' THEN 'add_to_cart'
+      |                    ELSE event_type END AS event_type,
+      |    event_id, value
+      |  FROM events),
+      |em AS (
+      |  SELECT event_date, product_id,
+      |    CAST(SUM(CASE WHEN event_type = 'page_view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+      |    CAST(SUM(CASE WHEN event_type = 'add_to_cart' THEN 1 ELSE 0 END) AS BIGINT) AS cart_count
+      |  FROM ev GROUP BY 1, 2),
+      |om AS (
+      |  SELECT event_date, product_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |    CAST(SUM(1) AS BIGINT) AS units_sold
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |pa AS (
+      |  SELECT DISTINCT product_id,
+      |    'cat_' || CAST(CAST(product_id AS BIGINT) % 5 AS VARCHAR) AS category,
+      |    'product_' || product_id AS product_name,
+      |    CAST(product_id AS DOUBLE) AS price_usd
+      |  FROM ev WHERE product_id IS NOT NULL),
+      |rm AS (
+      |  SELECT product_id, AVG(CAST(CAST(product_id AS BIGINT) % 5 + 1 AS BIGINT)) AS avg_rating,
+      |    COUNT(event_id) AS review_count
+      |  FROM ev WHERE event_type = 'signup' GROUP BY 1)
+      |SELECT event_date, product_id,
+      |  COALESCE(em.view_count, 0) AS view_count,
+      |  COALESCE(em.cart_count, 0) AS cart_count,
+      |  COALESCE(om.revenue, 0.0) AS revenue,
+      |  COALESCE(om.units_sold, 0) AS units_sold,
+      |  pa.category, pa.product_name, pa.price_usd, rm.avg_rating, rm.review_count
+      |FROM em FULL OUTER JOIN om USING (event_date, product_id)
+      |LEFT JOIN pa USING (product_id)
+      |LEFT JOIN rm USING (product_id)
+      |WHERE product_id IS NOT NULL
+      |ORDER BY event_date, product_id""".stripMargin) { (s, dir) =>
+    val raw = t(s, dir, "events").select(
+      date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+      get_json_object(col("props"), "$.k").as("product_id"),
+      when(col("event_type") === "view", "page_view")
+        .when(col("event_type") === "click", "add_to_cart")
+        .otherwise(col("event_type")).as("event_type"),
+      col("event_id"), col("value"))
+    val eventsClean = raw.select("event_date", "product_id", "event_type")
+    val orderItemsClean = raw.filter(col("event_type") === "purchase")
+      .select(col("event_date").as("order_date"), col("product_id"),
+        col("value").as("line_total_usd"), lit(1).as("quantity"))
+    val productsClean = raw.filter(col("product_id").isNotNull)
+      .select(col("product_id")).distinct()
+      .select(col("product_id"),
+        concat(lit("cat_"), (col("product_id").cast(LongType) % 5).cast(StringType)).as("category"),
+        concat(lit("product_"), col("product_id")).as("product_name"),
+        col("product_id").cast(DoubleType).as("price_usd"))
+    val reviewsClean = raw.filter(col("event_type") === "signup")
+      .select(col("event_id").as("review_id"), col("product_id"),
+        (col("product_id").cast(LongType) % 5 + 1).as("rating"))
+    graft.ecom.Gold.productMetrics(eventsClean, orderItemsClean, productsClean, reviewsClean)
+      .orderBy("event_date", "product_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
 }
