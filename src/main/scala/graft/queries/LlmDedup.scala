@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.util.Tables.load
+import graft.util.Tables.{load, loadSpread}
 import graft.functions.TextFns._
 import graft.functions.VectorFns
 
@@ -24,6 +24,15 @@ import graft.functions.VectorFns
 object LlmDedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+
+  /** Spread variant for the shingle-join queries (qd02/qd04): their
+    * pre-shuffle work (shingle explode + join build) is heavy enough
+    * that fanning the single-row-group scan across all cores wins;
+    * for the cheap single-pass queries the extra shuffle LOSES (both
+    * measured at sf0.1 — see Tables.loadSpread).
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    loadSpread(s, dir, "documents")
 
   // DuckDB fragment: polynomial char hash of string expr S, matching
   // TextFns.polyHash(S, mult, mod). f(0,c1)=c1 makes init-less
@@ -81,7 +90,7 @@ object LlmDedup {
       |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.05
       |ORDER BY jaccard DESC, doc_a, doc_b
       |LIMIT 100""".stripMargin) { (s, dir) =>
-    val d = docs(s, dir).select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
+    val d = docsSpread(s, dir).select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
     val ex = d.select(col("doc_id"), explode(col("s")).as("g"))
     val sz = d.select(col("doc_id"), size(col("s")).cast(LongType).as("n"))
     val pairs = ex.as("a")
@@ -153,7 +162,7 @@ object LlmDedup {
     val mins = (0 until k).map(j =>
       min((col("h") * lit(389L * (j + 1) + 1) + lit(211L * (j + 1) + 7)) % lit(ModBig))
         .as(s"_m$j"))
-    val d = docs(s, dir)
+    val d = docsSpread(s, dir)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("g"))
       .select(col("doc_id"), col("g"), hash31(col("g")).as("h"))
       .groupBy("doc_id")

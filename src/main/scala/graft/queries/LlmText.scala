@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.util.Tables.load
+import graft.util.Tables.{load, loadSpread}
 import graft.functions.TextFns._
 
 /** Text-analysis operators over the `documents` table: language ID,

@@ -19,6 +19,22 @@ object Tables {
       case None    => df
     }
   }
+
+  /** Load a table whose downstream work is compute-heavy per row
+    * (shingling, hashing, vector math). The testdata files are
+    * single-row-group parquet, so the scan is ONE task and everything
+    * before the first exchange runs on one core; spreading a sub-MB
+    * table across the full parallelism costs a trivial shuffle and buys
+    * cores× map throughput. Scan-dominated fact tables must NOT use
+    * this (the extra full-width shuffle outweighs it — measured at
+    * sf0.1); at production scale multi-row-group files already arrive
+    * parallel and the guard is a no-op.
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }
 
 /** Oracle-exact numeric helpers.
