@@ -643,7 +643,129 @@ object Parity {
       .orderBy("event_date", "product_id")
   }
 
+  // Shared adapter for q22/q23: testdata events as the reference event
+  // stream (user as session), plus a sessions-attribute table covering
+  // only EVEN users so the left-join fallback paths are exercised.
+  private def adaptedSessionInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = t(s, dir, "events").select(
+      col("user_id").cast(StringType).as("session_id"),
+      col("ts").as("event_ts"),
+      col("event_id").cast(StringType).as("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+      col("event_type"),
+      col("value").as("amount_usd"))
+    val attrs = t(s, dir, "events")
+      .filter(col("user_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg((min(col("ts")) - expr("INTERVAL 60 SECONDS")).as("session_start_ts"))
+      .select(
+        col("user_id").cast(StringType).as("session_id"),
+        concat(lit("c"), col("user_id")).as("customer_id"),
+        col("session_start_ts"),
+        lit("web").as("device"), lit("ads").as("source"), lit("US").as("country"))
+    (ev, attrs)
+  }
+
+  private val duckSessionMetrics =
+    """ev AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS session_id, ts AS event_ts,
+      |    CAST(event_id AS VARCHAR) AS event_id,
+      |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      |    event_type, value AS amount_usd
+      |  FROM events),
+      |attrs AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS session_id,
+      |    'c' || CAST(user_id AS VARCHAR) AS customer_id,
+      |    MIN(ts) - INTERVAL 60 SECOND AS session_start_ts,
+      |    'web' AS device, 'ads' AS source, 'US' AS country
+      |  FROM events WHERE user_id % 2 = 0 GROUP BY user_id),
+      |agg AS (
+      |  SELECT session_id,
+      |    MIN(event_ts) AS events_start_ts, MAX(event_ts) AS events_end_ts,
+      |    COUNT(event_id) AS events_count, MIN(event_date) AS events_date,
+      |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN amount_usd ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS session_revenue,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count
+      |  FROM ev GROUP BY session_id),
+      |sm AS (
+      |  SELECT agg.session_id, attrs.customer_id,
+      |    COALESCE(attrs.session_start_ts, agg.events_start_ts) AS session_start_ts,
+      |    agg.events_end_ts AS session_end_ts,
+      |    agg.events_count, agg.session_revenue, agg.purchase_count,
+      |    CASE WHEN agg.purchase_count > 0 THEN 1 ELSE 0 END AS has_purchase,
+      |    attrs.device, attrs.source, attrs.country,
+      |    CAST(agg.events_date AS DATE) AS session_date,
+      |    CAST(FLOOR(epoch(agg.events_end_ts)) AS BIGINT)
+      |      - CAST(FLOOR(epoch(COALESCE(attrs.session_start_ts, agg.events_start_ts))) AS BIGINT) AS session_duration_sec
+      |  FROM agg LEFT JOIN attrs USING (session_id))""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q22 — the production Gold.sessionMetrics model end-to-end: batch
+  // sessionization (min/max rollup), attribute left join with coalesce
+  // fallbacks, epoch-second duration — oracle-checked per column.
+  val q22 = Q(
+    "q22_gold_session_metrics_e2e",
+    s"""WITH $duckSessionMetrics
+       |SELECT * FROM sm
+       |WHERE session_duration_sec IS NOT NULL AND session_duration_sec >= 0
+       |ORDER BY session_id""".stripMargin) { (s, dir) =>
+    val (ev, attrs) = adaptedSessionInputs(s, dir)
+    graft.ecom.Gold.sessionMetrics(ev, attrs).orderBy("session_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q23 — the production Gold.customer360 model end-to-end on top of the
+  // q22 session metrics: demographics LEFT join, zero-fill, NULL-safe
+  // AOV, frozen as-of datediff. Odd users have sessions with no
+  // attributes (NULL customer_id -> excluded from the rollup), so their
+  // customer rows exercise the zero-fill path.
+  val q23 = Q(
+    "q23_gold_customer_360_e2e",
+    s"""WITH $duckSessionMetrics,
+       |cust AS (
+       |  SELECT DISTINCT 'c' || CAST(user_id AS VARCHAR) AS customer_id,
+       |    'user_' || CAST(user_id AS VARCHAR) AS name,
+       |    CAST(user_id AS VARCHAR) || '@x.com' AS email,
+       |    'US' AS country, user_id % 80 + 18 AS age,
+       |    strftime(DATE '2023-01-01' + CAST(user_id % 365 AS INTEGER), '%Y-%m-%d') AS signup_date,
+       |    user_id % 2 = 0 AS marketing_opt_in
+       |  FROM events),
+       |sa AS (
+       |  SELECT customer_id,
+       |    CAST(SUM(session_revenue) AS DOUBLE) AS lifetime_revenue,
+       |    CAST(SUM(has_purchase) AS BIGINT) AS total_purchases,
+       |    COUNT(DISTINCT session_id) AS total_sessions,
+       |    MAX(session_end_ts) AS last_active_ts,
+       |    MIN(session_start_ts) AS first_active_ts
+       |  FROM sm WHERE customer_id IS NOT NULL GROUP BY customer_id)
+       |SELECT cust.customer_id, cust.name, cust.email, cust.country, cust.age,
+       |  cust.signup_date, cust.marketing_opt_in,
+       |  COALESCE(sa.lifetime_revenue, 0.0) AS lifetime_revenue,
+       |  COALESCE(sa.total_purchases, 0) AS total_purchases,
+       |  COALESCE(sa.total_sessions, 0) AS total_sessions,
+       |  sa.last_active_ts, sa.first_active_ts,
+       |  date_diff('day', CAST(cust.signup_date AS DATE), DATE '2025-01-01') AS days_since_signup,
+       |  ROUND(CASE WHEN COALESCE(sa.total_purchases, 0) > 0
+       |    THEN COALESCE(sa.lifetime_revenue, 0.0) / COALESCE(sa.total_purchases, 0) END, 2) AS avg_order_value
+       |FROM cust LEFT JOIN sa USING (customer_id)
+       |ORDER BY customer_id""".stripMargin) { (s, dir) =>
+    val (ev, attrs) = adaptedSessionInputs(s, dir)
+    val sm = graft.ecom.Gold.sessionMetrics(ev, attrs)
+    val cust = t(s, dir, "events").select(col("user_id")).distinct().select(
+      concat(lit("c"), col("user_id")).as("customer_id"),
+      concat(lit("user_"), col("user_id")).as("name"),
+      concat(col("user_id").cast(StringType), lit("@x.com")).as("email"),
+      lit("US").as("country"),
+      (col("user_id") % 80 + 18).as("age"),
+      date_format(
+        date_add(lit("2023-01-01").cast(DateType), (col("user_id") % 365).cast(IntegerType)),
+        "yyyy-MM-dd").as("signup_date"),
+      (col("user_id") % 2 === 0).as("marketing_opt_in"))
+    graft.ecom.Gold.customer360(cust, sm, java.time.LocalDate.parse("2025-01-01"))
+      .orderBy("customer_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
+    q20, q21, q22, q23)
 }
