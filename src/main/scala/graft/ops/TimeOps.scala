@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators Spark lacks natively. */
+object TimeOps {
+
+  /** As-of (backward) join: for every left row, attach `valueCols` from
+    * the latest right row with the same key and `rightTs <= leftTs`
+    * (NULLs when no such row). Equivalent to DuckDB/kdb `ASOF JOIN` or
+    * pandas `merge_asof(direction="backward")`.
+    *
+    * Spark-first plan: instead of a range join (which Catalyst executes
+    * as a broadcast-nested-loop or an exploding inequality join), union
+    * both sides and take `last(value, ignoreNulls)` over a window ordered
+    * by (ts, side) per key — ONE shuffle on the key, one sort, linear
+    * scan; the exact shape that survives 100 TB, since per-key state is
+    * a running value, never a buffered range.
+    *
+    * Right rows must be unique per (keys, rightTs) — pre-aggregate if
+    * not (ties would otherwise resolve by partition order).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 sorts before side 1 at equal ts -> right row at exactly
+    // leftTs is visible to the left row (>= semantics, like ASOF JOIN)
+    val l = valueCols.foldLeft(
+        left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1)))(
+        (df, c) => df.withColumn(c, lit(null)))
+    val r0 = right.select((keys :+ rightTs).map(col) ++ valueCols.map(col): _*)
+      .withColumn("_ts", col(rightTs)).withColumn("_side", lit(0))
+    val unioned = l.select((keys ++ Seq("_ts", "_side") ++ valueCols).map(col) ++
+        leftCols.filterNot(c => keys.contains(c) || valueCols.contains(c))
+          .map(c => col(c)): _*)
+      .unionByName(r0.select((keys ++ Seq("_ts", "_side") ++ valueCols).map(col): _*),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned)(
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("_side") === 1).drop("_ts", "_side")
+  }
+}

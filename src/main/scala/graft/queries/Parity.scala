@@ -764,8 +764,34 @@ object Parity {
       .orderBy("customer_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q24 — as-of join (operator Spark lacks; graft.ops.TimeOps.asofJoin):
+  // attach the latest purchase amount at-or-before each view event per
+  // user. Oracle is DuckDB's native ASOF JOIN; the Spark plan is the
+  // union+window linear form (one shuffle, no range-join explosion).
+  val q24 = Q(
+    "q24_asof_join",
+    """WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts, MAX(value) AS last_purchase
+      |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT v.user_id, v.event_id, p.last_purchase
+      |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+      |ORDER BY v.user_id, v.event_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "event_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts") // unique per (key, ts) — asofJoin contract
+      .agg(max(col("value")).as("last_purchase"))
+    graft.ops.TimeOps.asofJoin(views, purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("last_purchase"))
+      .select("user_id", "event_id", "last_purchase")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
-    q20, q21, q22, q23)
+    q20, q21, q22, q23, q24)
 }

@@ -1,0 +1,39 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+class TimeOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: backward match, exact-ts inclusion, no-match null, per-key isolation") {
+    val left = Seq(
+      (1L, "e1", ts("2024-01-01 10:00:00")),
+      (1L, "e2", ts("2024-01-01 12:00:00")),
+      (1L, "e3", ts("2024-01-01 09:00:00")), // before any right row -> null
+      (2L, "e4", ts("2024-01-01 11:00:00"))  // key 2 has no right rows -> null
+    ).toDF("k", "id", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0), // exactly at e1 -> visible to e1
+      (1L, ts("2024-01-01 11:30:00"), 20.0)
+    ).toDF("k", "t", "v")
+    val out = TimeOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("e1") == Some(10.0)) // >= semantics: equal ts matches
+    assert(out("e2") == Some(20.0)) // latest at-or-before
+    assert(out("e3") == None)
+    assert(out("e4") == None)
+  }
+
+  test("asofJoin preserves left row count and extra left columns") {
+    val left = Seq((1L, "a", 7, ts("2024-01-01 10:00:00"))).toDF("k", "id", "extra", "t")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.5)).toDF("k", "t", "v")
+    val out = TimeOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+    assert(out.count() == 1)
+    val r = out.head()
+    assert(r.getAs[Int]("extra") == 7 && r.getAs[Double]("v") == 1.5)
+  }
+}
