@@ -790,8 +790,42 @@ object Parity {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q25 — frame-spec windows (running sum, lag, 3-row moving average):
+  // the window family the reference never uses beyond row_number, needed
+  // for a complete engine. Exact decimal running sums so the oracle is
+  // bit-stable; windows shuffle once on the partition key.
+  val q25 = Q(
+    "q25_running_totals",
+    """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue,
+      |  CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_order_value,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / LEAST(CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), CAST(3.0 AS DOUBLE)) AS moving_avg_3
+      |FROM orders
+      |ORDER BY customer_id, order_id""".stripMargin) { (s, dir) =>
+    val dec = col("o_totalprice").cast(DecimalType(18, 2))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3 = w.rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey").as("customer_id"),
+        col("o_orderkey").as("order_id"),
+        sum(dec).over(running).cast(DoubleType).as("running_revenue"),
+        lag(dec, 1).over(w).cast(DoubleType).as("prev_order_value"),
+        (sum(dec).over(last3).cast(DoubleType) /
+          least(row_number().over(w).cast(DoubleType), lit(3.0))).as("moving_avg_3"))
+      .orderBy("customer_id", "order_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
-    q20, q21, q22, q23, q24)
+    q20, q21, q22, q23, q24, q25)
 }
