@@ -226,5 +226,57 @@ object LlmText {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04, qt05, qt06)
+  // ---------------------------------------------------------------------
+  // qt07 — the full curation pipeline composed end-to-end: quality
+  // filter → language-agreement filter → exact dedup (keep lowest
+  // doc_id per content hash) → per-source survival accounting. This is
+  // the LLM-pretraining data path in one plan: two map-side filter
+  // passes, one dedup shuffle on the content hash, one rollup — at
+  // 100 TB nothing here buffers more than a group's running state.
+  val qt07 = Q(
+    "qt07_curation_pipeline",
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, lang, text,
+       |    len(list_distinct(t))::BIGINT AS n_distinct, len(t)::BIGINT AS n_tokens,
+       |    len(list_filter(t, x -> x IN ${duckIn(stopQuality)}))::BIGINT AS n_stop
+       |  FROM (SELECT doc_id, source, lang, text, string_split(lower(text), ' ') AS t FROM documents)),
+       |q AS (
+       |  SELECT doc_id, source, lang, text,
+       |    (CAST(n_distinct AS DOUBLE) / n_tokens) * CAST(0.5 AS DOUBLE)
+       |      + (CAST(n_stop AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)
+       |      + LEAST(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(200.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS score
+       |  FROM scored),
+       |kept AS (SELECT doc_id, source, lang, text FROM q WHERE score >= 0.3),
+       |dedup AS (
+       |  SELECT doc_id, source FROM (
+       |    SELECT doc_id, source,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+       |    FROM kept)
+       |  WHERE rn = 1)
+       |SELECT d.source,
+       |  CAST((SELECT COUNT(*) FROM documents x WHERE x.source = d.source) AS BIGINT) AS n_input,
+       |  CAST((SELECT COUNT(*) FROM kept k WHERE k.source = d.source) AS BIGINT) AS n_quality,
+       |  COUNT(*) AS n_survivors
+       |FROM dedup d
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir).select(col("doc_id"), col("source"), col("lang"), col("text"),
+      tokens(col("text")).as("t"))
+    val ttr = size(array_distinct(col("t"))).cast(DoubleType) / size(col("t"))
+    val swr = vocabHits(col("t"), stopQuality).cast(DoubleType) / size(col("t"))
+    val score = ttr * lit(0.5) + swr * lit(0.3) +
+      least(lit(1.0), size(col("t")).cast(DoubleType) / lit(200.0)) * lit(0.2)
+    val kept = base.withColumn("score", score).filter(col("score") >= 0.3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
+    val survivors = kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val input = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_input"))
+    val quality = kept.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    survivors.groupBy("source").agg(count(lit(1)).as("n_survivors"))
+      .join(input, Seq("source")).join(quality, Seq("source"))
+      .select("source", "n_input", "n_quality", "n_survivors")
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07)
 }
