@@ -115,6 +115,31 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (broadcast per batch — the streaming twin of the silver
+    * dim joins). No state, no watermark; the static side is re-resolved
+    * per trigger so slowly-changing dims pick up new snapshots.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Incremental bronze sink: append each micro-batch to a
+    * date-partitioned parquet directory via foreachBatch (the streaming
+    * twin of Lakehouse.write). Checkpointing makes delivery
+    * exactly-once per batch id; partitioning keeps downstream date
+    * predicates prunable.
+    */
+  def writeBronzeIncremental(events: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("event_date").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the collected result table (test/utility harness; production
     * callers use their own writeStream).

@@ -78,6 +78,37 @@ class EventStreamsSpec extends SparkSuite {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("enrichWithDim: micro-batches join the static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[EventRow]
+    in.addData(day1)
+    val out = runToMemory(enrichWithDim(in.toDF(), dim, "user_id"), "enriched",
+      OutputMode.Append())
+    val tiers = out.select("user_id", "tier").distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tiers == Map(10L -> "gold", 11L -> "basic"))
+  }
+
+  test("writeBronzeIncremental: appends date-partitioned parquet across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bronze")
+    val in = MemoryStream[EventRow]
+    val q = writeBronzeIncremental(in.toDF(), s"$dir/out", s"$dir/ckpt")
+    in.addData(day1.take(3))
+    q.processAllAvailable()
+    in.addData(day1.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == day1.length)
+    // physical layout partitioned by event_date
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
+      .toArray.map(_.toString).filter(_.contains("event_date="))
+    assert(parts.length == 2) // 2024-01-01 and 2024-01-02
+  }
+
   test("runningUserStats: keyed state accumulates across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
