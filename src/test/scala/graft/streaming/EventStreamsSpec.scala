@@ -109,6 +109,24 @@ class EventStreamsSpec extends SparkSuite {
     assert(parts.length == 2) // 2024-01-01 and 2024-01-02
   }
 
+  test("readEvents: unbounded parquet-directory source feeds the windowed transforms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evsrc")
+    day1.toDF().write.mode("append").parquet(s"$dir/in")
+    val stream = readEvents(spark, s"$dir/in")
+    assert(stream.isStreaming)
+    val q = dailyTypeCounts(stream).writeStream
+      .format("memory").queryName("from_files").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // a later file arrival advances the watermark and closes day1 windows
+    Seq(EventRow(99L, 1L, ts("2024-01-05 00:00:00"), "view", 0.0)).toDF()
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("from_files")
+    assert(got.count() >= 3) // day1 windows (2 types on day 1, 1 on day 2)
+  }
+
   test("runningUserStats: keyed state accumulates across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
