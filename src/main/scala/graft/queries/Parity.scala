@@ -824,8 +824,46 @@ object Parity {
       .orderBy("customer_id", "order_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q26 — ROLLUP multi-level aggregate (region → nation subtotals →
+  // grand total): the grouping-sets family, absent from the reference
+  // but table stakes for a complete engine. One shuffle; Spark expands
+  // grouping sets map-side.
+  val q26 = Q(
+    "q26_revenue_rollup",
+    """SELECT COALESCE(r.r_name, 'ALL') AS region,
+      |  CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+      |  CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT) AS lvl,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP (r.r_name, n.n_name)
+      |ORDER BY lvl, region, nation""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    joined
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        (grouping(col("r_name")) * 2 + grouping(col("n_name"))).cast(LongType).as("lvl"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        when(col("lvl") % 2 === 1, "ALL").otherwise(col("n_name")).as("nation"),
+        col("lvl"), col("n_orders"), col("revenue"))
+      .orderBy("lvl", "region", "nation")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
-    q20, q21, q22, q23, q24, q25)
+    q20, q21, q22, q23, q24, q25, q26)
 }
