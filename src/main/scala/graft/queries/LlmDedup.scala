@@ -275,5 +275,31 @@ object LlmDedup {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07)
+  // ---------------------------------------------------------------------
+  // qd08 — embedding near-dup with sign-bit LSH bucket blocking: the
+  // true scale path qd06's label-blocking stands in for. Candidates are
+  // pairs sharing a 6-plane bucket (64 buckets) — an equi-join on the
+  // bucket id, linear in corpus size — then exact-cosine scored and the
+  // top pairs kept. Near-identical vectors agree on every sign bit, so
+  // at a production near-dup threshold recall is effectively total
+  // while the bucket join touches ~1/64 of the pair space. (This
+  // corpus has no true near-dups — max pairwise cosine ≈ 0.5 — so the
+  // query reports the top-100 most-similar blocked pairs rather than
+  // thresholding; behavior pinned against brute force in the spec.)
+  val qd08 = Q.noOracle("qd08_embedding_neardup_lsh") { (s, dir) =>
+    val planes = VectorFns.hyperplanes(nPlanes = 6, dim = 64)
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFns.lshBucket(col("embedding"), planes).as("bucket"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VectorFns.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08)
 }

@@ -23,6 +23,25 @@ class LlmQueriesSpec extends SparkSuite {
     }
   }
 
+  test("qd08 LSH-blocked pair scores are exact and descending") {
+    import org.apache.spark.sql.types.DoubleType
+    val rows = LlmDedup.qd08.fn(spark, dir).collect()
+    assert(rows.length == 100)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every returned pair's cosine equals the brute-force exact value
+    val e = graft.util.Tables.load(spark, dir, "embeddings")
+    val brute = e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.VectorFns.cosine(col("a.embedding"), col("b.embedding"))
+          .cast(DoubleType).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
   test("qd07 HLL sketch distinct is within the configured error of exact") {
     LlmDedup.qd07.fn(spark, dir).collect().foreach { r =>
       val exact = r.getAs[Long]("exact_unique").toDouble
