@@ -126,7 +126,9 @@ object Gold {
       .filter(col("customer_id").isNotNull)
       .groupBy(col("customer_id"))
       .agg(
-        sum(col("session_revenue")).as("lifetime_revenue"),
+        // decimal partial sum: order-independent money aggregate (a plain
+        // double sum depends on partition order under AQE/parallelism)
+        graft.util.Exact.dsum(col("session_revenue")).as("lifetime_revenue"),
         sum(col("has_purchase")).cast(LongType).as("total_purchases"),
         countDistinct(col("session_id")).as("total_sessions"),
         max(col("session_end_ts")).as("last_active_ts"),

@@ -17,8 +17,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * on memory bandwidth, which at 100 TB is the entire game for the
   * brute-force scoring path.
   *
+  * Null semantics match the composed built-ins: a NULL element anywhere
+  * in the common prefix makes the result NULL (zip_with produces a NULL
+  * product, aggregate's `+` then poisons the fold). When both inputs are
+  * `containsNull = false` the generated code skips the per-element null
+  * checks entirely and stays a primitive loop.
+  *
   * Vectors of unequal length dot over the common prefix (never occurs
-  * for fixed-dim embeddings; documented for totality).
+  * for fixed-dim embeddings; the composed form instead null-pads to the
+  * longer length and returns NULL — documented divergence).
   */
 case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -37,18 +44,44 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     case _ => false
   }
 
+  private def elemsNullable(t: DataType) = t match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  private def mayHaveNullElems: Boolean =
+    elemsNullable(left.dataType) || elemsNullable(right.dataType)
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElems
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"FloatVecDot requires array<float|double> children, got ${left.dataType} / ${right.dataType}")
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    FloatVecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left.dataType), isFloat(right.dataType))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    if (mayHaveNullElems)
+      FloatVecDot.dotOrNull(ad, bd, isFloat(left.dataType), isFloat(right.dataType))
+    else
+      FloatVecDot.dot(ad, bd, isFloat(left.dataType), isFloat(right.dataType))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.FloatVecDot.dot($a, $b, ${isFloat(left.dataType)}, ${isFloat(right.dataType)})")
+    if (mayHaveNullElems) {
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("dotOrNull")
+        s"""java.lang.Double $r = graft.functions.FloatVecDot.dotOrNull(
+           |  $a, $b, ${isFloat(left.dataType)}, ${isFloat(right.dataType)});
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+      })
+    } else {
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.FloatVecDot.dot($a, $b, ${isFloat(left.dataType)}, ${isFloat(right.dataType)})")
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatVecDot =
@@ -56,6 +89,7 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
 }
 
 object FloatVecDot {
+  /** Fast path: inputs proven element-non-null by the schema. */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
@@ -67,5 +101,24 @@ object FloatVecDot {
       i += 1
     }
     acc
+  }
+
+  /** Null-propagating path: any NULL element in the common prefix →
+    * NULL result (matches zip_with/aggregate composition). The boxed
+    * return is immediately unboxed by the generated code; JIT escape
+    * analysis removes the allocation on the non-null path.
+    */
+  def dotOrNull(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 }

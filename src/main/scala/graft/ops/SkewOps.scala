@@ -30,10 +30,12 @@ object SkewOps {
   def saltedInnerJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       buckets: Int, seed: Long = 42L): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val saltedLarge = large.withColumn("_salt", (rand(seed) * buckets).cast("int"))
-    val repSmall = small.withColumn("_salt",
+    // scratch name that cannot shadow a user column on either side
+    val saltCol = graft.util.Names.fresh("_salt", large.columns ++ small.columns)
+    val saltedLarge = large.withColumn(saltCol, (rand(seed) * buckets).cast("int"))
+    val repSmall = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(buckets - 1))))
-    saltedLarge.join(repSmall, keys :+ "_salt", "inner").drop("_salt")
+    saltedLarge.join(repSmall, keys :+ saltCol, "inner").drop(saltCol)
   }
 
   /** Per-key row counts of the top-n heaviest keys — the diagnostic used

@@ -25,23 +25,29 @@ object TimeOps {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(!valueCols.exists(leftCols.contains),
+      s"valueCols ${valueCols.filter(leftCols.contains)} already exist in the left input")
+    // scratch names that cannot shadow user columns on either side
+    val taken = leftCols ++ right.columns
+    val tsCol = graft.util.Names.fresh("_ts", taken)
+    val sideCol = graft.util.Names.fresh("_side", taken)
     // side 0 sorts before side 1 at equal ts -> right row at exactly
     // leftTs is visible to the left row (>= semantics, like ASOF JOIN)
     val l = valueCols.foldLeft(
-        left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1)))(
+        left.withColumn(tsCol, col(leftTs)).withColumn(sideCol, lit(1)))(
         (df, c) => df.withColumn(c, lit(null)))
     val r0 = right.select((keys :+ rightTs).map(col) ++ valueCols.map(col): _*)
-      .withColumn("_ts", col(rightTs)).withColumn("_side", lit(0))
-    val unioned = l.select((keys ++ Seq("_ts", "_side") ++ valueCols).map(col) ++
+      .withColumn(tsCol, col(rightTs)).withColumn(sideCol, lit(0))
+    val unioned = l.select((keys ++ Seq(tsCol, sideCol) ++ valueCols).map(col) ++
         leftCols.filterNot(c => keys.contains(c) || valueCols.contains(c))
           .map(c => col(c)): _*)
-      .unionByName(r0.select((keys ++ Seq("_ts", "_side") ++ valueCols).map(col): _*),
+      .unionByName(r0.select((keys ++ Seq(tsCol, sideCol) ++ valueCols).map(col): _*),
         allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col(tsCol), col(sideCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(unioned)(
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("_side") === 1).drop("_ts", "_side")
+    filled.filter(col(sideCol) === 1).drop(tsCol, sideCol)
   }
 }

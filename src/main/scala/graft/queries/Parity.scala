@@ -731,7 +731,7 @@ object Parity {
        |  FROM events),
        |sa AS (
        |  SELECT customer_id,
-       |    CAST(SUM(session_revenue) AS DOUBLE) AS lifetime_revenue,
+       |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_revenue,
        |    CAST(SUM(has_purchase) AS BIGINT) AS total_purchases,
        |    COUNT(DISTINCT session_id) AS total_sessions,
        |    MAX(session_end_ts) AS last_active_ts,

@@ -123,19 +123,30 @@ object EventStreams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
-  /** Incremental bronze sink: append each micro-batch to a
+  /** Incremental bronze sink: land each micro-batch in a
     * date-partitioned parquet directory via foreachBatch (the streaming
-    * twin of Lakehouse.write). Checkpointing makes delivery
-    * exactly-once per batch id; partitioning keeps downstream date
-    * predicates prunable.
+    * twin of Lakehouse.write). foreachBatch alone is only at-least-once —
+    * a batch replayed from the checkpoint after a partial write would
+    * double-append — so the write is made idempotent by keying the
+    * physical layout on the batch id: `_batch_id` is the LEADING
+    * partition column and the write uses dynamic partition overwrite,
+    * so a replay of batch N rewrites exactly the `_batch_id=N/...`
+    * subtree and nothing else. `event_date` stays a partition column
+    * beneath it, so downstream date predicates still prune.
     */
   def writeBronzeIncremental(events: DataFrame, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events
       .withColumn("event_date", to_date(col("ts")))
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").partitionBy("event_date").parquet(outDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .withColumn("_batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id", "event_date")
+          .parquet(outDir)
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -8,12 +8,27 @@ import org.apache.spark.sql.types._
   * (`<dir>/<name>.parquet`, see /root/repo/TESTDATA.md).
   */
 object Tables {
+  /** Session conf every graft session builder sets at construction:
+    * events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects unless nanos are read as raw longs (we then truncate
+    * to microseconds — the data is µs-precision, so exact).
+    */
+  val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects unless nanos are read as raw longs; we read the long and
-    // truncate to microseconds (the data is µs-precision, so exact).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Sessions we build (Verify/Bench/tests) set nanosAsLong at
+    // construction. For externally-built sessions (the driver's), fall
+    // back to setting it only when the footer actually contains NANOS —
+    // never as a blanket side effect of every load, which would silently
+    // change timestamp semantics for unrelated reads in the session.
+    val df =
+      try spark.read.parquet(s"$dir/$name.parquet")
+      catch {
+        case e: Throwable if e.getMessage != null && e.getMessage.contains("NANOS") &&
+            spark.conf.get(nanosAsLongKey, "false") != "true" =>
+          spark.conf.set(nanosAsLongKey, "true")
+          spark.read.parquet(s"$dir/$name.parquet")
+      }
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None    => df

@@ -21,6 +21,23 @@ class VectorFnsSpec extends SparkSuite {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("dot propagates NULL elements like the composed zip_with/aggregate form") {
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](4.0f, 5.0f, 6.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f, 4.0f)))
+      .toDF("a", "b")
+    val native = df.select(dot(col("a"), col("b")).as("d"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    // composed built-in form: NULL element -> NULL product -> NULL fold
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(native == composed)
+    assert(native == Seq(None, Some(11.0)))
+  }
+
   test("lshBucket is deterministic and bounded by plane count") {
     val planes = hyperplanes(nPlanes = 6, dim = 4)
     val df = Seq(Seq(1.0f, -2.0f, 0.5f, 3.0f), Seq(-1.0f, 2.0f, -0.5f, -3.0f)).toDF("v")

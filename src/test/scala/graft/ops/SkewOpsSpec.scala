@@ -19,6 +19,13 @@ class SkewOpsSpec extends SparkSuite {
     assert(!salted.columns.contains("_salt"))
   }
 
+  test("saltedInnerJoin does not clobber a user column named _salt") {
+    val large = Seq((1, "keep-me"), (2, "other")).toDF("k", "_salt")
+    val small = Seq((1, "x")).toDF("k", "w")
+    val out = SkewOps.saltedInnerJoin(large, small, Seq("k"), buckets = 4).collect()
+    assert(out.length == 1 && out.head.getAs[String]("_salt") == "keep-me")
+  }
+
   test("buckets=1 degenerates to the plain join") {
     val large = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val small = Seq((1, "x")).toDF("k", "w")

@@ -28,6 +28,21 @@ class TimeOpsSpec extends SparkSuite {
     assert(out("e4") == None)
   }
 
+  test("asofJoin does not clobber user columns named _ts/_side") {
+    val left = Seq((1L, "e1", "user-ts", 9, ts("2024-01-01 10:00:00")))
+      .toDF("k", "id", "_ts", "_side", "t")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.5)).toDF("k", "t", "v")
+    val out = TimeOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+    val r = out.head()
+    assert(r.getAs[String]("_ts") == "user-ts" && r.getAs[Int]("_side") == 9)
+    assert(r.getAs[Double]("v") == 1.5)
+    // a valueCol colliding with a left column is a contract violation
+    val badLeft = left.withColumnRenamed("_ts", "v")
+    intercept[IllegalArgumentException] {
+      TimeOps.asofJoin(badLeft, right, Seq("k"), "t", "t", Seq("v"))
+    }
+  }
+
   test("asofJoin preserves left row count and extra left columns") {
     val left = Seq((1L, "a", 7, ts("2024-01-01 10:00:00"))).toDF("k", "id", "extra", "t")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.5)).toDF("k", "t", "v")

@@ -103,10 +103,21 @@ class EventStreamsSpec extends SparkSuite {
     q.stop()
     val back = spark.read.parquet(s"$dir/out")
     assert(back.count() == day1.length)
-    // physical layout partitioned by event_date
-    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
-      .toArray.map(_.toString).filter(_.contains("event_date="))
-    assert(parts.length == 2) // 2024-01-01 and 2024-01-02
+    // physical layout: _batch_id (idempotent replay unit) then event_date
+    val batchDirs = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
+      .toArray.map(_.toString).filter(_.contains("_batch_id="))
+    assert(batchDirs.length == 2) // one subtree per micro-batch
+    val dateParts = batchDirs.flatMap(b =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(b))
+        .toArray.map(_.toString).filter(_.contains("event_date=")))
+    assert(dateParts.map(_.split("event_date=").last).distinct.sorted.toSeq
+      == Seq("2024-01-01", "2024-01-02"))
+    // replaying a batch id overwrites its own subtree only (idempotent)
+    day1.take(3).toDF().withColumn("event_date", to_date(col("ts")))
+      .withColumn("_batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id", "event_date").parquet(s"$dir/out")
+    assert(spark.read.parquet(s"$dir/out").count() == day1.length)
   }
 
   test("readEvents: unbounded parquet-directory source feeds the windowed transforms") {
