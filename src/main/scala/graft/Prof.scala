@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** In-JVM profiling loop: run the named queries repeatedly against one
+  * warmed session and print min/median seconds per query — the only
+  * reliable timing signal on this host (wall-clock noise is ±2×; see
+  * memory notes). Usage:
+  *   sbt "runMain graft.Prof <sfDir> <reps> <name> [name...]"
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config(graft.util.Tables.nanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = SparkEntry.queries.filter(q => names.isEmpty || names.contains(q._1))
+    qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // warmup: codegen + JIT
+      fn(spark, sfDir).queryExecution.toRdd.count()
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"PROF $name%-28s min=${times.head}%7.3f med=${times(times.size / 2)}%7.3f max=${times.last}%7.3f")
+    }
+    spark.stop()
+  }
+}

@@ -65,15 +65,23 @@ object LlmDedup {
   }
 
   // ---------------------------------------------------------------------
-  // qd02 — word-3-gram Jaccard near-dup pairs, exact: explode distinct
-  // shingles, self-join on the shingle (shuffle key = shingle, never an
-  // n^2 cross join), count intersections, Jaccard from set sizes.
-  // 3-grams (not 2-grams) on purpose: the shingle is the shuffle key, and
-  // its selectivity bounds the pair blow-up. On this corpus 2-grams have
-  // ~900 distinct values with doc-frequency in the hundreds (≈36M join
-  // pairs at sf0.1 — quadratic in df, fatal at 100 TB), while 3-grams
-  // have ~27K distinct values with max df ≈ 25. Same df-capping logic a
-  // production near-dup miner applies to stop-shingles.
+  // qd02 — word-3-gram Jaccard near-dup pairs, exact. Plan: explode
+  // distinct shingles, group by the SHINGLE collecting the (tiny) posting
+  // list of doc_ids, emit ordered pairs within each posting list, count
+  // intersections, Jaccard from set sizes. No self-join: a shingle
+  // self-join materializes the whole exploded table twice and (under
+  // size misestimation) broadcasts millions of exploded rows; the
+  // posting-list form is the inverted-index plan — ONE shuffle keyed on
+  // an 8-byte shingle hash carrying only doc_ids, pair blow-up bounded
+  // by df² per shingle.
+  // 3-grams (not 2-grams) on purpose: doc-frequency bounds the pair
+  // count. On this corpus 2-grams have ~900 distinct values with df in
+  // the hundreds (≈36M pairs at sf0.1 — quadratic in df, fatal at
+  // 100 TB), while 3-grams have ~27K distinct values with max df ≈ 25.
+  // Same df-capping logic a production near-dup miner applies to
+  // stop-shingles. (xxhash64 on the shingle replaces the string as the
+  // group key: 8-byte shuffle key; a collision needs two distinct
+  // shingles in overlapping docs agreeing on 64 bits — ~1e-11 here.)
   val qd02 = Q(
     "qd02_jaccard_pairs",
     """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
@@ -91,16 +99,24 @@ object LlmDedup {
       |ORDER BY jaccard DESC, doc_a, doc_b
       |LIMIT 100""".stripMargin) { (s, dir) =>
     val d = docsSpread(s, dir).select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
-    val ex = d.select(col("doc_id"), explode(col("s")).as("g"))
-    val sz = d.select(col("doc_id"), size(col("s")).cast(LongType).as("n"))
-    val pairs = ex.as("a")
-      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+    // one pass over the shingles: each posting entry carries the doc's
+    // set size, so Jaccard needs no lookup join afterwards
+    val postings = d
+      .select(struct(col("doc_id"), size(col("s")).cast(LongType).as("n")).as("dn"),
+        explode(col("s")).as("g"))
+      .select(col("dn"), xxhash64(col("g")).as("hg"))
+      .groupBy("hg").agg(collect_list(col("dn")).as("ids"))
+      .filter(size(col("ids")) > 1) // df=1 shingles contribute no pairs
+    // ordered pairs within each posting list (≤ df² rows per shingle)
+    val pairs = postings
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("n_a"), min(col("b.n")).as("n_b")) // constant per group
     val jac = col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")).cast(DoubleType)
     pairs
-      .join(sz.as("sa").withColumnRenamed("n", "n_a"), col("doc_a") === col("sa.doc_id")).drop("doc_id")
-      .join(sz.as("sb").withColumnRenamed("n", "n_b"), col("doc_b") === col("sb.doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"), jac.as("jaccard"))
       .filter(jac >= 0.05)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))

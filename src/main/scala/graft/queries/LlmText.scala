@@ -228,11 +228,18 @@ object LlmText {
 
   // ---------------------------------------------------------------------
   // qt07 — the full curation pipeline composed end-to-end: quality
-  // filter → language-agreement filter → exact dedup (keep lowest
-  // doc_id per content hash) → per-source survival accounting. This is
-  // the LLM-pretraining data path in one plan: two map-side filter
-  // passes, one dedup shuffle on the content hash, one rollup — at
-  // 100 TB nothing here buffers more than a group's running state.
+  // filter → exact dedup (keep lowest doc_id per content hash) →
+  // per-source survival accounting. This is the LLM-pretraining data
+  // path in ONE linear plan: a single map pass computes (source,
+  // content-hash, quality-pass) per doc; one window shuffle on the
+  // 128-bit content hash marks the dedup survivor (passing docs sort
+  // first, so rank 1 = lowest doc_id among the kept); one conditional
+  // rollup produces all three per-source counts. The naive composition
+  // (three aggregates + joins over a reused `kept` subplan) recomputes
+  // the tokenization per branch and shuffles the full text through the
+  // dedup window — this form tokenizes each doc exactly once and the
+  // wide `text` column never crosses an exchange. At 100 TB nothing
+  // here buffers more than a group's running state.
   val qt07 = Q(
     "qt07_curation_pipeline",
     s"""WITH scored AS (
@@ -260,21 +267,28 @@ object LlmText {
        |FROM dedup d
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin) { (s, dir) =>
-    val base = docs(s, dir).select(col("doc_id"), col("source"), col("lang"), col("text"),
-      tokens(col("text")).as("t"))
-    val ttr = size(array_distinct(col("t"))).cast(DoubleType) / size(col("t"))
-    val swr = vocabHits(col("t"), stopQuality).cast(DoubleType) / size(col("t"))
-    val score = ttr * lit(0.5) + swr * lit(0.3) +
-      least(lit(1.0), size(col("t")).cast(DoubleType) / lit(200.0)) * lit(0.2)
-    val kept = base.withColumn("score", score).filter(col("score") >= 0.3)
+    val t = tokens(col("text"))
+    val nTok = size(t).cast(DoubleType)
+    val score = (size(array_distinct(t)).cast(DoubleType) / nTok) * lit(0.5) +
+      (vocabHits(t, stopQuality).cast(DoubleType) / nTok) * lit(0.3) +
+      least(lit(1.0), nTok / lit(200.0)) * lit(0.2)
+    // single map pass: everything downstream needs only these 4 columns
+    val scored = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      (score >= 0.3).as("pass"),
+      md5(lower(col("text"))).as("h"))
+    // passing docs sort first within a hash group -> rank 1 is the
+    // lowest doc_id among the KEPT copies; survivor = pass && rank 1
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
-    val survivors = kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    val input = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_input"))
-    val quality = kept.groupBy("source").agg(count(lit(1)).as("n_quality"))
-    survivors.groupBy("source").agg(count(lit(1)).as("n_survivors"))
-      .join(input, Seq("source")).join(quality, Seq("source"))
-      .select("source", "n_input", "n_quality", "n_survivors")
+      .partitionBy(col("h")).orderBy(col("pass").desc, col("doc_id"))
+    scored
+      .withColumn("survivor", col("pass") && row_number().over(w) === 1)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_input"),
+        graft.util.Exact.countIf(col("pass")).as("n_quality"),
+        graft.util.Exact.countIf(col("survivor")).as("n_survivors"))
+      .filter(col("n_survivors") > 0) // oracle groups FROM the dedup set
       .orderBy("source")
   }
 
