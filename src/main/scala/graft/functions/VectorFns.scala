@@ -40,7 +40,8 @@ object VectorFns {
     */
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
+      // single Literal node per plane (not an array() of 64 lit() nodes)
+      val planeCol = typedlit(plane.toSeq)
       when(dot(v, planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

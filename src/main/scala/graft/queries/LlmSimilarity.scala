@@ -97,10 +97,21 @@ object LlmSimilarity {
     val nprobe = 4
     val e = emb(s, dir)
 
-    def litVec(c: Array[Double]): Column = array(c.map(lit).toSeq: _*)
+    // ONE Literal node per centroid (an array() of 64 lit()s is 65 nodes;
+    // 16 centroids × 65 nodes made every analyzer/optimizer pass walk
+    // thousand-node trees — driver time dominated the query at small SF)
+    def litVec(c: Array[Double]): Column = typedlit(c.toSeq)
+    // Unit-normalize on the driver: argmax_j cos(v, c_j) == argmax_j
+    // dot(v, c_j / |c_j|) for any v (the row norm is a common positive
+    // factor), so assignment is 16 plain dots per row — no per-row
+    // norms, no sqrt, a third of the flops of the cosine form.
+    def unit(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
     // index of the most-similar centroid, computed per row with no blowup
     def bestCell(v: Column, cents: Seq[Array[Double]]): Column = {
-      val sims = array(cents.map(c => cosine(v, litVec(c))): _*)
+      val sims = array(cents.map(c => dot(v, litVec(unit(c)))): _*)
       (array_position(sims, array_max(sims)) - 1).cast("int")
     }
 
@@ -108,15 +119,21 @@ object LlmSimilarity {
     var centroids: Seq[Array[Double]] = e.orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
-    // Lloyd iterations: assign (map-side) -> per-cell mean (tiny shuffle)
+    // Lloyd iterations: assign (map-side) -> per-cell mean as 64 avg
+    // columns over element_at. No explode: partial aggregation reduces
+    // each partition to k rows × dim doubles BEFORE the shuffle (the
+    // posexplode form shuffled corpus×dim rows — corpus-sized traffic
+    // for what is a k×dim result).
+    val dim = 64
+    val avgs = (0 until dim).map(i =>
+      avg(element_at(col("embedding"), i + 1)).as(s"_m$i"))
     for (_ <- 1 to 2) {
-      val means = e.select(bestCell(col("embedding"), centroids).as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      val means = e.select(bestCell(col("embedding"), centroids).as("cell"), col("embedding"))
         .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1)))
+        .toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
 
@@ -126,7 +143,8 @@ object LlmSimilarity {
     // probe set: nprobe nearest cells per query
     val qs = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        posexplode(array(centroids.map(c => cosine(col("embedding"), litVec(c))): _*))
+        // ranking by dot-with-unit-centroid == ranking by cosine
+        posexplode(array(centroids.map(c => dot(col("embedding"), litVec(unit(c)))): _*))
           .as(Seq("cell", "cell_sim")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_sim").desc, col("cell"))
