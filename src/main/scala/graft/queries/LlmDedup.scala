@@ -163,9 +163,33 @@ object LlmDedup {
   // qd04 — MinHash + LSH banding near-dup pairs (the 100 TB scale path:
   // candidate generation is a groupBy on (band, band-signature), never a
   // pairwise scan; candidates are then verified with exact Jaccard).
-  // Not expressible as readable ANSI SQL → rows-only check here;
-  // behavior is pinned by LlmDedupSpec against brute-force Jaccard.
-  val qd04 = Q.noOracle("qd04_minhash_lsh_pairs") { (s, dir) =>
+  // The oracle replays the whole pipeline — signatures, band keys,
+  // band-bucket candidate join, exact-Jaccard verify — in DuckDB list
+  // SQL; `WHERE len(s) > 0` mirrors Spark's explode dropping docs with
+  // no shingles.
+  val qd04 = Q(
+    "qd04_minhash_lsh_pairs",
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END) AS s FROM tok),
+       |hs AS (SELECT doc_id, s, list_transform(s, g -> ${duckPolyHash("g", 31L, ModBig)}) AS h
+       |       FROM sh WHERE len(s) > 0),
+       |sig AS (SELECT doc_id, s,
+       |        list_transform(range(0, 4), band ->
+       |          array_to_string(list_transform(range(band*4, band*4+4), j ->
+       |            list_min(list_transform(h, x -> (x*(389*(j+1)+1) + 211*(j+1)+7) % $ModBig))), '-')) AS bkeys
+       |        FROM hs),
+       |banded AS (SELECT doc_id, r.b AS band, bkeys[r.b+1] AS band_key FROM sig, range(0,4) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |jac AS (SELECT doc_a, doc_b,
+       |        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+       |      FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+       |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) { (s, dir) =>
     val k = 16
     val bandRows = 4 // 4 bands of 4 rows
     // Signature + shingle set in ONE grouped pass over exploded shingles:
@@ -245,16 +269,10 @@ object LlmDedup {
   // qd06 — embedding-cosine near-dup pairs, blocked by label (realistic
   // blocking: at 100 TB you never do unblocked all-pairs; the blocking
   // key here stands in for an LSH/IVF bucket).
-  private def duckCos(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_reduce(list_transform(range(1, len($x)+1), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (p,q) -> p+q)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
-
   val qd06 = Q(
     "qd06_embedding_neardup",
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-       |  ${duckCos("a.embedding", "b.embedding")} AS cos_sim
+       |  ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos_sim
        |FROM embeddings a JOIN embeddings b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |ORDER BY cos_sim DESC, id_a, id_b
@@ -302,7 +320,17 @@ object LlmDedup {
   // corpus has no true near-dups — max pairwise cosine ≈ 0.5 — so the
   // query reports the top-100 most-similar blocked pairs rather than
   // thresholding; behavior pinned against brute force in the spec.)
-  val qd08 = Q.noOracle("qd08_embedding_neardup_lsh") { (s, dir) =>
+  // The hyperplanes are a closed-form integer family, so the oracle
+  // recomputes the exact same buckets in SQL.
+  val qd08 = Q(
+    "qd08_embedding_neardup_lsh",
+    s"""WITH e AS (SELECT vec_id, embedding, ${DuckSql.lshBucket("embedding", 6)} AS bucket
+       |           FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos_sim
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |ORDER BY cos_sim DESC, id_a, id_b
+       |LIMIT 100""".stripMargin) { (s, dir) =>
     val planes = VectorFns.hyperplanes(nPlanes = 6, dim = 64)
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),

@@ -66,10 +66,32 @@ object LlmMultimodal {
   }
 
   // ---------------------------------------------------------------------
-  // qm03 — audio decode (stub): sample counts + RMS loudness. Byte-wise
-  // RMS over a BLOB is not SQL-expressible in the oracle -> rows-only
-  // check; the numeric behavior is pinned in MultimodalSpec.
-  val qm03 = Q.noOracle("qm03_audio_rms") { (s, dir) =>
+  // qm03 — audio decode (stub): sample counts + RMS loudness. The oracle
+  // re-derives the signed-8-bit PCM fake from the UTF-8 payload by
+  // hex-expanding the BLOB (DuckDB has no byte indexing on BLOBs); the
+  // squared-sample fold runs in byte order on both sides, so the double
+  // RMS is bit-exact (0.0 + x == x for the non-negative squares, so the
+  // init-less list_reduce equals Spark's 0-seeded loop).
+  val qm03 = Q(
+    "qm03_audio_rms",
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents WHERE doc_id % 3 = 1),
+      |b AS (SELECT media_id, n,
+      |        list_transform(range(1, n+1),
+      |          i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INT), 2)) AS BIGINT)) AS bytes
+      |      FROM m),
+      |s AS (SELECT media_id, n,
+      |        list_transform(bytes, x -> CASE WHEN x >= 128 THEN x - 256 ELSE x END) AS sb
+      |      FROM b)
+      |SELECT media_id, CAST(16000 AS BIGINT) AS sample_rate, n AS n_samples,
+      |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE sqrt(list_reduce(list_transform(sb,
+      |              x -> (CAST(x AS DOUBLE)/CAST(128 AS DOUBLE)) * (CAST(x AS DOUBLE)/CAST(128 AS DOUBLE))),
+      |              (a, c) -> a + c) / CAST(n AS DOUBLE))
+      |  END AS rms
+      |FROM s
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
     MediaOps.decodeAudios(media(s, dir).filter(col("kind") === "audio"))
       .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
         col("n_samples"), col("rms"))

@@ -25,19 +25,13 @@ object LlmSimilarity {
 
   private def emb(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 
-  private def duckCos(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_reduce(list_transform(range(1, len($x)+1), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (p,q) -> p+q)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
-
   // ---------------------------------------------------------------------
   // qs01 — exact cosine top-5 neighbors for query vectors vec_id < 8.
   val qs01 = Q(
     "qs01_cosine_topk",
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
        |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-       |        ${duckCos("q.qe", "c.embedding")} AS cos_sim
+       |        ${DuckSql.cosine("q.qe", "c.embedding")} AS cos_sim
        |      FROM q, embeddings c WHERE c.vec_id <> q.query_id)
        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
@@ -63,9 +57,24 @@ object LlmSimilarity {
 
   // ---------------------------------------------------------------------
   // qs02 — LSH-bucketed ANN: 6 deterministic hyperplanes -> 64 buckets;
-  // candidates are only the corpus vectors in the query's bucket. Not
-  // SQL-expressible compactly -> rows-only check; recall pinned in tests.
-  val qs02 = Q.noOracle("qs02_ann_lsh_topk") { (s, dir) =>
+  // candidates are only the corpus vectors in the query's bucket. The
+  // closed-form hyperplane family reproduces in SQL, so the oracle
+  // replays bucketing + bucket join + ranking exactly; recall vs the
+  // exact qs01 is additionally pinned in tests.
+  val qs02 = Q(
+    "qs02_ann_lsh_topk",
+    s"""WITH e AS (SELECT vec_id, embedding, ${DuckSql.lshBucket("embedding", 6)} AS bucket
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 8),
+       |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |        ${DuckSql.cosine("q.qe", "e.embedding")} AS cos_sim
+       |      FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM s) ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val planes = hyperplanes(nPlanes = 6, dim = 64)
     val e = emb(s, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
     val q = e.filter(col("vec_id") < 8)
