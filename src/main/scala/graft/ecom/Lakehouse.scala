@@ -38,6 +38,35 @@ final case class Lakehouse(
 
   def read(name: String): DataFrame = spark.read.format(format).load(s"$warehouseDir/$name")
 
+  /** Bucketed sink: hash-clusters rows into `nBuckets` files per
+    * partition on `bucketCols` and records the layout in the catalog
+    * (bucketing metadata only lives there, so this goes through
+    * `saveAsTable`; the files still land under `warehouseDir`).
+    *
+    * This is the co-location contract for repeated big-big joins: two
+    * tables bucketed on the same keys with the same bucket count join
+    * with ZERO exchanges — each task zips bucket i with bucket i. At
+    * 100 TB, bucketing the fact tables on their join key once at write
+    * time deletes the dominant shuffle from every downstream join and
+    * aggregation on that key (`spark.sql.sources.bucketing.enabled` is
+    * on by default; verified shuffle-free in LakehouseIoSpec).
+    * `sortBy` additionally pre-sorts within buckets so single-file
+    * buckets skip the merge-join sort.
+    */
+  def writeBucketed(name: String, df: DataFrame, bucketCols: Seq[String],
+      nBuckets: Int): Unit =
+    df.write.format(format)
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", s"$warehouseDir/$name")
+      .saveAsTable(name)
+
+  /** Read a bucketed table back (bucket metadata comes from the
+    * catalog, so this must be a table lookup, not a path read).
+    */
+  def readTable(name: String): DataFrame = spark.table(name)
+
   /** Register tables for the SQL entry point (reference EP2: every DQ
     * check and %sql cell runs `spark.sql` against the catalog —
     * `04_data_quality_checks.py:24`, `01_bronze_ingest.py:42-49`).

@@ -50,4 +50,31 @@ class LakehouseIoSpec extends SparkSuite {
     assert(Set("product_metrics", "product_funnel", "session_metrics", "customer_360")
       .subsetOf(names))
   }
+
+  test("bucketed tables join with zero exchanges (co-located big-big join)") {
+    val dir = Files.createTempDirectory("graft-bucket").toString
+    val lh = Lakehouse(spark, dir)
+    val silver = Silver.transformAll(EcomFixtures.bronze(spark))
+    lh.writeBucketed("orders_bkt", silver("orders_clean"), Seq("order_id"), 4)
+    lh.writeBucketed("order_items_bkt", silver("order_items_clean"), Seq("order_id"), 4)
+    // broadcast off: with it on, the small side would broadcast and the
+    // assertion wouldn't exercise the bucket co-location path at all
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = lh.readTable("orders_bkt")
+        .join(lh.readTable("order_items_bkt"), Seq("order_id"))
+      val rows = joined.collect()
+      val expected = silver("orders_clean")
+        .join(silver("order_items_clean"), Seq("order_id")).count()
+      assert(rows.length.toLong == expected && expected > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a shuffle-free bucketed join, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS order_items_bkt")
+    }
+  }
 }
