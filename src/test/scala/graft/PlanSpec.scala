@@ -1,0 +1,105 @@
+package graft
+
+/** Physical-plan assertions over the real testdata (sf0.001): these pin
+  * the *scale* properties the small-SF oracle can't see — filter
+  * pushdown reaching the parquet scan, column pruning, dim-side
+  * broadcasts, map-side partial aggregation, top-k as
+  * TakeOrderedAndProject, and whole-stage codegen coverage. A plan
+  * regression here (a filter that stops pushing, a broadcast that
+  * becomes a sort-merge join) is exactly the kind of change that stays
+  * invisible at 60k rows and falls over at 100 TB.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final physical plan, unwrapped from the AQE node: the adaptive
+    * wrapper is childless until executed (collectLeaves would return
+    * the wrapper itself) and only the final plan shows codegen stages.
+    */
+  private def finalPlan(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.toRdd.count() // materialize so AQE finalizes
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planOf(name: String): String = finalPlan(name).toString
+
+  /** Every node of the executed plan, descending into AQE query stages
+    * (QueryStageExec is a childless wrapper — plain collect stops there).
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.flatMap {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: allNodes(q.plan)
+      case n => Seq(n)
+    }
+
+  /** Parquet scan of `table` as its (untruncated) metadata map plus the
+    * read schema — simpleString elides long PushedFilters lists.
+    */
+  private def scanMeta(name: String, table: String): (Map[String, String], String) =
+    allNodes(finalPlan(name))
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains(table)) =>
+          (f.metadata, f.schema.fieldNames.mkString(","))
+      }
+      .getOrElse(fail(s"no $table scan in $name"))
+
+  test("q12: BETWEEN predicate pushes to the orders parquet scan; unused columns pruned") {
+    val (meta, readCols) = scanMeta("q12_monthly_sales_1996", "orders.parquet")
+    // both range bounds reach the reader (row-group skipping at scale)
+    val pushed = meta("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") && pushed.contains("LessThanOrEqual(o_orderdate"),
+      s"date range not pushed: $pushed")
+    // projection needs 3 of the 9 orders columns; the rest must not be read
+    assert(readCols.contains("o_custkey") && readCols.contains("o_totalprice"))
+    assert(!readCols.contains("o_comment") && !readCols.contains("o_clerk"),
+      s"columns not pruned: $readCols")
+  }
+
+  test("q02: dim join broadcasts and top-k plans as TakeOrderedAndProject") {
+    val plan = planOf("q02_top_parts_by_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+    // ORDER BY ... LIMIT never globally sorts: per-partition heap + merge
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+    // lineitem is the 100 TB side: only the 4 needed columns may be read
+    val (_, liCols) = scanMeta("q02_top_parts_by_revenue", "lineitem.parquet")
+    assert(!liCols.contains("l_comment") && !liCols.contains("l_shipdate"),
+      s"lineitem columns not pruned: $liCols")
+  }
+
+  test("q01: aggregation splits into partial (map-side) and final hash aggregates") {
+    val plan = planOf("q01_pricing_summary")
+    // partial_* before the exchange means each partition pre-reduces to
+    // one row per group — shuffle traffic is |groups|, not |rows|
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no map-side partial aggregation:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"agg not two-phase:\n$plan")
+  }
+
+  test("q18: whole dim chain broadcasts; fact table never sort-merge joins") {
+    val plan = planOf("q18_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"), s"dim chain not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side shuffled into a merge join:\n$plan")
+  }
+
+  test("q05: window dedup costs exactly one shuffle of the events table") {
+    val plan = planOf("q05_latest_event_per_user")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, found $shuffles:\n$plan")
+  }
+
+  test("hot paths run inside whole-stage codegen") {
+    for (q <- Seq("q01_pricing_summary", "q02_top_parts_by_revenue", "qt04_fingerprint")) {
+      val plan = planOf(q)
+      // codegen'd operators print with a *(stageId) prefix
+      assert(plan.contains("*("), s"$q has no codegen stage:\n$plan")
+    }
+  }
+}
