@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native Catalyst expressions:
+  * with `spark.sql.extensions=graft.functions.GraftExtensions`, plain
+  * `spark.sql(...)` (the reference's dashboard/DQ entry point — SURVEY
+  * §3 EP2) can call the codegen'd kernels directly:
+  *
+  *   SELECT graft_dot(a.embedding, b.embedding)      -- FloatVecDot
+  *   SELECT graft_poly_hash(text, 31, 1000000007)    -- PolyHash
+  *   SELECT graft_shingles(text, 3)                  -- WordShingles
+  *
+  * The DataFrame API (VectorFns / TextFns) builds the same expressions
+  * through the Column shim; this class only adds name→builder entries to
+  * the session's function registry — no analyzer/optimizer behavior
+  * changes, so everything Catalyst does around these calls (codegen,
+  * constant folding via `foldable`, null propagation) is unchanged.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(s"$what must be integral, got $other")
+    }
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(arrayA, arrayB)")
+        FloatVecDot(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_poly_hash(str, mult, mod)")
+        PolyHash(args(0), litLong(args(1), "mult"), litLong(args(2), "mod"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(str, n)")
+        WordShingles(args(0), litLong(args(1), "n").toInt)
+      }))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The SQL names injected by GraftExtensions must be the same Catalyst
+  * expressions the Column API builds — checked by running both surfaces
+  * over the same rows and comparing results exactly.
+  */
+class GraftExtensionsSpec extends SparkSuite {
+
+  test("graft_dot in SQL equals VectorFns.dot and stays codegen'd") {
+    import spark.implicits._
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+        (Array(0.5f, -1.5f, 2.5f), Array(1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs ORDER BY d").collect().map(_.getDouble(0))
+    val viaApi = spark.table("vecs").select(VectorFns.dot(col("a"), col("b")).as("d"))
+      .orderBy("d").collect().map(_.getDouble(0))
+    assert(viaSql.sameElements(viaApi))
+    assert(viaSql.last == 32.0) // 1*4 + 2*5 + 3*6
+  }
+
+  test("graft_poly_hash / graft_shingles in SQL equal the TextFns builders") {
+    import spark.implicits._
+    Seq("the quick brown fox jumps", "lorem ipsum dolor sit amet")
+      .toDF("text").createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      """SELECT graft_poly_hash(text, 31, 1000000007) AS h,
+        |       graft_shingles(text, 3) AS s
+        |FROM docs_ext ORDER BY h""".stripMargin).collect()
+    val viaApi = spark.table("docs_ext")
+      .select(TextFns.polyHash(col("text"), 31L, 1000000007L).as("h"),
+        TextFns.shingles(col("text"), 3).as("s"))
+      .orderBy("h").collect()
+    assert(viaSql.map(_.getLong(0)).sameElements(viaApi.map(_.getLong(0))))
+    assert(viaSql.map(_.getSeq[String](1)).toSeq == viaApi.map(_.getSeq[String](1)).toSeq)
+  }
+
+  test("non-literal mult rejects at analysis instead of silently misbehaving") {
+    intercept[Exception] {
+      // length(text) is not foldable — the hash family must be fixed per query
+      spark.sql("SELECT graft_poly_hash(text, length(text), 7) FROM docs_ext").collect()
+    }
+  }
+}
