@@ -123,6 +123,34 @@ object EventStreams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream attribution join: each purchase matched to every view
+    * by the same user in the preceding `horizonSec` seconds (the
+    * streaming twin of the batch funnel's view→purchase conversion).
+    *
+    * Both sides carry a watermark and the join condition bounds
+    * purchase_ts to [view_ts, view_ts + horizon], so the state store
+    * holds only the horizon's worth of views/purchases per partition —
+    * without the time-range bound Spark would have to buffer both
+    * streams forever. State is keyed by user_id; eviction follows
+    * min(watermarks) − horizon. The same function runs in batch (the
+    * range condition degrades to an ordinary theta-join predicate).
+    */
+  def viewToPurchase(events: DataFrame, horizonSec: Long = 3600L): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("amount"))
+  }
+
   /** Incremental bronze sink: land each micro-batch in a
     * date-partitioned parquet directory via foreachBatch (the streaming
     * twin of Lakehouse.write). foreachBatch alone is only at-least-once —

@@ -159,4 +159,33 @@ class EventStreamsSpec extends SparkSuite {
     assert(last.getAs[Double]("revenue") == 35.0)
     assert(last.getAs[Timestamp]("last_ts") == ts("2024-01-03 08:00:00"))
   }
+
+  test("viewToPurchase: stream-stream join attributes purchases within the horizon; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val attribution = Seq(
+      EventRow(1L, 10L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      EventRow(2L, 10L, ts("2024-01-01 10:10:00"), "purchase", 25.0), // within 1h of view 1
+      EventRow(3L, 10L, ts("2024-01-01 13:00:00"), "purchase", 40.0), // 3h later: outside horizon
+      EventRow(4L, 11L, ts("2024-01-01 10:05:00"), "view", 0.0),
+      EventRow(5L, 12L, ts("2024-01-01 10:20:00"), "purchase", 10.0)) // no prior view
+    val in = MemoryStream[EventRow]
+    val q = viewToPurchase(in.toDF()).writeStream
+      .format("memory").queryName("attrib").outputMode(OutputMode.Append()).start()
+    in.addData(attribution)
+    q.processAllAvailable()
+    // inner-join rows emit as soon as both sides arrive; advance the
+    // watermark anyway to exercise state eviction before stopping
+    in.addData(EventRow(99L, 1L, ts("2024-01-02 00:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib")
+      .select("user_id", "view_id", "purchase_id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((10L, 1L, 2L, 25.0))) // only the in-horizon pair
+    // the same function on a batch DataFrame gives the same pairs
+    val batch = viewToPurchase(attribution.toDF())
+      .select("user_id", "view_id", "purchase_id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch == got)
+  }
 }
