@@ -39,4 +39,41 @@ class SkewOpsSpec extends SparkSuite {
     assert(hist.map(r => (r.getAs[Int]("k"), r.getAs[Long]("n_rows"))).toSeq ==
       Seq((7, 100L), (3, 10L)))
   }
+
+  test("AQE splits the hot partition at runtime (skew=true sort-merge join)") {
+    // the no-code-changes complement to saltedInnerJoin: when skew only
+    // shows up at runtime, AQE rewrites the merge join to read the hot
+    // partition in slices. Thresholds are shrunk so the ~MB-scale hot
+    // key trips the same logic a hot multi-GB key trips in production.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> conf.get(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // per-row-distinct payload so shuffle compression can't shrink the
+      // hot partition back under the skew threshold
+      def payload(i: Int) = java.lang.Long.toHexString(i * 2654435761L) * 6
+      val large = ((1 to 50000).map(i => (1, payload(i))) ++
+          (2 to 2000).map(k => (k, payload(k)))).toDF("k", "payload")
+      val small = (1 to 2000).map(k => (k, s"dim$k")).toDF("k", "attr")
+      val joined = large.join(small, Seq("k"))
+      // materialize THIS dataframe (count() would execute a different,
+      // pruned plan and leave joined's adaptive plan un-finalized)
+      assert(joined.collect().length == 50000 + 1999)
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"), s"AQE did not mark the join skewed:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
