@@ -35,4 +35,13 @@ object DuckSql {
     (0 until nPlanes)
       .map(p => s"CASE WHEN ${planeDot(v, p)} > 0 THEN ${1L << p} ELSE 0 END")
       .mkString("(", " + ", ")")
+
+  /** Unit-normalize a DOUBLE list — mirrors LlmSimilarity's driver-side
+    * `unit` (same left-fold sum of squares, same sqrt, zero-norm
+    * passthrough).
+    */
+  def unitVec(c: String): String = {
+    val n = s"sqrt(list_reduce(list_transform($c, x -> x*x), (p,q) -> p+q))"
+    s"CASE WHEN $n = 0 THEN $c ELSE list_transform($c, x -> x / $n) END"
+  }
 }

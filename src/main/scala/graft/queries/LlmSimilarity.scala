@@ -101,7 +101,12 @@ object LlmSimilarity {
   // the only shuffles are the per-cell centroid averages (k×dim rows)
   // and the final per-query top-k. Corpus cells are the IVF inverted
   // lists: probing touches ~nprobe/k of the corpus.
-  val qs03 = Q.noOracle("qs03_ann_ivf_topk") { (s, dir) =>
+  // The oracle replays the ENTIRE pipeline in DuckDB — deterministic
+  // init (k lowest vec_ids), both Lloyd iterations (argmax assignment
+  // with first-max-wins ties, per-cell per-dimension means, empty-cell
+  // fallback to the previous centroid), unit normalization, nprobe
+  // probing, exact-cosine scoring — bit-exactly at every tested SF.
+  val qs03 = Q("qs03_ann_ivf_topk", Qs03Sql.sql) { (s, dir) =>
     val k = 16
     val nprobe = 4
     val e = emb(s, dir)
@@ -173,4 +178,56 @@ object LlmSimilarity {
   }
 
   val all: Seq[Q] = Seq(qs01, qs02, qs03)
+}
+
+/** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its
+  * own object purely for readability — the CTE chain mirrors the Scala
+  * stages one-for-one (c0 init → a1/m1/c1 iteration 1 → a2/m2/c2
+  * iteration 2 → corpus/probes/scored).
+  */
+private object Qs03Sql {
+  import DuckSql._
+
+  private val K = 16
+  private val NPROBE = 4
+  private val DIM = 64
+
+  /** First-max-wins argmax of dot(row.emb, centroid) as a correlated
+    * subquery (ties break to the lowest cell, matching Spark's
+    * array_position-of-array_max).
+    */
+  private def assign(e: String, cu: String): String =
+    s"(SELECT c.cell FROM $cu c ORDER BY ${dot(s"$e.emb", "c.ucent")} DESC, c.cell LIMIT 1)"
+
+  val sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, emb AS cent
+       |       FROM e ORDER BY vec_id LIMIT $K),
+       |cu0 AS (SELECT cell, ${unitVec("cent")} AS ucent FROM c0),
+       |a1 AS (SELECT e.vec_id, e.emb, ${assign("e", "cu0")} AS cell FROM e),
+       |m1pos AS (SELECT cell, r.i AS pos, avg(emb[CAST(r.i AS INT)]) AS m
+       |          FROM a1, range(1, ${DIM + 1}) r(i) GROUP BY cell, r.i),
+       |m1 AS (SELECT cell, list(m ORDER BY pos) AS cent FROM m1pos GROUP BY cell),
+       |c1 AS (SELECT c0.cell, COALESCE(m1.cent, c0.cent) AS cent FROM c0 LEFT JOIN m1 ON c0.cell = m1.cell),
+       |cu1 AS (SELECT cell, ${unitVec("cent")} AS ucent FROM c1),
+       |a2 AS (SELECT e.vec_id, e.emb, ${assign("e", "cu1")} AS cell FROM e),
+       |m2pos AS (SELECT cell, r.i AS pos, avg(emb[CAST(r.i AS INT)]) AS m
+       |          FROM a2, range(1, ${DIM + 1}) r(i) GROUP BY cell, r.i),
+       |m2 AS (SELECT cell, list(m ORDER BY pos) AS cent FROM m2pos GROUP BY cell),
+       |c2 AS (SELECT c1.cell, COALESCE(m2.cent, c1.cent) AS cent FROM c1 LEFT JOIN m2 ON c1.cell = m2.cell),
+       |cu2 AS (SELECT cell, ${unitVec("cent")} AS ucent FROM c2),
+       |corpus AS (SELECT e.vec_id, e.embedding, ${assign("e", "cu2")} AS cell FROM e),
+       |probes AS (SELECT query_id, qe, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${dot("q.emb", "c.ucent")} DESC, c.cell) AS pr
+       |    FROM e q, cu2 c WHERE q.vec_id < 8) t WHERE pr <= $NPROBE),
+       |scored AS (SELECT p.query_id, co.vec_id AS neighbor_id, ${cosine("p.qe", "co.embedding")} AS cos_sim
+       |           FROM corpus co JOIN probes p ON co.cell = p.cell
+       |           WHERE co.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored) ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 }
