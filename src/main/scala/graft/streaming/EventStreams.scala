@@ -135,7 +135,13 @@ object EventStreams {
     * min(watermarks) − horizon. The same function runs in batch (the
     * range condition degrades to an ordinary theta-join predicate).
     */
-  def viewToPurchase(events: DataFrame, horizonSec: Long = 3600L): DataFrame = {
+  /** `joinType` "inner" emits only attributed pairs; "left_outer" also
+    * emits each unmatched view (null purchase columns) — but only once
+    * the watermark proves no in-horizon purchase can still arrive, so
+    * outer results are late by design, never wrong.
+    */
+  def viewToPurchase(events: DataFrame, horizonSec: Long = 3600L,
+      joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
@@ -146,7 +152,8 @@ object EventStreams {
     views.join(purchases,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("view_ts") &&
-          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizonSec SECONDS"),
+        joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"), col("amount"))
   }

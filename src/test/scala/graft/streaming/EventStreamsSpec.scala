@@ -188,4 +188,34 @@ class EventStreamsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(batch == got)
   }
+
+  test("viewToPurchase left_outer: unmatched views emit with nulls once the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = viewToPurchase(in.toDF(), joinType = "left_outer").writeStream
+      .format("memory").queryName("attrib_outer").outputMode(OutputMode.Append()).start()
+    in.addData(
+      EventRow(1L, 10L, ts("2024-01-01 10:00:00"), "view", 0.0),     // will match
+      EventRow(2L, 10L, ts("2024-01-01 10:10:00"), "purchase", 25.0),
+      EventRow(3L, 11L, ts("2024-01-01 10:05:00"), "view", 0.0))     // never purchases
+    q.processAllAvailable()
+    // outer row for view 3 may only emit after the GLOBAL watermark
+    // (min over both sides — an idle purchases stream would hold the
+    // join open forever) passes view_ts + horizon; advance both sides,
+    // keeping the advancing events un-joinable (distinct users/times)
+    in.addData(
+      EventRow(99L, 1L, ts("2024-01-02 00:00:00"), "view", 0.0),
+      EventRow(98L, 55L, ts("2024-01-02 00:00:00"), "purchase", 1.0))
+    q.processAllAvailable()
+    in.addData(
+      EventRow(100L, 2L, ts("2024-01-03 00:00:00"), "view", 0.0),
+      EventRow(101L, 55L, ts("2024-01-03 00:00:00"), "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib_outer")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(1L) == Some(2L)) // matched pair intact
+    assert(rows.contains(3L) && rows(3L).isEmpty, s"unmatched view missing: $rows")
+  }
 }
