@@ -102,4 +102,20 @@ class PlanSpec extends SparkSuite {
       assert(plan.contains("*("), s"$q has no codegen stage:\n$plan")
     }
   }
+
+  test("no query plans a cartesian product / surprise nested-loop join") {
+    // qs01 intentionally BroadcastNestedLoopJoins: 8 broadcast probe
+    // vectors against a linear corpus scan IS the brute-force baseline.
+    // Everything else must join on keys — at 100 TB an accidental
+    // cartesian (e.g. a join condition that stopped being an equi-join
+    // after a refactor) is the difference between hours and never.
+    val allowNested = Set("qs01_cosine_topk")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      if (!allowNested(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join:\n$plan")
+    }
+  }
 }
