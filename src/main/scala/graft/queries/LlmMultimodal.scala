@@ -98,5 +98,80 @@ object LlmMultimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(qm01, qm02, qm03)
+  // ---------------------------------------------------------------------
+  // qm04 — image feature extraction: the normalized 8-bin byte histogram
+  // the stub decoder computes per image, flattened to (media_id, bin,
+  // frac) rows so the oracle compares scalars. The oracle re-derives the
+  // histogram by hex-expanding the payload; frac is count/n in double on
+  // both sides (bit-exact).
+  val qm04 = Q(
+    "qm04_image_features",
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |b AS (SELECT media_id, n,
+      |        list_transform(range(1, n+1),
+      |          i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INT), 2)) AS BIGINT)) AS bytes
+      |      FROM m),
+      |h AS (SELECT media_id, n, CAST(r.b AS INT) AS bin,
+      |        len(list_filter(bytes, x -> x // 32 = r.b)) AS cnt
+      |      FROM b, range(0, 8) r(b))
+      |SELECT media_id, bin,
+      |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) END AS frac
+      |FROM h
+      |ORDER BY media_id, bin""".stripMargin) { (s, dir) =>
+    MediaOps.decodeImages(media(s, dir).filter(col("kind") === "image"))
+      .select(col("media_id"), posexplode(col("features")).as(Seq("bin", "frac")))
+      .orderBy("media_id", "bin")
+  }
+
+  // ---------------------------------------------------------------------
+  // qm05 — multimodal × similarity composition: top-5 most-similar
+  // images per probe (media_id < 30) by cosine over the extracted
+  // histogram features — decode → feature-extract → broadcast-probe
+  // scoring, the same brute-force anatomy as qs01 (probe side broadcast,
+  // corpus scanned once, per-probe top-k). Zero-byte images are dropped
+  // on both sides (their histogram is the zero vector → cosine NaN).
+  val qm05 = Q(
+    "qm05_image_similarity",
+    s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |             CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |           FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0),
+       |b AS (SELECT media_id, n,
+       |        list_transform(range(1, n+1),
+       |          i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INT), 2)) AS BIGINT)) AS bytes
+       |      FROM m),
+       |f AS (SELECT media_id,
+       |        list_transform(range(0, 8),
+       |          b -> CAST(len(list_filter(bytes, x -> x // 32 = b)) AS DOUBLE) / CAST(n AS DOUBLE)) AS feat
+       |      FROM b),
+       |s AS (SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+       |        ${DuckSql.cosine("q.feat", "c.feat")} AS sim
+       |      FROM f q, f c WHERE q.media_id < 30 AND c.media_id <> q.media_id)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s) ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val feats = MediaOps.decodeImages(media(s, dir).filter(col("kind") === "image"))
+      .filter(col("n_bytes") > 0)
+      .select(col("media_id"), col("features"))
+    val probes = feats.filter(col("media_id") < 30)
+      .select(col("media_id").as("query_id"), col("features").as("qf"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    feats.crossJoin(broadcast(probes))
+      .filter(col("media_id") =!= col("query_id"))
+      .select(col("query_id"), col("media_id").as("neighbor_id"),
+        graft.functions.VectorFns.cosine(col("qf"), col("features")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05)
 }

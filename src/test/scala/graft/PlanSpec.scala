@@ -104,12 +104,13 @@ class PlanSpec extends SparkSuite {
   }
 
   test("no query plans a cartesian product / surprise nested-loop join") {
-    // qs01 intentionally BroadcastNestedLoopJoins: 8 broadcast probe
-    // vectors against a linear corpus scan IS the brute-force baseline.
-    // Everything else must join on keys — at 100 TB an accidental
-    // cartesian (e.g. a join condition that stopped being an equi-join
-    // after a refactor) is the difference between hours and never.
-    val allowNested = Set("qs01_cosine_topk")
+    // qs01/qm05 intentionally BroadcastNestedLoopJoin: a handful of
+    // broadcast probe vectors against a linear corpus scan IS the
+    // brute-force baseline. Everything else must join on keys — at
+    // 100 TB an accidental cartesian (e.g. a join condition that
+    // stopped being an equi-join after a refactor) is the difference
+    // between hours and never.
+    val allowNested = Set("qs01_cosine_topk", "qm05_image_similarity")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
