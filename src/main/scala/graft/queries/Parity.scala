@@ -862,8 +862,60 @@ object Parity {
       .orderBy("lvl", "region", "nation")
   }
 
+  // ---------------------------------------------------------------------
+  // q27 — batch gap-based sessionization: the operator that CREATES the
+  // sessions the reference pre-materializes in sessions.csv (SURVEY
+  // §2.9: session boundaries there are batch min/max over an existing
+  // session_id). A 30-minute inactivity gap starts a new session:
+  // lag-over-user detects boundaries, a running sum numbers them, then
+  // one aggregate rolls sessions up. Plan: ONE shuffle+sort on user_id
+  // feeds both stacked Window operators; the session rollup partially
+  // aggregates map-side (rows already clustered by user), so the second
+  // exchange carries session rows, not events. This is the linear-plan
+  // sessionizer that holds at 100 TB — no self-join, no per-user
+  // collect_list.
+  val q27 = Q(
+    "q27_sessionize",
+    """WITH o AS (SELECT user_id, event_id, ts, event_type, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER w)) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, event_id, ts, event_type, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM o)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  COUNT(*) AS n_events,
+      |  CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+      |  CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+      |  CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec,
+      |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS session_revenue
+      |FROM s
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col("ts"), 1).over(w)
+    val newSess = when(prevTs.isNull ||
+      col("ts").cast(LongType) - prevTs.cast(LongType) > 1800L, 1L).otherwise(0L)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("new_sess", newSess)
+      .withColumn("session_idx", sum(col("new_sess")).over(runW))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).cast(LongType).as("start_epoch"),
+        max(col("ts")).cast(LongType).as("end_epoch"),
+        (max(col("ts")).cast(LongType) - min(col("ts")).cast(LongType)).as("duration_sec"),
+        dsumIf(col("event_type") === "purchase", col("value")).as("session_revenue"))
+      .orderBy("user_id", "session_idx")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
-    q20, q21, q22, q23, q24, q25, q26)
+    q20, q21, q22, q23, q24, q25, q26, q27)
 }
