@@ -914,8 +914,39 @@ object Parity {
       .orderBy("user_id", "session_idx")
   }
 
+  // ---------------------------------------------------------------------
+  // q28 — semi/anti join cohort: customers with a 1996 order but no 1997
+  // order (churned-in-96). LEFT SEMI + LEFT ANTI are the scale-correct
+  // EXISTS/NOT EXISTS: the probe side streams once, the build side
+  // reduces to distinct keys (no row multiplication, unlike an inner
+  // join + distinct). Completes the join-type inventory next to q13's
+  // orphan anti-join.
+  val q28 = Q(
+    "q28_churned_1996_customers",
+    """SELECT c.c_custkey AS customer_id, c.c_name AS name, c.c_mktsegment AS segment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |              AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |ORDER BY customer_id""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    def inYear(y: Int) = o.filter(
+      col("o_orderdate") >= lit(s"$y-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01 00:00:00").cast(TimestampType))
+      .select(col("o_custkey"))
+    c.join(inYear(1996), c("c_custkey") === col("o_custkey"), "left_semi")
+      .join(inYear(1997), c("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("customer_id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("customer_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
-    q20, q21, q22, q23, q24, q25, q26, q27)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }
