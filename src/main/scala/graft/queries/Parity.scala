@@ -945,8 +945,34 @@ object Parity {
       .orderBy("customer_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q29 — native RelationalGroupedDataset.pivot with an explicit value
+  // list (the first-class form of A1's CASE-WHEN "pivot-style" counts;
+  // an explicit list keeps the plan deterministic and single-pass —
+  // without it Spark runs an extra distinct-values job). Pivot compiles
+  // to the same two-phase hash aggregate as the CASE form: one shuffle
+  // of (date × type) partial counts.
+  val q29 = Q(
+    "q29_events_pivot",
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY event_date""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L) // absent (date, type) combos count 0, like the CASE form
+      .orderBy("event_date")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }
