@@ -971,8 +971,42 @@ object Parity {
       .orderBy("event_date")
   }
 
+  // ---------------------------------------------------------------------
+  // q30 — INTERSECT / EXCEPT set algebra over user segments (completes
+  // §2.7 beyond U1's UNION ALL): converting viewers vs window shoppers
+  // vs blind buyers. Spark plans both as hash aggregates + semi/anti
+  // joins on the deduped key sets — rows shrink to distinct keys before
+  // any shuffle, so each leg is one small exchange at any corpus size.
+  val q30 = Q(
+    "q30_segment_set_ops",
+    """SELECT segment, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'converting_viewers' AS segment, COUNT(*) AS n FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'view'
+      |    INTERSECT
+      |    SELECT user_id FROM events WHERE event_type = 'purchase') a
+      |  UNION ALL
+      |  SELECT 'window_shoppers', COUNT(*) FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'view'
+      |    EXCEPT
+      |    SELECT user_id FROM events WHERE event_type = 'purchase') b
+      |  UNION ALL
+      |  SELECT 'blind_buyers', COUNT(*) FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'purchase'
+      |    EXCEPT
+      |    SELECT user_id FROM events WHERE event_type = 'view') c) u
+      |ORDER BY segment""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    def users(kind: String) = ev.filter(col("event_type") === kind).select("user_id")
+    def counted(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("segment"), col("n"))
+    counted("converting_viewers", users("view").intersect(users("purchase")))
+      .unionByName(counted("window_shoppers", users("view").except(users("purchase"))))
+      .unionByName(counted("blind_buyers", users("purchase").except(users("view"))))
+      .orderBy("segment")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
 }
