@@ -50,4 +50,34 @@ object TimeOps {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
     filled.filter(col(sideCol) === 1).drop(tsCol, sideCol)
   }
+
+  /** Gap-based sessionization: number each row with a per-key
+    * `sessionCol` index that increments whenever the gap since the
+    * previous row (by `tsCol`, ties broken by `tieCols`) exceeds
+    * `gapSec`. The batch equivalent of Structured Streaming's
+    * `session_window` — and the operator that produces the session ids
+    * the reference's sessions.csv pre-materializes.
+    *
+    * Plan: one shuffle+sort on `keys` feeds both stacked windows (gap
+    * detect, running count); downstream per-session aggregates reuse the
+    * same clustering (partitioning on a key subset satisfies their
+    * distribution), so sessionize → rollup costs ONE event-level
+    * exchange total. Per-key window state is a single previous-row
+    * lookback — nothing buffers a whole user's history.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gapSec: Long,
+      tieCols: Seq[String] = Nil, sessionCol: String = "session_idx"): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    require(!df.columns.contains(sessionCol), s"column $sessionCol already exists")
+    val order = (tsCol +: tieCols).map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newSessCol = graft.util.Names.fresh("_new_sess", df.columns)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val newSess = when(prevTs.isNull ||
+      col(tsCol).cast("long") - prevTs.cast("long") > gapSec, 1L).otherwise(0L)
+    df.withColumn(newSessCol, newSess)
+      .withColumn(sessionCol, sum(col(newSessCol)).over(runW))
+      .drop(newSessCol)
+  }
 }

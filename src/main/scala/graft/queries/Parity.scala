@@ -895,15 +895,10 @@ object Parity {
       |FROM s
       |GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prevTs = lag(col("ts"), 1).over(w)
-    val newSess = when(prevTs.isNull ||
-      col("ts").cast(LongType) - prevTs.cast(LongType) > 1800L, 1L).otherwise(0L)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
-      .withColumn("new_sess", newSess)
-      .withColumn("session_idx", sum(col("new_sess")).over(runW))
+    graft.ops.TimeOps.sessionize(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value")),
+        keys = Seq("user_id"), tsCol = "ts", gapSec = 1800L, tieCols = Seq("event_id"))
       .groupBy("user_id", "session_idx")
       .agg(
         count(lit(1)).as("n_events"),

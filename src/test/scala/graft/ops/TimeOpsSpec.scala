@@ -51,4 +51,28 @@ class TimeOpsSpec extends SparkSuite {
     val r = out.head()
     assert(r.getAs[Int]("extra") == 7 && r.getAs[Double]("v") == 1.5)
   }
+
+  test("sessionize: gap > threshold starts a new session; keys isolated; exact-gap stays") {
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:30:00")), // gap == 1800s exactly -> same session
+      (1L, 3L, ts("2024-01-01 11:00:01")), // 1801s -> new session
+      (1L, 4L, ts("2024-01-01 11:10:00")),
+      (2L, 5L, ts("2024-01-01 10:00:00"))) // other user: own numbering
+      .toDF("user_id", "event_id", "t")
+    val out = TimeOps.sessionize(rows, Seq("user_id"), "t", gapSec = 1800L,
+        tieCols = Seq("event_id"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_idx")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize rejects a clashing session column and bad gap") {
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 9L)).toDF("k", "t", "session_idx")
+    intercept[IllegalArgumentException] {
+      TimeOps.sessionize(df, Seq("k"), "t", gapSec = 60L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeOps.sessionize(df.drop("session_idx"), Seq("k"), "t", gapSec = 0L)
+    }
+  }
 }
