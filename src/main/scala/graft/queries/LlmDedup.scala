@@ -202,6 +202,13 @@ object LlmDedup {
     val mins = (0 until k).map(j =>
       min((col("h") * lit(389L * (j + 1) + 1) + lit(211L * (j + 1) + 7)) % lit(ModBig))
         .as(s"_m$j"))
+    // persist: FOUR consumers read this relation (both sides of the
+    // band self-join, both sides of the Jaccard verify). They prune
+    // different columns, so their subplans differ and ReuseExchange
+    // can't dedupe them — without persist the shingle explode + 16-min
+    // aggregate runs four times (measured 8 parquet scans). At 100 TB
+    // this materialization is the signature table a production pipeline
+    // lands as a silver artifact before banding.
     val d = docsSpread(s, dir)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("g"))
       .select(col("doc_id"), col("g"), hash31(col("g")).as("h"))
@@ -209,6 +216,7 @@ object LlmDedup {
       .agg(collect_list(col("g")).as("sh"), mins: _*)
       .select(col("doc_id"), col("sh"),
         array((0 until k).map(j => col(s"_m$j")): _*).as("sig"))
+      .persist()
     // band key: one row per (doc, band), key = the band's slice of the sig
     val banded = d.select(
       col("doc_id"),
