@@ -155,9 +155,12 @@ object LlmMultimodal {
        |  FROM s) ranked
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    // persist: probes and corpus both read the decoded features; without
+    // it the decode (the expensive stage on real codecs) runs twice
     val feats = MediaOps.decodeImages(media(s, dir).filter(col("kind") === "image"))
       .filter(col("n_bytes") > 0)
       .select(col("media_id"), col("features"))
+      .persist()
     val probes = feats.filter(col("media_id") < 30)
       .select(col("media_id").as("query_id"), col("features").as("qf"))
     import org.apache.spark.sql.expressions.Window

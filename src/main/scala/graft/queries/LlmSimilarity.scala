@@ -109,7 +109,11 @@ object LlmSimilarity {
   val qs03 = Q("qs03_ann_ivf_topk", Qs03Sql.sql) { (s, dir) =>
     val k = 16
     val nprobe = 4
-    val e = emb(s, dir)
+    // persist: five passes read the corpus (seed collect, 2 Lloyd
+    // iterations, cell tagging, probe ranking) — holding the vectors
+    // resident IS what building a vector index means; without it every
+    // pass re-reads parquet
+    val e = emb(s, dir).persist()
 
     // ONE Literal node per centroid (an array() of 64 lit()s is 65 nodes;
     // 16 centroids × 65 nodes made every analyzer/optimizer pass walk
