@@ -353,5 +353,78 @@ object LlmDedup {
       .limit(100)
   }
 
-  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08)
+  // ---------------------------------------------------------------------
+  // qd09 — dedup clustering: connected components over qd04's verified
+  // near-dup pairs, labeling every involved doc with its component's
+  // minimum doc_id (the canonical representative a dedup pass keeps).
+  // Spark-first iteration: driver-coordinated min-label propagation —
+  // each round joins edges to labels, takes the per-node min, and stops
+  // at fixpoint (the Pregel pattern with plain DataFrames). The edge set
+  // is the VERIFIED pair list, which at 100 TB is sparse (tiny next to
+  // the corpus), so every round is a small-key shuffle; rounds ~
+  // component diameter, which for near-dup clusters is single digits.
+  // The oracle computes the same components with a recursive CTE.
+  val qd09 = Q(
+    "qd09_dedup_clusters",
+    s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END) AS s FROM tok),
+       |hs AS (SELECT doc_id, s, list_transform(s, g -> ${duckPolyHash("g", 31L, ModBig)}) AS h
+       |       FROM sh WHERE len(s) > 0),
+       |sig AS (SELECT doc_id, s,
+       |        list_transform(range(0, 4), band ->
+       |          array_to_string(list_transform(range(band*4, band*4+4), j ->
+       |            list_min(list_transform(h, x -> (x*(389*(j+1)+1) + 211*(j+1)+7) % $ModBig))), '-')) AS bkeys
+       |        FROM hs),
+       |banded AS (SELECT doc_id, r.b AS band, bkeys[r.b+1] AS band_key FROM sig, range(0,4) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM cand JOIN sig sa ON doc_a = sa.doc_id
+       |            JOIN sig sb ON doc_b = sb.doc_id
+       |          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |                CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE) >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |SELECT c.doc_id, c.cluster_id, n.cluster_size
+       |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+       |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin) { (s, dir) =>
+    val pairs = qd04.fn(s, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(col("a")).agg(min(col("cluster_id")).as("min_nbr"))
+      val next = labels.join(prop, labels("doc_id") === prop("a"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09)
 }
