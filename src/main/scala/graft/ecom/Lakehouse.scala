@@ -3,6 +3,7 @@ package graft.ecom
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Medallion orchestrator (reference: the four notebooks run in numeric
   * order, `README.md:26-33`). Bronze → Silver → Gold → DQ gate, with
@@ -66,6 +67,40 @@ final case class Lakehouse(
     * catalog, so this must be a table lookup, not a path read).
     */
   def readTable(name: String): DataFrame = spark.table(name)
+
+  /** Upsert (MERGE-by-key, latest-wins on `orderCol`) into a
+    * date-partitioned table without a transactional format: the rewrite
+    * scope is ONLY the partitions the update batch touches —
+    *  1. collect the touched partition values (small: one per date),
+    *  2. read just those partitions (partition-pruned scan),
+    *  3. union + dedupLatest by key,
+    *  4. write back with dynamic partition overwrite.
+    * Untouched partitions are never read or rewritten, so cost scales
+    * with the update batch, not the table — the same rewrite scope a
+    * Delta MERGE achieves. Not atomic across partitions (a transactional
+    * format adds that); layout and contents are identical.
+    */
+  def upsert(name: String, updates: DataFrame, keys: Seq[String],
+      orderCol: String): Unit = {
+    val partCol = partitioning.getOrElse(name,
+      throw new IllegalArgumentException(s"$name has no partition column registered"))
+    val touched = updates.select(partCol).distinct().collect().map(_.get(0))
+    val existing = read(name).filter(col(partCol).isin(touched: _*))
+    // updates win exact-orderCol ties over existing rows (deterministic
+    // MERGE semantics, not partition-order luck)
+    val srcCol = graft.util.Names.fresh("_is_update", existing.columns)
+    val merged = graft.ops.CleanOps.dedupLatest(
+        existing.withColumn(srcCol, lit(0))
+          .unionByName(updates.select(existing.columns.map(col): _*)
+            .withColumn(srcCol, lit(1))),
+        keys, Seq(col(orderCol).desc, col(srcCol).desc))
+      .drop(srcCol)
+    merged.write.format(format)
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .save(s"$warehouseDir/$name")
+  }
 
   /** Register tables for the SQL entry point (reference EP2: every DQ
     * check and %sql cell runs `spark.sql` against the catalog —

@@ -51,6 +51,45 @@ class LakehouseIoSpec extends SparkSuite {
       .subsetOf(names))
   }
 
+  test("upsert: latest-wins merge rewrites ONLY the touched partitions") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val lh = Lakehouse(spark, dir)
+    val silver = Silver.transformAll(EcomFixtures.bronze(spark))
+    // two partitions: the fixture day plus a shifted copy one day later
+    val base = silver("events_clean")
+    val shifted = base
+      .withColumn("event_id", concat(lit("8"), col("event_id")))
+      .withColumn("event_ts", col("event_ts") + expr("INTERVAL 1 DAY"))
+      .withColumn("event_date", to_date(col("event_ts")))
+    lh.write("events_clean", base.unionByName(shifted))
+    val before = lh.read("events_clean")
+    val totalBefore = before.count()
+    val target = before.filter(col("event_date") === "2025-01-05")
+      .orderBy("event_id").limit(1).collect().head
+    val eid = target.getAs[String]("event_id")
+    // snapshot the untouched partitions' physical files (path -> mtime)
+    def files(glob: String => Boolean): Map[String, Long] =
+      Files.walk(Paths.get(dir, "events_clean")).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && glob(p))
+        .map(p => p -> Files.getLastModifiedTime(Paths.get(p)).toMillis).toMap
+    val untouchedBefore = files(p => !p.contains("event_date=2025-01-05"))
+    assert(untouchedBefore.nonEmpty)
+    // one in-place update (newer ingest ts, new amount) + one new row
+    val updates = before.filter(col("event_id") === eid)
+        .withColumn("amount_usd", lit(999.99))
+        .withColumn("_ingest_ts", to_timestamp(lit("2030-01-01 00:00:00")))
+      .unionByName(before.filter(col("event_id") === eid)
+        .withColumn("event_id", lit("9999999"))
+        .withColumn("_ingest_ts", to_timestamp(lit("2030-01-01 00:00:00"))))
+    lh.upsert("events_clean", updates, Seq("event_id"), "_ingest_ts")
+    val after = lh.read("events_clean")
+    assert(after.count() == totalBefore + 1) // update replaced, insert added
+    assert(after.filter(col("event_id") === eid).collect()
+      .head.getAs[Double]("amount_usd") == 999.99)
+    // untouched partitions: identical files, untouched mtimes
+    assert(files(p => !p.contains("event_date=2025-01-05")) == untouchedBefore)
+  }
+
   test("bucketed tables join with zero exchanges (co-located big-big join)") {
     val dir = Files.createTempDirectory("graft-bucket").toString
     val lh = Lakehouse(spark, dir)
