@@ -28,16 +28,23 @@ object Bench {
     // steady-state number a dedicated cluster node would see.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // Option: a failed rep must surface as -1 in the output, not as a
+      // millisecond "success" that wins the min
+      val times: Seq[Option[Double]] = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column of the physical
         // plan; df.count() would let Catalyst prune the computed columns
         // and time an emptied plan.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      val ok = times.flatten
+      name -> (if (ok.size == times.size) ok.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -61,12 +61,23 @@ final case class Lakehouse(
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", s"$warehouseDir/$name")
-      .saveAsTable(name)
+      .saveAsTable(tableName(name))
 
   /** Read a bucketed table back (bucket metadata comes from the
     * catalog, so this must be a table lookup, not a path read).
     */
-  def readTable(name: String): DataFrame = spark.table(name)
+  def readTable(name: String): DataFrame = spark.table(tableName(name))
+
+  /** Drop a bucketed table's catalog entry. */
+  def dropTable(name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(name)}")
+
+  /** Catalog identifier scoped to this warehouse: the catalog is
+    * session-global, so two Lakehouse instances with different
+    * warehouseDirs must not collide on a bare table name.
+    */
+  private def tableName(name: String): String =
+    s"graft_${Integer.toHexString(warehouseDir.hashCode)}_$name"
 
   /** Upsert (MERGE-by-key, latest-wins on `orderCol`) into a
     * date-partitioned table without a transactional format: the rewrite
@@ -85,7 +96,16 @@ final case class Lakehouse(
     val partCol = partitioning.getOrElse(name,
       throw new IllegalArgumentException(s"$name has no partition column registered"))
     val touched = updates.select(partCol).distinct().collect().map(_.get(0))
-    val existing = read(name).filter(col(partCol).isin(touched: _*))
+    // isin(null) is NULL, never true — without the explicit isNull arm an
+    // update batch touching the null partition would exclude that
+    // partition's existing rows from the merge while dynamic overwrite
+    // still rewrites it, silently deleting them
+    val nonNull = touched.filter(_ != null)
+    val touchedPred = {
+      val in = if (nonNull.nonEmpty) col(partCol).isin(nonNull: _*) else lit(false)
+      if (touched.contains(null)) in || col(partCol).isNull else in
+    }
+    val existing = read(name).filter(touchedPred)
     // updates win exact-orderCol ties over existing rows (deterministic
     // MERGE semantics, not partition-order luck)
     val srcCol = graft.util.Names.fresh("_is_update", existing.columns)

@@ -31,9 +31,11 @@ object CleanOps {
     */
   def dedupLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    // collision-proof scratch name: a user column named _rn must survive
+    val rn = graft.util.Names.fresh("_rn", df.columns)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Not-null gate on primary-key columns (reference drops such rows). */

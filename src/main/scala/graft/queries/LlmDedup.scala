@@ -416,10 +416,15 @@ object LlmDedup {
       changed = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
+        .count() // materializes next's cache, so the old frame is droppable
+      labels.unpersist(blocking = false)
       labels = next
       rounds += 1
     }
+    // a silent non-converged result would split real components — fail
+    // loudly instead (25 rounds covers component diameters far beyond
+    // anything near-dup clusters produce; raise the cap if it ever trips)
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))

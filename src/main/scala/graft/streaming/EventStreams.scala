@@ -168,6 +168,12 @@ object EventStreams {
     * so a replay of batch N rewrites exactly the `_batch_id=N/...`
     * subtree and nothing else. `event_date` stays a partition column
     * beneath it, so downstream date predicates still prune.
+    *
+    * Layout note: this is layout v2. A directory written by a pre-v2
+    * append-mode sink (top-level `event_date=` dirs) cannot be mixed
+    * with it — Spark partition discovery rejects inconsistent partition
+    * depths — so migrating an existing bronze dir requires a one-time
+    * rewrite into a fresh root (or under a `_batch_id=-1/` subtree).
     */
   def writeBronzeIncremental(events: DataFrame, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -90,6 +90,28 @@ class LakehouseIoSpec extends SparkSuite {
     assert(files(p => !p.contains("event_date=2025-01-05")) == untouchedBefore)
   }
 
+  test("upsert into the null partition merges instead of deleting existing rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-null").toString
+    val lh = Lakehouse(spark, dir)
+    // events_clean-shaped minimal table: key, order col, partition col
+    def row(id: String, ts: String, d: Option[String]) =
+      (id, java.sql.Timestamp.valueOf(ts), d.map(java.sql.Date.valueOf).orNull)
+    val existing = Seq(
+      row("1", "2025-01-01 10:00:00", Some("2025-01-05")),
+      row("2", "2025-01-01 10:00:00", None), // null partition, untouched key
+      row("3", "2025-01-01 10:00:00", None)) // null partition, updated key
+      .toDF("event_id", "_ingest_ts", "event_date")
+    lh.write("events_clean", existing)
+    val updates = Seq(row("3", "2025-01-02 10:00:00", None))
+      .toDF("event_id", "_ingest_ts", "event_date")
+    lh.upsert("events_clean", updates, Seq("event_id"), "_ingest_ts")
+    val after = lh.read("events_clean")
+    assert(after.count() == 3) // row 2 survived the null-partition rewrite
+    assert(after.filter(col("event_id") === "3").collect().head
+      .getAs[java.sql.Timestamp]("_ingest_ts").toString.startsWith("2025-01-02"))
+  }
+
   test("bucketed tables join with zero exchanges (co-located big-big join)") {
     val dir = Files.createTempDirectory("graft-bucket").toString
     val lh = Lakehouse(spark, dir)
@@ -112,8 +134,20 @@ class LakehouseIoSpec extends SparkSuite {
         s"expected a shuffle-free bucketed join, got:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS orders_bkt")
-      spark.sql("DROP TABLE IF EXISTS order_items_bkt")
+      lh.dropTable("orders_bkt")
+      lh.dropTable("order_items_bkt")
     }
+  }
+
+  test("bucketed tables from different warehouses do not clobber each other") {
+    import spark.implicits._
+    val lhA = Lakehouse(spark, Files.createTempDirectory("graft-wa").toString)
+    val lhB = Lakehouse(spark, Files.createTempDirectory("graft-wb").toString)
+    try {
+      lhA.writeBucketed("t", Seq((1, "a")).toDF("k", "v"), Seq("k"), 2)
+      lhB.writeBucketed("t", Seq((2, "b")).toDF("k", "v"), Seq("k"), 2)
+      assert(lhA.readTable("t").collect().map(_.getString(1)).toSeq == Seq("a"))
+      assert(lhB.readTable("t").collect().map(_.getString(1)).toSeq == Seq("b"))
+    } finally { lhA.dropTable("t"); lhB.dropTable("t") }
   }
 }

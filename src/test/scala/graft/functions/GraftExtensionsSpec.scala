@@ -39,9 +39,15 @@ class GraftExtensionsSpec extends SparkSuite {
   }
 
   test("non-literal mult rejects at analysis instead of silently misbehaving") {
-    intercept[Exception] {
+    import spark.implicits._
+    // own view: must not depend on a sibling test having run first
+    Seq("abc").toDF("text").createOrReplaceTempView("docs_nonlit")
+    val e = intercept[Exception] {
       // length(text) is not foldable — the hash family must be fixed per query
-      spark.sql("SELECT graft_poly_hash(text, length(text), 7) FROM docs_ext").collect()
+      spark.sql("SELECT graft_poly_hash(text, length(text), 7) FROM docs_nonlit").collect()
     }
+    // the require message, not an unrelated missing-view error
+    assert(e.getMessage.contains("literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("literal")))
   }
 }

@@ -38,6 +38,12 @@ class CleanOpsSpec extends SparkSuite {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("dedupLatest does not clobber a user column named _rn") {
+    val df = Seq(("a", 2, "keep"), ("a", 1, "old")).toDF("k", "o", "_rn")
+    val out = CleanOps.dedupLatest(df, Seq("k"), Seq(col("o").desc)).collect()
+    assert(out.length == 1 && out.head.getAs[String]("_rn") == "keep")
+  }
+
   test("requireKeys drops rows with any null key") {
     val df = Seq((Some("1"), Some("x")), (None, Some("y")), (Some("2"), None))
       .toDF("a", "b")
