@@ -90,6 +90,24 @@ class LakehouseIoSpec extends SparkSuite {
     assert(files(p => !p.contains("event_date=2025-01-05")) == untouchedBefore)
   }
 
+  test("schema evolution: overwrite replaces the schema; mergeSchema unions mixed partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    val lh = Lakehouse(spark, dir)
+    lh.write("products_dim", Seq((1, "widget")).toDF("product_id", "name"))
+    // reference S4: overwriteSchema is Delta-only; parquet overwrite
+    // replaces the schema outright
+    lh.write("products_dim", Seq((1, "widget", 9.99)).toDF("product_id", "name", "price"))
+    assert(lh.read("products_dim").columns.toSeq == Seq("product_id", "name", "price"))
+    // additive evolution across partition directories: old partitions
+    // lack the new column; mergeSchema reconciles, nulls backfill
+    Seq((1, "w")).toDF("id", "v").write.parquet(s"$dir/mixed/day=1")
+    Seq((2, "x", 7L)).toDF("id", "v", "extra").write.parquet(s"$dir/mixed/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/mixed")
+    assert(merged.columns.toSet == Set("id", "v", "extra", "day"))
+    assert(merged.filter(col("day") === 1).collect().head.isNullAt(merged.columns.indexOf("extra")))
+  }
+
   test("upsert into the null partition merges instead of deleting existing rows") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-upsert-null").toString
