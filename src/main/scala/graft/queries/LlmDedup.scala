@@ -397,34 +397,8 @@ object LlmDedup {
        |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
        |ORDER BY cluster_id, doc_id""".stripMargin) { (s, dir) =>
     val pairs = qd04.fn(s, dir).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .persist()
-    var labels = edges.select(col("a").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .persist()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 25) {
-      val prop = edges.join(labels, edges("b") === labels("doc_id"))
-        .groupBy(col("a")).agg(min(col("cluster_id")).as("min_nbr"))
-      val next = labels.join(prop, labels("doc_id") === prop("a"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("min_nbr"), col("cluster_id"))).as("cluster_id"))
-        .persist()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count() // materializes next's cache, so the old frame is droppable
-      labels.unpersist(blocking = false)
-      labels = next
-      rounds += 1
-    }
-    // a silent non-converged result would split real components — fail
-    // loudly instead (25 rounds covers component diameters far beyond
-    // anything near-dup clusters produce; raise the cap if it ever trips)
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    val labels = graft.ops.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class GraphOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("connectedComponents: chains collapse transitively, disjoint parts stay apart") {
+    // 1-2-3-...-8 (a 7-hop chain: exercises multi-round propagation),
+    // 20-21 (separate pair), 30-31-32 (triangle-free V shape)
+    val edges = ((1L to 7L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (30L, 31L), (31L, 32L))).toDF("s", "d")
+    val comp = GraphOps.connectedComponents(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 8L).foreach(n => assert(comp(n) == 1L, s"node $n"))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    Seq(30L, 31L, 32L).foreach(n => assert(comp(n) == 30L))
+    assert(comp.size == 13) // only nodes that appear in edges
+  }
+
+  test("connectedComponents: edge direction does not matter") {
+    val forward = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val backward = Seq((2L, 1L), (3L, 2L)).toDF("s", "d")
+    val a = GraphOps.connectedComponents(forward, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.connectedComponents(backward, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.values.toSet == Set(1L))
+  }
+
+  test("connectedComponents fails loudly instead of returning split components") {
+    // diameter 4 with maxRounds 2 -> must throw, never silently truncate
+    val edges = (1L to 5L).sliding(2).map(p => (p.head, p.last)).toSeq.toDF("s", "d")
+    intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(edges, "s", "d", maxRounds = 2)
+    }
+  }
+}
