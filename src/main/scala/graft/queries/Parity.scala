@@ -65,7 +65,11 @@ object Parity {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, part_id
       |LIMIT 100""".stripMargin) { (s, dir) =>
-    val li = t(s, dir, "lineitem")
+    // spread: the single-row-group lineitem scan is ONE task; this
+    // query's per-row work (join probe + 3-column decimal agg) is heavy
+    // enough that fanning the scan wins (~20% at sf0.1, measured both
+    // ways; cheap single-pass queries q01/q19 measured the other way)
+    val li = graft.util.Tables.loadSpread(s, dir, "lineitem")
     val p = t(s, dir, "part")
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_partkey").as("part_id"), col("p_name").as("part_name"), col("p_brand").as("brand"))
