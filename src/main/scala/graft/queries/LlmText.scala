@@ -292,5 +292,33 @@ object LlmText {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07)
+  // ---------------------------------------------------------------------
+  // qt08 — corpus vocabulary: top-200 tokens by document frequency and
+  // total frequency (the vocab-building pass before tokenizer training).
+  // Plan: explode tokens → ONE two-phase aggregate keyed on the token
+  // (map-side combine collapses each partition's repeats before the
+  // shuffle, so wire traffic is the per-partition vocabulary, not the
+  // token stream) → top-k. At 100 TB this is the only sane shape: the
+  // token stream is ~words-in-corpus rows, but the shuffle carries only
+  // distinct tokens per partition.
+  val qt08 = Q(
+    "qt08_vocab_topk",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk FROM documents)
+      |SELECT tk AS token, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  COUNT(DISTINCT doc_id) AS n_docs
+      |FROM tok
+      |WHERE tk <> ''
+      |GROUP BY tk
+      |ORDER BY n_total DESC, token
+      |LIMIT 200""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("token"))
+      .limit(200)
+  }
+
+  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08)
 }
