@@ -27,6 +27,7 @@ object Bench {
     // conflates engine throughput with host weather; the min is the
     // steady-state number a dedicated cluster node would see.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Option: a failed rep must surface as -1 in the output, not as a
       // millisecond "success" that wins the min
@@ -48,8 +49,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query (-1 sentinel) must POISON the total, not subtract
+    // from it — otherwise a crashing slow query reads as a speedup
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,8 +76,12 @@ final case class Lakehouse(
     * session-global, so two Lakehouse instances with different
     * warehouseDirs must not collide on a bare table name.
     */
-  private def tableName(name: String): String =
-    s"graft_${Integer.toHexString(warehouseDir.hashCode)}_$name"
+  private def tableName(name: String): String = {
+    // sanitized full path + hash: distinct dirs collide only if BOTH
+    // the sanitized forms and the 32-bit hashes coincide
+    val dir = warehouseDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"graft_${dir}_${Integer.toHexString(warehouseDir.hashCode)}_$name"
+  }
 
   /** Upsert (MERGE-by-key, latest-wins on `orderCol`) into a
     * date-partitioned table without a transactional format: the rewrite
@@ -88,8 +92,16 @@ final case class Lakehouse(
     *  4. write back with dynamic partition overwrite.
     * Untouched partitions are never read or rewritten, so cost scales
     * with the update batch, not the table — the same rewrite scope a
-    * Delta MERGE achieves. Not atomic across partitions (a transactional
-    * format adds that); layout and contents are identical.
+    * stats-pruned Delta MERGE achieves. Not atomic across partitions (a
+    * transactional format adds that).
+    *
+    * Constraint: a key's partition value must be STABLE (the partition
+    * column derives from an immutable attribute, e.g. event time). An
+    * update that moves a key to a different partition would leave the
+    * old row in the unread partition — matching a moved key requires a
+    * full-table key scan (what Delta MERGE does absent stats pruning),
+    * which defeats the partition-scoped cost model this method exists
+    * to provide.
     */
   def upsert(name: String, updates: DataFrame, keys: Seq[String],
       orderCol: String): Unit = {

@@ -54,6 +54,13 @@ object GraphOps {
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    // the final round's count fully materialized labels' cache, so the
+    // edge list is no longer needed for (re)computation — release it
+    // (an evicted labels partition would recompute from source, slower
+    // but correct). The returned labels stay cached; CacheManager keys
+    // on the logical plan, so repeated invocations on the same input
+    // share one entry rather than accumulating.
+    edges.unpersist(blocking = false)
     labels
   }
 }

@@ -295,12 +295,12 @@ object LlmText {
   // ---------------------------------------------------------------------
   // qt08 — corpus vocabulary: top-200 tokens by document frequency and
   // total frequency (the vocab-building pass before tokenizer training).
-  // Plan: explode tokens → ONE two-phase aggregate keyed on the token
-  // (map-side combine collapses each partition's repeats before the
-  // shuffle, so wire traffic is the per-partition vocabulary, not the
-  // token stream) → top-k. At 100 TB this is the only sane shape: the
-  // token stream is ~words-in-corpus rows, but the shuffle carries only
-  // distinct tokens per partition.
+  // Plan: explode tokens → Spark's single-distinct rewrite: a partial
+  // aggregate keyed (token, doc_id) collapses each partition's repeats
+  // of a (token, doc) pair before the first shuffle, which therefore
+  // carries per-doc vocabularies (bounded by doc length), not the raw
+  // token stream; a second token-keyed shuffle then merges the tiny
+  // per-token rows. Top-k is TakeOrdered, never a full sort.
   val qt08 = Q(
     "qt08_vocab_topk",
     """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk FROM documents)
