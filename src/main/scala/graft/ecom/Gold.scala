@@ -97,8 +97,13 @@ object Gold {
     val attrs = sessionsClean.select(
       col("session_id"), col("customer_id"), col("session_start_ts"),
       col("device"), col("source"), col("country"))
+    // NO broadcast hint: sessions are fact-sized (one row per visit —
+    // they grow with traffic, not with the catalog). Forcing a
+    // broadcast here OOMs at scale; both sides already shuffle on
+    // session_id, so the sort-merge/shuffled-hash join co-locates for
+    // free, and AQE still auto-broadcasts when the table is small.
     agg
-      .join(broadcast(attrs), Seq("session_id"), "left")
+      .join(attrs, Seq("session_id"), "left")
       .select(
         col("session_id"),
         col("customer_id"),

@@ -71,7 +71,9 @@ object Parity {
     // ways; cheap single-pass queries q01/q19 measured the other way)
     val li = graft.util.Tables.loadSpread(s, dir, "lineitem")
     val p = t(s, dir, "part")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    // part scales with SF -> no forced broadcast; Catalyst's size-based
+    // auto-broadcast picks BHJ while the dim fits (plan-asserted)
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_partkey").as("part_id"), col("p_name").as("part_name"), col("p_brand").as("brand"))
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
@@ -285,7 +287,9 @@ object Parity {
       |LIMIT 1000""".stripMargin) { (s, dir) =>
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // no broadcast hint on customer: it scales with the business; AQE
+    // auto-broadcasts while it is small and shuffles when it is not
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey").as("customer_id"), col("c_name").as("name"), col("c_mktsegment").as("segment"))
       .agg(
         dsum(col("o_totalprice")).as("lifetime_revenue"),
@@ -495,11 +499,14 @@ object Parity {
     val n = t(s, dir, "nation")
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
+    // region/nation are bounded (geography) -> broadcast hints; the
+    // customer-carrying dim side scales with the business -> NO forced
+    // broadcast (AQE auto-broadcasts while small, shuffles when not)
     val dims = c
-      .join(n, c("c_nationkey") === n("n_nationkey"))
-      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select(col("c_custkey"), col("r_name").as("region"), col("n_name").as("nation"))
-    o.join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+    o.join(dims, o("o_custkey") === dims("c_custkey"))
       .groupBy("region", "nation")
       .agg(
         countDistinct(col("c_custkey")).as("n_customers"),
@@ -526,9 +533,11 @@ object Parity {
     val li = t(s, dir, "lineitem")
     val sup = t(s, dir, "supplier")
     val n = t(s, dir, "nation")
+    // nation is bounded -> hint; the supplier side scales with SF ->
+    // let AQE pick (auto-broadcast fires while it fits)
     val dims = sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"), col("s_name").as("supplier"))
-    li.join(broadcast(dims), li("l_suppkey") === dims("s_suppkey"))
+    li.join(dims, li("l_suppkey") === dims("s_suppkey"))
       .groupBy("nation", "supplier")
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
@@ -850,7 +859,9 @@ object Parity {
     val c = t(s, dir, "customer")
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
-    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // customer scales with the business -> no forced broadcast there;
+    // nation/region are bounded -> hints stay
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
     joined
