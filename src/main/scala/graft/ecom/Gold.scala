@@ -21,7 +21,9 @@ import graft.util.Exact.{countIf, dsumIf}
   *    §5) and `current_date` by the injectable `asOf` date.
   *
   * Scale notes: event/order aggregates shuffle once on their group keys;
-  * product/review dims are broadcast; session_metrics and customer_360
+  * catalog-bounded product/review dims are broadcast by hint, while
+  * fact-sized sides (sessions, customers) are left to AQE's size-based
+  * choice — never force-broadcast; session_metrics and customer_360
   * reuse the session_id / customer_id shuffle. All date-partitioned
   * writes (Lakehouse) keep dashboard date predicates partition-prunable.
   */

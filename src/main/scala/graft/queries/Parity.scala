@@ -482,7 +482,9 @@ object Parity {
 
   // ---------------------------------------------------------------------
   // q18 — multi-hop dim chain (region ⋈ nation ⋈ customer ⋈ orders):
-  // broadcast the whole dim side, shuffle only the fact aggregate.
+  // the bounded dims (region/nation) broadcast by hint; the customer-
+  // carrying side auto-broadcasts while small (AQE shuffles it at scale)
+  // so the fact table never sorts.
   val q18 = Q(
     "q18_revenue_by_nation",
     """SELECT r.r_name AS region, n.n_name AS nation,
