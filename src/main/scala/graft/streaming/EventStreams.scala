@@ -192,6 +192,26 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming twin of the batch DQ gate (graft.ops.DqOps): run every
+    * check against each micro-batch and hand (batchId, results) to
+    * `onResult` — a metrics emitter, an alert hook, or a kill switch.
+    * Unlike the batch gate this must NOT throw by default: killing the
+    * stream on one bad batch turns a data problem into an availability
+    * problem; the caller decides (quarantine the batch, alert, or stop
+    * the query from inside `onResult`).
+    *
+    * Scale: each check is a filter+count over the micro-batch only —
+    * work per trigger is proportional to the batch, and the checks
+    * share the batch's one pass through the source (Spark caches
+    * nothing here; N checks = N narrow scans of an in-memory batch).
+    */
+  def monitorQuality(events: DataFrame, checks: Seq[graft.ops.DqOps.DqCheck],
+      onResult: (Long, Seq[graft.ops.DqOps.DqResult]) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        onResult(batchId, graft.ops.DqOps.run(batch, checks))
+    }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the collected result table (test/utility harness; production
     * callers use their own writeStream).

@@ -189,6 +189,28 @@ class EventStreamsSpec extends SparkSuite {
     assert(batch == got)
   }
 
+  test("monitorQuality: per-batch DQ results reach the callback without killing the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.DqOps.DqCheck
+    val checks = Seq(
+      DqCheck("negative_value", _.filter(col("value") < 0)),
+      DqCheck("null_type", _.filter(col("event_type").isNull)))
+    val seen = scala.collection.mutable.Map[Long, Map[String, Long]]()
+    val in = MemoryStream[EventRow]
+    val q = monitorQuality(in.toDF(), checks,
+      (id, rs) => seen.synchronized { seen(id) = rs.map(r => r.name -> r.badCount).toMap })
+      .start()
+    in.addData(EventRow(1L, 10L, ts("2024-01-01 10:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    in.addData(
+      EventRow(2L, 10L, ts("2024-01-01 10:01:00"), "view", -5.0), // violation
+      EventRow(3L, 10L, ts("2024-01-01 10:02:00"), null, 1.0))    // violation
+    q.processAllAvailable()
+    q.stop()
+    assert(seen(0L) == Map("negative_value" -> 0L, "null_type" -> 0L))
+    assert(seen(1L) == Map("negative_value" -> 1L, "null_type" -> 1L))
+  }
+
   test("viewToPurchase left_outer: unmatched views emit with nulls once the watermark closes them") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
