@@ -66,6 +66,34 @@ class TimeOpsSpec extends SparkSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("sessionize gap property holds on randomized inputs") {
+    // deterministic pseudo-random corpus: within a session consecutive
+    // gaps are <= threshold; across a session boundary the gap exceeds it
+    val rnd = new scala.util.Random(7)
+    val gapSec = 600L
+    val rows = (1 to 400).map { i =>
+      val user = rnd.nextInt(5).toLong
+      val t = new Timestamp(1700000000000L + rnd.nextInt(200000) * 1000L)
+      (user, i.toLong, t)
+    }
+    val out = TimeOps.sessionize(rows.toDF("user_id", "event_id", "t"),
+        Seq("user_id"), "t", gapSec, tieCols = Seq("event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Timestamp]("t").getTime / 1000, r.getAs[Long]("event_id")))
+    assert(out.length == rows.length) // row-preserving
+    out.groupBy(_._1).foreach { case (_, userRows) =>
+      val ordered = userRows.sortBy(r => (r._3, r._4))
+      ordered.sliding(2).foreach {
+        case Array((_, s1, t1, _), (_, s2, t2, _)) =>
+          if (s1 == s2) assert(t2 - t1 <= gapSec, "intra-session gap exceeded threshold")
+          else { assert(s2 == s1 + 1, "session indices must be dense"); assert(t2 - t1 > gapSec) }
+        case _ =>
+      }
+      assert(ordered.head._2 == 1L) // numbering starts at 1 per user
+    }
+  }
+
   test("sessionize rejects a clashing session column and bad gap") {
     val df = Seq((1L, ts("2024-01-01 10:00:00"), 9L)).toDF("k", "t", "session_idx")
     intercept[IllegalArgumentException] {
