@@ -83,6 +83,47 @@ final case class Lakehouse(
     s"graft_${dir}_${Integer.toHexString(warehouseDir.hashCode)}_$name"
   }
 
+  /** Overwrite exactly the partitions present in `df`, leaving every
+    * other partition untouched (dynamic partition overwrite). This is
+    * the incremental-recompute primitive for the medallion pipeline:
+    * recompute a gold model for the dates new silver data landed on and
+    * refresh just those date directories — at 100 TB the daily refresh
+    * touches a day, not a decade.
+    */
+  def overwritePartitions(name: String, df: DataFrame): Unit = {
+    val partCol = partitioning.getOrElse(name,
+      throw new IllegalArgumentException(s"$name has no partition column registered"))
+    df.write.format(format)
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .save(s"$warehouseDir/$name")
+  }
+
+  /** Compact a table to one file per partition directory. Incremental
+    * sinks and per-batch upserts accumulate small files; scan cost at
+    * scale is dominated by file count once files drop below row-group
+    * size, so periodic compaction is part of the table's lifecycle.
+    *
+    * The snapshot is localCheckpoint'ed (eagerly materialized, lineage
+    * truncated) BEFORE the overwrite — a lazy read feeding an overwrite
+    * of its own source path would delete the files out from under the
+    * scan. Non-transactional: don't run concurrently with a writer.
+    */
+  def compact(name: String): Unit = {
+    val snapshot = read(name).localCheckpoint(true)
+    val w = partitioning.get(name) match {
+      case Some(partCol) =>
+        // clustering by the partition column gives each task at most a
+        // few dates and each date exactly one task -> one file per dir
+        snapshot.repartition(col(partCol))
+          .write.format(format).mode(SaveMode.Overwrite).partitionBy(partCol)
+      case None =>
+        snapshot.coalesce(1).write.format(format).mode(SaveMode.Overwrite)
+    }
+    w.save(s"$warehouseDir/$name")
+  }
+
   /** Upsert (MERGE-by-key, latest-wins on `orderCol`) into a
     * date-partitioned table without a transactional format: the rewrite
     * scope is ONLY the partitions the update batch touches —

@@ -90,6 +90,45 @@ class LakehouseIoSpec extends SparkSuite {
     assert(files(p => !p.contains("event_date=2025-01-05")) == untouchedBefore)
   }
 
+  test("overwritePartitions refreshes only the partitions present in the new data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-refresh").toString
+    val lh = Lakehouse(spark, dir)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    lh.write("product_metrics", Seq(
+      (7L, 10L, d("2025-01-05")), (8L, 20L, d("2025-01-06")))
+      .toDF("product_id", "views", "event_date"))
+    def files(p: String) = Files.walk(Paths.get(dir, "product_metrics")).toArray
+      .map(_.toString).filter(f => f.endsWith(".parquet") && f.contains(p))
+      .map(f => f -> Files.getLastModifiedTime(Paths.get(f)).toMillis).toMap
+    val untouched = files("event_date=2025-01-06")
+    // recompute day 05 only (views corrected)
+    lh.overwritePartitions("product_metrics",
+      Seq((7L, 99L, d("2025-01-05"))).toDF("product_id", "views", "event_date"))
+    val after = lh.read("product_metrics")
+    assert(after.count() == 2)
+    assert(after.filter(col("event_date") === "2025-01-05").collect().head.getAs[Long]("views") == 99L)
+    assert(files("event_date=2025-01-06") == untouched)
+  }
+
+  test("compact collapses a partition's accumulated files into one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val lh = Lakehouse(spark, dir)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // simulate an incremental sink: several appends into one date dir
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, i * 10L, d("2025-01-05"))).toDF("product_id", "views", "event_date")
+        .write.mode("append").partitionBy("event_date").parquet(s"$dir/product_metrics")
+    }
+    def nFiles = Files.walk(Paths.get(dir, "product_metrics")).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(nFiles >= 3)
+    lh.compact("product_metrics")
+    assert(nFiles == 1, s"expected 1 file after compaction, got $nFiles")
+    assert(lh.read("product_metrics").count() == 3) // contents preserved
+  }
+
   test("schema evolution: overwrite replaces the schema; mergeSchema unions mixed partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-evolve").toString
