@@ -18,7 +18,7 @@ object EcomFixtures {
   val t2: Timestamp = Timestamp.valueOf("2025-01-02 00:00:00")
   val asOf: LocalDate = LocalDate.parse("2025-02-01")
 
-  private def raw(spark: SparkSession, table: String, rows: Seq[Seq[String]],
+  def raw(spark: SparkSession, table: String, rows: Seq[Seq[String]],
       ingestTs: Timestamp): DataFrame = {
     val schema = Schemas.all(table)
     val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq(_)))

@@ -91,4 +91,34 @@ class EcomPipelineSpec extends SparkSuite {
     val e = intercept[IllegalStateException](DqChecks.enforceAll(bad))
     assert(e.getMessage.contains("product_metrics_nonneg_revenue"))
   }
+
+  test("incremental silver via upsert equals full recompute; gold agrees") {
+    val t3 = java.sql.Timestamp.valueOf("2025-01-03 00:00:00")
+    // day-2 delta: a corrected event (same pk, newer ingest), a new event
+    // in an existing session/date, and a new event on a NEW date
+    val deltaRaw = EcomFixtures.raw(spark, "events", Seq(
+      Seq("12", "100", "2025-01-05 10:10:00", "purchase", "7", "1", "1", "card", "0", "60.0"),
+      Seq("15", "101", "2025-01-05 11:30:00", "page_view", "8", "1", "0", "", "0", "0"),
+      Seq("16", "102", "2025-01-06 09:00:00", "purchase", "7", "1", "1", "card", "0", "20.0")
+    ), t3)
+    val baseRaw = EcomFixtures.bronze(spark)("events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val lh = Lakehouse(spark, dir)
+    // incremental: land day 1, then MERGE day 2's silver delta
+    lh.write("events_clean", Silver.events(baseRaw))
+    lh.upsert("events_clean", Silver.events(deltaRaw), Seq("event_id"), "_ingest_ts")
+    val incremental = lh.read("events_clean")
+    // full recompute over the union of all raw data
+    val full = Silver.events(baseRaw.unionByName(deltaRaw))
+    assert(incremental.exceptAll(full).isEmpty && full.exceptAll(incremental).isEmpty,
+      "incremental silver must equal the full recompute")
+    // and the gold model built on either silver agrees
+    val sessions = Silver.sessions(EcomFixtures.bronze(spark)("sessions"))
+    val gIncr = Gold.sessionMetrics(incremental, sessions)
+    val gFull = Gold.sessionMetrics(full, sessions)
+    assert(gIncr.exceptAll(gFull).isEmpty && gFull.exceptAll(gIncr).isEmpty)
+    // the corrected amount actually took effect
+    assert(gIncr.filter(col("session_id") === "100").collect()
+      .head.getAs[Double]("session_revenue") == 60.0)
+  }
 }
