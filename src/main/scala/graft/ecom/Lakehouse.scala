@@ -105,23 +105,37 @@ final case class Lakehouse(
     * scale is dominated by file count once files drop below row-group
     * size, so periodic compaction is part of the table's lifecycle.
     *
-    * The snapshot is localCheckpoint'ed (eagerly materialized, lineage
-    * truncated) BEFORE the overwrite — a lazy read feeding an overwrite
-    * of its own source path would delete the files out from under the
-    * scan. Non-transactional: don't run concurrently with a writer.
+    * Crash-safe shape: the compacted copy is fully written to a sibling
+    * temp directory FIRST (reading the live files — no read/overwrite
+    * conflict, no table-sized snapshot pinned in executor storage), and
+    * only then swapped in (delete + rename — a metadata-op window, vs.
+    * an overwrite's delete-then-rewrite window in which a failed job
+    * loses the table). `mergeSchema` on the read so additively-evolved
+    * older partitions don't nondeterministically drop newer columns.
+    * Not for catalog-backed bucketed tables (their bucket layout lives
+    * in the catalog; rewriting files would corrupt it — use
+    * writeBucketed to rewrite those). Don't run concurrently with a
+    * writer.
     */
   def compact(name: String): Unit = {
-    val snapshot = read(name).localCheckpoint(true)
-    val w = partitioning.get(name) match {
+    require(!spark.catalog.tableExists(tableName(name)),
+      s"$name is a bucketed catalog table — rewrite it with writeBucketed, not compact")
+    val target = s"$warehouseDir/$name"
+    val tmp = s"$warehouseDir/.$name.compact.tmp"
+    val current = spark.read.format(format).option("mergeSchema", "true").load(target)
+    partitioning.get(name) match {
       case Some(partCol) =>
         // clustering by the partition column gives each task at most a
         // few dates and each date exactly one task -> one file per dir
-        snapshot.repartition(col(partCol))
-          .write.format(format).mode(SaveMode.Overwrite).partitionBy(partCol)
+        current.repartition(col(partCol))
+          .write.format(format).mode(SaveMode.Overwrite).partitionBy(partCol).save(tmp)
       case None =>
-        snapshot.coalesce(1).write.format(format).mode(SaveMode.Overwrite)
+        current.coalesce(1).write.format(format).mode(SaveMode.Overwrite).save(tmp)
     }
-    w.save(s"$warehouseDir/$name")
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(target))
   }
 
   /** Upsert (MERGE-by-key, latest-wins on `orderCol`) into a
@@ -168,11 +182,7 @@ final case class Lakehouse(
             .withColumn(srcCol, lit(1))),
         keys, Seq(col(orderCol).desc, col(srcCol).desc))
       .drop(srcCol)
-    merged.write.format(format)
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .save(s"$warehouseDir/$name")
+    overwritePartitions(name, merged)
   }
 
   /** Register tables for the SQL entry point (reference EP2: every DQ

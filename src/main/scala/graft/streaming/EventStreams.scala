@@ -200,16 +200,19 @@ object EventStreams {
     * problem; the caller decides (quarantine the batch, alert, or stop
     * the query from inside `onResult`).
     *
-    * Scale: each check is a filter+count over the micro-batch only —
-    * work per trigger is proportional to the batch, and the checks
-    * share the batch's one pass through the source (Spark caches
-    * nothing here; N checks = N narrow scans of an in-memory batch).
+    * Scale: the batch is persisted for the duration of the checks —
+    * foreachBatch hands over a LAZY frame, so N unpersisted counts
+    * would re-read the batch's source N times (real I/O for file
+    * sources) — then released; per-trigger work is one source pass
+    * plus N in-memory filter+counts.
     */
   def monitorQuality(events: DataFrame, checks: Seq[graft.ops.DqOps.DqCheck],
       onResult: (Long, Seq[graft.ops.DqOps.DqResult]) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        onResult(batchId, graft.ops.DqOps.run(batch, checks))
+        batch.persist()
+        try onResult(batchId, graft.ops.DqOps.run(batch, checks))
+        finally batch.unpersist()
     }
 
   /** Run a streaming DataFrame to completion against a memory sink and

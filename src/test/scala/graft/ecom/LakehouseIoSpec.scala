@@ -129,6 +129,14 @@ class LakehouseIoSpec extends SparkSuite {
     assert(lh.read("product_metrics").count() == 3) // contents preserved
   }
 
+  test("compact rejects catalog-backed bucketed tables (would corrupt bucket layout)") {
+    import spark.implicits._
+    val lh = Lakehouse(spark, Files.createTempDirectory("graft-cb").toString)
+    lh.writeBucketed("tbkt", Seq((1, "a")).toDF("k", "v"), Seq("k"), 2)
+    try intercept[IllegalArgumentException](lh.compact("tbkt"))
+    finally lh.dropTable("tbkt")
+  }
+
   test("schema evolution: overwrite replaces the schema; mergeSchema unions mixed partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-evolve").toString
