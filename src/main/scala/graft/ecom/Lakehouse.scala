@@ -107,10 +107,15 @@ final case class Lakehouse(
     *
     * Crash-safe shape: the compacted copy is fully written to a sibling
     * temp directory FIRST (reading the live files — no read/overwrite
-    * conflict, no table-sized snapshot pinned in executor storage), and
-    * only then swapped in (delete + rename — a metadata-op window, vs.
-    * an overwrite's delete-then-rewrite window in which a failed job
-    * loses the table). `mergeSchema` on the read so additively-evolved
+    * conflict, no table-sized snapshot pinned in executor storage), then
+    * swapped in by renaming the live table ASIDE to a `.bak` dir and the
+    * temp copy into place — so at every instant the full data exists at
+    * either the live path or the backup path, and every fs call's
+    * boolean result is require()d (HDFS-style filesystems report rename
+    * failure by returning false, not throwing; an unchecked false here
+    * would silently drop the table). A crash between the two renames
+    * leaves the table at `.bak` for manual (or next-run) recovery rather
+    * than deleted. `mergeSchema` on the read so additively-evolved
     * older partitions don't nondeterministically drop newer columns.
     * Not for catalog-backed bucketed tables (their bucket layout lives
     * in the catalog; rewriting files would corrupt it — use
@@ -132,10 +137,18 @@ final case class Lakehouse(
       case None =>
         current.coalesce(1).write.format(format).mode(SaveMode.Overwrite).save(tmp)
     }
-    val fs = new org.apache.hadoop.fs.Path(target)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(target), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(target))
+    val targetP = new org.apache.hadoop.fs.Path(target)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val bakP = new org.apache.hadoop.fs.Path(s"$warehouseDir/.$name.compact.bak")
+    val fs = targetP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bakP))
+      require(fs.delete(bakP, true), s"compact: could not clear stale backup $bakP")
+    require(fs.rename(targetP, bakP),
+      s"compact: could not move $target aside to $bakP — table left untouched")
+    require(fs.rename(tmpP, targetP),
+      s"compact: could not swap $tmp into $target — original preserved at $bakP")
+    require(fs.delete(bakP, true) || !fs.exists(bakP),
+      s"compact: swap succeeded but backup $bakP could not be removed")
   }
 
   /** Upsert (MERGE-by-key, latest-wins on `orderCol`) into a

@@ -78,17 +78,27 @@ object LlmDedup {
   // count. On this corpus 2-grams have ~900 distinct values with df in
   // the hundreds (≈36M pairs at sf0.1 — quadratic in df, fatal at
   // 100 TB), while 3-grams have ~27K distinct values with max df ≈ 25.
-  // Same df-capping logic a production near-dup miner applies to
-  // stop-shingles. (xxhash64 on the shingle replaces the string as the
+  // On top of that, a HARD df cap (MaxDf) drops stop-shingles outright —
+  // the capping a production near-dup miner applies: a hot shingle with
+  // df=1M would otherwise concentrate a 1M-entry posting list in ONE
+  // aggregation row (single-task memory) and emit df² pairs. The cap
+  // makes `inter` a lower bound for pairs that share a dropped
+  // stop-shingle — acceptable: a shingle shared by >MaxDf docs carries
+  // ~zero signal about any one pair. Mirrored in the oracle SQL, so the
+  // semantics are pinned, not test-SF luck (corpus max df ≈ 25 « 1000).
+  // (xxhash64 on the shingle replaces the string as the
   // group key: 8-byte shuffle key; a collision needs two distinct
   // shingles in overlapping docs agreeing on 64 bits — ~1e-11 here.)
+  private val MaxDf = 1000
   val qd02 = Q(
     "qd02_jaccard_pairs",
-    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
       |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |         ELSE [] END) AS s FROM tok),
-      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |keep AS (SELECT g FROM ex0 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND $MaxDf),
+      |ex AS (SELECT ex0.doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
       |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
       |      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -106,7 +116,9 @@ object LlmDedup {
         explode(col("s")).as("g"))
       .select(col("dn"), xxhash64(col("g")).as("hg"))
       .groupBy("hg").agg(collect_list(col("dn")).as("ids"))
-      .filter(size(col("ids")) > 1) // df=1 shingles contribute no pairs
+      // df=1 shingles contribute no pairs; df>MaxDf stop-shingles are
+      // dropped (bounded posting-list row AND bounded df² pair fan-out)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxDf)
     // ordered pairs within each posting list (≤ df² rows per shingle)
     val pairs = postings
       .select(explode(col("ids")).as("a"), col("ids"))

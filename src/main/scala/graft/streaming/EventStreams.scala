@@ -138,17 +138,22 @@ object EventStreams {
   /** `joinType` "inner" emits only attributed pairs; "left_outer" also
     * emits each unmatched view (null purchase columns) — but only once
     * the watermark proves no in-horizon purchase can still arrive, so
-    * outer results are late by design, never wrong.
+    * outer results are late by design, never wrong. The watermark delay
+    * is derived from `horizonSec` (min 1 hour): a fixed 1-hour delay
+    * with a longer horizon would drop in-horizon purchases as late the
+    * moment the watermark advanced past them, breaking that contract.
     */
   def viewToPurchase(events: DataFrame, horizonSec: Long = 3600L,
       joinType: String = "inner"): DataFrame = {
+    require(horizonSec > 0, s"horizonSec must be positive, got $horizonSec")
+    val wm = s"${math.max(horizonSec, 3600L)} seconds"
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
-      .withWatermark("view_ts", "1 hour")
+      .withWatermark("view_ts", wm)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"), col("value").as("amount"))
-      .withWatermark("purchase_ts", "1 hour")
+      .withWatermark("purchase_ts", wm)
     views.join(purchases,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("view_ts") &&
