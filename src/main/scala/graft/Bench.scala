@@ -20,6 +20,7 @@ object Bench {
         try fn(spark, warmDir).queryExecution.toRdd.count()
         catch { case _: Throwable => }
       }
+      spark.catalog.clearCache() // drop warmup-persisted intermediates
     }
     // sorted order: stable run-to-run attribution. Each query is timed
     // `reps` times and the MIN reported: this host has ±2x wall-clock
@@ -32,6 +33,12 @@ object Bench {
       // Option: a failed rep must surface as -1 in the output, not as a
       // millisecond "success" that wins the min
       val times: Seq[Option[Double]] = (1 to reps).map { _ =>
+        // Every rep starts cache-cold: query bodies persist intermediates
+        // (qd04's signature relation, qs03's corpus, qd09's labels) that
+        // CacheManager keys on the logical plan, so a second rep — or a
+        // LATER query sharing a subplan — would read the first rep's
+        // cache and time warm storage instead of the engine.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column of the physical
         // plan; df.count() would let Catalyst prune the computed columns

@@ -36,31 +36,41 @@ object GraphOps {
       .distinct()
       .withColumn("component", col("node"))
       .persist()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val prop = edges.join(labels, edges("b") === labels("node"))
-        .groupBy(col("a")).agg(min(col("component")).as("min_nbr"))
-      val next = labels.join(prop, labels("node") === prop("a"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("min_nbr"), col("component"))).as("component"))
-        .persist()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count() // materializes next's cache, so the old frame is droppable
-      labels.unpersist(blocking = false)
-      labels = next
-      rounds += 1
+    try {
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxRounds) {
+        val prop = edges.join(labels, edges("b") === labels("node"))
+          .groupBy(col("a")).agg(min(col("component")).as("min_nbr"))
+        val next = labels.join(prop, labels("node") === prop("a"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("min_nbr"), col("component"))).as("component"))
+          .persist()
+        changed = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.component") =!= col("o.component"))
+          .count() // materializes next's cache, so the old frame is droppable
+        labels.unpersist(blocking = false)
+        labels = next
+        rounds += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $rounds rounds")
+      // The returned labels stay cached; CacheManager keys on the
+      // logical plan, so repeated invocations on the same input share
+      // one entry rather than accumulating.
+      labels
+    } catch {
+      // non-convergence (or any mid-loop failure) must not strand the
+      // last label frame in executor cache — the caller never sees it
+      case t: Throwable =>
+        labels.unpersist(blocking = false)
+        throw t
+    } finally {
+      // on success the final round's count fully materialized labels'
+      // cache, so the edge list is no longer needed for (re)computation
+      // (an evicted labels partition would recompute from source, slower
+      // but correct); on failure it must not leak either
+      edges.unpersist(blocking = false)
     }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
-    // the final round's count fully materialized labels' cache, so the
-    // edge list is no longer needed for (re)computation — release it
-    // (an evicted labels partition would recompute from source, slower
-    // but correct). The returned labels stay cached; CacheManager keys
-    // on the logical plan, so repeated invocations on the same input
-    // share one entry rather than accumulating.
-    edges.unpersist(blocking = false)
-    labels
   }
 }

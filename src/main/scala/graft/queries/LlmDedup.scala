@@ -315,17 +315,30 @@ object LlmDedup {
   // shuffles every distinct hash; the sketch is a constant-size partial
   // aggregate (one ~kilobyte buffer per group per partition) — the only
   // way to answer "how much duplication is there" in one pass over a
-  // corpus that doesn't fit a shuffle. Sketch internals differ across
-  // engines -> rows-only check; the error bound is pinned in
-  // LlmQueriesSpec against the exact column.
-  val qd07 = Q.noOracle("qd07_dedup_sketch_stats") { (s, dir) =>
+  // corpus that doesn't fit a shuffle. Sketch INTERNALS differ across
+  // engines, so the raw approximate count can't hash-match an oracle;
+  // instead the query emits the sketch's CONTRACT — a boolean "approx is
+  // within 5% (or ±1) of exact" — which DuckDB expresses as a literal
+  // TRUE expectation. The tighter per-source numbers are additionally
+  // pinned in LlmQueriesSpec.
+  val qd07 = Q(
+    "qd07_dedup_sketch_stats",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(lower(text))) AS exact_unique,
+      |  TRUE AS approx_ok
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
     val h = md5(lower(col("text")))
     docs(s, dir)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(h).as("exact_unique"),
-        approx_count_distinct(h, 0.02).as("approx_unique"))
+        approx_count_distinct(h, 0.02).as("_approx"))
+      .select(col("source"), col("n_docs"), col("exact_unique"),
+        (abs(col("_approx") - col("exact_unique")).cast(DoubleType) <=
+          greatest(lit(1.0), lit(0.05) * col("exact_unique"))).as("approx_ok"))
       .orderBy("source")
   }
 

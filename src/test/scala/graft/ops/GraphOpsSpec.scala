@@ -31,8 +31,14 @@ class GraphOpsSpec extends SparkSuite {
   test("connectedComponents fails loudly instead of returning split components") {
     // diameter 4 with maxRounds 2 -> must throw, never silently truncate
     val edges = (1L to 5L).sliding(2).map(p => (p.head, p.last)).toSeq.toDF("s", "d")
+    spark.catalog.clearCache()
     intercept[IllegalArgumentException] {
       GraphOps.connectedComponents(edges, "s", "d", maxRounds = 2)
     }
+    // the failure path must unpersist both the edge list and the last
+    // label frame — a long-running session (Bench/Prof) would otherwise
+    // accumulate dead cache entries on every failed invocation
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "non-convergence leaked persisted frames in the cache manager")
   }
 }

@@ -43,11 +43,13 @@ class LlmQueriesSpec extends SparkSuite {
   }
 
   test("qd07 HLL sketch distinct is within the configured error of exact") {
-    LlmDedup.qd07.fn(spark, dir).collect().foreach { r =>
-      val exact = r.getAs[Long]("exact_unique").toDouble
-      val approx = r.getAs[Long]("approx_unique").toDouble
-      assert(math.abs(approx - exact) <= math.max(1.0, 0.05 * exact),
-        s"source=${r.getAs[String]("source")}: approx=$approx exact=$exact")
+    // the query itself emits the contract as approx_ok; every group must
+    // satisfy it (this is what the DuckDB oracle's literal TRUE pins)
+    val rows = LlmDedup.qd07.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("approx_ok"),
+        s"source=${r.getAs[String]("source")}: exact=${r.getAs[Long]("exact_unique")}")
     }
   }
 
