@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.util.Exact.dsum
+
 /** The four parameterized BI queries (reference:
   * `/root/reference/analysis/dashboard_queries/` SQL files). The Databricks
   * `:start_date` / `:end_date` named parameters become typed LocalDate
@@ -26,7 +28,9 @@ object Dashboards {
       .filter(between("event_date", start, end))
       .groupBy(col("product_id"), col("product_name"), col("category"))
       .agg(
-        sum(col("revenue")).as("total_revenue"),
+        // money re-aggregates stay exact-decimal (house rule, see Exact):
+        // order-independent under any shuffle, bit-stable vs the oracle
+        dsum(col("revenue")).as("total_revenue"),
         sum(col("units_sold")).as("total_units"),
         sum(col("view_count")).as("total_views"),
         sum(col("cart_count")).as("total_carts"))
@@ -47,7 +51,7 @@ object Dashboards {
       .groupBy(col("session_date"))
       .agg(
         countDistinct(col("session_id")).as("sessions"),
-        sum(col("session_revenue")).as("revenue"),
+        dsum(col("session_revenue")).as("revenue"),
         sum(col("has_purchase")).cast(LongType).as("purchase_sessions"))
       .select(
         col("session_date"), col("sessions"),

@@ -577,6 +577,13 @@ object Parity {
       |FROM agg
       |WHERE product_id IS NOT NULL
       |ORDER BY event_date, product_id""".stripMargin) { (s, dir) =>
+    goldProductFunnelE2e(s, dir).orderBy("event_date", "product_id")
+  }
+
+  /** The production Gold.productFunnel over testdata-adapted events
+    * (shared by q20 and the q33 dashboard-on-gold query).
+    */
+  private def goldProductFunnelE2e(s: SparkSession, dir: String): DataFrame = {
     val adapted = t(s, dir, "events").select(
       date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
       get_json_object(col("props"), "$.k").as("product_id"),
@@ -584,7 +591,6 @@ object Parity {
         .when(col("event_type") === "click", "add_to_cart")
         .otherwise(col("event_type")).as("event_type"))
     graft.ecom.Gold.productFunnel(adapted)
-      .orderBy("event_date", "product_id")
   }
 
   // ---------------------------------------------------------------------
@@ -593,9 +599,11 @@ object Parity {
   // the REAL gold code (conditional counts ⟗ order rollup USING-join
   // with zero-fill, broadcast dim + review joins), oracle-checked
   // column-for-column.
-  val q21 = Q(
-    "q21_gold_product_metrics_e2e",
-    """WITH ev AS (
+  // CTE chain shared by q21 and the q31/q33 dashboard-on-gold queries:
+  // adapted event stream -> the four silver inputs -> `pm` = the full
+  // product_metrics gold relation.
+  private val duckProductMetrics =
+    """ev AS (
       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
       |    json_extract_string(props, '$.k') AS product_id,
       |    CASE event_type WHEN 'view' THEN 'page_view'
@@ -622,18 +630,31 @@ object Parity {
       |rm AS (
       |  SELECT product_id, AVG(CAST(CAST(product_id AS BIGINT) % 5 + 1 AS BIGINT)) AS avg_rating,
       |    COUNT(event_id) AS review_count
-      |  FROM ev WHERE event_type = 'signup' GROUP BY 1)
-      |SELECT event_date, product_id,
-      |  COALESCE(em.view_count, 0) AS view_count,
-      |  COALESCE(em.cart_count, 0) AS cart_count,
-      |  COALESCE(om.revenue, 0.0) AS revenue,
-      |  COALESCE(om.units_sold, 0) AS units_sold,
-      |  pa.category, pa.product_name, pa.price_usd, rm.avg_rating, rm.review_count
-      |FROM em FULL OUTER JOIN om USING (event_date, product_id)
-      |LEFT JOIN pa USING (product_id)
-      |LEFT JOIN rm USING (product_id)
-      |WHERE product_id IS NOT NULL
-      |ORDER BY event_date, product_id""".stripMargin) { (s, dir) =>
+      |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      |pm AS (
+      |  SELECT event_date, product_id,
+      |    COALESCE(em.view_count, 0) AS view_count,
+      |    COALESCE(em.cart_count, 0) AS cart_count,
+      |    COALESCE(om.revenue, 0.0) AS revenue,
+      |    COALESCE(om.units_sold, 0) AS units_sold,
+      |    pa.category, pa.product_name, pa.price_usd, rm.avg_rating, rm.review_count
+      |  FROM em FULL OUTER JOIN om USING (event_date, product_id)
+      |  LEFT JOIN pa USING (product_id)
+      |  LEFT JOIN rm USING (product_id)
+      |  WHERE product_id IS NOT NULL)""".stripMargin
+
+  val q21 = Q(
+    "q21_gold_product_metrics_e2e",
+    s"""WITH $duckProductMetrics
+       |SELECT * FROM pm
+       |ORDER BY event_date, product_id""".stripMargin) { (s, dir) =>
+    goldProductMetricsE2e(s, dir).orderBy("event_date", "product_id")
+  }
+
+  /** The production Gold.productMetrics over testdata-adapted silver
+    * inputs (shared by q21 and the q31/q33 dashboard-on-gold queries).
+    */
+  private def goldProductMetricsE2e(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events").select(
       date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
       get_json_object(col("props"), "$.k").as("product_id"),
@@ -655,7 +676,6 @@ object Parity {
       .select(col("event_id").as("review_id"), col("product_id"),
         (col("product_id").cast(LongType) % 5 + 1).as("rating"))
     graft.ecom.Gold.productMetrics(eventsClean, orderItemsClean, productsClean, reviewsClean)
-      .orderBy("event_date", "product_id")
   }
 
   // Shared adapter for q22/q23: testdata events as the reference event
@@ -723,8 +743,15 @@ object Parity {
        |SELECT * FROM sm
        |WHERE session_duration_sec IS NOT NULL AND session_duration_sec >= 0
        |ORDER BY session_id""".stripMargin) { (s, dir) =>
+    goldSessionMetricsE2e(s, dir).orderBy("session_id")
+  }
+
+  /** The production Gold.sessionMetrics over testdata-adapted inputs
+    * (shared by q22, q23 and the q32 dashboard-on-gold query).
+    */
+  private def goldSessionMetricsE2e(s: SparkSession, dir: String): DataFrame = {
     val (ev, attrs) = adaptedSessionInputs(s, dir)
-    graft.ecom.Gold.sessionMetrics(ev, attrs).orderBy("session_id")
+    graft.ecom.Gold.sessionMetrics(ev, attrs)
   }
 
   // ---------------------------------------------------------------------
@@ -733,38 +760,52 @@ object Parity {
   // AOV, frozen as-of datediff. Odd users have sessions with no
   // attributes (NULL customer_id -> excluded from the rollup), so their
   // customer rows exercise the zero-fill path.
+  // CTE chain shared by q23 and the q34 dashboard-on-gold query:
+  // demographics + session-metric rollup -> `c360` = the full
+  // customer_360 gold relation. Builds on duckSessionMetrics' `sm`.
+  private val duckCustomer360 =
+    """cust AS (
+      |  SELECT DISTINCT 'c' || CAST(user_id AS VARCHAR) AS customer_id,
+      |    'user_' || CAST(user_id AS VARCHAR) AS name,
+      |    CAST(user_id AS VARCHAR) || '@x.com' AS email,
+      |    'US' AS country, user_id % 80 + 18 AS age,
+      |    strftime(DATE '2023-01-01' + CAST(user_id % 365 AS INTEGER), '%Y-%m-%d') AS signup_date,
+      |    user_id % 2 = 0 AS marketing_opt_in
+      |  FROM events),
+      |sa AS (
+      |  SELECT customer_id,
+      |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_revenue,
+      |    CAST(SUM(has_purchase) AS BIGINT) AS total_purchases,
+      |    COUNT(DISTINCT session_id) AS total_sessions,
+      |    MAX(session_end_ts) AS last_active_ts,
+      |    MIN(session_start_ts) AS first_active_ts
+      |  FROM sm WHERE customer_id IS NOT NULL GROUP BY customer_id),
+      |c360 AS (
+      |  SELECT cust.customer_id, cust.name, cust.email, cust.country, cust.age,
+      |    cust.signup_date, cust.marketing_opt_in,
+      |    COALESCE(sa.lifetime_revenue, 0.0) AS lifetime_revenue,
+      |    COALESCE(sa.total_purchases, 0) AS total_purchases,
+      |    COALESCE(sa.total_sessions, 0) AS total_sessions,
+      |    sa.last_active_ts, sa.first_active_ts,
+      |    date_diff('day', CAST(cust.signup_date AS DATE), DATE '2025-01-01') AS days_since_signup,
+      |    ROUND(CASE WHEN COALESCE(sa.total_purchases, 0) > 0
+      |      THEN COALESCE(sa.lifetime_revenue, 0.0) / COALESCE(sa.total_purchases, 0) END, 2) AS avg_order_value
+      |  FROM cust LEFT JOIN sa USING (customer_id))""".stripMargin
+
   val q23 = Q(
     "q23_gold_customer_360_e2e",
     s"""WITH $duckSessionMetrics,
-       |cust AS (
-       |  SELECT DISTINCT 'c' || CAST(user_id AS VARCHAR) AS customer_id,
-       |    'user_' || CAST(user_id AS VARCHAR) AS name,
-       |    CAST(user_id AS VARCHAR) || '@x.com' AS email,
-       |    'US' AS country, user_id % 80 + 18 AS age,
-       |    strftime(DATE '2023-01-01' + CAST(user_id % 365 AS INTEGER), '%Y-%m-%d') AS signup_date,
-       |    user_id % 2 = 0 AS marketing_opt_in
-       |  FROM events),
-       |sa AS (
-       |  SELECT customer_id,
-       |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_revenue,
-       |    CAST(SUM(has_purchase) AS BIGINT) AS total_purchases,
-       |    COUNT(DISTINCT session_id) AS total_sessions,
-       |    MAX(session_end_ts) AS last_active_ts,
-       |    MIN(session_start_ts) AS first_active_ts
-       |  FROM sm WHERE customer_id IS NOT NULL GROUP BY customer_id)
-       |SELECT cust.customer_id, cust.name, cust.email, cust.country, cust.age,
-       |  cust.signup_date, cust.marketing_opt_in,
-       |  COALESCE(sa.lifetime_revenue, 0.0) AS lifetime_revenue,
-       |  COALESCE(sa.total_purchases, 0) AS total_purchases,
-       |  COALESCE(sa.total_sessions, 0) AS total_sessions,
-       |  sa.last_active_ts, sa.first_active_ts,
-       |  date_diff('day', CAST(cust.signup_date AS DATE), DATE '2025-01-01') AS days_since_signup,
-       |  ROUND(CASE WHEN COALESCE(sa.total_purchases, 0) > 0
-       |    THEN COALESCE(sa.lifetime_revenue, 0.0) / COALESCE(sa.total_purchases, 0) END, 2) AS avg_order_value
-       |FROM cust LEFT JOIN sa USING (customer_id)
+       |$duckCustomer360
+       |SELECT * FROM c360
        |ORDER BY customer_id""".stripMargin) { (s, dir) =>
-    val (ev, attrs) = adaptedSessionInputs(s, dir)
-    val sm = graft.ecom.Gold.sessionMetrics(ev, attrs)
+    goldCustomer360E2e(s, dir).orderBy("customer_id")
+  }
+
+  /** The production Gold.customer360 over testdata-adapted inputs
+    * (shared by q23 and the q34 dashboard-on-gold query).
+    */
+  private def goldCustomer360E2e(s: SparkSession, dir: String): DataFrame = {
+    val sm = goldSessionMetricsE2e(s, dir)
     val cust = t(s, dir, "events").select(col("user_id")).distinct().select(
       concat(lit("c"), col("user_id")).as("customer_id"),
       concat(lit("user_"), col("user_id")).as("name"),
@@ -776,7 +817,6 @@ object Parity {
         "yyyy-MM-dd").as("signup_date"),
       (col("user_id") % 2 === 0).as("marketing_opt_in"))
     graft.ecom.Gold.customer360(cust, sm, java.time.LocalDate.parse("2025-01-01"))
-      .orderBy("customer_id")
   }
 
   // ---------------------------------------------------------------------
