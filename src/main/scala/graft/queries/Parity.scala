@@ -1057,8 +1057,121 @@ object Parity {
       .orderBy("segment")
   }
 
+  // ---------------------------------------------------------------------
+  // q31–q34 — the four PRODUCTION Dashboards functions (direct ports of
+  // `/root/reference/analysis/dashboard_queries/*.sql`, Dashboards.scala)
+  // run over the e2e gold relations with fixed date parameters, so the
+  // dashboard code path itself — not just its Parity twins q02/q15/q07/
+  // q16 — sits inside the oracle hash gate. The e2e gold carries string
+  // dates (the DuckDB CTE chains render them as yyyy-MM-dd); production
+  // gold tables carry DATE columns, so the adapter casts before handing
+  // the frame to the dashboard function and the oracle casts identically.
+  private val dashStart = java.time.LocalDate.parse("2024-01-05")
+  private val dashEnd = java.time.LocalDate.parse("2024-01-20")
+  // session_date in the e2e adaptation is each user's FIRST event date
+  // (one session per user), which clusters on Jan 1 — the sales range
+  // starts there so the dashboard selects rows at every SF.
+  private val salesStart = java.time.LocalDate.parse("2024-01-01")
+
+  private def datedPm(s: SparkSession, dir: String): DataFrame =
+    goldProductMetricsE2e(s, dir).withColumn("event_date", col("event_date").cast(DateType))
+
+  val q31 = Q(
+    "q31_dashboard_product_performance",
+    s"""WITH $duckProductMetrics
+       |SELECT product_id, product_name, category,
+       |  ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue,
+       |  CAST(SUM(units_sold) AS BIGINT) AS total_units,
+       |  CAST(SUM(view_count) AS BIGINT) AS total_views,
+       |  CAST(SUM(cart_count) AS BIGINT) AS total_carts,
+       |  ROUND(CASE WHEN SUM(view_count) > 0
+       |    THEN LEAST(CAST(100.0 AS DOUBLE),
+       |      CAST(SUM(cart_count) AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(SUM(view_count) AS DOUBLE))
+       |    END, 2) AS view_to_cart_pct
+       |FROM pm
+       |WHERE CAST(event_date AS DATE) BETWEEN DATE '$dashStart' AND DATE '$dashEnd'
+       |GROUP BY 1, 2, 3
+       |ORDER BY total_revenue DESC, product_id
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    graft.ecom.Dashboards.productPerformance(datedPm(s, dir), dashStart, dashEnd)
+  }
+
+  val q32 = Q(
+    "q32_dashboard_sales_overview",
+    s"""WITH $duckSessionMetrics,
+       |smf AS (SELECT * FROM sm
+       |        WHERE session_duration_sec IS NOT NULL AND session_duration_sec >= 0)
+       |SELECT session_date,
+       |  COUNT(DISTINCT session_id) AS sessions,
+       |  ROUND(CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       |  CAST(SUM(has_purchase) AS BIGINT) AS purchase_sessions,
+       |  ROUND(CASE WHEN SUM(has_purchase) > 0
+       |    THEN CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) / CAST(SUM(has_purchase) AS DOUBLE)
+       |    END, 2) AS avg_order_value
+       |FROM smf
+       |WHERE session_date BETWEEN DATE '$salesStart' AND DATE '$dashEnd'
+       |GROUP BY session_date
+       |ORDER BY session_date DESC""".stripMargin) { (s, dir) =>
+    graft.ecom.Dashboards.salesOverview(goldSessionMetricsE2e(s, dir), salesStart, dashEnd)
+  }
+
+  val q33 = Q(
+    "q33_dashboard_site_funnel",
+    s"""WITH $duckProductMetrics,
+       |pf AS (
+       |  SELECT event_date, product_id,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+       |  FROM ev WHERE product_id IS NOT NULL GROUP BY 1, 2)
+       |SELECT funnel_stage, n FROM (
+       |  SELECT '1. Product Views' AS funnel_stage,
+       |    COALESCE(CAST(SUM(view_count) AS BIGINT), 0) AS n
+       |  FROM pm WHERE CAST(event_date AS DATE) BETWEEN DATE '$dashStart' AND DATE '$dashEnd'
+       |  UNION ALL
+       |  SELECT '2. Added to Cart',
+       |    COALESCE(CAST(SUM(cart_count) AS BIGINT), 0)
+       |  FROM pm WHERE CAST(event_date AS DATE) BETWEEN DATE '$dashStart' AND DATE '$dashEnd'
+       |  UNION ALL
+       |  SELECT '3. Purchases',
+       |    COALESCE(CAST(SUM(purchases) AS BIGINT), 0)
+       |  FROM pf WHERE CAST(event_date AS DATE) BETWEEN DATE '$dashStart' AND DATE '$dashEnd') u
+       |ORDER BY n DESC, funnel_stage""".stripMargin) { (s, dir) =>
+    val pf = goldProductFunnelE2e(s, dir)
+      .withColumn("event_date", col("event_date").cast(DateType))
+    graft.ecom.Dashboards.siteWideFunnel(datedPm(s, dir), pf, dashStart, dashEnd)
+  }
+
+  // Wider range than q31–q33 so BOTH filter arms fire non-trivially: even
+  // users match on last_active_date (their sessions carry attributes,
+  // last activity ~Jan 30), odd users have NULL last_active_ts and match
+  // on their 2023 signup_date (2023-01-01 + user_id % 365 — the Jan 5
+  // start excludes the earliest signups, so the arm actually filters).
+  private val dashC360Start = java.time.LocalDate.parse("2023-01-05")
+  private val dashC360End = java.time.LocalDate.parse("2024-01-31")
+
+  val q34 = Q(
+    "q34_dashboard_customer360_top",
+    s"""WITH $duckSessionMetrics,
+       |$duckCustomer360
+       |SELECT customer_id, name, email, country, age,
+       |  CAST(signup_date AS DATE) AS signup_date, marketing_opt_in,
+       |  lifetime_revenue, total_purchases, total_sessions,
+       |  last_active_ts, first_active_ts, days_since_signup, avg_order_value,
+       |  CAST(last_active_ts AS DATE) AS last_active_date
+       |FROM c360
+       |WHERE CAST(last_active_ts AS DATE) BETWEEN DATE '$dashC360Start' AND DATE '$dashC360End'
+       |  OR (last_active_ts IS NULL
+       |      AND CAST(signup_date AS DATE) BETWEEN DATE '$dashC360Start' AND DATE '$dashC360End')
+       |ORDER BY lifetime_revenue DESC, customer_id
+       |LIMIT 1000""".stripMargin) { (s, dir) =>
+    val c360 = goldCustomer360E2e(s, dir)
+      .withColumn("signup_date", col("signup_date").cast(DateType))
+    graft.ecom.Dashboards.customer360Top(
+      graft.ecom.Dashboards.customer360WithDates(c360), dashC360Start, dashC360End)
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32, q33, q34)
 }
