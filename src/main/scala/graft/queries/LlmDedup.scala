@@ -179,6 +179,71 @@ object LlmDedup {
   // band-bucket candidate join, exact-Jaccard verify — in DuckDB list
   // SQL; `WHERE len(s) > 0` mirrors Spark's explode dropping docs with
   // no shingles.
+  /** The MinHash signature + shingle-set relation `(doc_id, sh, sig)`
+    * behind qd04/qd09, PERSISTED — and the CALLER OWNS THE CACHE: four
+    * consumers read it (both sides of the band self-join, both sides of
+    * the Jaccard verify), they prune different columns, so their
+    * subplans differ and ReuseExchange can't dedupe them — without the
+    * persist the shingle explode + 16-min aggregate runs four times
+    * (measured 8 parquet scans). Call `.unpersist()` on the returned
+    * frame after the final action over anything derived from it
+    * (CacheContractSpec pins the release; Bench/Verify clearCache
+    * between queries covers the harness path). At 100 TB this
+    * materialization is the signature table a production pipeline lands
+    * as a silver artifact before banding.
+    */
+  def lshSignatures(docs: DataFrame): DataFrame = {
+    val k = 16
+    // Signature + shingle set in ONE grouped pass over exploded shingles:
+    // each shingle is hashed exactly once (Generate is a projection
+    // barrier), then k MIN aggregates + collect_list run as a single
+    // two-phase aggregation. Computing the signature array inline with
+    // higher-order lambdas instead re-evaluates the char-level hash k
+    // times per shingle in interpreted (CodegenFallback) eval — measured
+    // 30× slower at sf0.1.
+    val mins = (0 until k).map(j =>
+      min((col("h") * lit(389L * (j + 1) + 1) + lit(211L * (j + 1) + 7)) % lit(ModBig))
+        .as(s"_m$j"))
+    docs
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("g"))
+      .select(col("doc_id"), col("g"), hash31(col("g")).as("h"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("g")).as("sh"), mins: _*)
+      .select(col("doc_id"), col("sh"),
+        array((0 until k).map(j => col(s"_m$j")): _*).as("sig"))
+      .persist()
+  }
+
+  /** LSH banding + candidate equi-join + exact-Jaccard verify over a
+    * signature relation from [[lshSignatures]].
+    */
+  def lshVerifiedPairs(sig: DataFrame): DataFrame = {
+    val bandRows = 4 // 4 bands of 4 rows over the k=16 signature
+    // band key: one row per (doc, band), key = the band's slice of the sig
+    val banded = sig.select(
+      col("doc_id"),
+      explode(sequence(lit(0), lit(16 / bandRows - 1))).as("band"),
+      col("sig"))
+      .select(col("doc_id"), col("band"),
+        concat_ws("-", slice(col("sig"), col("band") * bandRows + 1, lit(bandRows))).as("band_key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard on the shingle sets
+    val sets = sig.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
+          size(array_union(col("sa.sh"), col("sb.sh"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
   val qd04 = Q(
     "qd04_minhash_lsh_pairs",
     s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
@@ -202,56 +267,11 @@ object LlmDedup {
        |      FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val k = 16
-    val bandRows = 4 // 4 bands of 4 rows
-    // Signature + shingle set in ONE grouped pass over exploded shingles:
-    // each shingle is hashed exactly once (Generate is a projection
-    // barrier), then k MIN aggregates + collect_list run as a single
-    // two-phase aggregation. Computing the signature array inline with
-    // higher-order lambdas instead re-evaluates the char-level hash k
-    // times per shingle in interpreted (CodegenFallback) eval — measured
-    // 30× slower at sf0.1.
-    val mins = (0 until k).map(j =>
-      min((col("h") * lit(389L * (j + 1) + 1) + lit(211L * (j + 1) + 7)) % lit(ModBig))
-        .as(s"_m$j"))
-    // persist: FOUR consumers read this relation (both sides of the
-    // band self-join, both sides of the Jaccard verify). They prune
-    // different columns, so their subplans differ and ReuseExchange
-    // can't dedupe them — without persist the shingle explode + 16-min
-    // aggregate runs four times (measured 8 parquet scans). At 100 TB
-    // this materialization is the signature table a production pipeline
-    // lands as a silver artifact before banding.
-    val d = docsSpread(s, dir)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("g"))
-      .select(col("doc_id"), col("g"), hash31(col("g")).as("h"))
-      .groupBy("doc_id")
-      .agg(collect_list(col("g")).as("sh"), mins: _*)
-      .select(col("doc_id"), col("sh"),
-        array((0 until k).map(j => col(s"_m$j")): _*).as("sig"))
-      .persist()
-    // band key: one row per (doc, band), key = the band's slice of the sig
-    val banded = d.select(
-      col("doc_id"),
-      explode(sequence(lit(0), lit(k / bandRows - 1))).as("band"),
-      col("sig"))
-      .select(col("doc_id"), col("band"),
-        concat_ws("-", slice(col("sig"), col("band") * bandRows + 1, lit(bandRows))).as("band_key"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // verify candidates with exact Jaccard on the shingle sets
-    val sets = d.select(col("doc_id"), col("sh"))
-    cand
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
-          size(array_union(col("sa.sh"), col("sb.sh"))).cast(DoubleType)).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+    // the signature relation stays cached under lshSignatures' caller-
+    // owns-the-cache contract; the harness (Bench/Verify) clears between
+    // queries, while library callers use lshSignatures/lshVerifiedPairs
+    // directly and unpersist after their final action
+    lshVerifiedPairs(lshSignatures(docsSpread(s, dir)))
   }
 
   // ---------------------------------------------------------------------

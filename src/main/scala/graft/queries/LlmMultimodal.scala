@@ -155,12 +155,31 @@ object LlmMultimodal {
        |  FROM s) ranked
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-    // persist: probes and corpus both read the decoded features; without
-    // it the decode (the expensive stage on real codecs) runs twice
-    val feats = MediaOps.decodeImages(media(s, dir).filter(col("kind") === "image"))
+    // the feature relation stays cached under imageFeatures' caller-
+    // owns-the-cache contract; the harness (Bench/Verify) clears between
+    // queries, while library callers use imageFeatures/imageSimilarityTop
+    // directly and unpersist after their final action
+    imageSimilarityTop(imageFeatures(media(s, dir)))
+  }
+
+  /** The decoded image-feature relation `(media_id, features)` behind
+    * qm05, PERSISTED — and the CALLER OWNS THE CACHE: probes and corpus
+    * both read it, and without the persist the decode (the expensive
+    * stage on real codecs) runs twice. Call `.unpersist()` on the
+    * returned frame after the final action over anything derived from it
+    * (CacheContractSpec pins the release; Bench/Verify clearCache covers
+    * the harness path).
+    */
+  def imageFeatures(mediaDs: org.apache.spark.sql.Dataset[MediaOps.MediaRow]): DataFrame =
+    MediaOps.decodeImages(mediaDs.filter(col("kind") === "image"))
       .filter(col("n_bytes") > 0)
       .select(col("media_id"), col("features"))
       .persist()
+
+  /** Top-5 most-similar images per probe over a feature relation from
+    * [[imageFeatures]] (broadcast-probe brute force, qs01 anatomy).
+    */
+  def imageSimilarityTop(feats: DataFrame): DataFrame = {
     val probes = feats.filter(col("media_id") < 30)
       .select(col("media_id").as("query_id"), col("features").as("qf"))
     import org.apache.spark.sql.expressions.Window

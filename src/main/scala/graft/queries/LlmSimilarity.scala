@@ -154,6 +154,13 @@ object LlmSimilarity {
         .toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    // the three EAGER passes (seed collect + 2 Lloyd collects) are done —
+    // release the cache here so the RETURNED frame is cache-free (no
+    // entry left for the caller to leak). Its two remaining consumers
+    // (cell tagging, probe ranking) re-scan parquet once each, which is
+    // the cheap side of the trade: the index-build iteration is what
+    // needed residency.
+    e.unpersist(blocking = false)
 
     // inverted lists: corpus tagged with its cell
     val corpus = e.select(col("vec_id"), col("embedding"),
