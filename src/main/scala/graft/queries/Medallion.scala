@@ -1,0 +1,247 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ecom.{Bronze, DqChecks, Lakehouse}
+import graft.util.Exact.dsum
+import graft.util.Tables.load
+
+/** The full production pipeline as ONE benchable, oracle-checkable
+  * query: testdata events adapted to the reference's seven raw sources →
+  * Bronze audit stamping → Silver clean/dedup → partitioned Lakehouse
+  * writes → Gold models read back from disk → the four DQ checks — the
+  * same path `Lakehouse.runAll` takes in production (reference:
+  * `README.md:26-33`, the four notebooks in order). The per-operator
+  * queries time operators; this times the MEDALLION, writes included.
+  *
+  * The result is a fingerprint row per gold table (row count, exact-
+  * decimal money sum, unit count) plus one DQ row, so the oracle pins
+  * the actual content of every gold model produced by the end-to-end
+  * run — not just that it ran.
+  */
+object Medallion {
+
+  private val IngestTs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+  private val AsOf = java.time.LocalDate.parse("2025-01-01")
+
+  /** Adapt the testdata event stream into the seven raw bronze sources
+    * (same deterministic derivations as the q20–q23 e2e adapters, except
+    * ids stay NUMERIC strings so Silver's clean_id keeps them).
+    */
+  def bronzeFromEvents(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    val raw = load(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts"), col("value"),
+      get_json_object(col("props"), "$.k").as("product_id"),
+      when(col("event_type") === "view", "page_view")
+        .when(col("event_type") === "click", "add_to_cart")
+        .otherwise(col("event_type")).as("event_type"))
+
+    val events = raw.select(
+      col("event_id"),
+      col("user_id").cast(StringType).as("session_id"),
+      col("ts").as("timestamp"),
+      col("event_type"),
+      col("product_id"),
+      lit(1).as("qty"),
+      lit(null).cast(IntegerType).as("cart_size"),
+      lit("card").as("payment"),
+      lit(0.0).as("discount_pct"),
+      col("value").as("amount_usd"))
+
+    val purchases = raw.filter(col("event_type") === "purchase")
+    val orders = purchases.select(
+      col("event_id").as("order_id"),
+      col("user_id").cast(StringType).as("customer_id"),
+      col("ts").as("order_time"),
+      lit("card").as("payment_method"),
+      lit(0.0).as("discount_pct"),
+      col("value").as("subtotal_usd"),
+      col("value").as("total_usd"),
+      lit("US").as("country"), lit("web").as("device"), lit("ads").as("source"))
+    val orderItems = purchases.select(
+      col("event_id").as("order_id"),
+      col("product_id"),
+      col("value").as("unit_price_usd"),
+      lit(1).as("quantity"),
+      col("value").as("line_total_usd"))
+
+    val products = raw.filter(col("product_id").isNotNull)
+      .select(col("product_id")).distinct()
+      .select(col("product_id"),
+        concat(lit("cat_"), (col("product_id").cast(LongType) % 5).cast(StringType)).as("category"),
+        concat(lit("product_"), col("product_id")).as("name"),
+        col("product_id").cast(DoubleType).as("price_usd"),
+        lit(0.0).as("cost_usd"), lit(0.0).as("margin_usd"))
+
+    val reviews = raw.filter(col("event_type") === "signup").select(
+      col("event_id").as("review_id"),
+      lit(null).cast(StringType).as("order_id"),
+      col("product_id"),
+      (col("product_id").cast(LongType) % 5 + 1).cast(IntegerType).as("rating"),
+      lit("ok").as("review_text"),
+      col("ts").as("review_time"))
+
+    val sessions = raw.filter(col("user_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg((min(col("ts")) - expr("INTERVAL 60 SECONDS")).as("start_time"))
+      .select(
+        col("user_id").cast(StringType).as("session_id"),
+        col("user_id").cast(StringType).as("customer_id"),
+        col("start_time"),
+        lit("web").as("device"), lit("ads").as("source"), lit("US").as("country"))
+
+    val customers = raw.select(col("user_id")).distinct().select(
+      col("user_id").cast(StringType).as("customer_id"),
+      concat(lit("user_"), col("user_id")).as("name"),
+      concat(col("user_id").cast(StringType), lit("@x.com")).as("email"),
+      lit("US").as("country"),
+      (col("user_id") % 80 + 18).as("age"),
+      date_format(
+        date_add(lit("2023-01-01").cast(DateType), (col("user_id") % 365).cast(IntegerType)),
+        "yyyy-MM-dd").as("signup_date"),
+      (col("user_id") % 2 === 0).as("marketing_opt_in"))
+
+    Map(
+      "customers" -> customers, "events" -> events, "orders" -> orders,
+      "order_items" -> orderItems, "products" -> products,
+      "reviews" -> reviews, "sessions" -> sessions)
+      .map { case (n, df) => n -> Bronze.stampAt(df, s"$n.synthetic", IngestTs) }
+  }
+
+  // one fingerprint row: relation name, row count, exact-decimal money
+  // sum (2-dec values -> order-independent under any shuffle), unit sum
+  private def fp(name: String, df: DataFrame, money: Column, units: Column): DataFrame =
+    df.agg(
+        count(lit(1)).as("n_rows"),
+        dsum(money).as("total_money"),
+        sum(units).cast(LongType).as("total_units"))
+      .select(lit(name).as("relation"), col("n_rows"),
+        col("total_money"), col("total_units"))
+
+  val q35 = Q(
+    "q35_medallion_e2e",
+    """WITH ev AS (
+      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      |    json_extract_string(props, '$.k') AS product_id,
+      |    CASE event_type WHEN 'view' THEN 'page_view'
+      |                    WHEN 'click' THEN 'add_to_cart'
+      |                    ELSE event_type END AS event_type,
+      |    event_id, user_id, ts, value
+      |  FROM events),
+      |em AS (
+      |  SELECT event_date, product_id,
+      |    CAST(SUM(CASE WHEN event_type = 'page_view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+      |    CAST(SUM(CASE WHEN event_type = 'add_to_cart' THEN 1 ELSE 0 END) AS BIGINT) AS cart_count
+      |  FROM ev GROUP BY 1, 2),
+      |om AS (
+      |  SELECT event_date, product_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |    CAST(SUM(1) AS BIGINT) AS units_sold
+      |  FROM ev WHERE event_type = 'purchase' AND product_id IS NOT NULL GROUP BY 1, 2),
+      |pm AS (
+      |  SELECT event_date, product_id,
+      |    COALESCE(em.view_count, 0) AS view_count,
+      |    COALESCE(em.cart_count, 0) AS cart_count,
+      |    COALESCE(om.revenue, 0.0) AS revenue,
+      |    COALESCE(om.units_sold, 0) AS units_sold
+      |  FROM em FULL OUTER JOIN om USING (event_date, product_id)
+      |  WHERE product_id IS NOT NULL),
+      |pf AS (
+      |  SELECT event_date, product_id,
+      |    CAST(SUM(CASE WHEN event_type = 'page_view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      |    CAST(SUM(CASE WHEN event_type = 'add_to_cart' THEN 1 ELSE 0 END) AS BIGINT) AS carts,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+      |  FROM ev WHERE product_id IS NOT NULL GROUP BY 1, 2),
+      |pfx AS (
+      |  SELECT views, carts, purchases,
+      |    ROUND(CASE WHEN views > 0 THEN LEAST(CAST(100.0 AS DOUBLE),
+      |      CAST(purchases AS DOUBLE) * CAST(100.0 AS DOUBLE) / views) END, 2) AS view_to_purchase_pct
+      |  FROM pf),
+      |sev AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS session_id, ts AS event_ts,
+      |    CAST(event_id AS VARCHAR) AS event_id, event_date, event_type,
+      |    value AS amount_usd
+      |  FROM ev),
+      |attrs AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS session_id,
+      |    CAST(user_id AS VARCHAR) AS customer_id,
+      |    MIN(ts) - INTERVAL 60 SECOND AS session_start_ts
+      |  FROM events WHERE user_id % 2 = 0 GROUP BY user_id),
+      |sagg AS (
+      |  SELECT session_id,
+      |    MIN(event_ts) AS events_start_ts, MAX(event_ts) AS events_end_ts,
+      |    COUNT(event_id) AS events_count,
+      |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN amount_usd ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS session_revenue,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count
+      |  FROM sev GROUP BY session_id),
+      |sm AS (
+      |  SELECT sagg.session_id, attrs.customer_id,
+      |    COALESCE(attrs.session_start_ts, sagg.events_start_ts) AS session_start_ts,
+      |    sagg.events_end_ts AS session_end_ts,
+      |    sagg.events_count, sagg.session_revenue, sagg.purchase_count,
+      |    CASE WHEN sagg.purchase_count > 0 THEN 1 ELSE 0 END AS has_purchase,
+      |    CAST(FLOOR(epoch(sagg.events_end_ts)) AS BIGINT)
+      |      - CAST(FLOOR(epoch(COALESCE(attrs.session_start_ts, sagg.events_start_ts))) AS BIGINT) AS session_duration_sec
+      |  FROM sagg LEFT JOIN attrs USING (session_id)),
+      |smf AS (SELECT * FROM sm
+      |        WHERE session_duration_sec IS NOT NULL AND session_duration_sec >= 0),
+      |cust AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS customer_id FROM events),
+      |sa AS (
+      |  SELECT customer_id,
+      |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_revenue,
+      |    CAST(SUM(has_purchase) AS BIGINT) AS total_purchases
+      |  FROM smf WHERE customer_id IS NOT NULL GROUP BY customer_id),
+      |c360 AS (
+      |  SELECT cust.customer_id,
+      |    COALESCE(sa.lifetime_revenue, 0.0) AS lifetime_revenue,
+      |    COALESCE(sa.total_purchases, 0) AS total_purchases
+      |  FROM cust LEFT JOIN sa USING (customer_id))
+      |SELECT relation, n_rows, total_money, total_units FROM (
+      |  SELECT 'customer_360' AS relation, COUNT(*) AS n_rows,
+      |    CAST(SUM(CAST(lifetime_revenue AS DECIMAL(18,2))) AS DOUBLE) AS total_money,
+      |    CAST(SUM(total_purchases) AS BIGINT) AS total_units
+      |  FROM c360
+      |  UNION ALL
+      |  SELECT 'dq', CAST(4 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'product_funnel', COUNT(*),
+      |    CAST(SUM(CAST(view_to_purchase_pct AS DECIMAL(18,2))) AS DOUBLE),
+      |    CAST(SUM(views + carts + purchases) AS BIGINT)
+      |  FROM pfx
+      |  UNION ALL
+      |  SELECT 'product_metrics', COUNT(*),
+      |    CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE),
+      |    CAST(SUM(view_count + cart_count + units_sold) AS BIGINT)
+      |  FROM pm
+      |  UNION ALL
+      |  SELECT 'session_metrics', COUNT(*),
+      |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE),
+      |    CAST(SUM(events_count) AS BIGINT)
+      |  FROM smf) u
+      |ORDER BY relation""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // a fresh throwaway warehouse per invocation: the bench reps each
+    // pay the full write cost (that IS what this query times)
+    val wh = Files.createTempDirectory("graft-medallion-").toString
+    val gold = Lakehouse(s, wh).runAll(bronzeFromEvents(s, dir), AsOf, enforceDq = false)
+    val dq = DqChecks.runAll(gold)
+    val dqRow = Seq(("dq", dq.count(_.passed).toLong, 0.0, dq.map(_.badCount).sum))
+      .toDF("relation", "n_rows", "total_money", "total_units")
+    fp("product_metrics", gold("product_metrics"),
+        col("revenue"), col("view_count") + col("cart_count") + col("units_sold"))
+      .unionByName(fp("product_funnel", gold("product_funnel"),
+        col("view_to_purchase_pct"), col("views") + col("carts") + col("purchases")))
+      .unionByName(fp("session_metrics", gold("session_metrics"),
+        col("session_revenue"), col("events_count")))
+      .unionByName(fp("customer_360", gold("customer_360"),
+        col("lifetime_revenue"), col("total_purchases")))
+      .unionByName(dqRow)
+      .orderBy("relation")
+  }
+
+  val all: Seq[Q] = Seq(q35)
+}
