@@ -23,11 +23,15 @@ object Bench {
       spark.catalog.clearCache() // drop warmup-persisted intermediates
     }
     // sorted order: stable run-to-run attribution. Each query is timed
-    // `reps` times and the MIN reported: this host has ±2x wall-clock
-    // steal noise (Firecracker neighbor load), so a single sample
-    // conflates engine throughput with host weather; the min is the
-    // steady-state number a dedicated cluster node would see.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // `reps` times and the MIN reported as its headline number: this host
+    // has ±2x wall-clock steal noise (Firecracker neighbor load), so a
+    // single sample conflates engine throughput with host weather; the
+    // min is the steady-state number a dedicated cluster node would see.
+    // The MEDIAN of the same reps is emitted alongside (`queries_med`) so
+    // a reader can separate noise from regression without re-running: a
+    // med far above its min marks a query whose samples were storm-hit,
+    // not one that got slower.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Option: a failed rep must surface as -1 in the output, not as a
@@ -52,16 +56,26 @@ object Bench {
         }
       }
       val ok = times.flatten
-      name -> (if (ok.size == times.size) ok.min else -1.0)
+      val min = if (ok.size == times.size) ok.min else -1.0
+      val med =
+        if (ok.size != times.size) -1.0
+        else {
+          val s = ok.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
+      (name, min, med)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val qsMed = jmap(_._3)
     // a failed query (-1 sentinel) must POISON the total, not subtract
     // from it — otherwise a crashing slow query reads as a speedup
-    val failed = results.collect { case (k, v) if v < 0 => k }
+    val failed = results.collect { case (k, v, _) if v < 0 => k }
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"reps":$reps,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
