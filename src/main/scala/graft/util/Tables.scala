@@ -48,7 +48,16 @@ object Tables {
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
     val cores = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    // plan-statistics probe, NOT df.rdd.getNumPartitions — building the
+    // RDD DAG on every spread load just to read a count is wasted
+    // planning work. The scan yields at most ~size/maxPartitionBytes
+    // tasks, so spread while the table can't fill the cores even at the
+    // ideal split; a production-scale table sails past the threshold and
+    // skips the extra shuffle.
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxSplit) * cores)
+      df.repartition(cores)
+    else df
   }
 }
 
