@@ -26,6 +26,16 @@ object VectorFns {
         org.apache.spark.sql.graft.shims.expression(a),
         org.apache.spark.sql.graft.shims.expression(b)))
 
+  /** Integer dot product of two `array<long>` columns (exact, order-
+    * independent). Backed by the native codegen'd [[LongVecDot]] — the
+    * scan kernel of the scalar-quantized ANN path (qs04).
+    */
+  def ldot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.shims.column(
+      LongVecDot(
+        org.apache.spark.sql.graft.shims.expression(a),
+        org.apache.spark.sql.graft.shims.expression(b)))
+
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 

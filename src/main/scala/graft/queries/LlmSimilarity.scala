@@ -188,7 +188,81 @@ object LlmSimilarity {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(qs01, qs02, qs03)
+  // ---------------------------------------------------------------------
+  // qs04 — scalar-quantized (int8) ANN with exact rerank. The 100 TB
+  // anatomy: (1) index build = ONE exact scalar (the corpus max-|x|,
+  // order-independent, driver-sized) fixing the symmetric quantizer
+  // q = floor(x * 127/maxabs + 0.5); (2) the scan-everything stage
+  // scores int8 vectors with an exact integer dot (native codegen'd
+  // LongVecDot) — in production the quantized corpus is a materialized
+  // silver artifact 4× smaller than the floats, so the full-corpus pass
+  // reads a quarter of the bytes and runs SIMD-able integer math;
+  // (3) float vectors are fetched by id ONLY for the top-C candidates
+  // per query (a broadcast join of 8×C rows against the corpus scan)
+  // and reranked by exact cosine. floor(x+0.5) instead of round():
+  // identical half-up semantics in Spark and DuckDB, no tie ambiguity.
+  // Recall@5 vs the exact qs01 is pinned in LlmSimilaritySpec.
+  val qs04 = Q(
+    "qs04_ann_quantized_topk",
+    s"""WITH sc AS (SELECT CAST(127 AS DOUBLE) /
+       |    MAX(list_max(list_transform(embedding, x -> abs(x::DOUBLE)))) AS s FROM embeddings),
+       |qz AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * sc.s + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings, sc),
+       |p AS (SELECT vec_id AS query_id, qv AS pqv FROM qz WHERE vec_id < 8),
+       |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, len(c.qv)+1), i -> c.qv[i] * p.pqv[i]), (a,b) -> a+b) AS qdot
+       |  FROM qz c, p WHERE c.vec_id <> p.query_id),
+       |topc AS (SELECT query_id, neighbor_id, qdot FROM (
+       |    SELECT query_id, neighbor_id, qdot,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS cr
+       |    FROM cand) t WHERE cr <= 20),
+       |rr AS (SELECT t.query_id, t.neighbor_id, t.qdot,
+       |    ${DuckSql.cosine("q.embedding", "n.embedding")} AS cos_sim
+       |  FROM topc t JOIN embeddings q ON q.vec_id = t.query_id
+       |              JOIN embeddings n ON n.vec_id = t.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, qdot, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, qdot, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM rr) ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir)
+    // index build: one exact order-independent scalar to the driver
+    val maxAbs = e
+      .agg(max(array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))))
+      .head.getDouble(0)
+    val scale = 127.0 / maxAbs
+    def quant(v: Column): Column =
+      transform(v, x => floor(x.cast(DoubleType) * lit(scale) + lit(0.5)))
+    val qz = e.select(col("vec_id"), quant(col("embedding")).as("qv"))
+    val p = qz.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("qv").as("pqv"))
+    // full-corpus int8 pass: broadcast probes, native integer dot
+    val cand = qz.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        ldot(col("qv"), col("pqv")).as("qdot"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val topc = cand.withColumn("cr", row_number().over(cw)).filter(col("cr") <= 20)
+      .select("query_id", "neighbor_id", "qdot")
+    // rerank: fetch floats by id for the 8×20 candidates only
+    val qvecs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.join(broadcast(topc), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        cosine(col("qe"), col("embedding")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "qdot", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04)
 }
 
 /** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its

@@ -320,5 +320,136 @@ object LlmText {
       .limit(200)
   }
 
-  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08)
+  // ---------------------------------------------------------------------
+  // qt09 — repetition quality filters (the Gopher/RefinedWeb family):
+  // per doc, the fraction of tokens in the most-frequent token / the
+  // duplicated tokens, and the same over bigrams, plus a composite
+  // `repetitive` flag. Plan: ONE scan explodes tokens and bigrams
+  // together (tagged structs — no second pass over the text), a
+  // (doc, n, gram)-keyed two-phase aggregate collapses repeats map-side
+  // before the only data-sized shuffle (carrying per-doc gram
+  // vocabularies, bounded by doc length), and a per-doc conditional
+  // rollup pivots both gram lengths in one pass. Thresholds calibrated
+  // on the testdata so both arms of the flag fire (11 and 280 of 500
+  // docs at sf0.01).
+  val qt09 = Q(
+    "qt09_repetition",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, unnest(list_concat(
+      |    list_transform(tk, x -> {'glen': 1, 'gram': x}),
+      |    list_transform(range(1, len(tk)), i -> {'glen': 2, 'gram': tk[i] || ' ' || tk[i+1]}))) AS u FROM t),
+      |c AS (SELECT doc_id, u.glen AS glen, u.gram AS gram, COUNT(*) AS n FROM g GROUP BY doc_id, glen, gram),
+      |r AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN glen=1 THEN n END) AS BIGINT) AS n_tokens,
+      |    MAX(CASE WHEN glen=1 THEN n END) AS top_token,
+      |    CAST(COALESCE(SUM(CASE WHEN glen=1 AND n>1 THEN n END), 0) AS BIGINT) AS dup_token,
+      |    CAST(COALESCE(SUM(CASE WHEN glen=2 THEN n END), 0) AS BIGINT) AS n_bigrams,
+      |    COALESCE(MAX(CASE WHEN glen=2 THEN n END), 0) AS top_bigram,
+      |    CAST(COALESCE(SUM(CASE WHEN glen=2 AND n>1 THEN n END), 0) AS BIGINT) AS dup_bigram
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  CAST(top_token AS DOUBLE) / n_tokens AS top_token_frac,
+      |  CAST(dup_token AS DOUBLE) / n_tokens AS dup_token_frac,
+      |  n_bigrams,
+      |  CAST(top_bigram AS DOUBLE) / GREATEST(n_bigrams, 1) AS top_bigram_frac,
+      |  CAST(dup_bigram AS DOUBLE) / GREATEST(n_bigrams, 1) AS dup_bigram_frac,
+      |  ((top_bigram >= 2 AND CAST(top_bigram AS DOUBLE) / GREATEST(n_bigrams, 1) > 0.1)
+      |    OR CAST(dup_token AS DOUBLE) / n_tokens > 0.8) AS repetitive
+      |FROM r
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    repetitionStats(docs(s, dir))
+  }
+
+  /** qt09 core over any (doc_id, text) frame — injectable for planted
+    * specs. See the qt09 comment for the plan shape.
+    */
+  def repetitionStats(d: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    // one pass: tokens and bigrams tagged into a single exploded stream
+    val tagged = concat(
+      transform(tk, x => struct(lit(1).as("glen"), x.as("gram"))),
+      transform(shingles(col("text"), 2), g => struct(lit(2).as("glen"), g.as("gram"))))
+    val one = col("glen") === 1
+    val two = col("glen") === 2
+    val r = d
+      .select(col("doc_id"), explode(tagged).as("u"))
+      .select(col("doc_id"), col("u.glen").as("glen"), col("u.gram").as("gram"))
+      .groupBy("doc_id", "glen", "gram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum(when(one, col("n"))).as("n_tokens"),
+        max(when(one, col("n"))).as("top_token"),
+        coalesce(sum(when(one && col("n") > 1, col("n"))), lit(0L)).as("dup_token"),
+        coalesce(sum(when(two, col("n"))), lit(0L)).as("n_bigrams"),
+        coalesce(max(when(two, col("n"))), lit(0L)).as("top_bigram"),
+        coalesce(sum(when(two && col("n") > 1, col("n"))), lit(0L)).as("dup_bigram"))
+    val nbg = greatest(col("n_bigrams"), lit(1L))
+    val topBigramFrac = col("top_bigram").cast(DoubleType) / nbg
+    val dupTokenFrac = col("dup_token").cast(DoubleType) / col("n_tokens")
+    r.select(
+      col("doc_id"), col("n_tokens"),
+      (col("top_token").cast(DoubleType) / col("n_tokens")).as("top_token_frac"),
+      dupTokenFrac.as("dup_token_frac"),
+      col("n_bigrams"),
+      topBigramFrac.as("top_bigram_frac"),
+      (col("dup_bigram").cast(DoubleType) / nbg).as("dup_bigram_frac"),
+      // top-bigram arm requires the bigram to actually REPEAT (count ≥ 2):
+      // a short all-distinct doc trivially has top_bigram_frac 1/n_bigrams
+      // > 0.1 and must not be flagged for being short
+      ((col("top_bigram") >= 2 && topBigramFrac > 0.1) || dupTokenFrac > 0.8)
+        .as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qt10 — boilerplate n-gram coverage (the C4/RefinedWeb "remove
+  // templated text" signal): 3-gram shingles whose document frequency
+  // reaches 1% of the corpus (floor 2) are boilerplate; report each
+  // doc's coverage by them. Scale anatomy: the df aggregate is two-phase
+  // (map-side collapses per-partition repeats); the boilerplate set is
+  // then BROADCAST back onto the shingle stream — its size is bounded by
+  // total-shingles / (0.01 × n_docs) ≈ 100 × avg doc length, a constant
+  // independent of corpus row count, so the broadcast never grows with
+  // the data. n_docs is one driver-sized count; the relative threshold
+  // keeps the definition stable across SFs where any absolute df would
+  // flip between empty and everything.
+  val qt10 = Q(
+    "qt10_boilerplate",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |n AS (SELECT GREATEST(CAST(ceil(0.01 * COUNT(*)) AS BIGINT), 2) AS thr FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM t),
+      |df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g),
+      |bp AS (SELECT g FROM df WHERE df >= (SELECT thr FROM n)),
+      |cov AS (SELECT sh.doc_id, COUNT(*) AS n_shingles, COUNT(bp.g) AS n_boilerplate
+      |        FROM sh LEFT JOIN bp ON sh.g = bp.g GROUP BY sh.doc_id)
+      |SELECT doc_id,
+      |  CAST(n_shingles AS BIGINT) AS n_shingles,
+      |  CAST(n_boilerplate AS BIGINT) AS n_boilerplate,
+      |  CAST(n_boilerplate AS DOUBLE) / n_shingles AS boilerplate_frac,
+      |  CAST(n_boilerplate AS DOUBLE) / n_shingles > 0.1 AS boilerplate_heavy
+      |FROM cov
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    boilerplateCoverage(docs(s, dir))
+  }
+
+  /** qt10 core over any (doc_id, text) frame — injectable for planted
+    * specs. See the qt10 comment for the plan shape and broadcast bound.
+    */
+  def boilerplateCoverage(d: DataFrame, dfFrac: Double = 0.01): DataFrame = {
+    // driver-sized: one count fixes the corpus-relative df threshold
+    val thr = math.max(math.ceil(dfFrac * d.count()).toLong, 2L)
+    val sh = d.select(col("doc_id"), explode(shingles(col("text"), 3)).as("g"))
+    val bp = sh.groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= thr)
+      .select(col("g"), lit(1L).as("hit"))
+    sh.join(broadcast(bp), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_boilerplate"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_boilerplate"),
+        (col("n_boilerplate").cast(DoubleType) / col("n_shingles")).as("boilerplate_frac"),
+        (col("n_boilerplate").cast(DoubleType) / col("n_shingles") > 0.1).as("boilerplate_heavy"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10)
 }

@@ -38,6 +38,26 @@ class VectorFnsSpec extends SparkSuite {
     assert(native == Seq(None, Some(11.0)))
   }
 
+  test("ldot matches a hand computation and the composed integer fold") {
+    val df = Seq((Seq(3L, -2L, 7L), Seq(10L, 5L, 2L))).toDF("a", "b")
+    val got = df.select(ldot(col("a"), col("b")).as("d")).as[Long].head()
+    assert(got == 3L * 10 - 2L * 5 + 7L * 2)
+    val composed = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("d")).as[Long].head()
+    assert(got == composed)
+  }
+
+  test("ldot propagates NULL elements like the composed form") {
+    val df = Seq(
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](2L, 3L), Seq[java.lang.Long](4L, 5L)))
+      .toDF("a", "b")
+    val native = df.select(ldot(col("a"), col("b")).as("d"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(native == Seq(None, Some(23L)))
+  }
+
   test("lshBucket is deterministic and bounded by plane count") {
     val planes = hyperplanes(nPlanes = 6, dim = 4)
     val df = Seq(Seq(1.0f, -2.0f, 0.5f, 3.0f), Seq(-1.0f, 2.0f, -0.5f, -3.0f)).toDF("v")

@@ -73,6 +73,27 @@ class LlmQueriesSpec extends SparkSuite {
     assert(hits.toDouble / trueTop.size >= 0.5, s"recall=${hits.toDouble / trueTop.size}")
   }
 
+  test("qs04 quantized ANN reranks to exact cosines with high top-5 recall") {
+    val exact = LlmSimilarity.qs01.fn(spark, dir)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = LlmSimilarity.qs04.fn(spark, dir).collect()
+    assert(got.length == 40) // 8 queries × top-5 survive the C=20 rerank
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      // rerank is the SAME cosine as qs01 — bit-equal where pairs overlap
+      exact.get(key).foreach(c => assert(c == r.getAs[Double]("cos_sim")))
+      // int8 dot of 64-dim int8 vectors is bounded by 64 × 127²
+      assert(math.abs(r.getAs[Long]("qdot")) <= 64L * 127 * 127)
+    }
+    // int8 + rerank-from-20 keeps nearly all of the true top-5: require
+    // ≥90% recall (strictly better than the bucketed ANN paths demand)
+    val trueTop = exact.keySet
+    val hits = got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .count(trueTop.contains)
+    assert(hits.toDouble / trueTop.size >= 0.9, s"recall=${hits.toDouble / trueTop.size}")
+  }
+
   test("qs02 ANN results agree with qs01 exact scores where they overlap") {
     val exact = LlmSimilarity.qs01.fn(spark, dir)
       .select("query_id", "neighbor_id", "cos_sim").collect()

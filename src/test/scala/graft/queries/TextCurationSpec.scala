@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Planted-corpus behavior tests for the round-5 curation operators:
+  * qt09 repetition filters and qt10 boilerplate coverage. Each test
+  * hand-computes the expected stats on a corpus built to trip (or not
+  * trip) the flags, so the thresholds' PURPOSE is pinned, not just the
+  * arithmetic the DuckDB oracle already hash-checks.
+  */
+class TextCurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("qt09 flags a looping doc via top-bigram fraction and passes clean text") {
+    val corpus = Seq(
+      // doc 1: "buy now" loop — 8 tokens, 7 bigrams, "buy now" ×4 of 7
+      (1L, "buy now buy now buy now buy now"),
+      // doc 2: all-distinct tokens — zero duplication anywhere
+      (2L, "alpha bravo charlie delta echo foxtrot"),
+      // doc 3: one repeated token but no repeated bigram ("a b a c a d")
+      (3L, "a b a c a d")).toDF("doc_id", "text")
+    val got = LlmText.repetitionStats(corpus).collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+
+    val loop = byId(1L)
+    assert(loop.getAs[Long]("n_tokens") == 8)
+    assert(loop.getAs[Double]("top_token_frac") == 0.5) // "buy" 4/8
+    assert(loop.getAs[Double]("dup_token_frac") == 1.0) // every token repeats
+    assert(loop.getAs[Long]("n_bigrams") == 7)
+    assert(loop.getAs[Double]("top_bigram_frac") == 4.0 / 7) // "buy now" ×4
+    assert(loop.getAs[Boolean]("repetitive"))
+
+    val clean = byId(2L)
+    assert(clean.getAs[Double]("dup_token_frac") == 0.0)
+    // 5 unique bigrams → top_bigram_frac 0.2 exceeds the 0.1 threshold,
+    // but the top bigram occurs ONCE — the count≥2 guard must not flag a
+    // short all-distinct doc for being short
+    assert(clean.getAs[Double]("top_bigram_frac") == 1.0 / 5)
+    assert(clean.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(!clean.getAs[Boolean]("repetitive"))
+
+    val tokenRep = byId(3L)
+    assert(tokenRep.getAs[Double]("top_token_frac") == 0.5) // "a" 3/6
+    assert(tokenRep.getAs[Double]("dup_token_frac") == 0.5) // 3 of 6 tokens
+    assert(tokenRep.getAs[Double]("dup_bigram_frac") == 0.0) // all bigrams unique
+    assert(!tokenRep.getAs[Boolean]("repetitive")) // 0.5 ≤ 0.8, 1/5 bigram top
+  }
+
+  test("qt09 single-token doc divides by the bigram guard, not by zero") {
+    val got = LlmText.repetitionStats(Seq((7L, "solo")).toDF("doc_id", "text")).head()
+    assert(got.getAs[Long]("n_tokens") == 1)
+    assert(got.getAs[Long]("n_bigrams") == 0)
+    assert(got.getAs[Double]("top_bigram_frac") == 0.0)
+    assert(got.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(!got.getAs[Boolean]("repetitive"))
+  }
+
+  test("qt10 marks the planted template 3-gram as boilerplate and only it") {
+    // 20 docs open with the same 4-token banner (3 boilerplate shingles
+    // each: "click here to", "here to subscribe", + the bridge shingle
+    // into the unique tail differs per doc) and carry unique tails; 5
+    // docs are banner-free. Threshold: ceil(1% × 25) → floor 2 → any
+    // shingle in ≥2 docs is boilerplate.
+    val bannered = (0 until 20).map(i =>
+      (i.toLong, s"click here to subscribe tail$i one$i two$i"))
+    val clean = (100 until 105).map(i =>
+      (i.toLong, s"unique$i words$i only$i here$i now$i"))
+    val corpus = (bannered ++ clean).toDF("doc_id", "text")
+    val got = LlmText.boilerplateCoverage(corpus).collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+
+    bannered.foreach { case (id, _) =>
+      val r = byId(id)
+      // 7 tokens → 5 shingles; "click here to" + "here to subscribe" are
+      // shared by all 20, "to subscribe tailN" is unique per doc
+      assert(r.getAs[Long]("n_shingles") == 5)
+      assert(r.getAs[Long]("n_boilerplate") == 2, s"doc $id")
+      assert(r.getAs[Double]("boilerplate_frac") == 0.4)
+      assert(r.getAs[Boolean]("boilerplate_heavy"))
+    }
+    clean.foreach { case (id, _) =>
+      val r = byId(id)
+      assert(r.getAs[Long]("n_boilerplate") == 0, s"doc $id")
+      assert(!r.getAs[Boolean]("boilerplate_heavy"))
+    }
+  }
+
+  test("qt10 boilerplate set stays broadcast in the physical plan") {
+    val corpus = (0 until 30).map(i => (i.toLong, s"a b c d$i e$i f$i")).toDF("doc_id", "text")
+    val plan = LlmText.boilerplateCoverage(corpus).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"df-capped boilerplate set must broadcast, got:\n$plan")
+  }
+}
