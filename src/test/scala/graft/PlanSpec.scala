@@ -104,19 +104,59 @@ class PlanSpec extends SparkSuite {
   }
 
   test("no query plans a cartesian product / surprise nested-loop join") {
-    // qs01/qm05 intentionally BroadcastNestedLoopJoin: a handful of
+    // qs01/qm05/qs04 intentionally BroadcastNestedLoopJoin: a handful of
     // broadcast probe vectors against a linear corpus scan IS the
-    // brute-force baseline. Everything else must join on keys — at
-    // 100 TB an accidental cartesian (e.g. a join condition that
-    // stopped being an equi-join after a refactor) is the difference
-    // between hours and never.
-    val allowNested = Set("qs01_cosine_topk", "qm05_image_similarity")
+    // brute-force baseline (qs04's int8 pass has the same probe shape).
+    // Everything else must join on keys — at 100 TB an accidental
+    // cartesian (e.g. a join condition that stopped being an equi-join
+    // after a refactor) is the difference between hours and never.
+    val allowNested =
+      Set("qs01_cosine_topk", "qm05_image_similarity", "qs04_ann_quantized_topk")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
       if (!allowNested(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("runtime bloom filter injects on the fact side of a selective shuffle join") {
+    // The 100 TB knob the small-SF plans never show: when a selective dim
+    // filter feeds a shuffle join, Spark can build a bloom filter from the
+    // creation side and push it into the fact scan, skipping most shuffle
+    // write volume. Thresholds here are shrunk exactly like production
+    // would NOT need to (real fact scans pass the 10 GB gate on their
+    // own); what's pinned is that OUR join shape — fact ⋈ filtered dim on
+    // a key equality — satisfies InjectRuntimeFilter's structural
+    // requirements, so the optimization is available at scale.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    try {
+      val li = graft.util.Tables.load(spark, sf, "lineitem")
+      val ord = graft.util.Tables.load(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val j = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom filter injected into the fact side:\n$optimized")
+      // and the result is unaffected by the filter (it only prunes rows
+      // the join would drop anyway)
+      assert(j.collect().length == 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
     }
   }
 }
