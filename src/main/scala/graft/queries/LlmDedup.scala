@@ -295,21 +295,15 @@ object LlmDedup {
   // ---------------------------------------------------------------------
   // qd05 — SimHash fingerprints (62-bit, majority vote per bit over token
   // hashes): near-dup docs land within small Hamming distance.
-  val qd05 = Q(
-    "qd05_simhash",
-    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-       |th AS (SELECT doc_id, list_transform(t, g -> ${duckHash62("g")}) AS h FROM tok)
-       |SELECT doc_id,
-       |  list_reduce(list_transform(range(0, 62), b ->
-       |    CASE WHEN list_reduce(list_transform(h, x -> ((x >> b) & 1)*2 - 1), (p,q) -> p+q) > 0
-       |         THEN (1::BIGINT << b) ELSE 0::BIGINT END), (p,q) -> p+q) AS simhash
-       |FROM th
-       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // Explode tokens → hash each ONCE → 62 per-bit vote SUMs in a single
-    // two-phase hash aggregate, then reassemble the fingerprint from the
-    // vote signs. Same result as the array-lambda formulation but the
-    // hot path (one hash per token + 62 shift/add per row) is a plain
-    // codegen'd aggregate instead of interpreted nested lambdas.
+
+  /** SimHash fingerprint relation (doc_id, simhash), shared by qd05 and
+    * qd10. Explode tokens → hash each ONCE → 62 per-bit vote SUMs in a
+    * single two-phase hash aggregate, then reassemble the fingerprint
+    * from the vote signs. Same result as the array-lambda formulation
+    * but the hot path (one hash per token + 62 shift/add per row) is a
+    * plain codegen'd aggregate instead of interpreted nested lambdas.
+    */
+  private def simhashRel(s: SparkSession, dir: String): DataFrame = {
     val votes = (0 until 62).map(b =>
       sum(shiftright(col("h"), b) % lit(2L) * lit(2L) - lit(1L)).as(s"_v$b"))
     val fp = (0 until 62).map(b =>
@@ -320,7 +314,82 @@ object LlmDedup {
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  // DuckDB CTE prefix computing the same (doc_id, simhash) relation.
+  private def duckSimhashCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |th AS (SELECT doc_id, list_transform(t, g -> ${duckHash62("g")}) AS h FROM tok),
+       |sig AS (SELECT doc_id,
+       |  list_reduce(list_transform(range(0, 62), b ->
+       |    CASE WHEN list_reduce(list_transform(h, x -> ((x >> b) & 1)*2 - 1), (p,q) -> p+q) > 0
+       |         THEN (1::BIGINT << b) ELSE 0::BIGINT END), (p,q) -> p+q) AS simhash
+       |FROM th)""".stripMargin
+
+  val qd05 = Q(
+    "qd05_simhash",
+    s"""WITH $duckSimhashCtes
+       |SELECT doc_id, simhash FROM sig
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    simhashRel(s, dir).orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qd10 — SimHash near-dup PAIRS via Hamming-ball banding (the pair-
+  // generation half of the SimHash family; qd05 emits the fingerprints).
+  // The classic web-dedup construction (Manku/Jain/Das Sarma, WWW'07
+  // "Detecting Near-Duplicates for Web Crawling"): split the 62-bit
+  // fingerprint into 4 contiguous bands (16+16+15+15 bits). A pair at
+  // Hamming distance <= 3 differs in at most 3 bands, so by pigeonhole
+  // it agrees EXACTLY on at least one band — candidates are an equi-join
+  // on (band, band_value) with recall 1.0 inside the radius, and verify
+  // is one codegen'd bit_count(xor) per candidate. Same plan family as
+  // qd04's MinHash banding: shuffle on a band key, never all-pairs.
+  //
+  // 100 TB note: expected RANDOM collisions per band ≈ n²/2^(w+1), so a
+  // 16-bit band saturates around n ≈ 10^5 docs per shard. Production
+  // (Manku §3) keeps recall by widening the exact-match prefix and
+  // taking t = C(k, d) block combinations instead of k contiguous bands
+  // — the plan shape (equi-join per table on a band key + bit_count
+  // verify) is IDENTICAL, only the band-key arithmetic and the number
+  // of banded copies change; w scales as log2(n)+δ to hold collisions
+  // per band at O(n).
+  private val SimhashBandLayout: Seq[(Int, Int)] =
+    Seq((0, 16), (16, 16), (32, 15), (47, 15)) // (low bit, width)
+  private val MaxHamming = 3
+
+  val qd10 = Q(
+    "qd10_simhash_neardup",
+    s"""WITH $duckSimhashCtes,
+       |banded AS (SELECT doc_id, r.b AS band,
+       |    (simhash >> ([0,16,32,47])[r.b+1]) & (([65535,65535,32767,32767])[r.b+1])::BIGINT AS band_key
+       |  FROM sig, range(0,4) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $MaxHamming
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sig = simhashRel(s, dir)
+    val bandKeys = array(SimhashBandLayout.map { case (lo, w) =>
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+    }: _*)
+    val banded = sig.select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa.simhash").bitwiseXOR(col("sb.simhash"))).as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy("hamming", "doc_a", "doc_b")
   }
 
   // ---------------------------------------------------------------------
@@ -468,5 +537,5 @@ object LlmDedup {
       .orderBy("cluster_id", "doc_id")
   }
 
-  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09)
+  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10)
 }

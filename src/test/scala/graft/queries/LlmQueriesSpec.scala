@@ -23,6 +23,25 @@ class LlmQueriesSpec extends SparkSuite {
     }
   }
 
+  test("qd10 Hamming banding finds EVERY pair within the radius, and only those") {
+    // Manku-banding recall guarantee: 4 bands / radius 3 → pigeonhole says
+    // recall is exactly 1.0, so the banded plan must equal all-pairs
+    // brute force over the fingerprints — including the hamming values.
+    val sig = LlmDedup.qd05.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, sa) <- sig
+      (idb, sb) <- sig
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val banded = LlmDedup.qd10.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Number]("hamming").intValue)).toSet
+    assert(banded.nonEmpty, "expected near-dup pairs in testdata")
+    assert(banded == brute,
+      s"banding missed ${(brute -- banded).take(5)} / extras ${(banded -- brute).take(5)}")
+  }
+
   test("qd08 LSH-blocked pair scores are exact and descending") {
     import org.apache.spark.sql.types.DoubleType
     val rows = LlmDedup.qd08.fn(spark, dir).collect()
