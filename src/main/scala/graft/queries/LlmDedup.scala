@@ -496,9 +496,10 @@ object LlmDedup {
   // the corpus), so every round is a small-key shuffle; rounds ~
   // component diameter, which for near-dup clusters is single digits.
   // The oracle computes the same components with a recursive CTE.
-  val qd09 = Q(
-    "qd09_dedup_clusters",
-    s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+  // DuckDB CTE prefix computing qd04's verified pairs and their connected
+  // components as `comp (doc_id, cluster_id)` — shared by qd09 and qd12.
+  private def duckClusterCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
        |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
        |         ELSE [] END) AS s FROM tok),
@@ -523,19 +524,155 @@ object LlmDedup {
        |  SELECT a, a FROM edges
        |  UNION
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
+  /** Spark twin of `duckClusterCtes`: qd04's verified near-dup pairs →
+    * connected components, as `(doc_id, cluster_id)`.
+    */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = qd04.fn(s, dir).select("doc_a", "doc_b")
+    graft.ops.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  val qd09 = Q(
+    "qd09_dedup_clusters",
+    s"""WITH RECURSIVE $duckClusterCtes
        |SELECT c.doc_id, c.cluster_id, n.cluster_size
        |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
        |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
        |ORDER BY cluster_id, doc_id""".stripMargin) { (s, dir) =>
-    val pairs = qd04.fn(s, dir).select("doc_a", "doc_b")
-    val labels = graft.ops.GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
-      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val labels = clusterLabels(s, dir)
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("cluster_id", "doc_id")
   }
 
-  val all: Seq[Q] = Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10)
+  // ---------------------------------------------------------------------
+  // qd11 — benchmark decontamination: for every training doc, the
+  // fraction of its distinct 3-gram shingles that also appear in a
+  // held-out benchmark set (here: source 'src0' plays the benchmark;
+  // the real pipeline substitutes the eval suites). The canonical
+  // test-set-leakage check a pretraining pipeline runs before training.
+  //
+  // Scale plan: the benchmark n-gram set is TINY next to the corpus
+  // (benchmarks are thousands of docs, the corpus is billions), so the
+  // distinct benchmark shingle hashes build one small relation that
+  // Catalyst auto-broadcasts; the corpus side is a single explode →
+  // broadcast-probe → per-doc count — one pass, one doc-keyed shuffle,
+  // never a shuffle of the benchmark side. The overlap fraction is
+  // emitted in exact integer basis points (no double division), so the
+  // flag threshold is engine-exact.
+  private val ContamBps = 1000L // flag docs with >= 10% benchmark overlap
+  val qd11 = Q(
+    "qd11_contamination",
+    s"""WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+       |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END) AS s FROM tok),
+       |hs AS (SELECT doc_id, source,
+       |         list_distinct(list_transform(s, g -> ${duckPolyHash("g", 31L, ModBig)})) AS h
+       |       FROM sh WHERE len(s) > 0),
+       |bench AS (SELECT DISTINCT unnest(h) AS g FROM hs WHERE source = 'src0'),
+       |ex AS (SELECT doc_id, source, unnest(h) AS g FROM hs WHERE source <> 'src0'),
+       |ov AS (SELECT e.doc_id, e.source,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |         CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |       FROM ex e LEFT JOIN bench b USING (g) GROUP BY 1, 2)
+       |SELECT doc_id, source, n_shingles, n_overlap,
+       |  n_overlap * 10000 // n_shingles AS overlap_bps,
+       |  n_overlap * 10000 >= $ContamBps * n_shingles AS contaminated
+       |FROM ov
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    contaminationStats(docs(s, dir), "src0", ContamBps)
+  }
+
+  /** qd11 core over any (doc_id, source, text) frame — injectable for
+    * planted specs. See the qd11 comment for the plan shape.
+    */
+  def contaminationStats(docsDf: DataFrame, benchSource: String, thresholdBps: Long): DataFrame = {
+    // explode → hash each shingle ONCE in codegen (hashing inside an
+    // array lambda runs interpreted — see lshSignatures), then dedup
+    // (doc, hash) to mirror the oracle's list_distinct AFTER hashing
+    val ex = docsDf
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(col("text"), 3))).as("g"))
+      .select(col("doc_id"), col("source"), hash31(col("g")).as("g"))
+      .distinct()
+    // benchmark branch: source pushdown reaches the scan, so this reads
+    // only the benchmark rows; the distinct hash set is dim-sized
+    val bench = ex.filter(col("source") === benchSource).select("g").distinct()
+    ex.filter(col("source") =!= benchSource)
+      .join(broadcast(bench.withColumn("_hit", lit(1))), Seq("g"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shingles"),
+        graft.util.Exact.countIf(col("_hit").isNotNull).as("n_overlap"))
+      .select(col("doc_id"), col("source"), col("n_shingles"), col("n_overlap"),
+        floor((col("n_overlap") * lit(10000L)) / col("n_shingles")).cast(LongType).as("overlap_bps"),
+        (col("n_overlap") * lit(10000L) >= lit(thresholdBps) * col("n_shingles")).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qd12 — cluster-aware canonical selection: the decision step that
+  // turns qd09's near-dup clusters into a dedup ACTION. Within each
+  // cluster keep the highest-quality copy (qt02's weighted score;
+  // ties broken by lowest doc_id), drop the rest — the "keep best, not
+  // keep first" policy a curation pipeline applies where near-dups
+  // differ in quality. Docs outside any cluster are implicit singleton
+  // survivors; the output is one decision row per multi-doc cluster.
+  //
+  // Scale: the cluster relation is SPARSE (only docs in verified pairs),
+  // so the quality join touches a small fraction of the corpus and the
+  // per-cluster window partitions are near-dup-cluster-sized (single
+  // digits) — no skew, no corpus-wide window.
+  val qd12 = Q(
+    "qd12_cluster_keep_best",
+    s"""WITH RECURSIVE $duckClusterCtes,
+       |q AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * CAST(0.5 AS DOUBLE)
+       |      + (CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(t)) * CAST(0.3 AS DOUBLE)
+       |      + LEAST(CAST(1.0 AS DOUBLE), CAST(len(t) AS DOUBLE) / CAST(200.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS score
+       |  FROM tok),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, q.score,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY q.score DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN q USING (doc_id))
+       |SELECT cluster_id,
+       |  CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+       |FROM ranked
+       |GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val t = tokens(col("text"))
+    val nTok = size(t).cast(DoubleType)
+    val score = (size(array_distinct(t)).cast(DoubleType) / nTok) * lit(0.5) +
+      (vocabHits(t, Seq("the", "a", "of", "and", "is", "to", "in")).cast(DoubleType) / nTok) * lit(0.3) +
+      least(lit(1.0), nTok / lit(200.0)) * lit(0.2)
+    keepBestPerCluster(
+      clusterLabels(s, dir),
+      docs(s, dir).select(col("doc_id"), score.as("score")))
+  }
+
+  /** qd12 decision core over any `(doc_id, cluster_id)` labels +
+    * `(doc_id, score)` quality frame — injectable for planted specs
+    * pinning the keep-BEST (not keep-first) policy.
+    */
+  def keepBestPerCluster(labels: DataFrame, quality: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
+    labels.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(when(col("rn") === 1, col("doc_id"))).as("kept_doc_id"),
+        (count(lit(1)) - lit(1)).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -451,5 +452,156 @@ object LlmText {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10)
+  // ---------------------------------------------------------------------
+  // qt11 — PII detection + redaction (the scrub pass a training pipeline
+  // runs before anything else). The testdata corpus is synthetic word
+  // salad with no PII, so the query PLANTS deterministic PII first —
+  // the same concat expression in both engines (an email for every doc,
+  // a phone for even doc_ids, an IPv4 for doc_ids % 3 == 0) — then
+  // detects and redacts it. The plant makes the oracle non-degenerate;
+  // the detect/redact path is the production operator: three anchored
+  // character-class regexes (identical semantics in Java regex and
+  // RE2), counts via regexp_count, global regexp_replace, all codegen'd
+  // per-row work — one map pass, no shuffle before the final sort.
+  // Patterns use [.] / [+] (not backslash escapes) so the same literal
+  // parses identically in both engines and in Scala interpolation.
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+  val PhoneRe = "[+]1-555-[0-9]{4}"
+  val IpRe = "10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  val qt11 = Q(
+    "qt11_pii_redaction",
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      || CASE WHEN doc_id % 2 = 0
+       |           THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |           ELSE '' END
+       |      || CASE WHEN doc_id % 3 = 0
+       |           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+       |           ELSE '' END AS s
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(s, '$EmailRe'))::BIGINT AS n_emails,
+       |    len(regexp_extract_all(s, '$PhoneRe'))::BIGINT AS n_phones,
+       |    len(regexp_extract_all(s, '$IpRe'))::BIGINT AS n_ips,
+       |    regexp_replace(regexp_replace(regexp_replace(s,
+       |      '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g'),
+       |      '$IpRe', '<IP>', 'g') AS redacted
+       |  FROM aug)
+       |SELECT doc_id, n_emails, n_phones, n_ips,
+       |  n_emails + n_phones + n_ips > 0 AS has_pii,
+       |  length(redacted)::BIGINT AS redacted_len,
+       |  md5(redacted) AS redacted_hash
+       |FROM red
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val aug = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast(StringType), lit("@example.com"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast(StringType), lit(".0.1")))
+        .otherwise(lit("")))
+    piiScrub(docs(s, dir).select(col("doc_id"), aug.as("s")))
+  }
+
+  /** qt11 detect/redact core over any (doc_id, s) frame — injectable
+    * for specs with real (non-planted) PII-bearing strings.
+    */
+  def piiScrub(d: DataFrame): DataFrame = {
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      col("s"), lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>")),
+      lit(IpRe), lit("<IP>"))
+    d.select(col("doc_id"),
+        regexp_count(col("s"), lit(EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("s"), lit(PhoneRe)).cast(LongType).as("n_phones"),
+        regexp_count(col("s"), lit(IpRe)).cast(LongType).as("n_ips"),
+        redacted.as("redacted"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("has_pii"),
+        length(col("redacted")).cast(LongType).as("redacted_len"),
+        md5(col("redacted")).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qt12 — token-budget data mixing: given per-language mixture weights
+  // and a total token budget (half the corpus), deterministically select
+  // documents per language — hash-ordered, so the sample is stable
+  // across runs and engines — until each language's budget is filled.
+  // The allocation step of training-data mixture construction.
+  //
+  // Scale plan: one pass computes per-doc token counts; the corpus
+  // total is ONE driver-sized scalar (broadcast back); selection is a
+  // per-language cumulative-sum window — a single shuffle partitioned
+  // by language. At 100 TB the window partition for one language can be
+  // huge, but the window only carries (doc_id, n_tokens) — the
+  // production variant range-partitions by (lang, hash-bucket) and
+  // offsets each bucket by the previous buckets' totals (two passes),
+  // same semantics. All arithmetic is integer (floor division), so the
+  // budget boundary is engine-exact.
+  private val MixWeights = Seq("de" -> 2L, "en" -> 5L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L)
+
+  val qt12 = Q(
+    "qt12_token_budget_mix",
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+       |  FROM documents),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM d),
+       |b AS (
+       |  SELECT d.*,
+       |    (CASE lang ${MixWeights.map { case (l, w) => s"WHEN '$l' THEN ${w}" }.mkString(" ")} END
+       |      * (SELECT total FROM tot)) // 20 AS budget_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT lang, MAX(budget_tokens) AS budget_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN cum <= budget_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  CAST(SUM(CASE WHEN cum <= budget_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_selected,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+       |FROM b
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    tokenBudgetMix(d, MixWeights, budgetDen = 20L)
+  }
+
+  /** qt12 allocation core over any (doc_id, lang, n_tokens) frame —
+    * injectable for specs. Per-language budget = weight × corpus total
+    * `div` budgetDen (so weights summing to 10 with budgetDen 20 spend
+    * half the corpus); selection is the hash-ordered prefix whose
+    * cumulative tokens fit the budget.
+    */
+  def tokenBudgetMix(d: DataFrame, weights: Seq[(String, Long)], budgetDen: Long): DataFrame = {
+    val total = d.agg(sum(col("n_tokens")).as("_total"))
+    val wmap = map(weights.flatMap { case (l, w) => Seq(lit(l), lit(w)) }: _*)
+    val win = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast(StringType)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = d.crossJoin(broadcast(total))
+      .withColumn("_w", element_at(wmap, col("lang")))
+      // SQL `div`: integer floor division — the budget boundary is
+      // exact in both engines at any corpus size (no double rounding)
+      .withColumn("budget_tokens", expr(s"_w * _total div ${budgetDen}L"))
+      .withColumn("cum", sum(col("n_tokens")).over(win))
+    val selected = col("cum") <= col("budget_tokens")
+    b.groupBy("lang")
+      .agg(
+        max(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_docs"),
+        graft.util.Exact.countIf(selected).as("n_selected"),
+        sum(when(selected, col("n_tokens")).otherwise(lit(0L))).as("tokens_selected"),
+        sum(col("n_tokens")).as("lang_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] =
+    Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12)
 }

@@ -132,4 +132,57 @@ class LlmQueriesSpec extends SparkSuite {
       assert(r.getDouble(2) <= exactTop(r.getLong(0)) + 1e-12)
     }
   }
+
+  test("qd11 contamination flags a benchmark copy and clears a disjoint doc") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (1L, "bench", bench),
+      // exact copy of a benchmark doc → every shingle overlaps
+      (10L, "train", bench),
+      // half-overlap: first 6 tokens shared (4 shared shingles of 8)
+      (11L, "train", "the quick brown fox jumps over a cliff edge instead today"),
+      // disjoint vocabulary → zero overlap
+      (12L, "train", "alpha bravo charlie delta echo foxtrot golf hotel india")).toDF(
+      "doc_id", "source", "text")
+    val got = LlmDedup.contaminationStats(corpus, "bench", 1000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(!got.contains(1L), "benchmark docs are not scored")
+    assert(got(10L).getAs[Long]("overlap_bps") == 10000L)
+    assert(got(10L).getAs[Boolean]("contaminated"))
+    val half = got(11L)
+    assert(half.getAs[Long]("n_overlap") > 0 &&
+      half.getAs[Long]("n_overlap") < half.getAs[Long]("n_shingles"))
+    assert(got(12L).getAs[Long]("n_overlap") == 0L)
+    assert(!got(12L).getAs[Boolean]("contaminated"))
+  }
+
+  test("qd11 benchmark shingle set broadcasts in the physical plan") {
+    import spark.implicits._
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, if (i < 5) "bench" else "train", s"w$i x$i y$i z$i common tail here"))
+      .toDF("doc_id", "source", "text")
+    val plan = LlmDedup.contaminationStats(corpus, "bench", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast-probe, got:\n$plan")
+  }
+
+  test("qd12 keeps the highest-quality copy, not the first doc_id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    // doc 3 has the best score in cluster 1 — keep-first would pick 1
+    val quality = Seq((1L, 0.2), (2L, 0.5), (3L, 0.9), (7L, 0.4), (9L, 0.4))
+      .toDF("doc_id", "score")
+    val got = LlmDedup.keepBestPerCluster(labels, quality)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("kept_doc_id") == 3L)
+    assert(got(1L).getAs[Long]("cluster_size") == 3L)
+    assert(got(1L).getAs[Long]("n_dropped") == 2L)
+    // equal scores fall back to the lowest doc_id (deterministic)
+    assert(got(7L).getAs[Long]("kept_doc_id") == 7L)
+    assert(got(7L).getAs[Long]("n_dropped") == 1L)
+  }
 }

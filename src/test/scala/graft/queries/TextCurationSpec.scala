@@ -93,4 +93,59 @@ class TextCurationSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"df-capped boilerplate set must broadcast, got:\n$plan")
   }
+
+  test("qt11 counts every planted PII form and redacts all of them") {
+    val d = Seq(
+      (1L, "reach me at jane.x@corp.io or bob7@mail.com thanks"),
+      (2L, "call +1-555-0042 or +1-555-9999 from 10.0.0.1"),
+      (3L, "no pii in this sentence at all")).toDF("doc_id", "s")
+    // piiScrub drops the redacted text (emits its hash); recompute the
+    // redaction inline to assert no pattern survives it
+    val redactedCol = regexp_replace(regexp_replace(regexp_replace(
+      col("s"), lit(LlmText.EmailRe), lit("<EMAIL>")),
+      lit(LlmText.PhoneRe), lit("<PHONE>")),
+      lit(LlmText.IpRe), lit("<IP>"))
+    val byId = LlmText.piiScrub(d).collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(byId(1L).getAs[Long]("n_emails") == 2)
+    assert(byId(1L).getAs[Boolean]("has_pii"))
+    assert(byId(2L).getAs[Long]("n_phones") == 2)
+    assert(byId(2L).getAs[Long]("n_ips") == 1)
+    assert(byId(3L).getAs[Long]("n_emails") == 0)
+    assert(!byId(3L).getAs[Boolean]("has_pii"))
+
+    val leftovers = d.select(col("doc_id"),
+        regexp_count(redactedCol, lit(LlmText.EmailRe)) +
+        regexp_count(redactedCol, lit(LlmText.PhoneRe)) +
+        regexp_count(redactedCol, lit(LlmText.IpRe)))
+      .collect().map(r => r.getInt(1)).sum
+    assert(leftovers == 0, "redacted text must contain no residual PII matches")
+  }
+
+  test("qt12 fills each language budget maximally along the hash order") {
+    // 3 langs × 10 docs of 10 tokens each; weights 1:1:2 over den 8 →
+    // budgets 25/25/50 tokens out of 100 per lang (300 total):
+    // en: floor(1*300/8)=37 → 3 docs (30 tokens), de same, zh floor(2*300/8)=75 → 7 docs
+    val d = (0 until 30).map { i =>
+      val lang = Seq("en", "de", "zh")(i % 3)
+      (i.toLong, lang, 10L)
+    }.toDF("doc_id", "lang", "n_tokens")
+    val got = LlmText.tokenBudgetMix(d, Seq("en" -> 1L, "de" -> 1L, "zh" -> 2L), budgetDen = 8L)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    Seq("en" -> 37L, "de" -> 37L, "zh" -> 75L).foreach { case (lang, budget) =>
+      val r = got(lang)
+      assert(r.getAs[Long]("budget_tokens") == budget, lang)
+      val sel = r.getAs[Long]("tokens_selected")
+      // within budget, and maximal: one more 10-token doc would overflow
+      assert(sel <= budget, lang)
+      assert(sel + 10L > budget, s"$lang selection not maximal: $sel of $budget")
+      assert(r.getAs[Long]("n_selected") * 10L == sel, lang)
+    }
+
+    // determinism: same input → identical selection
+    val again = LlmText.tokenBudgetMix(d, Seq("en" -> 1L, "de" -> 1L, "zh" -> 2L), budgetDen = 8L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_selected"))).toMap
+    got.foreach { case (lang, r) => assert(again(lang) == r.getAs[Long]("n_selected")) }
+  }
 }
