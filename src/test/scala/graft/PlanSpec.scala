@@ -107,11 +107,15 @@ class PlanSpec extends SparkSuite {
     // qs01/qm05/qs04 intentionally BroadcastNestedLoopJoin: a handful of
     // broadcast probe vectors against a linear corpus scan IS the
     // brute-force baseline (qs04's int8 pass has the same probe shape).
+    // qt12's nested loop is a broadcast of ONE scalar row (the corpus
+    // token total joined onto every doc) — the canonical scalar-subquery
+    // shape, constant-size broadcast at any corpus size.
     // Everything else must join on keys — at 100 TB an accidental
     // cartesian (e.g. a join condition that stopped being an equi-join
     // after a refactor) is the difference between hours and never.
     val allowNested =
-      Set("qs01_cosine_topk", "qm05_image_similarity", "qs04_ann_quantized_topk")
+      Set("qs01_cosine_topk", "qm05_image_similarity", "qs04_ann_quantized_topk",
+        "qt12_token_budget_mix")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")

@@ -169,6 +169,27 @@ class LlmQueriesSpec extends SparkSuite {
       s"benchmark set must broadcast-probe, got:\n$plan")
   }
 
+  test("qd13 incremental pairs are new-vs-index ONLY — batch- and index-internal dups stay silent") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val other = "one two three four five six seven eight"
+    val index = LlmDedup.lshSignatures(Seq(
+      (0L, base), (2L, base), // index-internal exact dup — must NOT emit
+      (4L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")).toDF("doc_id", "text"))
+    val batch = LlmDedup.lshSignatures(Seq(
+      (1L, base), // duplicates BOTH index copies
+      (3L, other), (5L, other), // batch-internal dup — must NOT emit
+      (7L, "ichi ni san shi go roku nana hachi")).toDF("doc_id", "text"))
+    try {
+      val got = LlmDedup.lshIncrementalPairs(index, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSet == Set((1L, 0L, 1.0), (1L, 2L, 1.0)),
+        s"expected exactly the new-vs-index dup pair, got ${got.mkString(", ")}")
+    } finally {
+      index.unpersist(); batch.unpersist()
+    }
+  }
+
   test("qd12 keeps the highest-quality copy, not the first doc_id") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
