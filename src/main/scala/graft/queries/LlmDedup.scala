@@ -417,13 +417,14 @@ object LlmDedup {
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
     }: _*)
     // carry the 8-byte fingerprint THROUGH the banding explode: the pair
-    // join then verifies hamming from its own join row, with no lookup
-    // joins back into the fingerprint relation. Both join sides are the
-    // same subplan with identical pruning, so ReuseExchange materializes
-    // the banded shuffle once — the fingerprint aggregate runs ONCE, vs
-    // three times in the lookup-join form (measured 6.4 s → 2.4 s at
-    // sf0.1). The distinct dedups multi-band collisions; hamming is
-    // functionally dependent on the pair, so it can sit inside it.
+    // join verifies hamming from its own join row, eliminating the two
+    // lookup joins back into the fingerprint relation — the fingerprint
+    // aggregate runs twice (both self-join sides), not three times
+    // (measured 6.4 s → 2.4 s at sf0.1). At bench SF one side broadcasts;
+    // at scale both sides are the IDENTICAL shuffle (same pruning), so
+    // ReuseExchange materializes it once. The distinct dedups multi-band
+    // collisions; hamming is functionally dependent on the pair, so it
+    // can sit inside it.
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(bandKeys).as(Seq("band", "band_key")))
     banded.as("a")
