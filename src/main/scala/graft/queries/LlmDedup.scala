@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -249,6 +249,15 @@ object LlmDedup {
         concat_ws("-", slice(col("sig"), col("band") * bandRows + 1, lit(bandRows))).as("band_key"))
   }
 
+  /** Exact Jaccard between two shingle-set columns, and the verify
+    * threshold — ONE definition for qd04's self-join and qd13's
+    * incremental join, so the two paths cannot silently diverge.
+    */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+  private val VerifyJaccard = 0.5
+
   def lshVerifiedPairs(sig: DataFrame): DataFrame = {
     val banded = lshBanded(sig)
     val cand = banded.as("a")
@@ -263,9 +272,8 @@ object LlmDedup {
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
-          size(array_union(col("sa.sh"), col("sb.sh"))).cast(DoubleType)).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= VerifyJaccard)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
@@ -290,9 +298,8 @@ object LlmDedup {
       .join(newSig.select(col("doc_id"), col("sh")).as("sn"), Seq("doc_id"))
       .join(indexSig.select(col("doc_id").as("dup_of"), col("sh").as("_ish")).as("si"), Seq("dup_of"))
       .select(col("doc_id"), col("dup_of"),
-        (size(array_intersect(col("sh"), col("_ish"))).cast(DoubleType) /
-          size(array_union(col("sh"), col("_ish"))).cast(DoubleType)).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+        jaccard(col("sh"), col("_ish")).as("jaccard"))
+      .filter(col("jaccard") >= VerifyJaccard)
       .orderBy(col("jaccard").desc, col("doc_id"), col("dup_of"))
   }
 
@@ -606,11 +613,9 @@ object LlmDedup {
        |sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
        |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
        |         ELSE [] END) AS s FROM tok),
-       |hs AS (SELECT doc_id, source,
-       |         list_distinct(list_transform(s, g -> ${duckPolyHash("g", 31L, ModBig)})) AS h
-       |       FROM sh WHERE len(s) > 0),
-       |bench AS (SELECT DISTINCT unnest(h) AS g FROM hs WHERE source = 'src0'),
-       |ex AS (SELECT doc_id, source, unnest(h) AS g FROM hs WHERE source <> 'src0'),
+       |hs AS (SELECT doc_id, source, s FROM sh WHERE len(s) > 0),
+       |bench AS (SELECT DISTINCT unnest(s) AS g FROM hs WHERE source = 'src0'),
+       |ex AS (SELECT doc_id, source, unnest(s) AS g FROM hs WHERE source <> 'src0'),
        |ov AS (SELECT e.doc_id, e.source,
        |         CAST(COUNT(*) AS BIGINT) AS n_shingles,
        |         CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
@@ -627,14 +632,16 @@ object LlmDedup {
     * planted specs. See the qd11 comment for the plan shape.
     */
   def contaminationStats(docsDf: DataFrame, benchSource: String, thresholdBps: Long): DataFrame = {
-    // explode → hash each shingle ONCE in codegen (hashing inside an
-    // array lambda runs interpreted — see lshSignatures), then dedup
-    // (doc, hash) to mirror the oracle's list_distinct AFTER hashing
+    // The membership join runs on xxhash64 of the shingle — the same
+    // 8-byte-key trick qd02 uses: a false hit needs two DISTINCT
+    // shingles agreeing on 64 bits (~1e-11 here; a 31-bit hash would
+    // fake ~0.1% phantom overlap per doc at billion-doc scale, real
+    // mass next to a 10% threshold). The oracle joins on the shingle
+    // STRING itself, so the comparison also polices collisions.
     val ex = docsDf
       .select(col("doc_id"), col("source"),
         explode(array_distinct(shingles(col("text"), 3))).as("g"))
-      .select(col("doc_id"), col("source"), hash31(col("g")).as("g"))
-      .distinct()
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("g"))
     // benchmark branch: source pushdown reaches the scan, so this reads
     // only the benchmark rows; the distinct hash set is dim-sized
     val bench = ex.filter(col("source") === benchSource).select("g").distinct()
@@ -644,7 +651,8 @@ object LlmDedup {
       .agg(count(lit(1)).as("n_shingles"),
         graft.util.Exact.countIf(col("_hit").isNotNull).as("n_overlap"))
       .select(col("doc_id"), col("source"), col("n_shingles"), col("n_overlap"),
-        floor((col("n_overlap") * lit(10000L)) / col("n_shingles")).cast(LongType).as("overlap_bps"),
+        // SQL `div`: exact integer floor division at any magnitude
+        expr("n_overlap * 10000 div n_shingles").as("overlap_bps"),
         (col("n_overlap") * lit(10000L) >= lit(thresholdBps) * col("n_shingles")).as("contaminated"))
       .orderBy("doc_id")
   }

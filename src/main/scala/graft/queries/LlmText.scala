@@ -535,15 +535,18 @@ object LlmText {
   // across runs and engines — until each language's budget is filled.
   // The allocation step of training-data mixture construction.
   //
-  // Scale plan: one pass computes per-doc token counts; the corpus
-  // total is ONE driver-sized scalar (broadcast back); selection is a
-  // per-language cumulative-sum window — a single shuffle partitioned
-  // by language. At 100 TB the window partition for one language can be
-  // huge, but the window only carries (doc_id, n_tokens) — the
-  // production variant range-partitions by (lang, hash-bucket) and
-  // offsets each bucket by the previous buckets' totals (two passes),
-  // same semantics. All arithmetic is integer (floor division), so the
-  // budget boundary is engine-exact.
+  // Scale plan: TWO passes over the per-doc token counts — one
+  // aggregates the corpus total down to a single broadcast-back scalar,
+  // one feeds the per-language cumulative-sum window (a single shuffle
+  // partitioned by language). Both passes re-tokenize here; a
+  // production run lands the (doc_id, lang, n_tokens) stats relation
+  // once and reads it twice — the stats are ~16 bytes/doc, noise next
+  // to the corpus scan that produces them. At 100 TB the window
+  // partition for one language can be huge, but the window only
+  // carries (doc_id, n_tokens) — the production variant
+  // range-partitions by (lang, hash-bucket) and offsets each bucket by
+  // the previous buckets' totals, same semantics. All arithmetic is
+  // integer (floor division), so the budget boundary is engine-exact.
   private val MixWeights = Seq("de" -> 2L, "en" -> 5L, "es" -> 1L, "fr" -> 1L, "zh" -> 1L)
 
   val qt12 = Q(

@@ -123,9 +123,9 @@ class TextCurationSpec extends SparkSuite {
   }
 
   test("qt12 fills each language budget maximally along the hash order") {
-    // 3 langs × 10 docs of 10 tokens each; weights 1:1:2 over den 8 →
-    // budgets 25/25/50 tokens out of 100 per lang (300 total):
-    // en: floor(1*300/8)=37 → 3 docs (30 tokens), de same, zh floor(2*300/8)=75 → 7 docs
+    // 3 langs × 10 docs of 10 tokens each (300 corpus tokens); weights
+    // 1:1:2 over den 8 → budgets floor(300/8)=37 (en), 37 (de),
+    // floor(600/8)=75 (zh) → 3, 3, and 7 selected 10-token docs
     val d = (0 until 30).map { i =>
       val lang = Seq("en", "de", "zh")(i % 3)
       (i.toLong, lang, 10L)
