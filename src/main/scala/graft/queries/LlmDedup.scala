@@ -690,14 +690,9 @@ object LlmDedup {
        |FROM ranked
        |GROUP BY cluster_id
        |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
-    val t = tokens(col("text"))
-    val nTok = size(t).cast(DoubleType)
-    val score = (size(array_distinct(t)).cast(DoubleType) / nTok) * lit(0.5) +
-      (vocabHits(t, Seq("the", "a", "of", "and", "is", "to", "in")).cast(DoubleType) / nTok) * lit(0.3) +
-      least(lit(1.0), nTok / lit(200.0)) * lit(0.2)
     keepBestPerCluster(
       clusterLabels(s, dir),
-      docs(s, dir).select(col("doc_id"), score.as("score")))
+      docs(s, dir).select(col("doc_id"), LlmText.qualityScore(col("text")).as("score")))
   }
 
   /** qd12 decision core over any `(doc_id, cluster_id)` labels +

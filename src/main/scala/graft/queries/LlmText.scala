@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -74,6 +74,19 @@ object LlmText {
   // stopword ratio, and a weighted score (the length/punct/stopword
   // heuristic family used by pretraining-data filters).
   private val stopQuality = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** The weighted doc-quality score (type-token ratio + stopword ratio +
+    * length ramp) shared by qt02/qt07, qd12's keep-best ranking, and the
+    * streaming curation gate (graft.streaming.DocStreams). One map-side
+    * expression; its DuckDB twin is inlined in each query's oracle SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast(DoubleType)
+    (size(array_distinct(t)).cast(DoubleType) / nTok) * lit(0.5) +
+      (vocabHits(t, stopQuality).cast(DoubleType) / nTok) * lit(0.3) +
+      least(lit(1.0), nTok / lit(200.0)) * lit(0.2)
+  }
 
   val qt02 = Q(
     "qt02_quality_score",
@@ -268,15 +281,10 @@ object LlmText {
        |FROM dedup d
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin) { (s, dir) =>
-    val t = tokens(col("text"))
-    val nTok = size(t).cast(DoubleType)
-    val score = (size(array_distinct(t)).cast(DoubleType) / nTok) * lit(0.5) +
-      (vocabHits(t, stopQuality).cast(DoubleType) / nTok) * lit(0.3) +
-      least(lit(1.0), nTok / lit(200.0)) * lit(0.2)
     // single map pass: everything downstream needs only these 4 columns
     val scored = docs(s, dir).select(
       col("doc_id"), col("source"),
-      (score >= 0.3).as("pass"),
+      (qualityScore(col("text")) >= 0.3).as("pass"),
       md5(lower(col("text"))).as("h"))
     // passing docs sort first within a hash group -> rank 1 is the
     // lowest doc_id among the KEPT copies; survivor = pass && rank 1
@@ -508,14 +516,21 @@ object LlmText {
     piiScrub(docs(s, dir).select(col("doc_id"), aug.as("s")))
   }
 
+  /** Global redaction of every PII pattern in a text column — the
+    * expression behind qt11 and the streaming curation path
+    * (graft.streaming.DocStreams). Pure per-row codegen'd work.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      c, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>")),
+      lit(IpRe), lit("<IP>"))
+
   /** qt11 detect/redact core over any (doc_id, s) frame — injectable
     * for specs with real (non-planted) PII-bearing strings.
     */
   def piiScrub(d: DataFrame): DataFrame = {
-    val redacted = regexp_replace(regexp_replace(regexp_replace(
-      col("s"), lit(EmailRe), lit("<EMAIL>")),
-      lit(PhoneRe), lit("<PHONE>")),
-      lit(IpRe), lit("<IP>"))
+    val redacted = redactPii(col("s"))
     d.select(col("doc_id"),
         regexp_count(col("s"), lit(EmailRe)).cast(LongType).as("n_emails"),
         regexp_count(col("s"), lit(PhoneRe)).cast(LongType).as("n_phones"),

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.LlmText
+
+/** Structured Streaming twin of the batch document-curation operators
+  * (quality gate → exact dedup → PII scrub): the shape a production
+  * pipeline uses to curate a CRAWL as it lands, instead of re-running
+  * batch curation over the accumulated corpus. Like EventStreams, every
+  * transform is a pure `DataFrame => DataFrame` that runs identically on
+  * `spark.readStream` input and a batch frame — one definition, two
+  * execution modes — and the per-row work (quality score, content hash,
+  * redaction) is exactly the batch expressions (LlmText.qualityScore /
+  * redactPii), so batch and stream cannot disagree on semantics.
+  *
+  * Scale notes per transform below; the headline: the only STATE this
+  * pipeline keeps is the distinct-content-hash set in [[dedupNew]],
+  * which is the deliverable of a dedup pass (production backs it with
+  * the RocksDB state store, or replaces global-history dedup with the
+  * batch incremental join — graft.queries.LlmDedup.lshIncrementalPairs
+  * — against signatures landed as a table).
+  */
+object DocStreams {
+
+  /** Streaming schema of the documents source (matches
+    * /root/testdata documents.parquet).
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Open an unbounded read of a documents directory: files appearing in
+    * `dir` are ingested incrementally (the crawl-drop pattern).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Quality gate: keep docs scoring at or above `minScore` under the
+    * shared weighted heuristic. Stateless — pure per-row filter, no
+    * shuffle, whole-stage codegen in both modes.
+    */
+  def qualityFilter(docs: DataFrame, minScore: Double = 0.3): DataFrame =
+    docs.filter(LlmText.qualityScore(col("text")) >= minScore)
+
+  /** Exact content dedup across the whole stream history: first
+    * occurrence of each normalized text wins, every later copy — same
+    * micro-batch or months later — is dropped. State is one entry per
+    * DISTINCT content hash, which grows with unique corpus size by
+    * definition of the operator (there is no watermark that can bound
+    * it without re-admitting old duplicates); the state row is the
+    * 16-byte hash, not the document.
+    */
+  def dedupNew(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_content_hash", md5(lower(col("text"))))
+      .dropDuplicates("_content_hash")
+      .drop("_content_hash")
+
+  /** PII scrub: replace every email/phone/IPv4 match in the text with
+    * its redaction token (qt11's expression). Stateless map.
+    */
+  def scrub(docs: DataFrame): DataFrame =
+    docs.withColumn("text", LlmText.redactPii(col("text")))
+
+  /** The composed curation pipeline: quality gate → history-wide exact
+    * dedup → PII scrub, mirroring the batch qt07 composition. Order
+    * matters twice: the gate runs FIRST so junk never consumes dedup
+    * state (at crawl scale most of the stream is junk, and dedup state
+    * is the one unbounded thing here); scrub runs LAST so both verdicts
+    * are computed on the ORIGINAL text — two docs that differ only
+    * inside their PII stay distinct documents rather than collapsing
+    * onto one post-redaction hash.
+    */
+  def curate(docs: DataFrame, minScore: Double = 0.3): DataFrame =
+    scrub(dedupNew(qualityFilter(docs, minScore)))
+
+  /** Land curated docs as source-partitioned parquet via idempotent
+    * foreachBatch (same replay contract as
+    * EventStreams.writeBronzeIncremental: overwrite by `_batch_id`, so
+    * a replayed trigger rewrites its own partition instead of
+    * duplicating it).
+    */
+  def writeCurated(docs: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .withColumn("_batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id", "source")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Partition-count invariance for the round-5 queries whose plans are
+  * order-sensitive on paper — cumulative-sum windows (qt12), score-ranked
+  * windows (qd12), hash-membership aggregation (qd11), cross-relation
+  * band joins (qd13). Every query must produce IDENTICAL rows (including
+  * emitted order) under different shuffle parallelism: at 100 TB the
+  * partition count is whatever the cluster says it is, and a result that
+  * depends on it is not a result. The driver's gate runs one parallelism
+  * per round; this pins the invariance per-query where it could break.
+  */
+class DeterminismSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val names =
+    Seq("qd11_contamination", "qd12_cluster_keep_best", "qd13_incremental_dedup",
+      "qt11_pii_redaction", "qt12_token_budget_mix")
+
+  test("round-5 queries emit identical rows under 2-way and 13-way shuffle parallelism") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    def runAll(): Map[String, Seq[String]] = names.map { n =>
+      spark.catalog.clearCache() // query bodies persist intermediates
+      n -> graft.SparkEntry.queries(n)(spark, dir).collect().toSeq.map(_.toString)
+    }.toMap
+    try {
+      spark.conf.set(key, "2")
+      val at2 = runAll()
+      spark.conf.set(key, "13")
+      val at13 = runAll()
+      names.foreach { n =>
+        assert(at2(n) == at13(n), s"$n changed under different parallelism")
+        assert(at2(n).nonEmpty, s"$n returned no rows at sf0.001")
+      }
+    } finally {
+      spark.conf.set(key, saved)
+      spark.catalog.clearCache()
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+import graft.queries.LlmText
+import graft.streaming.DocStreams._
+
+/** Streaming document curation pinned end-to-end: cross-trigger exact
+  * dedup state, quality gating before dedup, scrub-last ordering, and
+  * batch/stream parity of the composed pipeline.
+  */
+class DocStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // (doc_id, text, lang, source, n_chars) rows matching docSchema
+  private def doc(id: Long, text: String, source: String = "s0") =
+    (id, text, "en", source, text.length.toLong)
+
+  private val goodText = "the quick brown fox jumps over the lazy dog and runs away to the hills again"
+  // near-zero type-token ratio, no stopwords: score ≈ 0.05 « 0.3
+  private val junkText = "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz"
+
+  test("curate: dedups across triggers, drops junk, and scrubs PII — batch parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docsrc")
+    val piiText = goodText + " contact jane9@corp.io or +1-555-0011 at 10.1.2.3"
+    val batch1 = Seq(doc(1L, goodText), doc(2L, junkText), doc(3L, piiText))
+    val batch2 = Seq(
+      doc(4L, goodText, "s1"), // cross-trigger duplicate of doc 1 — must drop
+      doc(5L, goodText + " with a different tail here"))
+    batch1.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/in")
+
+    val q = curate(readDocs(spark, s"$dir/in")).writeStream
+      .format("memory").queryName("curated").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    batch2.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("curated").collect().map(r => r.getLong(0) -> r).toMap
+    // doc 2 fails quality; doc 4 is a cross-trigger content dup of doc 1
+    assert(got.keySet == Set(1L, 3L, 5L), s"got ${got.keySet}")
+    // scrub runs last: every PII form redacted, non-PII text untouched
+    val scrubbed = got(3L).getAs[String]("text")
+    assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<PHONE>") && scrubbed.contains("<IP>"))
+    assert(got(1L).getAs[String]("text") == goodText)
+
+    // batch parity: the same composition over the full static input.
+    // Batch dropDuplicates picks an arbitrary survivor within a content
+    // group (stream picks first-arrival), so compare surviving CONTENT.
+    val staticIn = (batch1 ++ batch2).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val inBatch = curate(staticIn).collect().map(_.getAs[String]("text")).sorted.toSeq
+    assert(inBatch == got.values.map(_.getAs[String]("text")).toSeq.sorted)
+  }
+
+  test("curate order: dedup sees ORIGINAL text — PII-only differences don't collapse") {
+    // two docs differing only inside their email redact to IDENTICAL
+    // text; if scrub ran before dedup they would collapse onto one
+    // content hash. Scrub-last keeps them distinct documents.
+    val twins = Seq(
+      doc(1L, goodText + " contact alice@corp.io now"),
+      doc(2L, goodText + " contact bob@corp.io now"))
+    val out = curate(twins.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // ...even though their redacted texts are now byte-identical
+    val texts = out.map(_.getAs[String]("text")).distinct
+    assert(texts.length == 1 && texts.head.contains("<EMAIL>"))
+
+    // and case variants of the same content DO collapse (normalized
+    // hash; batch dropDuplicates picks either survivor)
+    val caseTwins = Seq(doc(1L, goodText), doc(2L, goodText.toUpperCase))
+    val kept = curate(caseTwins.toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+    assert(kept.length == 1)
+  }
+
+  test("writeCurated lands idempotent batch/source-partitioned parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docsink")
+    Seq(doc(1L, goodText), doc(2L, goodText + " tail", "s1"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/in")
+    val q = writeCurated(curate(readDocs(spark, s"$dir/in")), s"$dir/out", s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 2)
+    assert(back.columns.contains("_batch_id"))
+    val sourceParts = back.select("source").distinct().collect().map(_.getString(0)).sorted
+    assert(sourceParts.toSeq == Seq("s0", "s1"))
+  }
+}
