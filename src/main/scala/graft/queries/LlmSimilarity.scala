@@ -262,7 +262,64 @@ object LlmSimilarity {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04)
+  // ---------------------------------------------------------------------
+  // qs05 — per-label centroid + dispersion stats: the index-side health
+  // metrics an embedding table carries in production (mean vector per
+  // class/cluster, how tightly members hug it). Two linear passes:
+  //
+  //  1. centroid = 64 avg(element_at) columns — partial aggregation
+  //     reduces each partition to |labels| × 64 doubles BEFORE the
+  //     shuffle (the posexplode form would shuffle corpus×dim rows);
+  //  2. centroids broadcast back; per-row cosine-to-own-centroid is a
+  //     fixed left-fold of 64 codegen'd multiply-adds (the SAME
+  //     association order as the oracle's list_reduce, so the per-row
+  //     double rounds identically), then one two-phase aggregate.
+  //
+  // Cross-engine exactness: float sums in double are EXACT (24-bit
+  // mantissas + log2(n) carry bits ≪ 53) so the centroid avg is
+  // order-independent; the cosine AVERAGE across rows is NOT, so it
+  // goes through the house decimal-sum rule (dsum scale 12 — order-
+  // independent under any shuffle); MIN is order-free.
+  val qs05 = Q(
+    "qs05_embedding_centroid_stats",
+    """WITH cent AS (
+      |  SELECT label, r.i AS i, AVG(CAST(embedding[r.i] AS DOUBLE)) AS m
+      |  FROM embeddings, range(1, 65) r(i)
+      |  GROUP BY label, r.i),
+      |c2 AS (SELECT label, array_agg(m ORDER BY i) AS c FROM cent GROUP BY label),
+      |scored AS (
+      |  SELECT e.label,
+      |    list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * c2.c[i]), (p, q) -> p + q)
+      |      / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (p, q) -> p + q))
+      |         * sqrt(list_reduce(list_transform(range(1, 65), i -> c2.c[i] * c2.c[i]), (p, q) -> p + q))) AS cos
+      |  FROM embeddings e JOIN c2 USING (label))
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_cos_to_centroid,
+      |  MIN(cos) AS min_cos_to_centroid
+      |FROM scored
+      |GROUP BY label
+      |ORDER BY label""".stripMargin) { (s, dir) =>
+    val dim = 64
+    val e = emb(s, dir)
+    val avgs = (0 until dim).map(i =>
+      avg(element_at(col("embedding"), i + 1)).as(s"_m$i"))
+    val cents = e.groupBy("label").agg(avgs.head, avgs.tail: _*)
+    def v(i: Int): Column = element_at(col("embedding"), i + 1).cast(DoubleType)
+    val dotVC = (0 until dim).map(i => v(i) * col(s"_m$i")).reduce(_ + _)
+    val normV = (0 until dim).map(i => v(i) * v(i)).reduce(_ + _)
+    val normC = (0 until dim).map(i => col(s"_m$i") * col(s"_m$i")).reduce(_ + _)
+    val cos = dotVC / (sqrt(normV) * sqrt(normC))
+    e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), cos.as("cos"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.util.Exact.davg(col("cos"), 12).as("avg_cos_to_centroid"),
+        min(col("cos")).as("min_cos_to_centroid"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05)
 }
 
 /** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its

@@ -16,7 +16,9 @@ class DeterminismSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
   private val names =
     Seq("qd11_contamination", "qd12_cluster_keep_best", "qd13_incremental_dedup",
-      "qt11_pii_redaction", "qt12_token_budget_mix")
+      "qt11_pii_redaction", "qt12_token_budget_mix",
+      // qs05's float-sums-are-exact-in-double argument, pinned empirically
+      "qs05_embedding_centroid_stats")
 
   test("round-5 queries emit identical rows under 2-way and 13-way shuffle parallelism") {
     val key = "spark.sql.shuffle.partitions"
