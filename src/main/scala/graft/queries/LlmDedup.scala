@@ -54,7 +54,7 @@ object LlmDedup {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (s, dir) =>
-    val h = md5(lower(col("text")))
+    val h = LlmText.contentHash(col("text"))
     docs(s, dir)
       .groupBy("source")
       .agg(
@@ -489,7 +489,7 @@ object LlmDedup {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (s, dir) =>
-    val h = md5(lower(col("text")))
+    val h = LlmText.contentHash(col("text"))
     docs(s, dir)
       .groupBy("source")
       .agg(

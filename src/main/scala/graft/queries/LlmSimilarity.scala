@@ -294,7 +294,7 @@ object LlmSimilarity {
       |         * sqrt(list_reduce(list_transform(range(1, 65), i -> c2.c[i] * c2.c[i]), (p, q) -> p + q))) AS cos
       |  FROM embeddings e JOIN c2 USING (label))
       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-      |  CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_cos_to_centroid,
+      |  CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE) / COUNT(cos) AS avg_cos_to_centroid,
       |  MIN(cos) AS min_cos_to_centroid
       |FROM scored
       |GROUP BY label

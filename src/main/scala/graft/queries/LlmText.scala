@@ -110,7 +110,7 @@ object LlmText {
     val base = docs(s, dir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("text"),
         length(col("text")).cast(LongType).as("n_chars"),
         size(col("t")).cast(LongType).as("n_tokens"),
         size(array_distinct(col("t"))).cast(LongType).as("n_distinct_tokens"),
@@ -124,9 +124,10 @@ object LlmText {
       (col("sum_token_len").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
       ttr.as("type_token_ratio"),
       swr.as("stopword_ratio"),
-      (ttr * lit(0.5) + swr * lit(0.3) +
-        least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(200.0)) * lit(0.2))
-        .as("quality_score"))
+      // the ONE shared definition (same value as the component-column
+      // formula; using the helper keeps every consumer retunable in
+      // one place)
+      qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -285,7 +286,7 @@ object LlmText {
     val scored = docs(s, dir).select(
       col("doc_id"), col("source"),
       (qualityScore(col("text")) >= 0.3).as("pass"),
-      md5(lower(col("text"))).as("h"))
+      contentHash(col("text")).as("h"))
     // passing docs sort first within a hash group -> rank 1 is the
     // lowest doc_id among the KEPT copies; survivor = pass && rank 1
     val w = org.apache.spark.sql.expressions.Window
@@ -515,6 +516,13 @@ object LlmText {
         .otherwise(lit("")))
     piiScrub(docs(s, dir).select(col("doc_id"), aug.as("s")))
   }
+
+  /** Normalized content hash — THE exact-dedup key, shared by qd01/qd07
+    * stats, qt07's survival pass, and the streaming dedup state
+    * (graft.streaming.DocStreams.dedupNew), so batch and stream agree on
+    * what "the same document" means.
+    */
+  def contentHash(c: Column): Column = md5(lower(c))
 
   /** Global redaction of every PII pattern in a text column — the
     * expression behind qt11 and the streaming curation path

@@ -51,12 +51,15 @@ object DocStreams {
     * micro-batch or months later — is dropped. State is one entry per
     * DISTINCT content hash, which grows with unique corpus size by
     * definition of the operator (there is no watermark that can bound
-    * it without re-admitting old duplicates); the state row is the
-    * 16-byte hash, not the document.
+    * it without re-admitting old duplicates); the state key is the
+    * 16-byte binary digest of the SHARED batch content hash
+    * (LlmText.contentHash — md5 of normalized text, unhexed so the
+    * state row holds 16 bytes instead of the 32-char hex string), not
+    * the document.
     */
   def dedupNew(docs: DataFrame): DataFrame =
     docs
-      .withColumn("_content_hash", md5(lower(col("text"))))
+      .withColumn("_content_hash", unhex(LlmText.contentHash(col("text"))))
       .dropDuplicates("_content_hash")
       .drop("_content_hash")
 
@@ -78,24 +81,13 @@ object DocStreams {
   def curate(docs: DataFrame, minScore: Double = 0.3): DataFrame =
     scrub(dedupNew(qualityFilter(docs, minScore)))
 
-  /** Land curated docs as source-partitioned parquet via idempotent
-    * foreachBatch (same replay contract as
+  /** Land curated docs as source-partitioned parquet via the shared
+    * idempotent foreachBatch sink (same replay contract as
     * EventStreams.writeBronzeIncremental: overwrite by `_batch_id`, so
     * a replayed trigger rewrites its own partition instead of
     * duplicating it).
     */
   def writeCurated(docs: DataFrame, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch
-          .withColumn("_batch_id", lit(batchId))
-          .write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_batch_id", "source")
-          .parquet(outDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .start()
+    Sinks.idempotentPartitioned(docs, outDir, checkpointDir, Seq("source"))
 }

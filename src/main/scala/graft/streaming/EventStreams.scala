@@ -164,38 +164,20 @@ object EventStreams {
   }
 
   /** Incremental bronze sink: land each micro-batch in a
-    * date-partitioned parquet directory via foreachBatch (the streaming
-    * twin of Lakehouse.write). foreachBatch alone is only at-least-once —
-    * a batch replayed from the checkpoint after a partial write would
-    * double-append — so the write is made idempotent by keying the
-    * physical layout on the batch id: `_batch_id` is the LEADING
-    * partition column and the write uses dynamic partition overwrite,
-    * so a replay of batch N rewrites exactly the `_batch_id=N/...`
-    * subtree and nothing else. `event_date` stays a partition column
-    * beneath it, so downstream date predicates still prune.
-    *
-    * Layout note: this is layout v2. A directory written by a pre-v2
-    * append-mode sink (top-level `event_date=` dirs) cannot be mixed
-    * with it — Spark partition discovery rejects inconsistent partition
-    * depths — so migrating an existing bronze dir requires a one-time
-    * rewrite into a fresh root (or under a `_batch_id=-1/` subtree).
+    * date-partitioned parquet directory via the shared idempotent
+    * foreachBatch sink (the streaming twin of Lakehouse.write).
+    * foreachBatch alone is only at-least-once — a batch replayed from
+    * the checkpoint after a partial write would double-append — so the
+    * layout is keyed on the batch id (see [[Sinks.idempotentPartitioned]]
+    * for the replay contract and the layout-v2 migration note).
+    * `event_date` stays a partition column beneath `_batch_id`, so
+    * downstream date predicates still prune.
     */
   def writeBronzeIncremental(events: DataFrame, outDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events
-      .withColumn("event_date", to_date(col("ts")))
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch
-          .withColumn("_batch_id", lit(batchId))
-          .write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_batch_id", "event_date")
-          .parquet(outDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .start()
+    Sinks.idempotentPartitioned(
+      events.withColumn("event_date", to_date(col("ts"))),
+      outDir, checkpointDir, Seq("event_date"))
 
   /** Streaming twin of the batch DQ gate (graft.ops.DqOps): run every
     * check against each micro-batch and hand (batchId, results) to

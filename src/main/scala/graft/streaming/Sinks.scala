@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared streaming sinks. */
+object Sinks {
+
+  /** Idempotent parquet landing for a stream: each micro-batch writes
+    * under a leading `_batch_id=<id>` partition with dynamic partition
+    * overwrite, so a REPLAYED trigger (foreachBatch is at-least-once)
+    * rewrites exactly its own subtree instead of duplicating rows.
+    * `partitionCols` nest under the batch id (e.g. event_date, source).
+    * One definition for every incremental landing path
+    * (EventStreams.writeBronzeIncremental, DocStreams.writeCurated) so
+    * the replay contract cannot drift between them.
+    *
+    * Layout note: readers see `_batch_id` as a partition column; a
+    * one-time migration into a fresh root is required to mix this
+    * layout with a pre-existing flat-partitioned directory (partition
+    * discovery rejects mixed depths).
+    */
+  def idempotentPartitioned(df: DataFrame, outDir: String, checkpointDir: String,
+      partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .withColumn("_batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id" +: partitionCols: _*)
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}
