@@ -51,5 +51,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_shingles(str, n)")
         WordShingles(args(0), litLong(args(1), "n").toInt)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[LongVecDot].getName, "graft_dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot_long(arrayA, arrayB)")
+        LongVecDot(args(0), args(1))
+      }))
+    // The curation COMPOSITES (quality score, PII redaction, content
+    // hash) are trees of stock codegen'd expressions, not native
+    // kernels; registering their Catalyst-level builders
+    // (CurationExprs — the same single definitions the Column API
+    // wraps) puts them on the SQL surface too (the reference's
+    // dashboard/DQ entry point), so a pure-SQL caller curates with
+    // exactly the batch/stream semantics.
+    def composite(name: String, build: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(CurationExprs.getClass.getName, name),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$name(text)")
+          build(args.head)
+        }))
+    composite("graft_quality", CurationExprs.qualityScore)
+    composite("graft_redact_pii", CurationExprs.redactPii)
+    composite("graft_content_hash", CurationExprs.contentHash)
   }
 }

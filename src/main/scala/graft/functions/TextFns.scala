@@ -86,4 +86,45 @@ object TextFns {
   /** Count of tokens that appear in `vocab` (duplicates counted). */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isin(vocab: _*))).cast(LongType)
+
+  /** Stopword set behind the quality score (a tiny English marker set;
+    * a production filter swaps in a per-language list).
+    */
+  val stopQuality: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** The weighted doc-quality score (type-token ratio + stopword ratio +
+    * length ramp) shared by qt02/qt07, qd12's keep-best ranking, the
+    * streaming curation gate (graft.streaming.DocStreams), and the SQL
+    * surface (`graft_quality`). ONE definition at the Catalyst level
+    * ([[CurationExprs.qualityScore]]) serves both surfaces.
+    */
+  def qualityScore(text: Column): Column =
+    org.apache.spark.sql.graft.shims.column(
+      CurationExprs.qualityScore(org.apache.spark.sql.graft.shims.expression(text)))
+
+  /** PII patterns: character classes only ([.]/[+], no backslash
+    * escapes) so the same literal parses identically in Java regex,
+    * RE2 (DuckDB), and Scala string interpolation.
+    */
+  val EmailRe: String = CurationExprs.EmailRe
+  val PhoneRe: String = CurationExprs.PhoneRe
+  val IpRe: String = CurationExprs.IpRe
+
+  /** Global redaction of every PII pattern in a text column — the
+    * expression behind qt11, the streaming curation path, and the SQL
+    * surface (`graft_redact_pii`). Pure per-row codegen'd work.
+    */
+  def redactPii(c: Column): Column =
+    org.apache.spark.sql.graft.shims.column(
+      CurationExprs.redactPii(org.apache.spark.sql.graft.shims.expression(c)))
+
+  /** Normalized content hash — THE exact-dedup key, shared by qd01/qd07
+    * stats, qt07's survival pass, the streaming dedup state
+    * (graft.streaming.DocStreams.dedupNew), and the SQL surface
+    * (`graft_content_hash`), so every dedup path agrees on what "the
+    * same document" means.
+    */
+  def contentHash(c: Column): Column =
+    org.apache.spark.sql.graft.shims.column(
+      CurationExprs.contentHash(org.apache.spark.sql.graft.shims.expression(c)))
 }

@@ -54,7 +54,7 @@ object LlmDedup {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (s, dir) =>
-    val h = LlmText.contentHash(col("text"))
+    val h = contentHash(col("text"))
     docs(s, dir)
       .groupBy("source")
       .agg(
@@ -489,7 +489,7 @@ object LlmDedup {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (s, dir) =>
-    val h = LlmText.contentHash(col("text"))
+    val h = contentHash(col("text"))
     docs(s, dir)
       .groupBy("source")
       .agg(
@@ -692,7 +692,7 @@ object LlmDedup {
        |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
     keepBestPerCluster(
       clusterLabels(s, dir),
-      docs(s, dir).select(col("doc_id"), LlmText.qualityScore(col("text")).as("score")))
+      docs(s, dir).select(col("doc_id"), qualityScore(col("text")).as("score")))
   }
 
   /** qd12 decision core over any `(doc_id, cluster_id)` labels +

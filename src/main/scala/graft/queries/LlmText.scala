@@ -73,20 +73,10 @@ object LlmText {
   // qt02 — per-doc quality scoring: token stats, type/token ratio,
   // stopword ratio, and a weighted score (the length/punct/stopword
   // heuristic family used by pretraining-data filters).
-  private val stopQuality = Seq("the", "a", "of", "and", "is", "to", "in")
-
-  /** The weighted doc-quality score (type-token ratio + stopword ratio +
-    * length ramp) shared by qt02/qt07, qd12's keep-best ranking, and the
-    * streaming curation gate (graft.streaming.DocStreams). One map-side
-    * expression; its DuckDB twin is inlined in each query's oracle SQL.
-    */
-  def qualityScore(text: Column): Column = {
-    val t = tokens(text)
-    val nTok = size(t).cast(DoubleType)
-    (size(array_distinct(t)).cast(DoubleType) / nTok) * lit(0.5) +
-      (vocabHits(t, stopQuality).cast(DoubleType) / nTok) * lit(0.3) +
-      least(lit(1.0), nTok / lit(200.0)) * lit(0.2)
-  }
+  // qualityScore / stopQuality / redactPii / contentHash live in
+  // graft.functions.TextFns (imported wholesale above): they are text
+  // PRIMITIVES shared by these queries, the streaming curation path,
+  // and the graft_* SQL surface.
 
   val qt02 = Q(
     "qt02_quality_score",
@@ -472,12 +462,9 @@ object LlmText {
   // character-class regexes (identical semantics in Java regex and
   // RE2), counts via regexp_count, global regexp_replace, all codegen'd
   // per-row work — one map pass, no shuffle before the final sort.
-  // Patterns use [.] / [+] (not backslash escapes) so the same literal
-  // parses identically in both engines and in Scala interpolation.
-  val EmailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
-  val PhoneRe = "[+]1-555-[0-9]{4}"
-  val IpRe = "10[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
-
+  // Patterns (TextFns.EmailRe/PhoneRe/IpRe) use [.] / [+] — not
+  // backslash escapes — so the same literal parses identically in both
+  // engines and in Scala interpolation.
   val qt11 = Q(
     "qt11_pii_redaction",
     s"""WITH aug AS (
@@ -516,23 +503,6 @@ object LlmText {
         .otherwise(lit("")))
     piiScrub(docs(s, dir).select(col("doc_id"), aug.as("s")))
   }
-
-  /** Normalized content hash — THE exact-dedup key, shared by qd01/qd07
-    * stats, qt07's survival pass, and the streaming dedup state
-    * (graft.streaming.DocStreams.dedupNew), so batch and stream agree on
-    * what "the same document" means.
-    */
-  def contentHash(c: Column): Column = md5(lower(c))
-
-  /** Global redaction of every PII pattern in a text column — the
-    * expression behind qt11 and the streaming curation path
-    * (graft.streaming.DocStreams). Pure per-row codegen'd work.
-    */
-  def redactPii(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(
-      c, lit(EmailRe), lit("<EMAIL>")),
-      lit(PhoneRe), lit("<PHONE>")),
-      lit(IpRe), lit("<IP>"))
 
   /** qt11 detect/redact core over any (doc_id, s) frame — injectable
     * for specs with real (non-planted) PII-bearing strings.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.queries.LlmText
+import graft.functions.TextFns
 
 /** Structured Streaming twin of the batch document-curation operators
   * (quality gate → exact dedup → PII scrub): the shape a production
@@ -13,7 +13,7 @@ import graft.queries.LlmText
   * transform is a pure `DataFrame => DataFrame` that runs identically on
   * `spark.readStream` input and a batch frame — one definition, two
   * execution modes — and the per-row work (quality score, content hash,
-  * redaction) is exactly the batch expressions (LlmText.qualityScore /
+  * redaction) is exactly the batch expressions (TextFns.qualityScore /
   * redactPii), so batch and stream cannot disagree on semantics.
   *
   * Scale notes per transform below; the headline: the only STATE this
@@ -44,7 +44,7 @@ object DocStreams {
     * shuffle, whole-stage codegen in both modes.
     */
   def qualityFilter(docs: DataFrame, minScore: Double = 0.3): DataFrame =
-    docs.filter(LlmText.qualityScore(col("text")) >= minScore)
+    docs.filter(TextFns.qualityScore(col("text")) >= minScore)
 
   /** Exact content dedup across the whole stream history: first
     * occurrence of each normalized text wins, every later copy — same
@@ -53,13 +53,13 @@ object DocStreams {
     * definition of the operator (there is no watermark that can bound
     * it without re-admitting old duplicates); the state key is the
     * 16-byte binary digest of the SHARED batch content hash
-    * (LlmText.contentHash — md5 of normalized text, unhexed so the
+    * (TextFns.contentHash — md5 of normalized text, unhexed so the
     * state row holds 16 bytes instead of the 32-char hex string), not
     * the document.
     */
   def dedupNew(docs: DataFrame): DataFrame =
     docs
-      .withColumn("_content_hash", unhex(LlmText.contentHash(col("text"))))
+      .withColumn("_content_hash", unhex(TextFns.contentHash(col("text"))))
       .dropDuplicates("_content_hash")
       .drop("_content_hash")
 
@@ -67,7 +67,7 @@ object DocStreams {
     * its redaction token (qt11's expression). Stateless map.
     */
   def scrub(docs: DataFrame): DataFrame =
-    docs.withColumn("text", LlmText.redactPii(col("text")))
+    docs.withColumn("text", TextFns.redactPii(col("text")))
 
   /** The composed curation pipeline: quality gate → history-wide exact
     * dedup → PII scrub, mirroring the batch qt07 composition. Order

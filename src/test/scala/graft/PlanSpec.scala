@@ -103,6 +103,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("qs05: centroid relation broadcasts back onto the corpus") {
+    val plan = planOf("qs05_embedding_centroid_stats")
+    // if the labels x 64-doubles centroid relation fell to a sort-merge
+    // join the corpus would shuffle a second time for a dim-sized build
+    assert(plan.contains("BroadcastHashJoin"),
+      s"qs05 centroid join must broadcast, got:\n$plan")
+  }
+
   test("no query plans a cartesian product / surprise nested-loop join") {
     // qs01/qm05/qs04 intentionally BroadcastNestedLoopJoin: a handful of
     // broadcast probe vectors against a linear corpus scan IS the

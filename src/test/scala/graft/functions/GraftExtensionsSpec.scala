@@ -38,6 +38,37 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(viaSql.map(_.getSeq[String](1)).toSeq == viaApi.map(_.getSeq[String](1)).toSeq)
   }
 
+  test("graft_quality / graft_redact_pii / graft_content_hash equal the TextFns builders") {
+    import spark.implicits._
+    Seq("the quick brown fox and the lazy dog",
+        "zzz zzz zzz zzz",
+        "write to ops7@corp.io or +1-555-0042 from 10.0.0.9")
+      .toDF("text").createOrReplaceTempView("docs_cur")
+    val viaSql = spark.sql(
+      """SELECT graft_quality(text) AS q, graft_redact_pii(text) AS r,
+        |       graft_content_hash(text) AS h
+        |FROM docs_cur ORDER BY h""".stripMargin).collect()
+    val viaApi = spark.table("docs_cur")
+      .select(TextFns.qualityScore(col("text")).as("q"),
+        TextFns.redactPii(col("text")).as("r"),
+        TextFns.contentHash(col("text")).as("h"))
+      .orderBy("h").collect()
+    assert(viaSql.map(_.getDouble(0)).sameElements(viaApi.map(_.getDouble(0))))
+    assert(viaSql.map(_.getString(1)).sameElements(viaApi.map(_.getString(1))))
+    assert(viaSql.map(_.getString(2)).sameElements(viaApi.map(_.getString(2))))
+    // and the redaction actually fired through the SQL surface
+    assert(viaSql.exists(r => r.getString(1).contains("<EMAIL>") &&
+      r.getString(1).contains("<PHONE>") && r.getString(1).contains("<IP>")))
+  }
+
+  test("graft_dot_long in SQL equals VectorFns.dotLong (exact integer math)") {
+    import spark.implicits._
+    Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L)))
+      .toDF("a", "b").createOrReplaceTempView("lvecs")
+    val viaSql = spark.sql("SELECT graft_dot_long(a, b) FROM lvecs").collect().head.getLong(0)
+    assert(viaSql == 32L)
+  }
+
   test("non-literal mult rejects at analysis instead of silently misbehaving") {
     import spark.implicits._
     // own view: must not depend on a sibling test having run first

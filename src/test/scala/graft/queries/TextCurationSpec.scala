@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
+import graft.functions.TextFns
 
 /** Planted-corpus behavior tests for the round-5 curation operators:
   * qt09 repetition filters and qt10 boilerplate coverage. Each test
@@ -102,9 +103,9 @@ class TextCurationSpec extends SparkSuite {
     // piiScrub drops the redacted text (emits its hash); recompute the
     // redaction inline to assert no pattern survives it
     val redactedCol = regexp_replace(regexp_replace(regexp_replace(
-      col("s"), lit(LlmText.EmailRe), lit("<EMAIL>")),
-      lit(LlmText.PhoneRe), lit("<PHONE>")),
-      lit(LlmText.IpRe), lit("<IP>"))
+      col("s"), lit(TextFns.EmailRe), lit("<EMAIL>")),
+      lit(TextFns.PhoneRe), lit("<PHONE>")),
+      lit(TextFns.IpRe), lit("<IP>"))
     val byId = LlmText.piiScrub(d).collect().map(r => r.getLong(0) -> r).toMap
 
     assert(byId(1L).getAs[Long]("n_emails") == 2)
@@ -115,9 +116,9 @@ class TextCurationSpec extends SparkSuite {
     assert(!byId(3L).getAs[Boolean]("has_pii"))
 
     val leftovers = d.select(col("doc_id"),
-        regexp_count(redactedCol, lit(LlmText.EmailRe)) +
-        regexp_count(redactedCol, lit(LlmText.PhoneRe)) +
-        regexp_count(redactedCol, lit(LlmText.IpRe)))
+        regexp_count(redactedCol, lit(TextFns.EmailRe)) +
+        regexp_count(redactedCol, lit(TextFns.PhoneRe)) +
+        regexp_count(redactedCol, lit(TextFns.IpRe)))
       .collect().map(r => r.getInt(1)).sum
     assert(leftovers == 0, "redacted text must contain no residual PII matches")
   }
