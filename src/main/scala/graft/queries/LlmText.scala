@@ -598,6 +598,47 @@ object LlmText {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------------
+  // qt13 — quantile SKETCH with an oracle-checked accuracy contract: the
+  // scale path for qt06. Exact percentiles buffer every value per group
+  // (qt06's percentile holds the whole distribution — fine per language,
+  // fatal for a 100 TB ungrouped distribution); approx_percentile is a
+  // bounded-size mergeable sketch (Greenwald-Khanna family) — constant
+  // memory per partition, one partial-aggregate pass. Like qd07 (HLL),
+  // sketch INTERNALS differ across engines, so the query emits the
+  // sketch's CONTRACT: each approximate percentile must land between the
+  // exact percentiles at p ± 0.04 (a far looser window than the
+  // sketch's 1/accuracy rank guarantee), as booleans the oracle expects
+  // TRUE — next to the exact values themselves, which hash-check against
+  // DuckDB's quantile_cont like qt06.
+  val qt13 = Q(
+    "qt13_quantile_sketch",
+    """WITH c AS (SELECT len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  quantile_cont(n_tokens, 0.50) AS p50_exact,
+      |  quantile_cont(n_tokens, 0.90) AS p90_exact,
+      |  quantile_cont(n_tokens, 0.99) AS p99_exact,
+      |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      |FROM c""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+      .select(size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    def okCol(p: Double): Column = {
+      val approx = approx_percentile(col("n_tokens"), lit(p), lit(10000))
+      // contract window: exact percentiles at p ± 0.04 (clamped to [0,1])
+      val lo = percentile(col("n_tokens"), lit(math.max(p - 0.04, 0.0)))
+      val hi = percentile(col("n_tokens"), lit(math.min(p + 0.04, 1.0)))
+      approx.cast(DoubleType).between(lo, hi)
+    }
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      percentile(col("n_tokens"), lit(0.50)).as("p50_exact"),
+      percentile(col("n_tokens"), lit(0.90)).as("p90_exact"),
+      percentile(col("n_tokens"), lit(0.99)).as("p99_exact"),
+      okCol(0.50).as("p50_ok"),
+      okCol(0.90).as("p90_ok"),
+      okCol(0.99).as("p99_ok"))
+  }
+
   val all: Seq[Q] =
-    Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12)
+    Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12, qt13)
 }

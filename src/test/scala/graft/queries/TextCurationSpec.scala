@@ -123,6 +123,17 @@ class TextCurationSpec extends SparkSuite {
     assert(leftovers == 0, "redacted text must contain no residual PII matches")
   }
 
+  test("qt13 sketch bound is far tighter than the oracle contract window") {
+    // accuracy 10000 on n=1000 values → rank error < 1: the sketch must
+    // return an actual element within one rank of the true median, not
+    // merely inside qt13's ±4-percentile contract window
+    val d = (1 to 1000).map(_.toLong).toDF("n_tokens")
+    val got = d.agg(
+      approx_percentile(col("n_tokens"), lit(0.5), lit(10000)).as("approx"))
+      .head().getLong(0)
+    assert(got == 500L || got == 501L, s"median sketch off by more than one rank: $got")
+  }
+
   test("qt12 fills each language budget maximally along the hash order") {
     // 3 langs × 10 docs of 10 tokens each (300 corpus tokens); weights
     // 1:1:2 over den 8 → budgets floor(300/8)=37 (en), 37 (de),
