@@ -36,15 +36,25 @@ object GraphOps {
       .distinct()
       .withColumn("component", col("node"))
       .persist()
+    // Each round references the previous labels frame ~3 times (the
+    // propagation join, the fallback coalesce, the changed-count
+    // compare), so composing rounds directly grows the LOGICAL plan
+    // ~3^rounds — past ~10 rounds the driver OOMs just rendering the
+    // plan. Rebasing every round on its computed RDD keeps plans
+    // round-sized; RDD lineage underneath grows linearly (recompute of
+    // an evicted partition cascades at most one extra round because the
+    // predecessor is persisted until superseded).
+    def truncate(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
     try {
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < maxRounds) {
         val prop = edges.join(labels, edges("b") === labels("node"))
           .groupBy(col("a")).agg(min(col("component")).as("min_nbr"))
-        val next = labels.join(prop, labels("node") === prop("a"), "left")
+        val next = truncate(labels.join(prop, labels("node") === prop("a"), "left")
           .select(col("node"),
-            least(col("component"), coalesce(col("min_nbr"), col("component"))).as("component"))
+            least(col("component"), coalesce(col("min_nbr"), col("component"))).as("component")))
           .persist()
         changed = next.as("n")
           .join(labels.as("o"), col("n.node") === col("o.node"))
@@ -71,6 +81,125 @@ object GraphOps {
       // (an evicted labels partition would recompute from source, slower
       // but correct); on failure it must not leak either
       edges.unpersist(blocking = false)
+    }
+  }
+
+  /** Connected components via alternating large-star / small-star edge
+    * rewrites — same `(node, component-min)` contract as
+    * [[connectedComponents]], different scaling envelope.
+    *
+    * Min-label propagation needs ~diameter rounds: fine for near-dup
+    * clusters (diameter is single digits), fatal for chain-shaped
+    * graphs (reply threads, citation chains, co-occurrence paths)
+    * where diameter grows with n. The star rewrites (the
+    * MapReduce-CC construction of Kiveris et al., SoCC'14 — public
+    * algorithm) converge in O(log² n) rounds on ANY topology:
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its neighborhood (star centers pull edges downward);
+    *  - small-star: every node repoints its smaller-or-equal neighbors,
+    *    and itself, at that minimum.
+    *
+    * At fixpoint the edge set is a union of stars centered at the
+    * component minima. Each half-round is a node-keyed min-aggregate
+    * plus an equi-join back onto the edge list — NEVER a collect_list
+    * of a neighborhood (a celebrity node's edges stay spread across
+    * tasks) and never driver-side state beyond the loop counter, so a
+    * 100 TB edge list shuffles but no single task holds a hot node's
+    * full adjacency. Rounds are persisted and the predecessor released
+    * once the successor is materialized; the returned labels are
+    * cached (same contract as [[connectedComponents]] — CacheManager
+    * keys on the logical plan, so re-invocations share the entry).
+    *
+    * Throws if not converged within `maxRounds` (default sized for
+    * log²-round convergence, not diameter) — truncation would split
+    * components and keep duplicate "canonical" docs.
+    */
+  def connectedComponentsStar(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    val raw = edgesIn.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // every node that appears at all gets a label, even if its only
+    // edges are self-loops (which the rewrite drops as no-ops)
+    val nodes = raw.select(col("a").as("node"))
+      .unionByName(raw.select(col("b").as("node")))
+      .distinct().persist()
+
+    // canonical undirected form: a < b, distinct, no self-loops
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+
+    // for (u,v) ∈ symmetric closure with v > u: emit (v, min(Γ(u) ∪ {u}))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy("a").agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      canon(sym.filter(col("b") > col("a")).join(m, "a")
+        .select(col("b").as("x"), col("m").as("y")))
+    }
+
+    // for each larger endpoint h: m = min of its smaller neighbors;
+    // repoint those neighbors (and h itself) at m
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("b").agg(min(col("a")).as("m"))
+      canon(
+        e.join(m, Seq("b")).select(col("a").as("x"), col("m").as("y"))
+          .unionByName(m.select(col("b").as("x"), col("m").as("y"))))
+    }
+
+    // exact set equality of two canonical (distinct) edge frames
+    def unchanged(next: DataFrame, nextCnt: Long, prev: DataFrame, prevCnt: Long): Boolean =
+      nextCnt == prevCnt && next.join(prev, Seq("a", "b"), "left_anti").isEmpty
+
+    // Lineage truncation: one star round references its input ~12 times
+    // (symmetric union, min-aggregate, joins), so composing rounds
+    // directly grows the LOGICAL plan ~12× per round — exponential, and
+    // a driver OOM by round ~6 just rendering/optimizing the plan.
+    // Rebasing each round's result on its computed RDD makes the next
+    // round's plan start from a leaf (LogicalRDD): plans stay
+    // round-sized, while the RDD lineage underneath grows only linearly
+    // in rounds (the same recompute-cascade contract as the persisted
+    // propagation loop above).
+    def truncate(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+    var cur = canon(raw.select(col("a").as("x"), col("b").as("y"))).persist()
+    try {
+      var curCnt = cur.count()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val lg = truncate(largeStar(cur)).persist()
+        val lgCnt = lg.count()
+        val lgSame = unchanged(lg, lgCnt, cur, curCnt)
+        cur.unpersist(blocking = false)
+        val sm = truncate(smallStar(lg)).persist()
+        val smCnt = sm.count()
+        // fixpoint ⟺ NEITHER half-round moved an edge (the composition
+        // alone returning the same set does not certify a star set)
+        converged = lgSame && unchanged(sm, smCnt, lg, lgCnt)
+        lg.unpersist(blocking = false)
+        cur = sm
+        curCnt = smCnt
+        rounds += 1
+      }
+      require(converged, s"star rewrites did not converge in $rounds rounds")
+      // at the star fixpoint: a center's min neighbor is larger than
+      // itself (least → itself); a satellite's only neighbor IS the
+      // center. Singletons fall out of the left join as null → self.
+      val sym = cur.unionByName(cur.select(col("b").as("a"), col("a").as("b")))
+      val labels = nodes.join(sym, nodes("node") === sym("a"), "left")
+        .groupBy("node").agg(min(col("b")).as("mn"))
+        .select(col("node"), least(col("node"), coalesce(col("mn"), col("node"))).as("component"))
+        .persist()
+      labels.count() // materialize so the round frames below are droppable
+      labels
+    } finally {
+      // converged or thrown, the last round frame and node set must not
+      // outlive the call; the returned labels are cached independently
+      cur.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
     }
   }
 }

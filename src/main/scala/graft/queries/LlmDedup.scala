@@ -742,6 +742,37 @@ object LlmDedup {
     lshIncrementalPairs(index, batch)
   }
 
+  // ---------------------------------------------------------------------
+  // qd14 — dedup clustering on the O(log²n)-round path: identical
+  // semantics (and identical oracle SQL) to qd09, but the components
+  // come from GraphOps.connectedComponentsStar (alternating large-star/
+  // small-star rewrites) instead of min-label propagation. qd09's
+  // rounds scale with component DIAMETER — right for near-dup blobs,
+  // wrong for chain-shaped duplicate graphs (template families that
+  // drift document-to-document), where diameter grows with cluster
+  // size. The star path converges in O(log²n) rounds on any topology
+  // and never materializes a node's full adjacency in one task, so at
+  // 100 TB a viral template with millions of members costs log-rounds
+  // of edge-list shuffles, not million-round propagation. Sharing
+  // qd09's oracle makes the two engines' paths mutually checking: both
+  // must hash-match the same recursive-CTE ground truth.
+  val qd14 = Q(
+    "qd14_dedup_clusters_star",
+    s"""WITH RECURSIVE $duckClusterCtes
+       |SELECT c.doc_id, c.cluster_id, n.cluster_size
+       |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+       |                  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin) { (s, dir) =>
+    val pairs = qd04.fn(s, dir).select("doc_a", "doc_b")
+    val labels = graft.ops.GraphOps.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12, qd13)
+    Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
+      qd13, qd14)
 }

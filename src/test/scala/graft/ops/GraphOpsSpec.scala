@@ -41,4 +41,52 @@ class GraphOpsSpec extends SparkSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "non-convergence leaked persisted frames in the cache manager")
   }
+
+  test("connectedComponentsStar matches min-label propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).toDF("s", "d")
+      val byProp = GraphOps.connectedComponents(edges, "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byStar = GraphOps.connectedComponentsStar(edges, "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byStar == byProp, s"trial $trial: star labels diverge from propagation")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("connectedComponentsStar: a 200-node chain converges in log²-ish rounds") {
+    // diameter 199: min-label propagation would need ~199 rounds; the
+    // star rewrites must finish far inside 12 — this bound IS the test
+    // of the O(log²n) claim on the worst-case (chain) topology
+    val edges = (1L to 200L).sliding(2).map(p => (p.head, p.last)).toSeq.toDF("s", "d")
+    val comp = GraphOps.connectedComponentsStar(edges, "s", "d", maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 200 && comp.values.forall(_ == 1L))
+  }
+
+  test("connectedComponentsStar: self-loops and singletons label themselves") {
+    val edges = Seq((5L, 5L), (7L, 8L)).toDF("s", "d")
+    val comp = GraphOps.connectedComponentsStar(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponentsStar non-convergence leaves the cache manager empty") {
+    val edges = (1L to 50L).sliding(2).map(p => (p.head, p.last)).toSeq.toDF("s", "d")
+    spark.catalog.clearCache()
+    intercept[IllegalArgumentException] {
+      GraphOps.connectedComponentsStar(edges, "s", "d", maxRounds = 1)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "non-convergence leaked persisted frames in the cache manager")
+    // success keeps ONLY the returned labels cached (documented contract)
+    val labels = GraphOps.connectedComponentsStar(edges, "s", "d")
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    labels.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "one unpersist must release everything the call left behind")
+  }
 }
