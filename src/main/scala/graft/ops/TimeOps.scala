@@ -51,6 +51,47 @@ object TimeOps {
     filled.filter(col(sideCol) === 1).drop(tsCol, sideCol)
   }
 
+  /** Interval (range) join: inner-join each left row to every right row
+    * sharing `keys` whose `[startCol, endCol]` interval contains the
+    * left row's `tsCol` (inclusive both ends).
+    *
+    * Catalyst executes a raw `l.ts BETWEEN r.start AND r.end` join as a
+    * broadcast-nested-loop (or worse, a cartesian with post-filter) —
+    * O(n·m) per key and a non-starter at 100 TB. The Spark-first plan
+    * bins time into `binSec`-wide buckets: the left side lands in ONE
+    * bin (`ts div binSec`), the right side explodes each interval into
+    * the bins it overlaps (`sequence(start div binSec, end div binSec)`),
+    * and the range join becomes an equi-join on `(keys, bin)` with the
+    * exact predicate as a cheap post-filter. Each qualifying pair meets
+    * in exactly one bin — the left row's — so no dedup pass is needed.
+    * Cost: right fan-out = interval_len/binSec + 1 rows per interval
+    * (choose binSec near the typical interval length), then one hash
+    * shuffle each side; never a nested loop.
+    *
+    * Interval columns must be non-null with `start <= end`; rows
+    * violating it are dropped (empty interval matches nothing).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, startCol: String, endCol: String, binSec: Long): DataFrame = {
+    require(binSec > 0, s"binSec must be positive, got $binSec")
+    val overlap = right.columns.filterNot(keys.contains).toSet
+      .intersect(left.columns.filterNot(keys.contains).toSet)
+    require(overlap.isEmpty, s"non-key columns $overlap exist on both sides — rename first")
+    val binCol = graft.util.Names.fresh("_bin", left.columns ++ right.columns)
+    // div (not /): integer floor-division keeps the bin id a long inside
+    // codegen; epoch seconds are positive so div == floor here
+    val l = left.withColumn(binCol, expr(s"cast($tsCol as long) div $binSec"))
+    val r = right
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn(binCol, explode(sequence(
+        expr(s"cast($startCol as long) div $binSec"),
+        expr(s"cast($endCol as long) div $binSec"))))
+    l.join(r, keys :+ binCol)
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop(binCol)
+  }
+
   /** Gap-based sessionization: number each row with a per-key
     * `sessionCol` index that increments whenever the gap since the
     * previous row (by `tsCol`, ties broken by `tieCols`) exceeds

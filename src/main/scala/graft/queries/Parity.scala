@@ -1169,9 +1169,38 @@ object Parity {
       graft.ecom.Dashboards.customer360WithDates(c360), dashC360Start, dashC360End)
   }
 
+  // ---------------------------------------------------------------------
+  // q36 — interval (range) join (operator Spark lacks;
+  // graft.ops.TimeOps.rangeJoin): attribute each view event to every
+  // purchase by the same user within the following hour — the classic
+  // "touchpoints inside an attribution window" join. The oracle is
+  // DuckDB's native inequality join; the Spark plan is the binned
+  // equi-join (bin = 1h, matching the window, so each purchase interval
+  // explodes into at most 2 bins) — never a nested loop.
+  val q36 = Q(
+    "q36_range_join",
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.view_id, p.purchase_id
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND v.ts >= p.pts - INTERVAL 1 HOUR AND v.ts <= p.pts
+      |ORDER BY v.user_id, view_id, purchase_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"), col("ts").as("w_end"))
+    graft.ops.TimeOps.rangeJoin(views, purchases,
+        keys = Seq("user_id"), tsCol = "ts",
+        startCol = "w_start", endCol = "w_end", binSec = 3600L)
+      .select("user_id", "view_id", "purchase_id")
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34)
+    q31, q32, q33, q34, q36)
 }

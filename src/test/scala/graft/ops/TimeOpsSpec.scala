@@ -103,4 +103,59 @@ class TimeOpsSpec extends SparkSuite {
       TimeOps.sessionize(df.drop("session_idx"), Seq("k"), "t", gapSec = 0L)
     }
   }
+
+  test("rangeJoin matches the naive cross+filter join on seeded random data, at every bin size") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val left = Seq.tabulate(120) { i =>
+      (rnd.nextInt(4).toLong, i.toLong, new Timestamp(base + rnd.nextInt(36000) * 1000L))
+    }.toDF("k", "lid", "t")
+    val right = Seq.tabulate(40) { i =>
+      val start = base + rnd.nextInt(36000) * 1000L
+      (rnd.nextInt(4).toLong, i.toLong, new Timestamp(start),
+        new Timestamp(start + rnd.nextInt(7200) * 1000L))
+    }.toDF("k", "rid", "s", "e")
+    val naive = left.join(right, Seq("k"))
+      .filter($"t" >= $"s" && $"t" <= $"e")
+      .select("k", "lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naive.nonEmpty, "seed must produce matches or the test is vacuous")
+    // bins smaller than, near, and larger than the max interval length
+    for (bin <- Seq(60L, 3600L, 100000L)) {
+      val got = TimeOps.rangeJoin(left, right, Seq("k"), "t", "s", "e", binSec = bin)
+        .select("k", "lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive, s"binSec=$bin diverges from the naive range join")
+    }
+  }
+
+  test("rangeJoin: inclusive bounds, empty/null intervals dropped, no duplicate pairs") {
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), // == start
+      (1L, 2L, ts("2024-01-01 11:00:00")), // == end
+      (1L, 3L, ts("2024-01-01 11:00:01"))  // just past end
+    ).toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (1L, 11L, ts("2024-01-01 12:00:00"), ts("2024-01-01 11:00:00")), // start > end
+      (1L, 12L, null.asInstanceOf[Timestamp], ts("2024-01-01 11:00:00"))
+    ).toDF("k", "rid", "s", "e")
+    // bin far smaller than the interval: the pair could meet in many
+    // bins if the plan were wrong — must still appear exactly once
+    val rows = TimeOps.rangeJoin(left, right, Seq("k"), "t", "s", "e", binSec = 7L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.sorted == Seq(1L -> 10L, 2L -> 10L))
+  }
+
+  test("rangeJoin rejects non-key column collisions and bad bin") {
+    val l = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("k", "id", "t")
+    val r = Seq((1L, 2L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("k", "id", "s", "e") // "id" collides
+    intercept[IllegalArgumentException] {
+      TimeOps.rangeJoin(l, r, Seq("k"), "t", "s", "e", binSec = 60L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeOps.rangeJoin(l, r.withColumnRenamed("id", "rid"), Seq("k"), "t", "s", "e", binSec = 0L)
+    }
+  }
 }
