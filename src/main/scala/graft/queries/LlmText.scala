@@ -639,6 +639,126 @@ object LlmText {
       okCol(0.99).as("p99_ok"))
   }
 
+  // ---------------------------------------------------------------------
+  // qt14 — segment-level exact dedup (the substring-dedup family of
+  // Lee et al.'s "Deduplicating Training Data Makes Language Models
+  // Better", at fixed-width granularity): chop every document into
+  // consecutive 8-token segments, keep only the globally FIRST
+  // occurrence of each distinct segment (first = lowest (doc_id,
+  // seg_idx)), and report per document how many segments/tokens
+  // survive. Complements qd01 (whole-doc exact dedup — misses partial
+  // overlap) and qt10 (df-threshold boilerplate — a coverage metric,
+  // not a keep/drop decision).
+  //
+  // Scale plan: one segment-keyed two-phase aggregate (min position per
+  // segment) joined back onto the segment stream, then a doc-keyed
+  // rollup — two shuffles, both on uniformly-hashed keys, no windows
+  // and no driver state. The shuffle/join key is xxhash64 of the
+  // segment (8 bytes instead of ~50-char strings — same trick as
+  // qd02/qd11); the oracle joins on the segment STRING itself, so the
+  // hash-compare also polices collisions. The global first-occurrence
+  // rule is a deterministic position min — order-insensitive, so the
+  // plan parallelizes without tie ambiguity.
+  private val SegW = 8
+  val qt14 = Q(
+    "qt14_segment_dedup",
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |seg AS (SELECT doc_id, i AS seg_idx,
+       |          array_to_string(t[(i*$SegW+1):(i*$SegW+$SegW)], ' ') AS seg,
+       |          LEAST($SegW, len(t) - i*$SegW)::BIGINT AS seg_len
+       |        FROM tok, UNNEST(range(0, CAST(ceil(len(t) / CAST($SegW AS DOUBLE)) AS BIGINT))) AS u(i)),
+       |k AS (SELECT seg, MIN(doc_id * 100000 + seg_idx) AS keep_pos FROM seg GROUP BY seg),
+       |d AS (SELECT s.doc_id, s.seg_len,
+       |        (s.doc_id * 100000 + s.seg_idx) = k.keep_pos AS kept
+       |      FROM seg s JOIN k USING (seg))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(seg_len) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN kept THEN seg_len ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       |FROM d GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    segmentDedupStats(docs(s, dir), SegW)
+  }
+
+  /** qt14 core over any (doc_id, text) frame — injectable for planted
+    * specs (duplicated-span corpora, tail-segment widths). See the qt14
+    * comment for the plan shape.
+    */
+  def segmentDedupStats(docsDf: DataFrame, w: Int): DataFrame = {
+    require(w > 0, s"segment width must be positive, got $w")
+    val segs = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      // one struct array per doc: ceil(len/w) segments incl. short tail
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0L), ceil(size(col("t")) / lit(w.toDouble)).cast(LongType) - 1),
+        i => struct(
+          array_join(slice(col("t"), (i * w + 1).cast(IntegerType), lit(w)), " ").as("seg"),
+          least(lit(w.toLong), size(col("t")) - i * w).as("seg_len")))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("seg_idx"),
+        xxhash64(col("col.seg")).as("seg_h"), col("col.seg_len").as("seg_len"))
+      .withColumn("gpos", col("doc_id") * lit(100000L) + col("seg_idx"))
+    val keep = segs.groupBy("seg_h").agg(min(col("gpos")).as("keep_pos"))
+    segs.join(keep, Seq("seg_h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        graft.util.Exact.countIf(col("gpos") =!= col("keep_pos")).as("n_dropped"),
+        sum(col("seg_len")).as("n_tokens"),
+        sum(when(col("gpos") === col("keep_pos"), col("seg_len")).otherwise(lit(0L)))
+          .as("n_tokens_kept"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qt15 — corpus quality deciles: rank every document by the shared
+  // quality score (qt02 / graft_quality — ONE Catalyst definition) and
+  // cut the corpus into 10 equal-count buckets with ntile, reporting
+  // size, score range, and token mass per decile. This is the selection
+  // table a curation pipeline reads to pick "top-30% by quality" with a
+  // known token budget per slice (qt12 then does the mixing).
+  //
+  // ntile is an EXACT equal-count cut: one global sort (single ordering
+  // partition). That is the right tool up to ~billions of rows of
+  // (score, doc) pairs but the wrong one at full 100 TB corpus width —
+  // there the pipeline computes approximate decile BOUNDARIES from
+  // qt13's mergeable sketch and buckets by comparison (map-side, no
+  // global sort). Emitting min/max per decile (never a float sum) keeps
+  // the output hash-stable across engines and summation orders.
+  val qt15 = Q(
+    "qt15_quality_deciles",
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |q AS (
+      |  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+      |    (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * CAST(0.5 AS DOUBLE)
+      |      + (CAST(len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(t)) * CAST(0.3 AS DOUBLE)
+      |      + LEAST(CAST(1.0 AS DOUBLE), CAST(len(t) AS DOUBLE) / CAST(200.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE) AS score
+      |  FROM tok),
+      |d AS (SELECT doc_id, n_tokens, score,
+      |        NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      |      FROM q)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(score) AS min_score, MAX(score) AS max_score,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS token_mass
+      |FROM d GROUP BY decile
+      |ORDER BY decile""".stripMargin) { (s, dir) =>
+    val q = docs(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+      qualityScore(col("text")).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    q.withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        sum(col("n_tokens")).as("token_mass"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] =
-    Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12, qt13)
+    Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
+      qt13, qt14, qt15)
 }

@@ -160,4 +160,29 @@ class TextCurationSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getAs[Long]("n_selected"))).toMap
     got.foreach { case (lang, r) => assert(again(lang) == r.getAs[Long]("n_selected")) }
   }
+
+  test("qt14 keeps the globally first copy of a duplicated segment and counts the short tail") {
+    // width 4. doc1 = [A B] (two full segments); doc2 = [A C] where A
+    // repeats doc1's first segment; doc3 = B's 4 tokens + a 2-token tail
+    // segment that also duplicates doc2's tail "x y" -> tail-vs-tail dedup.
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),             // segs: [a b c d]=A, [e f g h]=B
+      (2L, "a b c d x y"),                 // segs: A (dup of doc1), [x y] tail
+      (3L, "e f g h x y")                  // segs: B (dup of doc1), [x y] (dup of doc2)
+    ).toDF("doc_id", "text")
+    val got = LlmText.segmentDedupStats(corpus, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (n_segments, n_dropped, n_tokens, n_tokens_kept)
+    assert(got(1L) == ((2L, 0L, 8L, 8L)), "doc1 owns both first occurrences")
+    assert(got(2L) == ((2L, 1L, 6L, 2L)), "doc2 loses A, keeps its 2-token tail")
+    assert(got(3L) == ((2L, 2L, 6L, 0L)), "doc3 loses B and the tail to earlier docs")
+  }
+
+  test("qt14 first-occurrence rule is position-ordered WITHIN a doc too") {
+    // one doc repeating its own first segment: the later in-doc copy drops
+    val corpus = Seq((5L, "p q r s p q r s")).toDF("doc_id", "text")
+    val r = LlmText.segmentDedupStats(corpus, w = 4).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 1L, 8L, 4L)))
+  }
 }
