@@ -319,7 +319,50 @@ object LlmSimilarity {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05)
+  // ---------------------------------------------------------------------
+  // qs06 — kNN JOIN: top-3 neighbors for EVERY corpus vector (not just a
+  // probe set) via LSH blocking — the primitive behind SemDeDup-style
+  // embedding curation and similarity-graph construction, where the
+  // output feeds qd09/qd14's clustering. qs01/qs02 broadcast a handful
+  // of probes; a kNN join is corpus × corpus, so the only viable shape
+  // at 100 TB is block-then-score: candidates come from a bucket
+  // SELF-join (both sides shuffle-partitioned by bucket — no broadcast,
+  // each task scores one bucket's pairs), ranked per vector with a
+  // window over the candidate set (~n/64 per vector), never the corpus.
+  // Bucket skew is bounded by construction: 6 random hyperplanes split
+  // near-uniformly (the planted-skew analogue is qd02's df cap).
+  // Vectors whose bucket has no other member simply emit no rows —
+  // approximate-kNN semantics, replayed identically by the oracle.
+  val qs06 = Q(
+    "qs06_knn_join",
+    s"""WITH e AS (SELECT vec_id, embedding, ${DuckSql.lshBucket("embedding", 6)} AS bucket
+       |           FROM embeddings),
+       |s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |        ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos_sim
+       |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT vec_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM s) ranked
+       |WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin) { (s, dir) =>
+    val planes = hyperplanes(nPlanes = 6, dim = 64)
+    val e = emb(s, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
+    val right = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.join(right, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("embedding"), col("ne")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select("vec_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("vec_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05, qs06)
 }
 
 /** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its
