@@ -198,6 +198,43 @@ final case class Lakehouse(
     overwritePartitions(name, merged)
   }
 
+  /** Training-data shard export: write `df` as exactly `nShards` files,
+    * each holding a deterministic pseudo-random slice of the rows — the
+    * final sink of a curation pipeline, where downstream training
+    * readers want (a) shards of near-equal size, (b) a GLOBAL shuffle
+    * (documents from one source/domain spread across shards, never
+    * clumped in input order), and (c) bit-identical output for the same
+    * input and seed (resumable/verifiable at 100 TB).
+    *
+    * Plan: shard id = xxhash64(all columns, seed) mod nShards —
+    * content-derived, so placement is independent of input partitioning
+    * and parallelism (`repartition(n)` round-robins by partition and is
+    * NOT stable across input layouts). One hash shuffle into `nShards`
+    * write tasks, each emitting one file; rows within a shard are
+    * additionally sorted by the hash, so the within-shard order is
+    * content-deterministic too and consecutive training examples are
+    * decorrelated. Balance follows from hash uniformity (~±3σ·√(n/N));
+    * exact-equal sizing would need a global rank — a total sort the
+    * uniform hash makes unnecessary.
+    */
+  def writeShards(name: String, df: DataFrame, nShards: Int, seed: Long): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("shard"), "input already has a 'shard' column")
+    import org.apache.spark.sql.functions.{pmod, xxhash64}
+    val h = xxhash64(lit(seed) +: df.columns.map(col): _*)
+    // shard=i/ directories via partitionBy: all rows of a shard share a
+    // shard value, so they land in one task (repartition by shard) and
+    // that task writes exactly one file into the shard's directory —
+    // nShards dirs, one file each, regardless of hash collisions in
+    // Spark's task assignment.
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), h)
+      .write.format(format).mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .save(s"$warehouseDir/$name")
+  }
+
   /** Register tables for the SQL entry point (reference EP2: every DQ
     * check and %sql cell runs `spark.sql` against the catalog —
     * `04_data_quality_checks.py:24`, `01_bronze_ingest.py:42-49`).
