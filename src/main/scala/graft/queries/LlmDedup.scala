@@ -772,7 +772,56 @@ object LlmDedup {
       .orderBy("cluster_id", "doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // qd15 — embedding dedup DECISION (the SemDeDup policy, Abbas et al.
+  // 2023): qd06/qd08 emit ranked near-dup PAIRS; this query turns them
+  // into a keep/drop verdict — a vector is dropped iff some SMALLER-id
+  // vector in its LSH bucket has cosine ≥ τ, and its dup_of is the
+  // smallest such survivor-candidate (deterministic, order-free — the
+  // same min-id canonicalization qd01 applies to exact dups). Candidates
+  // come from the shared 6-plane sign-bit buckets, so the pair space is
+  // ~1/64 of all-pairs and every stage is an equi-join — the decision
+  // scales exactly like qd08's mining. τ = 0.35 sits at this synthetic
+  // corpus's p99.9 pairwise cosine (production embeddings of true
+  // near-dups cluster at ≥ 0.9 — the policy is threshold-agnostic).
+  private val SemDedupTau = 0.35
+  val qd15 = Q(
+    "qd15_semantic_dedup",
+    s"""WITH e AS (SELECT vec_id, embedding, ${DuckSql.lshBucket("embedding", 6)} AS bucket
+       |           FROM embeddings),
+       |cand AS (SELECT b.vec_id AS vec_id, a.vec_id AS dup_of,
+       |           ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos_sim
+       |         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |hit AS (SELECT vec_id, dup_of, cos_sim,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rn
+       |        FROM cand WHERE cos_sim >= $SemDedupTau)
+       |SELECT vec_id, dup_of, cos_sim FROM hit WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    semanticDedupDrops(load(s, dir, "embeddings"), SemDedupTau)
+  }
+
+  /** qd15 decision core over any (vec_id, embedding) frame — injectable
+    * for planted specs pinning the drop-iff-smaller-id-neighbor policy.
+    * See the qd15 comment for the plan shape.
+    */
+  def semanticDedupDrops(embDf: DataFrame, tau: Double): DataFrame = {
+    val planes = VectorFns.hyperplanes(nPlanes = 6, dim = 64)
+    val e = embDf.select(col("vec_id"), col("embedding"),
+      VectorFns.lshBucket(col("embedding"), planes).as("bucket"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dup_of"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("dup_of"),
+        VectorFns.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "dup_of", "cos_sim")
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
-      qd13, qd14)
+      qd13, qd14, qd15)
 }

@@ -206,4 +206,24 @@ class LlmQueriesSpec extends SparkSuite {
     assert(got(7L).getAs[Long]("kept_doc_id") == 7L)
     assert(got(7L).getAs[Long]("n_dropped") == 1L)
   }
+
+  test("qd15 drops iff a smaller-id bucket neighbor clears tau; dup_of is the smallest") {
+    import spark.implicits._
+    def vec(hot: Int, v: Float): Array[Float] = {
+      val a = Array.fill(64)(0.01f); a(hot) = v; a
+    }
+    // ids 1,2,3 identical (cos 1.0, same bucket — dup_of must be 1 for
+    // both 2 and 3, never 2 for 3); id 9 is the sign-flipped vector:
+    // opposite sign bits on every plane -> different bucket AND cos ~ -1,
+    // kept on both grounds
+    val e = Seq(
+      (1L, vec(0, 1f)), (2L, vec(0, 1f)), (3L, vec(0, 1f)),
+      (9L, vec(0, 1f).map(-_))
+    ).toDF("vec_id", "embedding")
+    val got = LlmDedup.semanticDedupDrops(e, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(2L, 3L), s"exactly ids 2,3 drop, got ${got.keySet}")
+    assert(got(2L)._1 == 1L && got(3L)._1 == 1L, "dup_of is the SMALLEST qualifying id")
+    assert(math.abs(got(2L)._2 - 1.0) < 1e-12)
+  }
 }
