@@ -1198,9 +1198,75 @@ object Parity {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q37 — CUBE completes the grouping-sets family next to q26's ROLLUP:
+  // all four (returnflag × linestatus) marginals in one pass. Spark
+  // expands the sets map-side into one two-phase aggregate — one
+  // shuffle regardless of how many grouping sets, which is why CUBE is
+  // fine at 100 TB when the grouped cardinality is low.
+  val q37 = Q(
+    "q37_lineitem_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY lvl, returnflag, linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast(LongType).as("lvl"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("lvl"), col("n_items"), col("sum_qty"), col("sum_price"))
+      .orderBy("lvl", "returnflag", "linestatus")
+  }
+
+  // ---------------------------------------------------------------------
+  // q38 — ranking-window completeness: dense_rank / percent_rank /
+  // cume_dist / first_value / nth_value over a per-customer order
+  // history, none of which q25's frame windows exercise. All share ONE
+  // window ordering, so the plan is a single shuffle + sort feeding
+  // every function; ties are broken by order id to keep ranks
+  // deterministic at any parallelism.
+  val q38 = Q(
+    "q38_order_rank_windows",
+    """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+      |  CAST(DENSE_RANK() OVER w AS BIGINT) AS spend_dense_rank,
+      |  PERCENT_RANK() OVER w AS spend_pct_rank,
+      |  CUME_DIST() OVER w AS spend_cume_dist,
+      |  FIRST_VALUE(o_orderkey) OVER w AS top_order_id,
+      |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order_id
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY customer_id, order_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey").as("customer_id"),
+        col("o_orderkey").as("order_id"),
+        dense_rank().over(w).cast(LongType).as("spend_dense_rank"),
+        percent_rank().over(w).as("spend_pct_rank"),
+        cume_dist().over(w).as("spend_cume_dist"),
+        first_value(col("o_orderkey")).over(w).as("top_order_id"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order_id"))
+      .orderBy("customer_id", "order_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q36)
+    q31, q32, q33, q34, q36, q37, q38)
 }
