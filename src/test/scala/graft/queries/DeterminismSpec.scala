@@ -2,10 +2,12 @@ package graft.queries
 
 import graft.SparkSuite
 
-/** Partition-count invariance for the round-5 queries whose plans are
+/** Partition-count invariance for the round-5/6 queries whose plans are
   * order-sensitive on paper — cumulative-sum windows (qt12), score-ranked
-  * windows (qd12), hash-membership aggregation (qd11), cross-relation
-  * band joins (qd13). Every query must produce IDENTICAL rows (including
+  * windows (qd12, qd15, qs06, q38), hash-membership aggregation (qd11),
+  * cross-relation band joins (qd13), global first-occurrence minima
+  * (qt14), a single global ntile sort (qt15), binned interval joins
+  * (q36), and the star-rewrite clustering loop (qd14). Every query must produce IDENTICAL rows (including
   * emitted order) under different shuffle parallelism: at 100 TB the
   * partition count is whatever the cluster says it is, and a result that
   * depends on it is not a result. The driver's gate runs one parallelism
@@ -18,9 +20,12 @@ class DeterminismSpec extends SparkSuite {
     Seq("qd11_contamination", "qd12_cluster_keep_best", "qd13_incremental_dedup",
       "qt11_pii_redaction", "qt12_token_budget_mix",
       // qs05's float-sums-are-exact-in-double argument, pinned empirically
-      "qs05_embedding_centroid_stats")
+      "qs05_embedding_centroid_stats",
+      "q36_range_join", "q38_order_rank_windows", "qd14_dedup_clusters_star",
+      "qd15_semantic_dedup", "qs06_knn_join", "qt14_segment_dedup",
+      "qt15_quality_deciles")
 
-  test("round-5 queries emit identical rows under 2-way and 13-way shuffle parallelism") {
+  test("order-sensitive queries emit identical rows under 2-way and 13-way shuffle parallelism") {
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
     def runAll(): Map[String, Seq[String]] = names.map { n =>
