@@ -76,5 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composite("graft_quality", CurationExprs.qualityScore)
     composite("graft_redact_pii", CurationExprs.redactPii)
     composite("graft_content_hash", CurationExprs.contentHash)
+    // Whole-plan tier of the extension ladder: rewrite naive BETWEEN
+    // range joins into binned equi-joins (opt-in via
+    // spark.graft.rangeJoin.binSec — inert by default; see
+    // graft.plans.RangeJoinRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, TimestampType}
+
+/** Catalyst optimizer rule: rewrite an inner join whose condition is a
+  * point-in-interval range predicate
+  *
+  *   ts >= start AND ts <= end      (ts from one side, bounds from the other)
+  *
+  * into the binned equi-join `graft.ops.TimeOps.rangeJoin` builds by
+  * hand — so a caller who writes the NAIVE `BETWEEN` join (e.g. through
+  * plain `spark.sql`) still gets the scalable plan.
+  *
+  * Why: without an equi-key, Catalyst plans a broadcast-nested-loop (or
+  * cartesian + filter) — O(n·m) per key and a non-starter at 100 TB.
+  * The rewrite bins time at `spark.graft.rangeJoin.binSec` seconds: the
+  * ts side computes one bin id, the interval side explodes into the
+  * bins it overlaps (`sequence(start div b, end div b)`), the join gains
+  * the `tsBin = bin` equi-conjunct, and the ORIGINAL range conjuncts
+  * stay in place as the exact post-filter. Each qualifying pair meets in
+  * exactly one bin — the ts row's — so no dedup is needed; a
+  * non-qualifying candidate is killed by the retained exact predicate.
+  * Monotonicity of truncating division makes the containment argument
+  * hold for negative epochs too.
+  *
+  * Scope and safety:
+  *  - OPT-IN: inert unless `spark.graft.rangeJoin.binSec` > 0 (choose a
+  *    bin near the typical interval length; fan-out per interval row is
+  *    len/bin + 1).
+  *  - Inner joins only; ts/bounds must be timestamp or integral, each
+  *    referencing exactly one side. Extra conjuncts (equi keys, other
+  *    filters) are preserved untouched.
+  *  - Idempotent: the generated `_graft_bin` attribute in a child's
+  *    output marks an already-rewritten join.
+  *  - NULL bounds or `start > end` produce a NULL/descending sequence —
+  *    dropped by Generate / the exact filter, matching the naive join's
+  *    empty result for such rows.
+  *
+  * Registered through `GraftExtensions` (injectOptimizerRule), the
+  * extension ladder's whole-plan tier next to the expression-level
+  * kernels.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val ConfKey = "spark.graft.rangeJoin.binSec"
+  private val BinName = "_graft_bin"
+
+  private def binnable(e: Expression): Boolean = e.dataType match {
+    case TimestampType | LongType | IntegerType | ShortType => true
+    case _ => false
+  }
+
+  private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val bin =
+      try conf.getConfString(ConfKey, "0").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (bin <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(_), _)
+          if !left.output.exists(_.name == BinName) &&
+            !right.output.exists(_.name == BinName) =>
+        rewrite(j, bin).getOrElse(j)
+    }
+  }
+
+  private def rewrite(j: Join, bin: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    // `ts >= bound` in either spelling
+    def lower(c: Expression): Option[(Expression, Expression)] = c match {
+      case GreaterThanOrEqual(a, b) => Some((a, b))
+      case LessThanOrEqual(a, b)    => Some((b, a))
+      case _                        => None
+    }
+    // `ts <= bound` in either spelling
+    def upper(c: Expression): Option[(Expression, Expression)] = c match {
+      case LessThanOrEqual(a, b)    => Some((a, b))
+      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case _                        => None
+    }
+    // TimeZoneAwareExpressions (Cast, Sequence) built after analysis must
+    // carry their zone explicitly — ResolveTimeZone has already run, and
+    // a zoneless instance reads as unresolved to the plan validator
+    val tz = Some(conf.sessionLocalTimeZone)
+    def binOf(e: Expression): Expression =
+      IntegralDivide(Cast(e, LongType, tz), Literal(bin))
+
+    // find (ts, start, end) with ts on `tsSide` and both bounds on
+    // `ivlSide`; first match wins (extra ranges stay as plain filters)
+    def orient(tsSide: LogicalPlan, ivlSide: LogicalPlan)
+        : Option[(Expression, Expression, Expression)] = {
+      val cands = for {
+        lc <- conjuncts.iterator
+        (lts, st) <- lower(lc).iterator
+        if binnable(lts) && refsOnly(lts, tsSide) &&
+          binnable(st) && refsOnly(st, ivlSide)
+        uc <- conjuncts.iterator if uc ne lc
+        (uts, en) <- upper(uc).iterator
+        if uts.semanticEquals(lts) && binnable(en) && refsOnly(en, ivlSide)
+      } yield (lts, st, en)
+      cands.nextOption()
+    }
+
+    def build(ts: Expression, st: Expression, en: Expression,
+        ivlOnLeft: Boolean): LogicalPlan = {
+      val binAttr = AttributeReference(BinName, LongType, nullable = false)()
+      val ivl = if (ivlOnLeft) j.left else j.right
+      val gen = Generate(Explode(new Sequence(binOf(st), binOf(en), None, tz)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(binAttr), child = ivl)
+      val newCond = (conjuncts :+ EqualTo(binOf(ts), binAttr)).reduce(And)
+      val newJoin =
+        if (ivlOnLeft) j.copy(left = gen, condition = Some(newCond))
+        else j.copy(right = gen, condition = Some(newCond))
+      // restore the original output (drops the scratch bin attribute)
+      Project(j.output, newJoin)
+    }
+
+    orient(j.left, j.right).map { case (ts, st, en) => build(ts, st, en, ivlOnLeft = false) }
+      .orElse(orient(j.right, j.left).map { case (ts, st, en) => build(ts, st, en, ivlOnLeft = true) })
+  }
+}

@@ -1,0 +1,100 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The optimizer-rule tier: a NAIVE point-in-interval join (no equi key
+  * at all) must plan as a nested loop with the rule off, and as a binned
+  * equi-join — same rows, no nested loop — with the rule on.
+  */
+class RangeJoinRewriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def withBin[A](binSec: Long)(body: => A): A = {
+    spark.conf.set(RangeJoinRewrite.ConfKey, binSec.toString)
+    try body finally spark.conf.unset(RangeJoinRewrite.ConfKey)
+  }
+
+  private val events = Seq(
+    (1L, ts("2024-01-01 10:00:00")),
+    (2L, ts("2024-01-01 10:59:59")),
+    (3L, ts("2024-01-01 11:00:00")), // == end: inclusive
+    (4L, ts("2024-01-01 11:00:01")), // just past end
+    (5L, ts("2024-01-02 03:30:00"))
+  ).toDF("eid", "t")
+
+  private val windows = Seq(
+    (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+    (11L, ts("2024-01-02 03:00:00"), ts("2024-01-02 04:00:00")),
+    (12L, ts("2024-01-03 00:00:00"), ts("2024-01-03 01:00:00")) // matches nothing
+  ).toDF("wid", "s", "e")
+
+  private def naiveJoin = events.join(windows, $"t" >= $"s" && $"t" <= $"e")
+
+  test("rule off: the BETWEEN join nested-loops; rule on: binned equi-join, identical rows") {
+    val expected = naiveJoin.select("eid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected == Set(1L -> 10L, 2L -> 10L, 3L -> 10L, 5L -> 11L))
+    assert(naiveJoin.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "without the rule this IS a nested loop")
+    withBin(3600L) {
+      val df = naiveJoin
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rewrite must remove the nested loop:\n$plan")
+      assert(plan.contains("Generate"), "interval side must explode into bins")
+      val got = df.select("eid", "wid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, "rewritten join changed the result")
+    }
+  }
+
+  test("extra equi and filter conjuncts survive; orientation with interval side on the LEFT") {
+    val l = Seq((1L, "a", ts("2024-01-01 10:30:00")), (2L, "b", ts("2024-01-01 10:30:00")))
+      .toDF("eid", "k", "t")
+    val r = Seq(("a", 7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+        ("b", 8L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("k2", "wid", "s", "e")
+    def q = r.join(l, $"k" === $"k2" && $"t" >= $"s" && $"t" <= $"e" && $"wid" > 0L)
+    val expected = q.select("eid", "wid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(expected == Set(1L -> 7L))
+    withBin(60L) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("Generate"))
+      val got = q.select("eid", "wid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("null bounds and inverted intervals drop their rows, matching the naive join") {
+    val l = Seq((1L, 100L)).toDF("eid", "t") // integral ts works too
+    def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val r = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (10L, jl(90L), jl(110L)),
+      (11L, null, jl(110L)),
+      (12L, jl(110L), jl(90L)) // start > end
+    ).toDF("wid", "s", "e")
+    def q = l.join(r, $"t" >= $"s" && $"t" <= $"e")
+    val expected = q.select("eid", "wid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    withBin(7L) {
+      val got = q.select("eid", "wid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == expected && got == Set(1L -> 10L))
+    }
+  }
+
+  test("outer range joins and non-range inner joins are left untouched") {
+    withBin(3600L) {
+      val leftOuter = events.join(windows, $"t" >= $"s" && $"t" <= $"e", "left")
+      assert(leftOuter.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "outer joins must not rewrite (bin fan-out would duplicate unmatched rows)")
+      assert(leftOuter.count() == 5) // 4 matched rows + eid 4's null-padded row
+      val equi = events.join(windows.withColumnRenamed("wid", "eid"), Seq("eid"))
+      assert(!equi.queryExecution.executedPlan.toString.contains("Generate"))
+    }
+  }
+}
