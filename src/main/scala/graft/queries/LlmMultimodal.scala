@@ -195,5 +195,44 @@ object LlmMultimodal {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05)
+  // ---------------------------------------------------------------------
+  // qm06 — cross-video frame dedup: which video pairs share sampled
+  // frame CONTENT (the multimodal twin of qd01 — near-identical videos,
+  // re-encodes, and clip/compilation overlap show up as shared frames
+  // long before any embedding model runs). Composition of the qm02
+  // sampling stage with the dedup family's hash-join anatomy: distinct
+  // (video, frame-hash) pairs, self-join on the 64-bit frame hash,
+  // per-pair shared-frame count. The oracle re-derives the same frames
+  // by hex-slicing the payload and joins on the hex STRING, so the
+  // hash-compare also polices hash collisions (same policy as qd11/qt14).
+  // Scale: the frame relation is |videos| × frames/stride rows, the join
+  // is a hash equi-join on uniformly distributed 8-byte keys, and only
+  // frames appearing in ≥ 2 videos produce pairs — never all-pairs of
+  // videos.
+  val qm06 = Q(
+    "qm06_frame_dedup",
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT media_id, substr(hx, CAST(2*fr*64+1 AS INT), 128) AS fhex
+      |      FROM m, UNNEST(range(0, (n+63)//64, 4)) AS u(fr)),
+      |d AS (SELECT DISTINCT media_id, fhex FROM f)
+      |SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+      |FROM d a JOIN d b ON a.fhex = b.fhex AND a.media_id < b.media_id
+      |GROUP BY 1, 2
+      |ORDER BY media_a, media_b""".stripMargin) { (s, dir) =>
+    val frames = MediaOps.sampleFrames(media(s, dir).filter(col("kind") === "video"),
+        frameBytes = 64, stride = 4)
+      .select(col("media_id"), xxhash64(col("frame_bytes")).as("h"))
+      .distinct()
+    frames.as("a")
+      .join(frames.as("b"),
+        col("a.h") === col("b.h") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .orderBy("media_a", "media_b")
+  }
+
+  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05, qm06)
 }
