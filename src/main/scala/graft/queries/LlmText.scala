@@ -758,7 +758,73 @@ object LlmText {
       .orderBy("decile")
   }
 
+  // ---------------------------------------------------------------------
+  // qt16 — bigram language-model scoring (the perplexity-filter family,
+  // CCNet-style, with a deterministic twist): train the bigram model on
+  // the corpus itself — counts n(w1,w2), prefix totals n(w1), vocab size
+  // V — and score every document by (a) its average add-one-smoothed
+  // bigram probability avg P(w2|w1) = (n12+1)/(n1+V), and (b) its
+  // KNOWN-bigram rate in integer basis points (bigrams whose corpus
+  // count ≥ 2, i.e. seen outside this one occurrence — the novelty/OOV
+  // signal). True perplexity exponentiates a mean log — transcendental,
+  // so the last ulp may differ between engines; the probability mean
+  // (one IEEE division per bigram, decimal-summed) and the integer rate
+  // carry the same ranking signal bit-exactly.
+  //
+  // Scale plan: one explode pass emits the (doc, w1, w2) stream; the
+  // model is two aggregates OVER THAT STREAM (bigram counts, prefix
+  // counts) — token-instance-linear, two-phase, map-side combined. The
+  // per-doc score joins the stream back to the bigram relation on
+  // (w1, w2) — at 100 TB the model relation is the big side and this is
+  // a shuffle join on uniformly-hashed string pairs; a production run
+  // caps the model at the top-k bigrams (zipf mass) and broadcasts.
+  // Docs with < 2 tokens have no bigrams and are excluded (emitted by
+  // neither engine).
+  val qt16 = Q(
+    "qt16_bigram_lm_score",
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |       FROM tok, UNNEST(range(1, len(t))) AS u(i)),
+      |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+      |v AS (SELECT CAST(COUNT(DISTINCT u.w) AS BIGINT) AS vsize
+      |      FROM (SELECT unnest(t) AS w FROM tok) u),
+      |sc AS (SELECT b.doc_id,
+      |         CAST(c2.n12 + 1 AS DOUBLE) / CAST(c1.n1 + v.vsize AS DOUBLE) AS p,
+      |         CASE WHEN c2.n12 >= 2 THEN 1 ELSE 0 END AS known
+      |       FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) / COUNT(p) AS avg_bigram_p,
+      |  CAST(SUM(known) AS BIGINT) * 10000 // COUNT(*) AS known_bps
+      |FROM sc GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bg = docs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+      .select(col("doc_id"),
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val c1 = c2.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    val v = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("vsize"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        ((col("n12") + lit(1)).cast(DoubleType) /
+          (col("n1") + col("vsize")).cast(DoubleType)).as("p"),
+        when(col("n12") >= 2, lit(1L)).otherwise(lit(0L)).as("known"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        graft.util.Exact.davg(col("p"), 12).as("avg_bigram_p"),
+        expr("sum(known) * 10000 div count(1)").as("known_bps"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15)
+      qt13, qt14, qt15, qt16)
 }
