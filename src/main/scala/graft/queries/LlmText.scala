@@ -799,14 +799,22 @@ object LlmText {
       |  CAST(SUM(known) AS BIGINT) * 10000 // COUNT(*) AS known_bps
       |FROM sc GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val bg = docs(s, dir)
+    bigramLmScores(docs(s, dir))
+  }
+
+  /** qt16 core over any (doc_id, text) frame — injectable for planted
+    * specs pinning the smoothing and known-bigram arithmetic. See the
+    * qt16 comment for the plan shape.
+    */
+  def bigramLmScores(docsDf: DataFrame): DataFrame = {
+    val bg = docsDf
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
       .select(col("doc_id"),
         split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     val c1 = c2.groupBy("w1").agg(sum(col("n12")).as("n1"))
-    val v = docs(s, dir)
+    val v = docsDf
       .select(explode(tokens(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("vsize"))
     bg.join(c2, Seq("w1", "w2"))

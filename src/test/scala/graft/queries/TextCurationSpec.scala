@@ -179,6 +179,22 @@ class TextCurationSpec extends SparkSuite {
     assert(got(3L) == ((2L, 2L, 6L, 0L)), "doc3 loses B and the tail to earlier docs")
   }
 
+  test("qt16 add-one smoothing and known-bigram rate match hand computation") {
+    // vocab {a,b,c} (V=3); bigram counts: (a,b)=3, (b,a)=1, (b,c)=1;
+    // prefix totals: a=3, b=2. P(a,b)=(3+1)/(3+3)=2/3, P(b,a)=P(b,c)=2/5.
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = LlmText.bigramLmScores(corpus)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val (n1, p1, k1) = got(1L)
+    val (n2, p2, k2) = got(2L)
+    assert(n1 == 3L && n2 == 2L)
+    assert(math.abs(p1 - (2.0 / 3 + 0.4 + 2.0 / 3) / 3) < 1e-9)
+    assert(math.abs(p2 - (2.0 / 3 + 0.4) / 2) < 1e-9)
+    // only (a,b) occurs >= 2 times corpus-wide
+    assert(k1 == 2L * 10000 / 3 && k2 == 5000L)
+  }
+
   test("qt14 first-occurrence rule is position-ordered WITHIN a doc too") {
     // one doc repeating its own first segment: the later in-doc copy drops
     val corpus = Seq((5L, "p q r s p q r s")).toDF("doc_id", "text")
