@@ -235,28 +235,33 @@ object LlmDedup {
   /** LSH banding + candidate equi-join + exact-Jaccard verify over a
     * signature relation from [[lshSignatures]].
     */
-  /** LSH band keys for a [[lshSignatures]] relation: one row per
+  /** LSH band keys for a [[lshSignatures]]-shaped relation: one row per
     * (doc, band), key = the band's slice of the signature. Shared by the
-    * self-join (qd04) and the incremental new-vs-index join (qd13).
+    * self-join (qd04), the incremental new-vs-index join (qd13), and the
+    * streaming gate (graft.streaming.DocStreams.nearDupAgainstIndex).
+    * `carry` threads extra columns through the explode (the streaming
+    * path carries the shingle set so verification needs no second join);
+    * batch callers leave it empty to keep the banded shuffle slim.
     */
-  private def lshBanded(sig: DataFrame): DataFrame = {
+  private[graft] def lshBanded(sig: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val bandRows = 4 // 4 bands of 4 rows over the k=16 signature
-    sig.select(
+    sig.select(Seq(
       col("doc_id"),
       explode(sequence(lit(0), lit(16 / bandRows - 1))).as("band"),
-      col("sig"))
-      .select(col("doc_id"), col("band"),
+      col("sig")) ++ carry.map(col): _*)
+      .select(Seq(col("doc_id"), col("band"),
         concat_ws("-", slice(col("sig"), col("band") * bandRows + 1, lit(bandRows))).as("band_key"))
+        ++ carry.map(col): _*)
   }
 
   /** Exact Jaccard between two shingle-set columns, and the verify
     * threshold — ONE definition for qd04's self-join and qd13's
     * incremental join, so the two paths cannot silently diverge.
     */
-  private def jaccard(a: Column, b: Column): Column =
+  private[graft] def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
-  private val VerifyJaccard = 0.5
+  private[graft] val VerifyJaccard = 0.5
 
   def lshVerifiedPairs(sig: DataFrame): DataFrame = {
     val banded = lshBanded(sig)

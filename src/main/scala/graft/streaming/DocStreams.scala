@@ -81,6 +81,51 @@ object DocStreams {
   def curate(docs: DataFrame, minScore: Double = 0.3): DataFrame =
     scrub(dedupNew(qualityFilter(docs, minScore)))
 
+  /** Per-row MinHash signature + shingle set for a STREAMING frame.
+    * The batch relation (LlmDedup.lshSignatures) builds signatures in
+    * one grouped pass; a streaming aggregate would demand watermarked
+    * state, so the stream computes the identical signature per row with
+    * array HOFs over the same shingle/hash family — bit-identical
+    * values, no state. Docs with fewer than 3 tokens have no shingles
+    * (nothing to match) and are dropped, mirroring the batch relation.
+    */
+  def rowSignatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sh", array_distinct(TextFns.shingles(col("text"), 3)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig",
+        TextFns.minhashSig(transform(col("sh"), g => TextFns.hash31(g)), 16))
+
+  /** Streaming near-dup gate against a STATIC signature index: for each
+    * arriving doc, emit (doc_id, dup_of, jaccard) for every index doc it
+    * near-duplicates — the crawl-time shape of qd13's batch incremental
+    * join, sharing its banding (LlmDedup.lshBanded) and verify
+    * (LlmDedup.jaccard ≥ the shared threshold) definitions, so stream
+    * and batch cannot disagree on what "near-duplicate" means.
+    *
+    * Plan: band keys explode statelessly on both sides; candidates come
+    * from a stream-STATIC equi-join on (band, band_key) — no watermark,
+    * no stream-stream state, and the index side shuffles once per
+    * micro-batch plan (production snapshots it broadcast-side or
+    * bucket-partitioned). The stream row carries its shingle set through
+    * the banding (`carry`), so verification is a stateless per-row
+    * Jaccard — the only state is `dropDuplicates` over emitted pairs
+    * (a doc matching in several bands must emit once), bounded by the
+    * OUTPUT size, not the corpus.
+    */
+  def nearDupAgainstIndex(docs: DataFrame, indexSig: DataFrame): DataFrame = {
+    import graft.queries.LlmDedup
+    val stream = LlmDedup.lshBanded(rowSignatures(docs), carry = Seq("sh"))
+    val index = LlmDedup.lshBanded(indexSig, carry = Seq("sh"))
+      .select(col("doc_id").as("dup_of"), col("band"), col("band_key"),
+        col("sh").as("_ish"))
+    stream.join(index, Seq("band", "band_key"))
+      .select(col("doc_id"), col("dup_of"),
+        LlmDedup.jaccard(col("sh"), col("_ish")).as("jaccard"))
+      .filter(col("jaccard") >= LlmDedup.VerifyJaccard)
+      .dropDuplicates("doc_id", "dup_of")
+  }
+
   /** Land curated docs as source-partitioned parquet via the shared
     * idempotent foreachBatch sink (same replay contract as
     * EventStreams.writeBronzeIncremental: overwrite by `_batch_id`, so

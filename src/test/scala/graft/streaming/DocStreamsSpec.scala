@@ -90,4 +90,47 @@ class DocStreamsSpec extends SparkSuite {
     val sourceParts = back.select("source").distinct().collect().map(_.getString(0)).sorted
     assert(sourceParts.toSeq == Seq("s0", "s1"))
   }
+
+  test("near-dup gate flags stream docs against the static index, across triggers — batch parity") {
+    import graft.queries.LlmDedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "to the green hills beyond the quiet river tonight"
+    val indexDocs = Seq(doc(1L, base), doc(2L, base.replace("quick", "sleepy")),
+        doc(3L, "completely different content about spark engines and shuffles here today"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val indexSig = LlmDedup.lshSignatures(indexDocs)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-neardup")
+      val batch1 = Seq(
+        doc(11L, base + " extra"), // near-dup of index doc 1 (and likely 2)
+        doc(12L, "unrelated text with plenty of tokens to shingle but nothing in common whatsoever"))
+      val batch2 = Seq(doc(13L, base.replace("quick", "sleepy"))) // exact copy of index doc 2
+      batch1.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("append").parquet(s"$dir/in")
+      val q = nearDupAgainstIndex(readDocs(spark, s"$dir/in"), indexSig)
+        .writeStream.format("memory").queryName("neardup")
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      batch2.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got.contains((11L, 1L)), s"doc 11 must flag index doc 1, got ${got.keySet}")
+      assert(got.contains((13L, 2L)) && got((13L, 2L)) == 1.0,
+        "cross-trigger exact copy must flag with jaccard 1.0")
+      assert(!got.keySet.exists(_._1 == 12L), "unrelated doc must not flag")
+      assert(got.values.forall(_ >= 0.5))
+      // batch parity: the qd13 incremental join over the same frames
+      // emits exactly the same verified pairs
+      val streamDocs = (batch1 ++ batch2).toDF("doc_id", "text", "lang", "source", "n_chars")
+      val inBatch = LlmDedup.lshIncrementalPairs(indexSig, LlmDedup.lshSignatures(streamDocs))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(inBatch == got, s"stream $got vs batch $inBatch")
+    } finally {
+      indexSig.unpersist(blocking = true)
+      spark.catalog.clearCache() // lshSignatures(streamDocs) persisted too
+    }
+  }
 }
