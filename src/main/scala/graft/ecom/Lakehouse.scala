@@ -227,9 +227,15 @@ final case class Lakehouse(
     // that task writes exactly one file into the shard's directory —
     // nShards dirs, one file each, regardless of hash collisions in
     // Spark's task assignment.
+    // sort key = (shard, hash, full row): the row tuple breaks 64-bit
+    // hash ties between DISTINCT rows — at >= 2^32 rows a birthday
+    // collision is expected, and without the tiebreaker the collided
+    // rows' relative order would follow arrival order, silently voiding
+    // the bit-reproducibility contract exactly at production scale
+    val order = Seq(col("shard"), h) ++ df.columns.map(col)
     df.withColumn("shard", pmod(h, lit(nShards.toLong)))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), h)
+      .sortWithinPartitions(order: _*)
       .write.format(format).mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .save(s"$warehouseDir/$name")

@@ -8,6 +8,19 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Rebase a frame on its computed RDD (LogicalRDD leaf). Iterative
+    * loops MUST route every round through this: one round references
+    * its input several times (~3× for propagation, ~12× for the star
+    * rewrites), so composing rounds directly grows the LOGICAL plan
+    * exponentially — a driver OOM by round ~10 just rendering the plan.
+    * After rebasing, plans stay round-sized and the RDD lineage
+    * underneath grows only linearly (recompute of an evicted partition
+    * cascades at most one extra round, because each round's predecessor
+    * stays persisted until superseded).
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Connected components of an undirected edge list: returns
     * (node, component) where component = the minimum node id reachable
     * from `node`. Nodes are whatever type the edge columns carry (must
@@ -36,16 +49,10 @@ object GraphOps {
       .distinct()
       .withColumn("component", col("node"))
       .persist()
-    // Each round references the previous labels frame ~3 times (the
-    // propagation join, the fallback coalesce, the changed-count
-    // compare), so composing rounds directly grows the LOGICAL plan
-    // ~3^rounds — past ~10 rounds the driver OOMs just rendering the
-    // plan. Rebasing every round on its computed RDD keeps plans
-    // round-sized; RDD lineage underneath grows linearly (recompute of
-    // an evicted partition cascades at most one extra round because the
-    // predecessor is persisted until superseded).
-    def truncate(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    // pending = a frame persisted this round but not yet owned by
+    // `labels`: if the changed-count job throws after next.persist(),
+    // the catch below must release it or it leaks in executor cache
+    var pending: DataFrame = null
     try {
       var changed = 1L
       var rounds = 0
@@ -56,12 +63,14 @@ object GraphOps {
           .select(col("node"),
             least(col("component"), coalesce(col("min_nbr"), col("component"))).as("component")))
           .persist()
+        pending = next
         changed = next.as("n")
           .join(labels.as("o"), col("n.node") === col("o.node"))
           .filter(col("n.component") =!= col("o.component"))
           .count() // materializes next's cache, so the old frame is droppable
         labels.unpersist(blocking = false)
         labels = next
+        pending = null
         rounds += 1
       }
       require(changed == 0, s"label propagation did not converge in $rounds rounds")
@@ -73,6 +82,7 @@ object GraphOps {
       // non-convergence (or any mid-loop failure) must not strand the
       // last label frame in executor cache — the caller never sees it
       case t: Throwable =>
+        if (pending ne null) pending.unpersist(blocking = false)
         labels.unpersist(blocking = false)
         throw t
     } finally {
@@ -152,35 +162,30 @@ object GraphOps {
     def unchanged(next: DataFrame, nextCnt: Long, prev: DataFrame, prevCnt: Long): Boolean =
       nextCnt == prevCnt && next.join(prev, Seq("a", "b"), "left_anti").isEmpty
 
-    // Lineage truncation: one star round references its input ~12 times
-    // (symmetric union, min-aggregate, joins), so composing rounds
-    // directly grows the LOGICAL plan ~12× per round — exponential, and
-    // a driver OOM by round ~6 just rendering/optimizing the plan.
-    // Rebasing each round's result on its computed RDD makes the next
-    // round's plan start from a leaf (LogicalRDD): plans stay
-    // round-sized, while the RDD lineage underneath grows only linearly
-    // in rounds (the same recompute-cascade contract as the persisted
-    // propagation loop above).
-    def truncate(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
-
     var cur = canon(raw.select(col("a").as("x"), col("b").as("y"))).persist()
+    // half-round frames persisted but not yet owned by `cur`: released
+    // in the finally block if a mid-round job throws (executor loss,
+    // interrupt) — otherwise they would outlive the call in cache
+    var lg: DataFrame = null
+    var sm: DataFrame = null
     try {
       var curCnt = cur.count()
       var converged = false
       var rounds = 0
       while (!converged && rounds < maxRounds) {
-        val lg = truncate(largeStar(cur)).persist()
+        lg = truncate(largeStar(cur)).persist()
         val lgCnt = lg.count()
         val lgSame = unchanged(lg, lgCnt, cur, curCnt)
         cur.unpersist(blocking = false)
-        val sm = truncate(smallStar(lg)).persist()
+        sm = truncate(smallStar(lg)).persist()
         val smCnt = sm.count()
         // fixpoint ⟺ NEITHER half-round moved an edge (the composition
         // alone returning the same set does not certify a star set)
         converged = lgSame && unchanged(sm, smCnt, lg, lgCnt)
         lg.unpersist(blocking = false)
+        lg = null
         cur = sm
+        sm = null
         curCnt = smCnt
         rounds += 1
       }
@@ -196,8 +201,10 @@ object GraphOps {
       labels.count() // materialize so the round frames below are droppable
       labels
     } finally {
-      // converged or thrown, the last round frame and node set must not
+      // converged or thrown, the round frames and node set must not
       // outlive the call; the returned labels are cached independently
+      if (lg ne null) lg.unpersist(blocking = false)
+      if (sm ne null) sm.unpersist(blocking = false)
       cur.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
     }

@@ -77,7 +77,10 @@ object TimeOps {
     val overlap = right.columns.filterNot(keys.contains).toSet
       .intersect(left.columns.filterNot(keys.contains).toSet)
     require(overlap.isEmpty, s"non-key columns $overlap exist on both sides — rename first")
-    val binCol = graft.util.Names.fresh("_bin", left.columns ++ right.columns)
+    // the scratch name doubles as the marker plans/RangeJoinRewrite keys
+    // its idempotence guard on: with the session-wide rewrite enabled, a
+    // hand-binned join must not get binned AGAIN (squared fan-out)
+    val binCol = graft.util.Names.fresh("_graft_bin", left.columns ++ right.columns)
     // div (not /): integer floor-division keeps the bin id a long inside
     // codegen; epoch seconds are positive so div == floor here
     val l = left.withColumn(binCol, expr(s"cast($tsCol as long) div $binSec"))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, TimestampType}
 
@@ -27,18 +27,32 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, TimestampTy
   * Monotonicity of truncating division makes the containment argument
   * hold for negative epochs too.
   *
+  * Pathologically WIDE intervals (open-ended SCD2 sentinels like
+  * end = 9999-12-31) would explode into billions of bins — past 2^31,
+  * `sequence` itself throws, turning a working query into a crash. The
+  * rewrite therefore SPLITS the interval side on bin span
+  * (`spark.graft.rangeJoin.maxBinsPerRow`, default 4096): rows within
+  * the cap take the binned equi-join; wider rows keep the original
+  * nested-loop condition over just that (normally tiny) slice, and the
+  * two joins union — row-identical to the naive join at any width,
+  * with fan-out bounded by the cap.
+  *
   * Scope and safety:
   *  - OPT-IN: inert unless `spark.graft.rangeJoin.binSec` > 0 (choose a
   *    bin near the typical interval length; fan-out per interval row is
-  *    len/bin + 1).
+  *    min(len/bin, maxBinsPerRow) + 1).
   *  - Inner joins only; ts/bounds must be timestamp or integral, each
   *    referencing exactly one side. Extra conjuncts (equi keys, other
   *    filters) are preserved untouched.
-  *  - Idempotent: the generated `_graft_bin` attribute in a child's
-  *    output marks an already-rewritten join.
-  *  - NULL bounds or `start > end` produce a NULL/descending sequence —
-  *    dropped by Generate / the exact filter, matching the naive join's
-  *    empty result for such rows.
+  *  - Idempotent: the generated `_graft_bin` attribute marks the binned
+  *    branch (prefix-shared with TimeOps.rangeJoin's scratch column, so
+  *    hand-binned joins are not re-binned), and the span-cap filter
+  *    marks the wide branch. Even if a later batch rearranges the wide
+  *    branch past that second guard, a re-split stays row-correct — the
+  *    guards bound plan growth, they do not protect correctness.
+  *  - NULL bounds or `start > end` fail both span filters / produce a
+  *    NULL sequence — dropped on every path, matching the naive inner
+  *    join's empty result for such rows.
   *
   * Registered through `GraftExtensions` (injectOptimizerRule), the
   * extension ladder's whole-plan tier next to the expression-level
@@ -47,6 +61,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, TimestampTy
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.rangeJoin.binSec"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerRow"
   private val BinName = "_graft_bin"
 
   private def binnable(e: Expression): Boolean = e.dataType match {
@@ -62,15 +77,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       try conf.getConfString(ConfKey, "0").toLong
       catch { case _: NumberFormatException => 0L }
     if (bin <= 0) return plan
+    val maxBins =
+      try math.max(1L, conf.getConfString(MaxBinsKey, "4096").toLong)
+      catch { case _: NumberFormatException => 4096L }
     plan.transformUp {
+      // prefix match: TimeOps.rangeJoin's hand-binned joins carry a
+      // Names.fresh("_graft_bin") scratch column (possibly suffixed) —
+      // re-binning an already-binned join would square its fan-out
       case j @ Join(left, right, Inner, Some(_), _)
-          if !left.output.exists(_.name == BinName) &&
-            !right.output.exists(_.name == BinName) =>
-        rewrite(j, bin).getOrElse(j)
+          if !left.output.exists(_.name.startsWith(BinName)) &&
+            !right.output.exists(_.name.startsWith(BinName)) =>
+        rewrite(j, bin, maxBins).getOrElse(j)
     }
   }
 
-  private def rewrite(j: Join, bin: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, bin: Long, maxBins: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
     // `ts >= bound` in either spelling
     def lower(c: Expression): Option[(Expression, Expression)] = c match {
@@ -108,21 +129,40 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     def build(ts: Expression, st: Expression, en: Expression,
-        ivlOnLeft: Boolean): LogicalPlan = {
-      val binAttr = AttributeReference(BinName, LongType, nullable = false)()
+        ivlOnLeft: Boolean): Option[LogicalPlan] = {
       val ivl = if (ivlOnLeft) j.left else j.right
-      val gen = Generate(Explode(new Sequence(binOf(st), binOf(en), None, tz)),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(binAttr), child = ivl)
-      val newCond = (conjuncts :+ EqualTo(binOf(ts), binAttr)).reduce(And)
-      val newJoin =
-        if (ivlOnLeft) j.copy(left = gen, condition = Some(newCond))
-        else j.copy(right = gen, condition = Some(newCond))
-      // restore the original output (drops the scratch bin attribute)
-      Project(j.output, newJoin)
+      val span = Subtract(binOf(en), binOf(st))
+      val wideGuard = GreaterThan(span, Literal(maxBins))
+      // idempotence for the wide branch: if the interval subtree already
+      // carries this exact span-cap filter, this IS the wide branch of a
+      // previous application — leave it as the intended nested loop
+      val alreadySplit = ivl.exists {
+        case Filter(c, _) =>
+          splitConjunctivePredicates(c).exists(_.semanticEquals(wideGuard))
+        case _ => false
+      }
+      if (alreadySplit) None else {
+        // binned branch over rows within the span cap (NULL spans fail
+        // the predicate and drop — they cannot match an inner join)
+        val binAttr = AttributeReference(BinName, LongType, nullable = false)()
+        val narrow = Filter(LessThanOrEqual(span, Literal(maxBins)), ivl)
+        val gen = Generate(Explode(new Sequence(binOf(st), binOf(en), None, tz)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(binAttr), child = narrow)
+        val binnedCond = (conjuncts :+ EqualTo(binOf(ts), binAttr)).reduce(And)
+        val binnedJoin =
+          if (ivlOnLeft) j.copy(left = gen, condition = Some(binnedCond))
+          else j.copy(right = gen, condition = Some(binnedCond))
+        // wide branch: original condition over just the over-cap rows
+        val wide = Filter(wideGuard, ivl)
+        val wideJoin =
+          if (ivlOnLeft) j.copy(left = wide) else j.copy(right = wide)
+        // both branches project to the original output attributes
+        Some(Union(Seq(Project(j.output, binnedJoin), Project(j.output, wideJoin))))
+      }
     }
 
-    orient(j.left, j.right).map { case (ts, st, en) => build(ts, st, en, ivlOnLeft = false) }
-      .orElse(orient(j.right, j.left).map { case (ts, st, en) => build(ts, st, en, ivlOnLeft = true) })
+    orient(j.left, j.right).flatMap { case (ts, st, en) => build(ts, st, en, ivlOnLeft = false) }
+      .orElse(orient(j.right, j.left).flatMap { case (ts, st, en) => build(ts, st, en, ivlOnLeft = true) })
   }
 }

@@ -657,8 +657,10 @@ object LlmText {
   // segment (8 bytes instead of ~50-char strings — same trick as
   // qd02/qd11); the oracle joins on the segment STRING itself, so the
   // hash-compare also polices collisions. The global first-occurrence
-  // rule is a deterministic position min — order-insensitive, so the
-  // plan parallelizes without tie ambiguity.
+  // rule is min over the (doc_id, seg_idx) STRUCT — a lexicographic
+  // min, order-insensitive and exact at any doc length or id range (an
+  // integer packing like doc_id·K + seg_idx silently reorders once a
+  // doc exceeds K segments; both engines compare the pair directly).
   private val SegW = 8
   val qt14 = Q(
     "qt14_segment_dedup",
@@ -667,9 +669,9 @@ object LlmText {
        |          array_to_string(t[(i*$SegW+1):(i*$SegW+$SegW)], ' ') AS seg,
        |          LEAST($SegW, len(t) - i*$SegW)::BIGINT AS seg_len
        |        FROM tok, UNNEST(range(0, CAST(ceil(len(t) / CAST($SegW AS DOUBLE)) AS BIGINT))) AS u(i)),
-       |k AS (SELECT seg, MIN(doc_id * 100000 + seg_idx) AS keep_pos FROM seg GROUP BY seg),
+       |k AS (SELECT seg, MIN((doc_id, seg_idx)) AS keep_pos FROM seg GROUP BY seg),
        |d AS (SELECT s.doc_id, s.seg_len,
-       |        (s.doc_id * 100000 + s.seg_idx) = k.keep_pos AS kept
+       |        (s.doc_id, s.seg_idx) = k.keep_pos AS kept
        |      FROM seg s JOIN k USING (seg))
        |SELECT doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
@@ -697,7 +699,7 @@ object LlmText {
           least(lit(w.toLong), size(col("t")) - i * w).as("seg_len")))))
       .select(col("doc_id"), col("pos").cast(LongType).as("seg_idx"),
         xxhash64(col("col.seg")).as("seg_h"), col("col.seg_len").as("seg_len"))
-      .withColumn("gpos", col("doc_id") * lit(100000L) + col("seg_idx"))
+      .withColumn("gpos", struct(col("doc_id"), col("seg_idx")))
     val keep = segs.groupBy("seg_h").agg(min(col("gpos")).as("keep_pos"))
     segs.join(keep, Seq("seg_h"))
       .groupBy("doc_id")

@@ -109,21 +109,31 @@ object DocStreams {
     * micro-batch plan (production snapshots it broadcast-side or
     * bucket-partitioned). The stream row carries its shingle set through
     * the banding (`carry`), so verification is a stateless per-row
-    * Jaccard — the only state is `dropDuplicates` over emitted pairs
-    * (a doc matching in several bands must emit once), bounded by the
-    * OUTPUT size, not the corpus.
+    * Jaccard. A pair matching in SEVERAL bands must still emit once:
+    * instead of a streaming `dropDuplicates` — whose per-pair state
+    * store grows monotonically for the lifetime of the crawl — both
+    * sides carry their full band-key arrays and a pair emits only from
+    * its SMALLEST matching band (no earlier band agrees). That predicate
+    * is per-row, so the whole gate runs with ZERO streaming state.
     */
   def nearDupAgainstIndex(docs: DataFrame, indexSig: DataFrame): DataFrame = {
     import graft.queries.LlmDedup
-    val stream = LlmDedup.lshBanded(rowSignatures(docs), carry = Seq("sh"))
-    val index = LlmDedup.lshBanded(indexSig, carry = Seq("sh"))
+    def withBandKeys(sig: DataFrame, as: String): DataFrame =
+      sig.withColumn(as, transform(sequence(lit(0), lit(3)),
+        b => concat_ws("-", slice(col("sig"), b * 4 + 1, lit(4)))))
+    val stream = LlmDedup.lshBanded(
+      withBandKeys(rowSignatures(docs), "bkeys"), carry = Seq("sh", "bkeys"))
+    val index = LlmDedup.lshBanded(
+      withBandKeys(indexSig, "ibkeys"), carry = Seq("sh", "ibkeys"))
       .select(col("doc_id").as("dup_of"), col("band"), col("band_key"),
-        col("sh").as("_ish"))
+        col("sh").as("_ish"), col("ibkeys"))
     stream.join(index, Seq("band", "band_key"))
+      // smallest-matching-band filter: no band before this one matched
+      .filter(size(filter(slice(col("bkeys"), lit(1), col("band").cast("int")),
+        (k, i) => k === element_at(col("ibkeys"), i + 1))) === 0)
       .select(col("doc_id"), col("dup_of"),
         LlmDedup.jaccard(col("sh"), col("_ish")).as("jaccard"))
       .filter(col("jaccard") >= LlmDedup.VerifyJaccard)
-      .dropDuplicates("doc_id", "dup_of")
   }
 
   /** Land curated docs as source-partitioned parquet via the shared

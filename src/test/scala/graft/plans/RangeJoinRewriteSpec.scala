@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
 /** The optimizer-rule tier: a NAIVE point-in-interval join (no equi key
-  * at all) must plan as a nested loop with the rule off, and as a binned
-  * equi-join — same rows, no nested loop — with the rule on.
+  * at all) must plan as a pure nested loop with the rule off; with the
+  * rule on, in-cap interval rows take a binned equi-join (Generate +
+  * bin equi-conjunct) and only the over-cap slice keeps the nested
+  * loop — same rows in every case, including sentinel "open-ended"
+  * intervals that would crash a naive sequence explode.
   */
 class RangeJoinRewriteSpec extends SparkSuite {
   import spark.implicits._
@@ -36,21 +39,46 @@ class RangeJoinRewriteSpec extends SparkSuite {
 
   private def naiveJoin = events.join(windows, $"t" >= $"s" && $"t" <= $"e")
 
-  test("rule off: the BETWEEN join nested-loops; rule on: binned equi-join, identical rows") {
-    val expected = naiveJoin.select("eid", "wid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("eid", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("rule off: pure nested loop; rule on: binned equi-join branch, identical rows") {
+    val expected = pairs(naiveJoin)
     assert(expected == Set(1L -> 10L, 2L -> 10L, 3L -> 10L, 5L -> 11L))
-    assert(naiveJoin.queryExecution.executedPlan.toString
-      .contains("BroadcastNestedLoopJoin"), "without the rule this IS a nested loop")
+    val offPlan = naiveJoin.queryExecution.executedPlan.toString
+    assert(offPlan.contains("BroadcastNestedLoopJoin") && !offPlan.contains("Generate"),
+      "without the rule this IS a nested loop")
     withBin(3600L) {
       val df = naiveJoin
       val plan = df.queryExecution.executedPlan.toString
+      // the binned branch exists (Generate + a hash/merge join on the bin
+      // key); the only remaining nested loop is the over-cap wide branch
+      assert(plan.contains("Generate"), s"interval side must explode into bins:\n$plan")
+      // all windows here are narrow: the optimizer constant-folds the
+      // wide branch's span filter to false and prunes the whole Union —
+      // the sentinel test below pins the case where it must survive
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-        s"rewrite must remove the nested loop:\n$plan")
-      assert(plan.contains("Generate"), "interval side must explode into bins")
-      val got = df.select("eid", "wid").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got == expected, "rewritten join changed the result")
+        s"no nested loop may survive for all-narrow intervals:\n$plan")
+      assert(pairs(df) == expected, "rewritten join changed the result")
+    }
+  }
+
+  test("sentinel open-ended interval: over-cap rows take the wide branch — no crash, same rows") {
+    // end = 9999-12-31 at 60 s bins spans ~4.2e9 bins: a bare sequence
+    // explode would throw (array > 2^31) — the span cap must route this
+    // row to the nested-loop branch while narrow rows stay binned
+    val scd2 = Seq(
+      (20L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (21L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")) // current row sentinel
+    ).toDF("wid", "s", "e")
+    def q = events.join(scd2, $"t" >= $"s" && $"t" <= $"e")
+    val expected = pairs(q)
+    assert(expected.count(_._2 == 21L) == 5, "sentinel window matches every event")
+    withBin(60L) {
+      assert(pairs(q) == expected, "span split changed the result")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Generate") && plan.contains("BroadcastNestedLoopJoin"),
+        s"both branches must be present:\n$plan")
     }
   }
 
@@ -61,13 +89,12 @@ class RangeJoinRewriteSpec extends SparkSuite {
         ("b", 8L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")))
       .toDF("k2", "wid", "s", "e")
     def q = r.join(l, $"k" === $"k2" && $"t" >= $"s" && $"t" <= $"e" && $"wid" > 0L)
-    val expected = q.select("eid", "wid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expected = pairs(q)
     assert(expected == Set(1L -> 7L))
     withBin(60L) {
       val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("Generate"))
-      val got = q.select("eid", "wid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-      assert(got == expected)
+      assert(plan.contains("Generate") && !plan.contains("BroadcastNestedLoopJoin"))
+      assert(pairs(q) == expected)
     }
   }
 
@@ -80,10 +107,9 @@ class RangeJoinRewriteSpec extends SparkSuite {
       (12L, jl(110L), jl(90L)) // start > end
     ).toDF("wid", "s", "e")
     def q = l.join(r, $"t" >= $"s" && $"t" <= $"e")
-    val expected = q.select("eid", "wid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expected = pairs(q)
     withBin(7L) {
-      val got = q.select("eid", "wid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-      assert(got == expected && got == Set(1L -> 10L))
+      assert(pairs(q) == expected && expected == Set(1L -> 10L))
     }
   }
 
@@ -92,6 +118,7 @@ class RangeJoinRewriteSpec extends SparkSuite {
       val leftOuter = events.join(windows, $"t" >= $"s" && $"t" <= $"e", "left")
       assert(leftOuter.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
         "outer joins must not rewrite (bin fan-out would duplicate unmatched rows)")
+      assert(!leftOuter.queryExecution.executedPlan.toString.contains("Generate"))
       assert(leftOuter.count() == 5) // 4 matched rows + eid 4's null-padded row
       val equi = events.join(windows.withColumnRenamed("wid", "eid"), Seq("eid"))
       assert(!equi.queryExecution.executedPlan.toString.contains("Generate"))
