@@ -826,7 +826,52 @@ object LlmDedup {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------------
+  // qd16 — leakage-free train/val split: assign every document to a
+  // split such that a near-dup CLUSTER never straddles the boundary —
+  // the split discipline that stops a model from being "validated" on a
+  // near-copy of its own training data. The unit of assignment is the
+  // cluster (qd09's connected components over verified pairs; docs
+  // outside any pair are their own singleton cluster), and the
+  // assignment is a deterministic function of the cluster id
+  // (cluster_id mod 10 — engine-exact, seedable by salting the id), so
+  // the split is reproducible and independent of partitioning. ~10%
+  // lands in val; the exact fraction follows the cluster-id
+  // distribution, which a production pipeline replaces with a uniform
+  // hash — the INVARIANT this query pins is co-assignment, not the
+  // percentages.
+  //
+  // Scale: the cluster relation is sparse (docs in verified pairs);
+  // the corpus-wide pass is one broadcast-or-shuffle left join plus a
+  // per-row mod — no new shuffles beyond qd09's own.
+  val qd16 = Q(
+    "qd16_leakage_free_split",
+    s"""WITH RECURSIVE $duckClusterCtes,
+       |assigned AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c USING (doc_id))
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN cluster_id % 10 = 0 THEN 'val' ELSE 'train' END AS split
+       |FROM assigned
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    leakageFreeSplit(docs(s, dir).select("doc_id"), clusterLabels(s, dir))
+  }
+
+  /** qd16 core: docs (doc_id) + sparse cluster labels → co-assigned
+    * splits. Injectable for planted specs pinning the co-assignment
+    * invariant (every member of a cluster gets the cluster's split).
+    */
+  def leakageFreeSplit(docIds: DataFrame, labels: DataFrame): DataFrame =
+    docIds
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("cluster_id") % 10 === 0, lit("val")).otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
-      qd13, qd14, qd15)
+      qd13, qd14, qd15, qd16)
 }

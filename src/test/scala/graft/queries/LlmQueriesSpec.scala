@@ -226,4 +226,18 @@ class LlmQueriesSpec extends SparkSuite {
     assert(got(2L)._1 == 1L && got(3L)._1 == 1L, "dup_of is the SMALLEST qualifying id")
     assert(math.abs(got(2L)._2 - 1.0) < 1e-12)
   }
+
+  test("qd16 never lets a cluster straddle the split; singletons assign by their own id") {
+    import spark.implicits._
+    val docIds = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)).toDF("doc_id", "cluster_id")
+    val got = LlmDedup.leakageFreeSplit(docIds, labels)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got(1L) == ((1L, "train")) && got(2L) == ((1L, "train")),
+      "cluster 1 co-assigns to train")
+    assert(got(10L) == ((10L, "val")) && got(11L) == ((10L, "val")),
+      "cluster 10 co-assigns to val — member 11 must NOT follow its own id")
+    assert(got(3L) == ((3L, "train")) && got(20L) == ((20L, "val")),
+      "singletons are their own cluster")
+  }
 }
