@@ -74,9 +74,11 @@ object GraphOps {
         rounds += 1
       }
       require(changed == 0, s"label propagation did not converge in $rounds rounds")
-      // The returned labels stay cached; CacheManager keys on the
-      // logical plan, so repeated invocations on the same input share
-      // one entry rather than accumulating.
+      // The returned labels stay cached for the caller's downstream use.
+      // NOTE: because each round is rebased on its computed RDD, the
+      // returned plan is unique PER CALL — a second invocation on the
+      // same input recomputes and caches its own entry (reuse the
+      // returned frame instead; unpersist it when done).
       labels
     } catch {
       // non-convergence (or any mid-loop failure) must not strand the
@@ -118,8 +120,8 @@ object GraphOps {
     * 100 TB edge list shuffles but no single task holds a hot node's
     * full adjacency. Rounds are persisted and the predecessor released
     * once the successor is materialized; the returned labels are
-    * cached (same contract as [[connectedComponents]] — CacheManager
-    * keys on the logical plan, so re-invocations share the entry).
+    * cached (same contract as [[connectedComponents]]: per-call entry —
+    * reuse the returned frame, unpersist when done).
     *
     * Throws if not converged within `maxRounds` (default sized for
     * log²-round convergence, not diameter) — truncation would split
@@ -198,7 +200,11 @@ object GraphOps {
         .groupBy("node").agg(min(col("b")).as("mn"))
         .select(col("node"), least(col("node"), coalesce(col("mn"), col("node"))).as("component"))
         .persist()
-      labels.count() // materialize so the round frames below are droppable
+      try labels.count() // materialize so the round frames below are droppable
+      catch { case t: Throwable =>
+        // the caller never receives the handle — release it or it leaks
+        labels.unpersist(blocking = false); throw t
+      }
       labels
     } finally {
       // converged or thrown, the round frames and node set must not

@@ -50,8 +50,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, TimestampTy
   *    marks the wide branch. Even if a later batch rearranges the wide
   *    branch past that second guard, a re-split stays row-correct — the
   *    guards bound plan growth, they do not protect correctness.
-  *  - NULL bounds or `start > end` fail both span filters / produce a
-  *    NULL sequence — dropped on every path, matching the naive inner
+  *  - NULL bounds fail both span filters (NULL predicate); inverted
+  *    intervals (`start > end`, negative span) are rejected by the
+  *    narrow branch's `span >= 0` conjunct and the wide branch's
+  *    `span > cap` — dropped on every path, matching the naive inner
   *    join's empty result for such rows.
   *
   * Registered through `GraftExtensions` (injectOptimizerRule), the
@@ -109,8 +111,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // carry their zone explicitly — ResolveTimeZone has already run, and
     // a zoneless instance reads as unresolved to the plan validator
     val tz = Some(conf.sessionLocalTimeZone)
-    def binOf(e: Expression): Expression =
-      IntegralDivide(Cast(e, LongType, tz), Literal(bin))
+    // no no-op casts: SimplifyCasts (same fixed-point batch) strips a
+    // Long->Long cast, which would make the planted wide-branch guard
+    // no longer semanticEquals the one we rebuild next iteration -- the
+    // rule would then re-split every iteration until maxIterations
+    def binOf(e: Expression): Expression = {
+      val asLong = if (e.dataType == LongType) e else Cast(e, LongType, tz)
+      IntegralDivide(asLong, Literal(bin))
+    }
 
     // find (ts, start, end) with ts on `tsSide` and both bounds on
     // `ivlSide`; first match wins (extra ranges stay as plain filters)
@@ -145,7 +153,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // binned branch over rows within the span cap (NULL spans fail
         // the predicate and drop — they cannot match an inner join)
         val binAttr = AttributeReference(BinName, LongType, nullable = false)()
-        val narrow = Filter(LessThanOrEqual(span, Literal(maxBins)), ivl)
+        // span >= 0 matters: an INVERTED interval (start > end) has a
+        // negative span that passes span <= maxBins alone, and
+        // Sequence(big, small) would then build a huge DESCENDING array
+        // -- such rows can never satisfy the inner-join predicate, so
+        // they are dropped here (the naive join emits nothing for them)
+        val narrow = Filter(And(GreaterThanOrEqual(span, Literal(0L)),
+          LessThanOrEqual(span, Literal(maxBins))), ivl)
         val gen = Generate(Explode(new Sequence(binOf(st), binOf(en), None, tz)),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(binAttr), child = narrow)

@@ -243,16 +243,28 @@ object LlmDedup {
     * path carries the shingle set so verification needs no second join);
     * batch callers leave it empty to keep the banded shuffle slim.
     */
-  private[graft] def lshBanded(sig: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val bandRows = 4 // 4 bands of 4 rows over the k=16 signature
+  // ONE banding geometry for every LSH path (batch self-join, batch
+  // incremental, streaming gate): 4 bands of 4 rows over the k=16
+  // signature. Any change here propagates to all of them at once.
+  private[graft] val LshBands = 4
+  private[graft] val LshBandRows = 4
+
+  private[graft] def lshBanded(sig: DataFrame, carry: Seq[String] = Nil): DataFrame =
     sig.select(Seq(
       col("doc_id"),
-      explode(sequence(lit(0), lit(16 / bandRows - 1))).as("band"),
+      explode(sequence(lit(0), lit(LshBands - 1))).as("band"),
       col("sig")) ++ carry.map(col): _*)
       .select(Seq(col("doc_id"), col("band"),
-        concat_ws("-", slice(col("sig"), col("band") * bandRows + 1, lit(bandRows))).as("band_key"))
+        concat_ws("-", slice(col("sig"), col("band") * LshBandRows + 1, lit(LshBandRows))).as("band_key"))
         ++ carry.map(col): _*)
-  }
+
+  /** All of a signature's band keys as ONE array column — the same
+    * geometry as [[lshBanded]] (shared constants), used by the streaming
+    * gate's smallest-matching-band filter.
+    */
+  private[graft] def lshBandKeyArray(sig: DataFrame, as: String): DataFrame =
+    sig.withColumn(as, transform(sequence(lit(0), lit(LshBands - 1)),
+      b => concat_ws("-", slice(col("sig"), b * LshBandRows + 1, lit(LshBandRows)))))
 
   /** Exact Jaccard between two shingle-set columns, and the verify
     * threshold — ONE definition for qd04's self-join and qd13's

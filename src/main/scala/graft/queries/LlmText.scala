@@ -690,6 +690,10 @@ object LlmText {
   def segmentDedupStats(docsDf: DataFrame, w: Int): DataFrame = {
     require(w > 0, s"segment width must be positive, got $w")
     val segs = docsDf
+      // a NULL text makes size(t) = -1 and sequence(0, -1) a DESCENDING
+      // two-element array (garbage segments); the oracle's range(0,
+      // NULL) emits nothing — drop null docs to match
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       // one struct array per doc: ceil(len/w) segments incl. short tail
       .select(col("doc_id"), posexplode(transform(

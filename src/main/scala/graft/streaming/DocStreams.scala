@@ -118,13 +118,10 @@ object DocStreams {
     */
   def nearDupAgainstIndex(docs: DataFrame, indexSig: DataFrame): DataFrame = {
     import graft.queries.LlmDedup
-    def withBandKeys(sig: DataFrame, as: String): DataFrame =
-      sig.withColumn(as, transform(sequence(lit(0), lit(3)),
-        b => concat_ws("-", slice(col("sig"), b * 4 + 1, lit(4)))))
     val stream = LlmDedup.lshBanded(
-      withBandKeys(rowSignatures(docs), "bkeys"), carry = Seq("sh", "bkeys"))
+      LlmDedup.lshBandKeyArray(rowSignatures(docs), "bkeys"), carry = Seq("sh", "bkeys"))
     val index = LlmDedup.lshBanded(
-      withBandKeys(indexSig, "ibkeys"), carry = Seq("sh", "ibkeys"))
+      LlmDedup.lshBandKeyArray(indexSig, "ibkeys"), carry = Seq("sh", "ibkeys"))
       .select(col("doc_id").as("dup_of"), col("band"), col("band_key"),
         col("sh").as("_ish"), col("ibkeys"))
     stream.join(index, Seq("band", "band_key"))

@@ -104,7 +104,11 @@ class RangeJoinRewriteSpec extends SparkSuite {
     val r = Seq[(Long, java.lang.Long, java.lang.Long)](
       (10L, jl(90L), jl(110L)),
       (11L, null, jl(110L)),
-      (12L, jl(110L), jl(90L)) // start > end
+      (12L, jl(110L), jl(90L)), // start > end, small
+      // start > end by ~28M bins at binSec=7: a negative span passing
+      // the narrow filter would build a ~28M-element DESCENDING
+      // sequence per row — the span >= 0 conjunct must drop it instead
+      (13L, jl(200_000_000L), jl(0L))
     ).toDF("wid", "s", "e")
     def q = l.join(r, $"t" >= $"s" && $"t" <= $"e")
     val expected = pairs(q)

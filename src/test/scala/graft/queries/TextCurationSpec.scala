@@ -201,4 +201,10 @@ class TextCurationSpec extends SparkSuite {
     val r = LlmText.segmentDedupStats(corpus, w = 4).head()
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 1L, 8L, 4L)))
   }
+
+  test("qt14 drops null-text docs instead of emitting garbage segments") {
+    val corpus = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ids = LlmText.segmentDedupStats(corpus, w = 4).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), "null text must vanish, not appear with negative-size segments")
+  }
 }
