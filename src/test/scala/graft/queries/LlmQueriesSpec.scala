@@ -227,6 +227,31 @@ class LlmQueriesSpec extends SparkSuite {
     assert(math.abs(got(2L)._2 - 1.0) < 1e-12)
   }
 
+  test("the LSH signature index survives a parquet round-trip as a silver artifact") {
+    // qd13's scale story says the corpus signature relation lands ONCE
+    // on disk and every batch band-joins against the read-back table —
+    // pin that the persisted artifact behaves identically to the
+    // in-memory relation (array<string> + array<long> columns intact)
+    val docs = graft.util.Tables.load(spark, dir, "documents")
+    val index = LlmDedup.lshSignatures(docs.filter(col("doc_id") % 2 === 0))
+    val batch = LlmDedup.lshSignatures(docs.filter(col("doc_id") % 2 === 1))
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+      index.write.mode("overwrite").parquet(s"$out/sig_index")
+      val fromDisk = spark.read.parquet(s"$out/sig_index")
+      def run(idx: org.apache.spark.sql.DataFrame) =
+        LlmDedup.lshIncrementalPairs(idx, batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val mem = run(index)
+      assert(run(fromDisk) == mem, "disk-backed index diverges from in-memory relation")
+      assert(mem.nonEmpty, "testdata must produce at least one incremental pair")
+    } finally {
+      index.unpersist(blocking = false)
+      batch.unpersist(blocking = false)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("qd16 never lets a cluster straddle the split; singletons assign by their own id") {
     import spark.implicits._
     val docIds = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
