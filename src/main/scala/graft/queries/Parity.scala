@@ -1264,9 +1264,58 @@ object Parity {
       .orderBy("customer_id", "order_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q39 — ORDERED funnel (sequence detection): did the user do
+  // view → click → purchase in TIME ORDER, and when did each stage
+  // first complete? q07's funnel counts stages independently; real
+  // funnel analysis requires the sequence constraint (a purchase BEFORE
+  // the first view is not a conversion). Plan: one exchange on user_id
+  // feeds three stacked window mins — stage k's timestamp is the min
+  // event time of its type strictly after stage k-1's — never a
+  // per-user sort-and-scan UDF and never a cubic triple join; at 100 TB
+  // this is the same single-shuffle shape as q27's sessionization.
+  val q39 = Q(
+    "q39_funnel_sequence",
+    """WITH s1 AS (SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS first_view_ts
+      |  FROM events),
+      |s2 AS (SELECT *,
+      |    MIN(CASE WHEN event_type = 'click' AND ts > first_view_ts THEN ts END)
+      |      OVER (PARTITION BY user_id) AS first_click_ts
+      |  FROM s1),
+      |s3 AS (SELECT *,
+      |    MIN(CASE WHEN event_type = 'purchase' AND ts > first_click_ts THEN ts END)
+      |      OVER (PARTITION BY user_id) AS first_purchase_ts
+      |  FROM s2)
+      |SELECT user_id, first_view_ts,
+      |  first_click_ts AS first_click_after_view,
+      |  first_purchase_ts AS first_purchase_after_click,
+      |  first_purchase_ts IS NOT NULL AS completed
+      |FROM s3
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+    t(s, dir, "events")
+      .withColumn("first_view_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("first_click_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("first_view_ts"),
+          col("ts"))).over(w))
+      .withColumn("first_purchase_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("first_click_ts"),
+          col("ts"))).over(w))
+      .select(col("user_id"), col("first_view_ts"),
+        col("first_click_ts").as("first_click_after_view"),
+        col("first_purchase_ts").as("first_purchase_after_click"),
+        col("first_purchase_ts").isNotNull.as("completed"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q36, q37, q38)
+    q31, q32, q33, q34, q36, q37, q38, q39)
 }

@@ -23,7 +23,8 @@ class DeterminismSpec extends SparkSuite {
       "qs05_embedding_centroid_stats",
       "q36_range_join", "q38_order_rank_windows", "qd14_dedup_clusters_star",
       "qd15_semantic_dedup", "qs06_knn_join", "qt14_segment_dedup",
-      "qt15_quality_deciles", "qt16_bigram_lm_score", "qm06_frame_dedup")
+      "qt15_quality_deciles", "qt16_bigram_lm_score", "qm06_frame_dedup",
+      "q39_funnel_sequence")
 
   test("order-sensitive queries emit identical rows under 2-way and 13-way shuffle parallelism") {
     val key = "spark.sql.shuffle.partitions"
