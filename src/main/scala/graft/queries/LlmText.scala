@@ -49,9 +49,17 @@ object LlmText {
        |       ELSE 'zh' END AS pred_lang
        |FROM sc
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val withScores = docs(s, dir)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("lang"),
+    langPredictions(docs(s, dir)).drop("source").orderBy("doc_id")
+  }
+
+  /** The marker-set language predictor shared by qt01 (per-doc scores)
+    * and qt17 (per-source label-noise audit): one map pass emitting the
+    * five marker scores and the fixed-priority argmax.
+    */
+  private def langPredictions(docsDf: DataFrame): DataFrame = {
+    val withScores = docsDf
+      .select(col("doc_id"), col("lang"), col("source"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"), col("source"),
         vocabHits(col("t"), stopEn).as("score_en"),
         vocabHits(col("t"), stopDe).as("score_de"),
         vocabHits(col("t"), stopEs).as("score_es"),
@@ -66,7 +74,6 @@ object LlmText {
           .when(es >= fr && es >= zh, "es")
           .when(fr >= zh, "fr")
           .otherwise("zh"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------------
@@ -838,7 +845,48 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // qt17 — language-label noise audit: per source, how often does the
+  // declared `lang` disagree with the marker-set prediction (shared
+  // predictor with qt01)? Curation pipelines run exactly this before
+  // trusting upstream language tags for per-language budgets (qt12) —
+  // a source with high mismatch_bps gets re-identified, not trusted.
+  // Mismatch rate is integer basis points (engine-exact); one map pass
+  // plus a source-keyed two-phase aggregate.
+  val qt17 = Q(
+    "qt17_lang_label_noise",
+    s"""WITH tok AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM documents),
+       |sc AS (SELECT doc_id, lang, source,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopEn)}))::BIGINT AS score_en,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopDe)}))::BIGINT AS score_de,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopEs)}))::BIGINT AS score_es,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopFr)}))::BIGINT AS score_fr,
+       |  len(list_filter(t, x -> x IN ${duckIn(stopZh)}))::BIGINT AS score_zh
+       |FROM tok),
+       |p AS (SELECT doc_id, lang, source,
+       |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+       |       WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+       |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+       |       WHEN score_fr >= score_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang
+       |FROM sc)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN lang <> pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       |  CAST(SUM(CASE WHEN lang <> pred_lang THEN 1 ELSE 0 END) AS BIGINT) * 10000 // COUNT(*) AS mismatch_bps
+       |FROM p GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    langPredictions(docs(s, dir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        graft.util.Exact.countIf(col("lang") =!= col("pred_lang")).as("n_mismatch"),
+        expr("sum(case when lang <> pred_lang then 1 else 0 end) * 10000 div count(1)")
+          .as("mismatch_bps"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15, qt16)
+      qt13, qt14, qt15, qt16, qt17)
 }
