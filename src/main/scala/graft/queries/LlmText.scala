@@ -31,23 +31,32 @@ object LlmText {
   // marker-token hits, argmax with a fixed priority order (deterministic
   // tie-break). A real pipeline swaps in bigger marker sets; the plan
   // shape (one map pass) is the point.
-  val qt01 = Q(
-    "qt01_langid",
-    s"""WITH tok AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
-       |sc AS (SELECT doc_id, lang,
+  // Shared DuckDB front end for the marker-set predictor (qt01/qt17):
+  // tok/sc CTEs + the fixed-priority argmax — ONE SQL definition
+  // mirroring the ONE Scala definition (langPredictions below), same
+  // precedent as LlmDedup.duckBandedCtes.
+  private def duckLangCtes: String =
+    s"""tok AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM documents),
+       |sc AS (SELECT doc_id, lang, source,
        |  len(list_filter(t, x -> x IN ${duckIn(stopEn)}))::BIGINT AS score_en,
        |  len(list_filter(t, x -> x IN ${duckIn(stopDe)}))::BIGINT AS score_de,
        |  len(list_filter(t, x -> x IN ${duckIn(stopEs)}))::BIGINT AS score_es,
        |  len(list_filter(t, x -> x IN ${duckIn(stopFr)}))::BIGINT AS score_fr,
        |  len(list_filter(t, x -> x IN ${duckIn(stopZh)}))::BIGINT AS score_zh
-       |FROM tok)
-       |SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+       |FROM tok),
+       |pred AS (SELECT *,
        |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
        |       WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
        |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
        |       WHEN score_fr >= score_zh THEN 'fr'
        |       ELSE 'zh' END AS pred_lang
-       |FROM sc
+       |FROM sc)""".stripMargin
+
+  val qt01 = Q(
+    "qt01_langid",
+    s"""WITH $duckLangCtes
+       |SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh, pred_lang
+       |FROM pred
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     langPredictions(docs(s, dir)).drop("source").orderBy("doc_id")
   }
@@ -855,34 +864,19 @@ object LlmText {
   // plus a source-keyed two-phase aggregate.
   val qt17 = Q(
     "qt17_lang_label_noise",
-    s"""WITH tok AS (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS t FROM documents),
-       |sc AS (SELECT doc_id, lang, source,
-       |  len(list_filter(t, x -> x IN ${duckIn(stopEn)}))::BIGINT AS score_en,
-       |  len(list_filter(t, x -> x IN ${duckIn(stopDe)}))::BIGINT AS score_de,
-       |  len(list_filter(t, x -> x IN ${duckIn(stopEs)}))::BIGINT AS score_es,
-       |  len(list_filter(t, x -> x IN ${duckIn(stopFr)}))::BIGINT AS score_fr,
-       |  len(list_filter(t, x -> x IN ${duckIn(stopZh)}))::BIGINT AS score_zh
-       |FROM tok),
-       |p AS (SELECT doc_id, lang, source,
-       |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
-       |       WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
-       |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
-       |       WHEN score_fr >= score_zh THEN 'fr'
-       |       ELSE 'zh' END AS pred_lang
-       |FROM sc)
+    s"""WITH $duckLangCtes
        |SELECT source,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(CASE WHEN lang <> pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
        |  CAST(SUM(CASE WHEN lang <> pred_lang THEN 1 ELSE 0 END) AS BIGINT) * 10000 // COUNT(*) AS mismatch_bps
-       |FROM p GROUP BY source
+       |FROM pred GROUP BY source
        |ORDER BY source""".stripMargin) { (s, dir) =>
     langPredictions(docs(s, dir))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        graft.util.Exact.countIf(col("lang") =!= col("pred_lang")).as("n_mismatch"),
-        expr("sum(case when lang <> pred_lang then 1 else 0 end) * 10000 div count(1)")
-          .as("mismatch_bps"))
+        graft.util.Exact.countIf(col("lang") =!= col("pred_lang")).as("n_mismatch"))
+      .withColumn("mismatch_bps", expr("n_mismatch * 10000 div n_docs"))
       .orderBy("source")
   }
 

@@ -235,8 +235,8 @@ class LlmQueriesSpec extends SparkSuite {
     val docs = graft.util.Tables.load(spark, dir, "documents")
     val index = LlmDedup.lshSignatures(docs.filter(col("doc_id") % 2 === 0))
     val batch = LlmDedup.lshSignatures(docs.filter(col("doc_id") % 2 === 1))
+    val out = java.nio.file.Files.createTempDirectory("graft-sigidx")
     try {
-      val out = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
       index.write.mode("overwrite").parquet(s"$out/sig_index")
       val fromDisk = spark.read.parquet(s"$out/sig_index")
       def run(idx: org.apache.spark.sql.DataFrame) =
@@ -246,9 +246,14 @@ class LlmQueriesSpec extends SparkSuite {
       assert(run(fromDisk) == mem, "disk-backed index diverges from in-memory relation")
       assert(mem.nonEmpty, "testdata must produce at least one incremental pair")
     } finally {
+      // the two signature relations are the only frames this test
+      // persists — release exactly them (clearCache would also evict
+      // other suites' entries in the shared session)
       index.unpersist(blocking = false)
       batch.unpersist(blocking = false)
-      spark.catalog.clearCache()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
