@@ -61,6 +61,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("day.start").as("day"), col("event_type"), col("n"), col("total_value"))
 
+  /** Windowed value percentiles per event type — the streaming
+    * latency/amount-distribution monitor, and the stream twin of qt13's
+    * batch quantile sketch: `approx_percentile` is a bounded-size
+    * MERGEABLE sketch, which is precisely what a watermarked streaming
+    * aggregate needs (per-window state is one sketch per (window, type)
+    * — constant-size regardless of event volume — merged across
+    * micro-batches; an EXACT percentile would buffer every value in
+    * state, unbounded within the window). Late events beyond the
+    * watermark drop and their window's sketch state evicts, so total
+    * state is (windows in flight × types) sketches.
+    */
+  def windowedValuePercentiles(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        approx_percentile(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("p50_value"), col("p95_value"))
+
   /** Session windows per user (30-minute inactivity gap): computes the
     * sessionization the reference receives pre-materialized
     * (SURVEY §2.9) directly from the raw stream.

@@ -44,6 +44,38 @@ class EventStreamsSpec extends SparkSuite {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("windowedValuePercentiles: cross-trigger sketch merge equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = windowedValuePercentiles(in.toDF()).writeStream
+      .format("memory").queryName("val_pcts").outputMode(OutputMode.Append()).start()
+    // one 1-hour window's values split ACROSS two triggers: the per-type
+    // sketches must merge across micro-batches before the watermark
+    // closes the window (this is the mergeability the operator exists for)
+    val half1 = (1 to 50).map(i =>
+      EventRow(i.toLong, 1L, ts("2024-01-01 10:00:01"), "view", i.toDouble))
+    val half2 = (51 to 100).map(i =>
+      EventRow(i.toLong, 1L, ts("2024-01-01 10:30:00"), "view", i.toDouble))
+    in.addData(half1)
+    q.processAllAvailable()
+    in.addData(half2)
+    q.processAllAvailable()
+    in.addData(EventRow(999L, 1L, ts("2024-01-02 00:00:00"), "view", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("val_pcts")
+      .filter(col("window_start") === ts("2024-01-01 10:00:00")).head()
+    assert(got.getAs[Long]("n") == 100)
+    // accuracy 10000 on 100 values → within one rank of the true percentile
+    assert(math.abs(got.getAs[Double]("p50_value") - 50.0) <= 1.0)
+    assert(math.abs(got.getAs[Double]("p95_value") - 95.0) <= 1.0)
+    // batch parity on the same rows
+    val batch = windowedValuePercentiles((half1 ++ half2).toDF())
+      .filter(col("window_start") === ts("2024-01-01 10:00:00")).head()
+    assert(batch.getAs[Double]("p50_value") == got.getAs[Double]("p50_value"))
+    assert(batch.getAs[Double]("p95_value") == got.getAs[Double]("p95_value"))
+  }
+
   test("userSessions: 30-minute gap splits sessions; revenue attributed per session") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventRow]
