@@ -1313,9 +1313,46 @@ object Parity {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q40 — table profiling: one row per column with null and exact
+  // distinct counts — the statistics a lakehouse DQ/profiling pass
+  // materializes before trusting a new feed (and the input to
+  // null-rate/cardinality assertions in §2.11's DQ family). Plan: ONE
+  // aggregate over the table computes every column's stats (Spark
+  // expands multi-countDistinct map-side — one scan, not one scan per
+  // column), then the single stats row unpivots driver-free via stack.
+  // Counts only (BIGINT) so the profile is engine-exact; min/max would
+  // drag in cross-engine numeric formatting.
+  val q40 = Q(
+    "q40_table_profile",
+    """SELECT column_name, n_nulls, n_distinct FROM (
+      |  SELECT 'o_custkey' AS column_name, COUNT(*) - COUNT(o_custkey) AS n_nulls,
+      |         COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+      |  UNION ALL SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+      |         COUNT(DISTINCT o_orderdate) FROM orders
+      |  UNION ALL SELECT 'o_orderkey', COUNT(*) - COUNT(o_orderkey),
+      |         COUNT(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+      |         COUNT(DISTINCT o_orderpriority) FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+      |         COUNT(DISTINCT o_orderstatus) FROM orders
+      |  UNION ALL SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+      |         COUNT(DISTINCT o_totalprice) FROM orders) p
+      |ORDER BY column_name""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val cols = o.columns.sorted
+    val aggs = cols.flatMap(c => Seq(
+      graft.util.Exact.countIf(col(c).isNull).as(s"_n_$c"),
+      countDistinct(col(c)).as(s"_d_$c")))
+    val stacked = cols.map(c => s"'$c', _n_$c, _d_$c").mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.length}, $stacked) as (column_name, n_nulls, n_distinct)"))
+      .orderBy("column_name")
+  }
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q36, q37, q38, q39)
+    q31, q32, q33, q34, q36, q37, q38, q39, q40)
 }
