@@ -1342,7 +1342,9 @@ object Parity {
     val o = t(s, dir, "orders")
     val cols = o.columns.sorted
     val aggs = cols.flatMap(c => Seq(
-      graft.util.Exact.countIf(col(c).isNull).as(s"_n_$c"),
+      // count(when(...)) not a SUM: COUNT semantics return 0 on an empty
+      // table, matching the oracle's COUNT(*) - COUNT(col)
+      count(when(col(c).isNull, lit(1))).as(s"_n_$c"),
       countDistinct(col(c)).as(s"_d_$c")))
     val stacked = cols.map(c => s"'$c', _n_$c, _d_$c").mkString(", ")
     o.agg(aggs.head, aggs.tail: _*)

@@ -69,11 +69,14 @@ class EventStreamsSpec extends SparkSuite {
     // accuracy 10000 on 100 values → within one rank of the true percentile
     assert(math.abs(got.getAs[Double]("p50_value") - 50.0) <= 1.0)
     assert(math.abs(got.getAs[Double]("p95_value") - 95.0) <= 1.0)
-    // batch parity on the same rows
+    // batch parity on the same rows — rank tolerance, not bit equality:
+    // merge order (two micro-batches vs one batch pass) may legally
+    // produce different-but-contract-valid approximations once the
+    // sketch compresses
     val batch = windowedValuePercentiles((half1 ++ half2).toDF())
       .filter(col("window_start") === ts("2024-01-01 10:00:00")).head()
-    assert(batch.getAs[Double]("p50_value") == got.getAs[Double]("p50_value"))
-    assert(batch.getAs[Double]("p95_value") == got.getAs[Double]("p95_value"))
+    assert(math.abs(batch.getAs[Double]("p50_value") - got.getAs[Double]("p50_value")) <= 1.0)
+    assert(math.abs(batch.getAs[Double]("p95_value") - got.getAs[Double]("p95_value")) <= 1.0)
   }
 
   test("userSessions: 30-minute gap splits sessions; revenue attributed per session") {
