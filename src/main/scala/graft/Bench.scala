@@ -68,14 +68,29 @@ object Bench {
     }
     def jmap(f: ((String, Double, Double)) => Double): String =
       results.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
-    val qs = jmap(_._2)
-    val qsMed = jmap(_._3)
     // a failed query (-1 sentinel) must POISON the total, not subtract
     // from it — otherwise a crashing slow query reads as a speedup
     val failed = results.collect { case (k, v, _) if v < 0 => k }
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"reps":$reps,"failed":$errs,"sf":"$sfDir"}""")
+    // full-precision detail first, for humans and local archives…
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_med":${jmap(_._3)},"reps":$reps,"failed":$errs,"sf":"$sfDir"}""")
+    // …then the machine-readable line LAST, sized for the driver's
+    // 2000-char stdout tail (r6's single full line was ~8 KB: the tail
+    // cut its head and `parsed` came back null). Keys are each query's
+    // unique prefix before the first '_' (q01, qd02, qt15, …) and
+    // values are min-of-reps rounded to ms — ~1.3 KB for 86 queries,
+    // leaving room for sbt's trailing "[success]" line inside the tail.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val short = results.map { case (name, min, _) =>
+      (name.takeWhile(_ != '_'), min)
+    }
+    require(short.map(_._1).distinct.size == results.size,
+      "query name prefixes must stay unique — compact bench keys collide")
+    val qsShort = short
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","keying":"name prefix before first _","queries":$qsShort,"reps":$reps,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

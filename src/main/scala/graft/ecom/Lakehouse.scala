@@ -220,6 +220,17 @@ final case class Lakehouse(
   def writeShards(name: String, df: DataFrame, nShards: Int, seed: Long): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(!df.columns.contains("shard"), "input already has a 'shard' column")
+    // the contract hashes AND sorts by EVERY column, so every column
+    // must be orderable/hashable — a MapType (unhashable by xxhash64,
+    // unorderable in sortWithinPartitions) would otherwise surface as
+    // an analysis error naming an internal expression; fail up front
+    // naming the offending columns instead
+    val unorderable = df.schema.fields.filterNot(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    require(unorderable.isEmpty,
+      s"writeShards hashes and sorts by every column; unorderable column(s): " +
+        unorderable.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+        " — drop or serialize them (e.g. to_json) before sharding")
     import org.apache.spark.sql.functions.{pmod, xxhash64}
     val h = xxhash64(lit(seed) +: df.columns.map(col): _*)
     // shard=i/ directories via partitionBy: all rows of a shard share a

@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   * This container has no image/audio codec libraries, so `Codecs` fakes
   * the decode deterministically from the payload bytes. Every fake is
   * clearly marked; the Spark-side plumbing (schemas, encoders, batch
-  * shape, partitioning) is real and is what the tests pin.
+  * shape, partitioning) is real and is what the tests pin. Exception:
+  * [[Wav]] is a REAL RIFF/WAVE builder + parser (no external library
+  * needed for the container format), so the audio path qm07 runs a
+  * genuine decode end-to-end.
   */
 object MediaOps {
 
@@ -89,6 +92,111 @@ object MediaOps {
       while (i < n) { val s = payload(i).toDouble / 128.0; acc += s * s; i += 1 }
       DecodedAudio(id, 16000, n.toLong, if (n == 0) 0.0 else math.sqrt(acc / n))
     }
+  }
+
+  // -----------------------------------------------------------------------
+  /** REAL codec for one public container format: RIFF/WAVE (the
+    * Microsoft/IBM WAV spec — `RIFF <size> WAVE` followed by tagged
+    * chunks; PCM format code 1). Unlike `Codecs`, nothing here is
+    * faked: `build` emits a byte-valid WAV file and `parse` trusts ONLY
+    * the bytes — magic, chunk walk (skipping unknown chunks and their
+    * odd-length pad bytes), `fmt ` fields, `data` length. This replaces
+    * the stub boundary for the audio family: qm07 decodes actual WAV
+    * payloads, and a payload that lies about its container fails loudly.
+    *
+    * Scope: 8-bit unsigned mono PCM (format 1). That is enough to make
+    * the decode real while keeping the parser reviewable; a production
+    * build swaps in a full codec behind the same bytes-in, typed-out
+    * signature.
+    */
+  object Wav {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Wrap unsigned-8-bit mono PCM in a valid RIFF/WAVE container. */
+    def build(sampleRate: Int, pcm8: Array[Byte]): Array[Byte] = {
+      require(sampleRate > 0)
+      val pad = pcm8.length & 1 // RIFF chunks are word-aligned
+      val bb = ByteBuffer.allocate(44 + pcm8.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm8.length + pad)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate) // byte rate = rate * channels * bytes/sample
+        .putShort(1) // block align
+        .putShort(8) // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(pcm8.length).put(pcm8)
+      if (pad == 1) bb.put(0.toByte)
+      bb.array()
+    }
+
+    /** Parse a WAV payload: chunk-walk to `fmt ` and `data`, then RMS
+      * over the samples (8-bit WAV PCM is UNSIGNED, excess-128: sample
+      * = (b - 128)/128). Throws on bad magic / missing chunks /
+      * unsupported encodings — a corrupt payload must fail the row
+      * loudly, not decode to garbage.
+      */
+    def parse(id: Long, wav: Array[Byte]): DecodedAudio = {
+      val bb = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
+      require(wav.length >= 44, s"media $id: truncated WAV (${wav.length} bytes)")
+      require(tag() == "RIFF", s"media $id: not a RIFF file")
+      bb.getInt // declared riff size (unused: the chunk walk bounds itself)
+      require(tag() == "WAVE", s"media $id: RIFF but not WAVE")
+      var sampleRate = -1
+      var dataOff = -1
+      var dataLen = -1
+      while ((dataOff < 0 || sampleRate < 0) && bb.remaining() >= 8) {
+        val t = tag()
+        val len = bb.getInt
+        t match {
+          case "fmt " =>
+            val fmtEnd = bb.position() + len
+            require(bb.getShort == 1, s"media $id: non-PCM WAV unsupported")
+            require(bb.getShort == 1, s"media $id: only mono supported")
+            sampleRate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            require(bb.getShort == 8, s"media $id: only 8-bit PCM supported")
+            bb.position(fmtEnd + (len & 1))
+          case "data" =>
+            dataOff = bb.position(); dataLen = len
+            bb.position(dataOff + len + (len & 1))
+          case _ => // skip unknown chunk + its pad byte
+            bb.position(bb.position() + len + (len & 1))
+        }
+      }
+      require(sampleRate > 0, s"media $id: no fmt chunk")
+      require(dataOff >= 0 && dataOff + dataLen <= wav.length,
+        s"media $id: data chunk out of bounds")
+      var acc = 0.0
+      var i = 0
+      while (i < dataLen) {
+        val s = ((wav(dataOff + i) & 0xff) - 128).toDouble / 128.0
+        acc += s * s
+        i += 1
+      }
+      DecodedAudio(id, sampleRate, dataLen.toLong,
+        if (dataLen == 0) 0.0 else math.sqrt(acc / dataLen))
+    }
+  }
+
+  /** Wrap each payload in a real WAV container (ingest-side adapter:
+    * testdata ships no binary tables, so the PCM track is the document
+    * bytes — same derivation rule as [[mediaFromDocuments]]).
+    */
+  def wrapAsWav(media: Dataset[MediaRow], sampleRate: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it =>
+      it.map(m => MediaRow(m.media_id, m.kind, Wav.build(sampleRate, m.payload))))
+  }
+
+  /** Decode WAV payloads with the REAL parser — mapPartitions like every
+    * decode stage (codec init amortized per partition).
+    */
+  def decodeWavs(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map(m => Wav.parse(m.media_id, m.payload)))
   }
 
   // -----------------------------------------------------------------------

@@ -123,12 +123,19 @@ object GraphOps {
     * cached (same contract as [[connectedComponents]]: per-call entry —
     * reuse the returned frame, unpersist when done).
     *
-    * Throws if not converged within `maxRounds` (default sized for
-    * log²-round convergence, not diameter) — truncation would split
-    * components and keep duplicate "canonical" docs.
+    * Throws if not converged within the round budget — truncation would
+    * split components and keep duplicate "canonical" docs. The default
+    * (`maxRounds ≤ 0`) SIZES THE BUDGET FROM THE GRAPH: chain graphs —
+    * the worst case — converge at ~1.5·log₂(n) rounds empirically
+    * (GraphOpsSpec's 200-node chain needs 12 ≈ 1.57·log₂ n), so the
+    * auto budget is 2·log₂(n)+10: margin at every scale, where a flat
+    * constant would under-budget a trillion-node chain (2·40+10 = 90
+    * rounds there) and a loud require() would fire exactly at the scale
+    * the operator targets. Pass an explicit positive `maxRounds` only
+    * to pin tests or to cap cost on graphs known to be shallow.
     */
   def connectedComponentsStar(edgesIn: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 0): DataFrame = {
     val raw = edgesIn.select(col(srcCol).as("a"), col(dstCol).as("b"))
     // every node that appears at all gets a label, even if its only
     // edges are self-loops (which the rewrite drops as no-ops)
@@ -171,10 +178,18 @@ object GraphOps {
     var lg: DataFrame = null
     var sm: DataFrame = null
     try {
+      // auto budget from the node count (the set is already persisted —
+      // one cheap count); 64-NLZ(n-1) == ceil(log2(n)) for n ≥ 2
+      val budget =
+        if (maxRounds > 0) maxRounds
+        else {
+          val n = math.max(2L, nodes.count())
+          2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 10
+        }
       var curCnt = cur.count()
       var converged = false
       var rounds = 0
-      while (!converged && rounds < maxRounds) {
+      while (!converged && rounds < budget) {
         lg = truncate(largeStar(cur)).persist()
         val lgCnt = lg.count()
         val lgSame = unchanged(lg, lgCnt, cur, curCnt)

@@ -141,14 +141,30 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val ivl = if (ivlOnLeft) j.left else j.right
       val span = Subtract(binOf(en), binOf(st))
       val wideGuard = GreaterThan(span, Literal(maxBins))
-      // idempotence for the wide branch: if the interval subtree already
-      // carries this exact span-cap filter, this IS the wide branch of a
-      // previous application — leave it as the intended nested loop
-      val alreadySplit = ivl.exists {
-        case Filter(c, _) =>
-          splitConjunctivePredicates(c).exists(_.semanticEquals(wideGuard))
-        case _ => false
-      }
+      // idempotence for the wide branch: if EVERY row of the interval
+      // side is already span-capped, this IS the wide branch of a
+      // previous application — leave it as the intended nested loop.
+      // Tested through plan CONSTRAINTS, not a subtree scan: the planted
+      // guard holds for all ivl rows, so it survives in `constraints`
+      // wherever pushdown migrates the Filter (even below a Union — it
+      // is pushed into every branch, and Union intersects). A
+      // semantically-equal guard buried in a NESTED, previously
+      // rewritten range join over the same bounds does NOT propagate:
+      // that join's Union intersects its wide branch (span > cap) with
+      // its binned branch (span <= cap) and the guard dies there — so it
+      // cannot veto this join's rewrite (the subtree-scan form read it
+      // as "already split" and silently left the outer join as a nested
+      // loop). With constraint propagation disabled there is nothing to
+      // read, so fall back to the conservative whole-subtree scan —
+      // correct, possibly skipping a nested-join rewrite.
+      val alreadySplit =
+        if (conf.constraintPropagationEnabled)
+          ivl.constraints.exists(_.semanticEquals(wideGuard))
+        else ivl.exists {
+          case Filter(c, _) =>
+            splitConjunctivePredicates(c).exists(_.semanticEquals(wideGuard))
+          case _ => false
+        }
       if (alreadySplit) None else {
         // binned branch over rows within the span cap (NULL spans fail
         // the predicate and drop — they cannot match an inner join)

@@ -116,16 +116,34 @@ object LlmDedup {
     */
   def jaccardPairs(docsDf: DataFrame, maxDf: Int): DataFrame = {
     val d = docsDf.select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
-    // one pass over the shingles: each posting entry carries the doc's
-    // set size, so Jaccard needs no lookup join afterwards
-    val postings = d
+    // each posting entry carries the doc's set size, so Jaccard needs no
+    // lookup join afterwards
+    val entries = d
       .select(struct(col("doc_id"), size(col("s")).cast(LongType).as("n")).as("dn"),
         explode(col("s")).as("g"))
       .select(col("dn"), xxhash64(col("g")).as("hg"))
+    // Pass 1 — df per shingle hash. count() partially aggregates
+    // map-side, so a stop-shingle ("in the of", df ≈ corpus size) costs
+    // one long per map partition on the wire and in the final buffer —
+    // never a posting list. Keep only 2 ≤ df ≤ maxDf: df=1 shingles
+    // contribute no pairs; over-cap stop-shingles are dropped outright.
+    val keep = entries
+      .groupBy("hg").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .select("hg")
+    // Pass 2 — semi-join drops stop-shingle entries BEFORE any list is
+    // built: every collect_list buffer is ≤ maxDf entries by
+    // construction. The old single-pass form (collect_list first, size
+    // filter after) materialized the FULL posting list of an over-cap
+    // shingle in one aggregation buffer and only then discarded it —
+    // single-task OOM at corpus scale. Price of the fix: the shingle
+    // explode runs twice (once per pass, recomputed from the scan —
+    // cheaper at 100 TB than caching the exploded table), plus one
+    // extra hg-keyed shuffle for the semi-join. Both sides of that join
+    // shuffle on hg, and `keep` carries hg alone (8 bytes/row).
+    val postings = entries
+      .join(keep, Seq("hg"), "left_semi")
       .groupBy("hg").agg(collect_list(col("dn")).as("ids"))
-      // df=1 shingles contribute no pairs; df>maxDf stop-shingles are
-      // dropped (bounded posting-list row AND bounded df² pair fan-out)
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDf)
     // Ordered pairs within each posting list (≤ df² rows per shingle).
     // The repartition between the two explodes spreads a hot shingle's
     // fan-out: a posting AT the df cap would otherwise emit ~cap²/2 pair

@@ -234,5 +234,41 @@ object LlmMultimodal {
       .orderBy("media_a", "media_b")
   }
 
-  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05, qm06)
+  // ---------------------------------------------------------------------
+  // qm07 — REAL WAV decode: payloads are genuine RIFF/WAVE files
+  // (MediaOps.Wav.build wraps the document bytes as 8-bit mono PCM) and
+  // MediaOps.Wav.parse decodes them by actually walking the container —
+  // magic check, chunk scan, sample rate READ FROM THE fmt CHUNK, data
+  // length from the data chunk header. Nothing in this path trusts
+  // metadata outside the bytes. The oracle re-derives every output from
+  // the raw document bytes plus the public WAV construction rules
+  // (8-bit WAV PCM is unsigned excess-128); the squared-sample fold
+  // runs in byte order on both sides, so rms is bit-exact (same
+  // init-less-list_reduce argument as qm03).
+  val qm07 = Q(
+    "qm07_wav_decode",
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents WHERE doc_id % 3 = 1),
+      |b AS (SELECT media_id, n,
+      |        list_transform(range(1, n+1),
+      |          i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INT), 2)) AS BIGINT)) AS bytes
+      |      FROM m)
+      |SELECT media_id, CAST(16000 AS BIGINT) AS sample_rate, n AS n_samples,
+      |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE sqrt(list_reduce(list_transform(bytes,
+      |              x -> ((CAST(x AS DOUBLE) - CAST(128 AS DOUBLE)) / CAST(128 AS DOUBLE))
+      |                 * ((CAST(x AS DOUBLE) - CAST(128 AS DOUBLE)) / CAST(128 AS DOUBLE))),
+      |              (a, c) -> a + c) / CAST(n AS DOUBLE))
+      |  END AS rms
+      |FROM b
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val audio = media(s, dir).filter(col("kind") === "audio")
+    MediaOps.decodeWavs(MediaOps.wrapAsWav(audio, sampleRate = 16000))
+      .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("rms"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05, qm06, qm07)
 }

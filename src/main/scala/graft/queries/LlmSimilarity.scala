@@ -154,14 +154,6 @@ object LlmSimilarity {
         .toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
-    // the three EAGER passes (seed collect + 2 Lloyd collects) are done —
-    // release the cache here so the RETURNED frame is cache-free (no
-    // entry left for the caller to leak). Its two remaining consumers
-    // (cell tagging, probe ranking) re-scan parquet once each, which is
-    // the cheap side of the trade: the index-build iteration is what
-    // needed residency.
-    e.unpersist(blocking = false)
-
     // inverted lists: corpus tagged with its cell
     val corpus = e.select(col("vec_id"), col("embedding"),
       bestCell(col("embedding"), centroids).as("cell"))
@@ -178,7 +170,7 @@ object LlmSimilarity {
     // score only the probed cells' lists, exact cosine, top-5
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    corpus.join(broadcast(probes), Seq("cell"))
+    val ranked = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos_sim"))
@@ -186,6 +178,20 @@ object LlmSimilarity {
       .filter(col("rank") <= 5)
       .select("query_id", "neighbor_id", "rank", "cos_sim")
       .orderBy("query_id", "rank")
+    // An index-build + probe pipeline is inherently EAGER (the Lloyd
+    // collects above already were), so finish it eagerly too: the
+    // tagging and probe passes run NOW, against the cache — earlier
+    // rounds unpersisted here and ate two extra parquet scans when the
+    // caller consumed the frame (the one measured bench regression of
+    // r6). The final result is 8 probes × top-5 = ≤40 rows, so
+    // collecting it driver-side is free; the cache is released BEFORE
+    // return, which CacheContractSpec pins (a library caller must
+    // inherit zero cached state). The returned frame is the already-
+    // ordered local result.
+    val rows = ranked.collect()
+    val schema = ranked.schema
+    e.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   // ---------------------------------------------------------------------
@@ -328,38 +334,132 @@ object LlmSimilarity {
   // at 100 TB is block-then-score: candidates come from a bucket
   // SELF-join (both sides shuffle-partitioned by bucket — no broadcast,
   // each task scores one bucket's pairs), ranked per vector with a
-  // window over the candidate set (~n/64 per vector), never the corpus.
-  // Bucket skew is bounded by construction: 6 random hyperplanes split
-  // near-uniformly (the planted-skew analogue is qd02's df cap).
-  // Vectors whose bucket has no other member simply emit no rows —
-  // approximate-kNN semantics, replayed identically by the oracle.
+  // window over the candidate set, never the corpus.
+  //
+  // The index SCALES WITH THE CORPUS along both LSH axes:
+  //  - band width: np = the smallest plane count (≥6, capped at 20)
+  //    with 2^np buckets of expected size ≤ KnnTargetBucket — so
+  //    per-table candidates stay ~(np+1)·KnnTargetBucket regardless of
+  //    corpus rows. A FIXED plane count makes the self-join O(n²/2^np),
+  //    quadratic again at scale. The formula is pure integer arithmetic
+  //    (no log2 floats whose last-bit rounding could disagree across
+  //    engines); the oracle derives np from COUNT(*) through an
+  //    identical CASE ladder built from the same constants.
+  //  - tables: shrinking buckets costs recall, so KnnTables independent
+  //    plane families (OR-construction, the classic Indyk–Motwani
+  //    amplification) each contribute candidates, and each table also
+  //    probes its np Hamming-1 buckets. At the DESIGN similarity — the
+  //    near-duplicate regime this join feeds (SemDeDup, similarity
+  //    graphs; cos ≥ 0.95 → per-plane agreement p ≈ 0.9) — planted-
+  //    neighbor recall is 1-(1-(p^np + np·p^(np-1)(1-p)))^L ≈ 0.999 at
+  //    np=8, L=4. For uniform noise (top-3 here sits at cos ≈ 0.33) no
+  //    sublinear scheme holds recall — that's the LSH lower bound, not
+  //    a defect; the guarantee-bearing regime is the planted one, which
+  //    KnnJoinScaleSpec pins. For a fixed recall at ever-larger n the
+  //    theory says L ~ n^ρ (ρ<1): L is a constant here, surfaced as the
+  //    one knob a deployment would raise.
+  // A pair found by several (table, probe) routes is deduplicated
+  // BEFORE ranking (distinct on the scored row — both engines compute
+  // the identical double, so the dedup is exact). Bucket skew is
+  // bounded by construction: random hyperplanes split near-uniformly
+  // (the planted-skew analogue is qd02's df cap). Vectors with no
+  // co-bucketed member emit no rows — approximate-kNN semantics,
+  // replayed identically by the oracle.
+  private[queries] val KnnTargetBucket = 32
+  private[queries] val KnnMaxPlanes = 20
+  private[queries] val KnnTables = 4
+  private[queries] def knnPlanes(n: Long): Int = {
+    var np = 6
+    while (np < KnnMaxPlanes && (1L << np) * KnnTargetBucket < n) np += 1
+    np
+  }
+  // same thresholds as knnPlanes, as a DuckDB CASE ladder over COUNT(*)
+  private val knnNpCase: String =
+    (6 until KnnMaxPlanes)
+      .map(p => s"WHEN c <= ${(1L << p) * KnnTargetBucket} THEN $p")
+      .mkString("CASE ", " ", s" ELSE $KnnMaxPlanes END")
+  /** Plane family for table `t`: the base integer family with the plane
+    * index offset by 1000·t — each table gets distinct, reproducible
+    * hyperplanes with no RNG state to ship.
+    */
+  private[queries] def tablePlanes(t: Int, np: Int): Seq[Array[Double]] =
+    (0 until np).map { p =>
+      Array.tabulate(64)(d => ((((p + 1000 * t) * 131 + d * 37 + 11) % 19) - 9).toDouble)
+    }
+  // dynamic twin of DuckSql.planeDot/lshBucket for table t (column `t`)
+  // and plane count read from the np column — same formula, same fold
+  private def dynBucket(v: String): String =
+    s"""list_reduce(list_transform(range(0, np.np), p ->
+       |  CASE WHEN list_reduce(list_transform(range(1, len($v)+1),
+       |      i -> $v[i]::DOUBLE * CAST(((((p + 1000*t)*131 + (i-1)*37 + 11) % 19) - 9) AS DOUBLE)),
+       |      (x,y) -> x+y) > 0
+       |  THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END), (a,b) -> a+b)""".stripMargin
+
+  /** The deduplicated scored candidate set of qs06's kNN join —
+    * factored out so KnnJoinScaleSpec can measure candidate volume and
+    * planted-neighbor recall on synthetic corpora across the np
+    * breakpoints.
+    */
+  private[queries] def knnCandidates(e0: DataFrame, np: Int): DataFrame = {
+    // one (table, bucket) pair per vector per table, as array columns
+    val bucketCols = (0 until KnnTables).map(t =>
+      lshBucket(col("embedding"), tablePlanes(t, np)).as(s"_b$t"))
+    val e = e0.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+    // index side: L rows per vector, keyed (t, bucket)
+    val right = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      posexplode(array((0 until KnnTables).map(t => col(s"_b$t")): _*)).as(Seq("t", "bucket")))
+    // probe side: per table, own bucket + the np Hamming-1 buckets
+    val probeStructs = for {
+      t <- 0 until KnnTables
+      pc <- col(s"_b$t") +: (0 until np).map(p => col(s"_b$t").bitwiseXOR(lit(1L << p)))
+    } yield struct(lit(t).as("t"), pc.as("bucket"))
+    val left = e
+      .select(col("vec_id"), col("embedding"), explode(array(probeStructs: _*)).as("pb"))
+      .select(col("vec_id"), col("embedding"),
+        col("pb.t").as("t"), col("pb.bucket").as("bucket"))
+    left.join(right, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("embedding"), col("ne")).as("cos_sim"))
+      .distinct() // a pair reachable via several (t, probe) routes scores once
+  }
+
+  /** qs06's corpus-scaled multi-table kNN join over a
+    * `(vec_id, embedding)` frame.
+    */
+  def knnJoin(e0: DataFrame): DataFrame = {
+    // one count() to size the index — at scale this is a parquet
+    // metadata pass, and real deployments know their corpus size anyway
+    val np = knnPlanes(e0.count())
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    knnCandidates(e0, np)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select("vec_id", "neighbor_id", "rank", "cos_sim")
+      .orderBy("vec_id", "rank")
+  }
+
   val qs06 = Q(
     "qs06_knn_join",
-    s"""WITH e AS (SELECT vec_id, embedding, ${DuckSql.lshBucket("embedding", 6)} AS bucket
-       |           FROM embeddings),
-       |s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
-       |        ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos_sim
-       |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+    s"""WITH np AS (SELECT $knnNpCase AS np FROM (SELECT COUNT(*) AS c FROM embeddings)),
+       |b AS (SELECT vec_id, embedding, r.t, ${dynBucket("embedding")} AS bucket
+       |      FROM embeddings, np, range(0, $KnnTables) r(t)),
+       |pr AS (SELECT vec_id, embedding, t,
+       |        unnest(list_prepend(bucket, list_transform(range(0, np.np),
+       |          p -> xor(bucket, CAST(1 AS BIGINT) << p)))) AS pbucket
+       |       FROM b, np),
+       |s AS (SELECT DISTINCT pr.vec_id, b2.vec_id AS neighbor_id,
+       |        ${DuckSql.cosine("pr.embedding", "b2.embedding")} AS cos_sim
+       |      FROM pr JOIN b b2 ON pr.t = b2.t AND pr.pbucket = b2.bucket
+       |        AND pr.vec_id <> b2.vec_id)
        |SELECT vec_id, neighbor_id, rank, cos_sim FROM (
        |  SELECT vec_id, neighbor_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM s) ranked
        |WHERE rank <= 3
        |ORDER BY vec_id, rank""".stripMargin) { (s, dir) =>
-    val planes = hyperplanes(nPlanes = 6, dim = 64)
-    val e = emb(s, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
-    val right = e.select(col("bucket"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("ne"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    e.join(right, Seq("bucket"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("embedding"), col("ne")).as("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 3)
-      .select("vec_id", "neighbor_id", "rank", "cos_sim")
-      .orderBy("vec_id", "rank")
+    knnJoin(emb(s, dir))
   }
 
   val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05, qs06)

@@ -669,10 +669,12 @@ object LlmText {
   // Scale plan: one segment-keyed two-phase aggregate (min position per
   // segment) joined back onto the segment stream, then a doc-keyed
   // rollup — two shuffles, both on uniformly-hashed keys, no windows
-  // and no driver state. The shuffle/join key is xxhash64 of the
-  // segment (8 bytes instead of ~50-char strings — same trick as
-  // qd02/qd11); the oracle joins on the segment STRING itself, so the
-  // hash-compare also polices collisions. The global first-occurrence
+  // and no driver state. The shuffle/join key is a PAIR of independent
+  // xxhash64s of the segment (16 bytes instead of ~50-char strings —
+  // qd02/qd11's trick, doubled because a single 64-bit key's birthday
+  // bound is ~2^32 distinct segments, inside 100 TB reach); the oracle
+  // joins on the segment STRING itself, so the hash-compare also
+  // polices collisions. The global first-occurrence
   // rule is min over the (doc_id, seg_idx) STRUCT — a lexicographic
   // min, order-insensitive and exact at any doc length or id range (an
   // integer packing like doc_id·K + seg_idx silently reorders once a
@@ -717,11 +719,20 @@ object LlmText {
         i => struct(
           array_join(slice(col("t"), (i * w + 1).cast(IntegerType), lit(w)), " ").as("seg"),
           least(lit(w.toLong), size(col("t")) - i * w).as("seg_len")))))
+      // TWO independent 64-bit hashes (second = same xxhash64 with a
+      // salt column prepended) as the group/join key: one hash's
+      // birthday bound is ~2^32 distinct segments — crossed by a 100 TB
+      // corpus, and a collision here silently DROPS a legitimate
+      // segment. 128 combined bits push the bound past 2^64 for
+      // +8 bytes/row of shuffle. The oracle joins on the segment STRING
+      // itself, so any residual collision still fails the hash gate.
       .select(col("doc_id"), col("pos").cast(LongType).as("seg_idx"),
-        xxhash64(col("col.seg")).as("seg_h"), col("col.seg_len").as("seg_len"))
+        xxhash64(col("col.seg")).as("seg_h"),
+        xxhash64(lit("graft_seg2"), col("col.seg")).as("seg_h2"),
+        col("col.seg_len").as("seg_len"))
       .withColumn("gpos", struct(col("doc_id"), col("seg_idx")))
-    val keep = segs.groupBy("seg_h").agg(min(col("gpos")).as("keep_pos"))
-    segs.join(keep, Seq("seg_h"))
+    val keep = segs.groupBy("seg_h", "seg_h2").agg(min(col("gpos")).as("keep_pos"))
+    segs.join(keep, Seq("seg_h", "seg_h2"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
@@ -880,7 +891,93 @@ object LlmText {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // qt18 — quality deciles by SKETCH BOUNDARIES: the 100 TB path qt15's
+  // comment promises. qt15's exact ntile is a single-partition global
+  // sort — correct up to ~billions of (score, doc) pairs, a
+  // one-task-holds-the-corpus stall past that. Here the cut points come
+  // from ONE mergeable-sketch aggregate (approx_percentile at 9 interior
+  // percentiles — constant memory per partition, map-side combined), the
+  // single-row boundary frame broadcasts back, and every document's
+  // decile is a map-side comparison against the broadcast array: no
+  // Window anywhere in the plan (SketchDecileSpec pins that), no global
+  // sort, nothing keyed finer than the 10-row rollup.
+  //
+  // Cross-engine contract (qt13's pattern — sketch internals differ
+  // across engines, so emit the sketch's CONTRACT, not its internals):
+  //  - count_ok: each decile's doc count within ±4% of n/10 (+1 for
+  //    rounding) — the equal-count promise, tolerant at boundaries
+  //    (rank error ≤ n/accuracy plus whatever score-tie mass sits ON a
+  //    boundary; the window mirrors qt13's ±0.04 rank tolerance). All
+  //    integer arithmetic in basis points — no float rounding to
+  //    disagree across engines.
+  //  - n_docs_total / token_mass_total: summed ACROSS the sketch
+  //    deciles and hash-compared exactly — pins that bucketing
+  //    partitioned the corpus (no row lost or duplicated), which a
+  //    boolean alone would not.
+  val qt18 = Q(
+    "qt18_decile_sketch",
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+      |               CAST(SUM(len(t)) AS BIGINT) AS token_mass_total FROM tok)
+      |SELECT CAST(r.d AS BIGINT) AS decile, TRUE AS count_ok,
+      |  tot.n_docs_total, tot.token_mass_total
+      |FROM range(1, 11) r(d), tot
+      |ORDER BY decile""".stripMargin) { (s, dir) =>
+    val q = docs(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+      qualityScore(col("text")).as("score"))
+    sketchDeciles(s, q)
+  }
+
+  /** Per-document sketch-decile assignment over a
+    * (doc_id, n_tokens, score) frame — decile 1 = best, mirroring
+    * qt15's DESC ntile. Factored out so SketchDecileSpec can compare
+    * assignments against exact ntile doc-by-doc.
+    */
+  def sketchDecileAssign(q: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val bounds = q.agg(
+      percentile_approx(col("score"),
+        typedlit((1 to 9).map(_ / 10.0)), lit(accuracy)).as("bs"),
+      count(lit(1)).as("n_total"),
+      sum(col("n_tokens")).as("tok_total"))
+    // boundaries ascend (percentiles 0.1..0.9); a doc strictly above k
+    // of them sits in decile 10-k (above all 9 -> decile 1, the top)
+    q.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (lit(10) - size(filter(col("bs"), b => col("score") > b))).cast(LongType))
+  }
+
+  /** qt18 rollup: 10 zero-filled decile rows with the tolerance boolean
+    * and exact conservation totals.
+    */
+  def sketchDeciles(s: SparkSession, q: DataFrame): DataFrame = {
+    val perDecile = sketchDecileAssign(q)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("decile_tokens"),
+        max(col("n_total")).as("n_total"))
+    // conservation across the 10-row rollup (window-free second agg)
+    val totals = perDecile.agg(
+      sum(col("n_docs")).as("n_docs_total"),
+      sum(col("decile_tokens")).as("token_mass_total"),
+      max(col("n_total")).as("n_total"))
+    // zero-fill: an (impossible under the tolerance) empty decile must
+    // still emit its row, with count_ok = false, not vanish
+    val frame = s.range(1, 11).select(col("id").as("decile"))
+    // |n_docs - n/10| <= n*0.04 + 1, scaled by 1e4 to stay integral
+    val slack = col("n_total") * lit(400L) + lit(10000L)
+    val countOk =
+      abs(coalesce(col("n_docs"), lit(0L)) * lit(10000L) - col("n_total") * lit(1000L)) <= slack
+    frame.join(perDecile.drop("n_total"), Seq("decile"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("decile"), countOk.as("count_ok"),
+        col("n_docs_total"), col("token_mass_total"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15, qt16, qt17)
+      qt13, qt14, qt15, qt16, qt17, qt18)
 }

@@ -121,10 +121,12 @@ class PlanSpec extends SparkSuite {
     // Everything else must join on keys — at 100 TB an accidental
     // cartesian (e.g. a join condition that stopped being an equi-join
     // after a refactor) is the difference between hours and never.
-    // qt16 broadcasts its ONE-row vocab-size aggregate the same way
+    // qt16 broadcasts its ONE-row vocab-size aggregate the same way;
+    // qt18 broadcasts two one-row frames (the 9-boundary sketch row and
+    // the conservation totals) — constant-size at any corpus scale
     val allowNested =
       Set("qs01_cosine_topk", "qm05_image_similarity", "qs04_ann_quantized_topk",
-        "qt12_token_budget_mix", "qt16_bigram_lm_score")
+        "qt12_token_budget_mix", "qt16_bigram_lm_score", "qt18_decile_sketch")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")

@@ -67,4 +67,14 @@ class ShardSinkSpec extends SparkSuite {
     intercept[IllegalArgumentException] { lh.writeShards("s", df, nShards, 1L) }
     intercept[IllegalArgumentException] { lh.writeShards("s", corpus, 0, 1L) }
   }
+
+  test("writeShards rejects unorderable/unhashable column types up front, by name") {
+    // a MapType column can be neither xxhash64'd nor sorted — the
+    // contract (hash+sort EVERY column) must fail fast naming the
+    // column, not surface an analysis error about internal expressions
+    val lh = Lakehouse(spark, Files.createTempDirectory("graft-shards-m").toString)
+    val withMap = corpus.withColumn("attrs", map(lit("k"), lit("v")))
+    val e = intercept[IllegalArgumentException] { lh.writeShards("s", withMap, nShards, 1L) }
+    assert(e.getMessage.contains("attrs"))
+  }
 }

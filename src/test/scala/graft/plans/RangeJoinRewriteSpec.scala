@@ -117,6 +117,29 @@ class RangeJoinRewriteSpec extends SparkSuite {
     }
   }
 
+  test("a nested, already-rewritten range join does not veto the outer rewrite") {
+    // the INNER range join rewrites first (transformUp) and plants its
+    // span-cap guard on the same s/e bounds; the OUTER join's interval
+    // side contains that guard deep in a nested join subtree — the
+    // idempotence check must stop at the Join boundary, not read it as
+    // "this join was already split" and leave the outer as a nested loop
+    val probes = Seq((100L, ts("2024-01-01 10:30:00")), (101L, ts("2024-01-02 03:45:00")))
+      .toDF("pid", "t2")
+    def inner = events.join(windows, $"t" >= $"s" && $"t" <= $"e")
+    def outer = probes.join(inner, $"t2" >= $"s" && $"t2" <= $"e")
+    val expected = outer.select("pid", "eid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected == Set((100L, 1L, 10L), (100L, 2L, 10L), (100L, 3L, 10L), (101L, 5L, 11L)))
+    withBin(3600L) {
+      val df = outer
+      val plan = df.queryExecution.executedPlan.toString
+      assert("Generate".r.findAllMatchIn(plan).size >= 2,
+        s"both range joins must bin — the inner guard vetoed the outer rewrite:\n$plan")
+      assert(df.select("pid", "eid", "wid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == expected)
+    }
+  }
+
   test("outer range joins and non-range inner joins are left untouched") {
     withBin(3600L) {
       val leftOuter = events.join(windows, $"t" >= $"s" && $"t" <= $"e", "left")

@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionByExpression}
 
 import graft.SparkSuite
 
@@ -51,5 +53,35 @@ class JaccardSkewSpec extends SparkSuite {
     val rows = LlmDedup.jaccardPairs(corpus, maxDf = Cap - 1).collect()
     assert(rows.length == 1)
     assert(rows.head.getLong(0) == 1000L && rows.head.getLong(1) == 1001L)
+  }
+
+  test("a stop-shingle with df >> cap never reaches a posting-list buffer") {
+    // 200 docs all sharing one hot 3-gram — df = 20× the cap of 10.
+    // The result must be as if the stop-shingle didn't exist (only the
+    // twin pair survives), AND the plan must prove the df filter runs
+    // BEFORE any collect_list: the old single-pass shape built the full
+    // 200-entry posting list in one aggregation buffer and discarded it
+    // afterwards — at corpus scale that buffer is the OOM.
+    val stop = (0 until 200).map(i => (i.toLong, s"xxx yyy zzz u$i v$i"))
+    val twin = Seq((1000L, "p q r s"), (1001L, "p q r s"))
+    val out = LlmDedup.jaccardPairs(
+      spark.createDataFrame(stop ++ twin).toDF("doc_id", "text"), maxDf = 10)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1000L && rows.head.getLong(1) == 1001L)
+    // plan pin: every collect_list aggregate sits ABOVE a left-semi join
+    // (the df gate) — no unbounded list is ever aggregated
+    val collectAggs = out.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+        case _: CollectList => true
+        case _              => false
+      }) => a
+    }
+    assert(collectAggs.nonEmpty, "expected a posting-list aggregate in the plan")
+    collectAggs.foreach { a =>
+      assert(a.child.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j
+      }.nonEmpty, "collect_list must aggregate only df-gated (semi-joined) entries")
+    }
   }
 }
