@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   * This container has no image/audio codec libraries, so `Codecs` fakes
   * the decode deterministically from the payload bytes. Every fake is
   * clearly marked; the Spark-side plumbing (schemas, encoders, batch
-  * shape, partitioning) is real and is what the tests pin. Exception:
-  * [[Wav]] is a REAL RIFF/WAVE builder + parser (no external library
-  * needed for the container format), so the audio path qm07 runs a
-  * genuine decode end-to-end.
+  * shape, partitioning) is real and is what the tests pin. Exceptions:
+  * [[Wav]] and [[Bmp]] are REAL container codecs (no external library
+  * needed for either format), so the audio path qm07 and the image
+  * path qm08 run genuine decodes end-to-end.
   */
 object MediaOps {
 
@@ -179,6 +179,105 @@ object MediaOps {
       DecodedAudio(id, sampleRate, dataLen.toLong,
         if (dataLen == 0) 0.0 else math.sqrt(acc / dataLen))
     }
+  }
+
+  /** REAL codec #2: BMP (Windows DIB, BITMAPINFOHEADER, uncompressed
+    * 24-bit BGR — the other public container format parseable without
+    * any library). `build` lays payload bytes out as pixels in a
+    * square-ish grid (bottom-up rows, 4-byte row padding, zero pad
+    * pixels — all per the DIB spec) and `parse` trusts only the bytes:
+    * magic, pixel-data offset, header fields, row stride. Upgrades the
+    * IMAGE family from stub to real the way [[Wav]] did audio: qm08
+    * decodes genuine BMP payloads, dims and histogram come from actual
+    * pixel rows.
+    */
+  object Bmp {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Grid shape for `n` payload bytes: ceil(n/3) pixels (min 1),
+      * width = floor(sqrt(pixels)) (min 1), height = ceil(pixels/width).
+      * Shared by build, parse-side tests, and the qm08 oracle.
+      */
+    def grid(n: Int): (Int, Int) = {
+      val npix = math.max(1, (n + 2) / 3)
+      val width = math.max(1, math.sqrt(npix.toDouble).toInt)
+      (width, (npix + width - 1) / width)
+    }
+
+    /** Wrap bytes as a valid 24-bit BMP: payload (zero-padded to
+      * width·height pixels) in top-down reading order, stored in the
+      * file bottom-up as the format requires.
+      */
+    def build(payload: Array[Byte]): Array[Byte] = {
+      val (width, height) = grid(payload.length)
+      val rowSize = (width * 3 + 3) / 4 * 4 // rows pad to 4-byte words
+      val dataSize = rowSize * height
+      val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+      bb.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+        .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+        .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val pixels = java.util.Arrays.copyOf(payload, width * height * 3)
+      var row = height - 1 // file rows run bottom-up
+      while (row >= 0) {
+        bb.put(pixels, row * width * 3, width * 3)
+        var pad = rowSize - width * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+      bb.array()
+    }
+
+    /** Parse a BMP: validate magic/header, walk the bottom-up padded
+      * rows, return dims + the normalized 8-bin histogram over the
+      * width·height·3 pixel bytes. Throws on non-BMP / compressed /
+      * non-24-bit payloads.
+      */
+    def parse(id: Long, bmp: Array[Byte]): DecodedImage = {
+      require(bmp.length >= 54, s"media $id: truncated BMP (${bmp.length} bytes)")
+      val bb = ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, s"media $id: not a BMP")
+      bb.getInt; bb.getInt // file size, reserved
+      val dataOffset = bb.getInt
+      require(bb.getInt >= 40, s"media $id: pre-DIB header unsupported")
+      val width = bb.getInt
+      val height = bb.getInt
+      require(width > 0 && height > 0, s"media $id: top-down/degenerate BMP unsupported")
+      require(bb.getShort == 1, s"media $id: planes != 1")
+      require(bb.getShort == 24, s"media $id: only 24-bit BMP supported")
+      require(bb.getInt == 0, s"media $id: compressed BMP unsupported")
+      val rowSize = (width * 3 + 3) / 4 * 4
+      require(dataOffset >= 54 && dataOffset + rowSize.toLong * height <= bmp.length,
+        s"media $id: pixel data out of bounds")
+      val hist = new Array[Double](8)
+      var row = 0
+      while (row < height) {
+        val base = dataOffset + row * rowSize
+        var i = 0
+        while (i < width * 3) { hist((bmp(base + i) & 0xff) >> 5) += 1; i += 1 }
+        row += 1
+      }
+      val pb = width.toLong * height * 3
+      var b = 0
+      while (b < 8) { hist(b) /= pb; b += 1 }
+      DecodedImage(id, width, height, 3, pb, hist)
+    }
+  }
+
+  /** Wrap each payload in a real BMP container (same ingest-side
+    * derivation rule as [[wrapAsWav]]).
+    */
+  def wrapAsBmp(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it =>
+      it.map(m => MediaRow(m.media_id, m.kind, Bmp.build(m.payload))))
+  }
+
+  /** Decode BMP payloads with the real parser. */
+  def decodeBmps(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map(m => Bmp.parse(m.media_id, m.payload)))
   }
 
   /** Wrap each payload in a real WAV container (ingest-side adapter:

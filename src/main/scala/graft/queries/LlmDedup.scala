@@ -538,37 +538,29 @@ object LlmDedup {
   }
 
   // ---------------------------------------------------------------------
-  // qd08 — embedding near-dup with sign-bit LSH bucket blocking: the
-  // true scale path qd06's label-blocking stands in for. Candidates are
-  // pairs sharing a 6-plane bucket (64 buckets) — an equi-join on the
-  // bucket id, linear in corpus size — then exact-cosine scored and the
-  // top pairs kept. Near-identical vectors agree on every sign bit, so
-  // at a production near-dup threshold recall is effectively total
-  // while the bucket join touches ~1/64 of the pair space. (This
-  // corpus has no true near-dups — max pairwise cosine ≈ 0.5 — so the
-  // query reports the top-100 most-similar blocked pairs rather than
-  // thresholding; behavior pinned against brute force in the spec.)
-  // The hyperplanes are a closed-form integer family, so the oracle
-  // recomputes the exact same buckets in SQL.
+  // qd08 — embedding near-dup with sign-bit LSH blocking: the true
+  // scale path qd06's label-blocking stands in for. Candidates are
+  // LlmSimilarity's CORPUS-SCALED multi-table candidate set (band width
+  // from an integer ladder over COUNT(*), 4 plane families, Hamming-1
+  // probes, distinct pairs) — the round-6 fixed-64-bucket self-join was
+  // O(n²/64), quadratic at scale, exactly the defect qs06 was called on;
+  // all three embedding-pair queries (qs06/qd08/qd15) now share ONE
+  // candidate definition, Spark-side and oracle-side. (This corpus has
+  // no true near-dups — max pairwise cosine ≈ 0.5 — so the query
+  // reports the top-100 most-similar blocked pairs rather than
+  // thresholding; score exactness pinned against brute force in the
+  // spec, recall-at-design-similarity in KnnJoinScaleSpec.)
   val qd08 = Q(
     "qd08_embedding_neardup_lsh",
-    s"""WITH e AS (SELECT vec_id, embedding, ${DuckSql.lshBucket("embedding", 6)} AS bucket
-       |           FROM embeddings)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos_sim
-       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    s"""WITH ${LlmSimilarity.scaledCandCtes}
+       |SELECT vec_id AS id_a, neighbor_id AS id_b, cos_sim
+       |FROM s WHERE vec_id < neighbor_id
        |ORDER BY cos_sim DESC, id_a, id_b
        |LIMIT 100""".stripMargin) { (s, dir) =>
-    val planes = VectorFns.hyperplanes(nPlanes = 6, dim = 64)
-    val e = load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        VectorFns.lshBucket(col("embedding"), planes).as("bucket"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        VectorFns.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+    val e = load(s, dir, "embeddings").select("vec_id", "embedding")
+    LlmSimilarity.knnCandidates(e, LlmSimilarity.knnPlanes(e.count()))
+      .filter(col("vec_id") < col("neighbor_id"))
+      .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
       .limit(100)
   }
@@ -811,25 +803,23 @@ object LlmDedup {
   // qd15 — embedding dedup DECISION (the SemDeDup policy, Abbas et al.
   // 2023): qd06/qd08 emit ranked near-dup PAIRS; this query turns them
   // into a keep/drop verdict — a vector is dropped iff some SMALLER-id
-  // vector in its LSH bucket has cosine ≥ τ, and its dup_of is the
-  // smallest such survivor-candidate (deterministic, order-free — the
-  // same min-id canonicalization qd01 applies to exact dups). Candidates
-  // come from the shared 6-plane sign-bit buckets, so the pair space is
-  // ~1/64 of all-pairs and every stage is an equi-join — the decision
-  // scales exactly like qd08's mining. τ = 0.35 sits at this synthetic
-  // corpus's p99.9 pairwise cosine (production embeddings of true
-  // near-dups cluster at ≥ 0.9 — the policy is threshold-agnostic).
+  // candidate neighbor has cosine ≥ τ, and its dup_of is the smallest
+  // such candidate (deterministic, order-free — the same min-id
+  // canonicalization qd01 applies to exact dups). Candidates are the
+  // SAME corpus-scaled multi-table set as qs06/qd08 (one shared
+  // definition both engines), so the decision inherits their scale
+  // envelope: bounded per-vector candidates, recall held at the
+  // near-dup design similarity by the table OR-construction. τ = 0.35
+  // sits at this synthetic corpus's p99.9 pairwise cosine (production
+  // embeddings of true near-dups cluster at ≥ 0.9 — the policy is
+  // threshold-agnostic).
   private val SemDedupTau = 0.35
   val qd15 = Q(
     "qd15_semantic_dedup",
-    s"""WITH e AS (SELECT vec_id, embedding, ${DuckSql.lshBucket("embedding", 6)} AS bucket
-       |           FROM embeddings),
-       |cand AS (SELECT b.vec_id AS vec_id, a.vec_id AS dup_of,
-       |           ${DuckSql.cosine("a.embedding", "b.embedding")} AS cos_sim
-       |         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-       |hit AS (SELECT vec_id, dup_of, cos_sim,
-       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rn
-       |        FROM cand WHERE cos_sim >= $SemDedupTau)
+    s"""WITH ${LlmSimilarity.scaledCandCtes},
+       |hit AS (SELECT vec_id, neighbor_id AS dup_of, cos_sim,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY neighbor_id) AS rn
+       |        FROM s WHERE neighbor_id < vec_id AND cos_sim >= $SemDedupTau)
        |SELECT vec_id, dup_of, cos_sim FROM hit WHERE rn = 1
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     semanticDedupDrops(load(s, dir, "embeddings"), SemDedupTau)
@@ -840,16 +830,11 @@ object LlmDedup {
     * See the qd15 comment for the plan shape.
     */
   def semanticDedupDrops(embDf: DataFrame, tau: Double): DataFrame = {
-    val planes = VectorFns.hyperplanes(nPlanes = 6, dim = 64)
-    val e = embDf.select(col("vec_id"), col("embedding"),
-      VectorFns.lshBucket(col("embedding"), planes).as("bucket"))
+    val e = embDf.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dup_of"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("dup_of"),
-        VectorFns.cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
-      .filter(col("cos_sim") >= tau)
+    LlmSimilarity.knnCandidates(e, LlmSimilarity.knnPlanes(e.count()))
+      .filter(col("neighbor_id") < col("vec_id") && col("cos_sim") >= tau)
+      .select(col("vec_id"), col("neighbor_id").as("dup_of"), col("cos_sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "dup_of", "cos_sim")

@@ -270,5 +270,50 @@ object LlmMultimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05, qm06, qm07)
+  // ---------------------------------------------------------------------
+  // qm08 — REAL BMP decode: payloads are genuine 24-bit Windows DIB
+  // files (MediaOps.Bmp.build lays the document bytes out as a
+  // square-ish pixel grid with bottom-up rows and 4-byte row padding,
+  // per the spec) and MediaOps.Bmp.parse decodes them by reading the
+  // actual container — magic, pixel-data offset, header fields, row
+  // stride — then histograms the real pixel rows. The oracle re-derives
+  // dims and histogram from the raw bytes plus the public construction
+  // rules; grid padding shows up as extra bin-0 mass (pb − n zero
+  // bytes), computed integrally on both sides. frac is one double
+  // division per row — bit-exact cross-engine.
+  val qm08 = Q(
+    "qm08_bmp_decode",
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents WHERE doc_id % 3 = 0),
+      |g AS (SELECT media_id, hx, n, GREATEST(1, (n + 2) // 3) AS npix FROM m),
+      |d AS (SELECT media_id, hx, n, npix,
+      |        GREATEST(1, CAST(FLOOR(SQRT(CAST(npix AS DOUBLE))) AS BIGINT)) AS width
+      |      FROM g),
+      |e AS (SELECT media_id, hx, n, width, (npix + width - 1) // width AS height FROM d),
+      |b AS (SELECT media_id, width, height, width * height * 3 AS pb, n,
+      |        list_transform(range(1, n+1),
+      |          i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INT), 2)) AS BIGINT)) AS bytes
+      |      FROM e),
+      |h AS (SELECT media_id, width, height, pb, CAST(r.b AS BIGINT) AS bin,
+      |        len(list_filter(bytes, x -> x // 32 = r.b))
+      |          + CASE WHEN r.b = 0 THEN pb - n ELSE 0 END AS cnt
+      |      FROM b, range(0, 8) r(b))
+      |SELECT media_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+      |  CAST(pb AS BIGINT) AS n_pixel_bytes, bin,
+      |  CAST(cnt AS DOUBLE) / CAST(pb AS DOUBLE) AS frac
+      |FROM h
+      |ORDER BY media_id, bin""".stripMargin) { (s, dir) =>
+    val imgs = media(s, dir).filter(col("kind") === "image")
+    MediaOps.decodeBmps(MediaOps.wrapAsBmp(imgs))
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_bytes").as("n_pixel_bytes"),
+        posexplode(col("features")).as(Seq("bin", "frac")))
+      .select(col("media_id"), col("width"), col("height"), col("n_pixel_bytes"),
+        col("bin").cast("long").as("bin"), col("frac"))
+      .orderBy("media_id", "bin")
+  }
+
+  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05, qm06, qm07, qm08)
 }

@@ -56,29 +56,45 @@ object LlmSimilarity {
   }
 
   // ---------------------------------------------------------------------
-  // qs02 — LSH-bucketed ANN: 6 deterministic hyperplanes -> 64 buckets;
-  // candidates are only the corpus vectors in the query's bucket. The
-  // closed-form hyperplane family reproduces in SQL, so the oracle
-  // replays bucketing + bucket join + ranking exactly; recall vs the
-  // exact qs01 is additionally pinned in tests.
+  // qs02 — LSH-bucketed ANN: candidates are the corpus vectors in the
+  // query's bucket or any of its Hamming-1 neighbors, under a plane
+  // count scaled from COUNT(*) by the same integer ladder as qs06 — so
+  // candidates per probe stay ~(np+1)·KnnTargetBucket at any corpus
+  // size (the round-6 fixed-64-bucket variant scanned n/64 per probe:
+  // still linear). A (probe, neighbor) pair matches at most one probe
+  // bucket, so multi-probe adds no duplicates and needs no dedup. This
+  // is the cheap single-table ANN tier; qs03 (IVF) and qs04 (quantized
+  // + rerank) are the production tiers, and qs06 carries the
+  // multi-table recall construction. The closed-form hyperplane family
+  // reproduces in SQL, so the oracle replays bucketing + probing +
+  // ranking exactly; score agreement vs the exact qs01 is additionally
+  // pinned in tests.
   val qs02 = Q(
     "qs02_ann_lsh_topk",
-    s"""WITH e AS (SELECT vec_id, embedding, ${DuckSql.lshBucket("embedding", 6)} AS bucket
-       |           FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 8),
+    s"""WITH np AS (SELECT $knnNpCase AS np FROM (SELECT COUNT(*) AS c FROM embeddings)),
+       |e AS (SELECT vec_id, embedding, ${dynBucket("embedding", "0")} AS bucket
+       |      FROM embeddings, np),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe,
+       |        unnest(list_prepend(bucket, list_transform(range(0, np.np),
+       |          p -> xor(bucket, CAST(1 AS BIGINT) << p)))) AS pbucket
+       |      FROM e, np WHERE vec_id < 8),
        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
        |        ${DuckSql.cosine("q.qe", "e.embedding")} AS cos_sim
-       |      FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id)
+       |      FROM e JOIN q ON e.bucket = q.pbucket WHERE e.vec_id <> q.query_id)
        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM s) ranked
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-    val planes = hyperplanes(nPlanes = 6, dim = 64)
-    val e = emb(s, dir).withColumn("bucket", lshBucket(col("embedding"), planes))
+    val e0 = emb(s, dir)
+    val np = knnPlanes(e0.count())
+    val e = e0.withColumn("bucket", lshBucket(col("embedding"), tablePlanes(0, np)))
+    val probeCols = col("bucket") +:
+      (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
     val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(probeCols: _*)).as("bucket"))
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -365,16 +381,22 @@ object LlmSimilarity {
   // (the planted-skew analogue is qd02's df cap). Vectors with no
   // co-bucketed member emit no rows — approximate-kNN semantics,
   // replayed identically by the oracle.
-  private[queries] val KnnTargetBucket = 32
-  private[queries] val KnnMaxPlanes = 20
-  private[queries] val KnnTables = 4
+  // `final val` + literal = compile-time constants (inlined at use
+  // sites): qs02's SQL string, declared above this line, reads them
+  // during object init — plain vals would still be 0 there.
+  private[queries] final val KnnTargetBucket = 32
+  private[queries] final val KnnMaxPlanes = 20
+  private[queries] final val KnnTables = 4
   private[queries] def knnPlanes(n: Long): Int = {
     var np = 6
     while (np < KnnMaxPlanes && (1L << np) * KnnTargetBucket < n) np += 1
     np
   }
-  // same thresholds as knnPlanes, as a DuckDB CASE ladder over COUNT(*)
-  private val knnNpCase: String =
+  // same thresholds as knnPlanes, as a DuckDB CASE ladder over COUNT(*).
+  // A def, not a val: qs02's SQL (declared ABOVE this line) interpolates
+  // it during object init, and a val would still be null at that point —
+  // the oracle would silently become `SELECT null AS np` and match nothing.
+  private def knnNpCase: String =
     (6 until KnnMaxPlanes)
       .map(p => s"WHEN c <= ${(1L << p) * KnnTargetBucket} THEN $p")
       .mkString("CASE ", " ", s" ELSE $KnnMaxPlanes END")
@@ -386,12 +408,14 @@ object LlmSimilarity {
     (0 until np).map { p =>
       Array.tabulate(64)(d => ((((p + 1000 * t) * 131 + d * 37 + 11) % 19) - 9).toDouble)
     }
-  // dynamic twin of DuckSql.planeDot/lshBucket for table t (column `t`)
-  // and plane count read from the np column — same formula, same fold
-  private def dynBucket(v: String): String =
+  // dynamic twin of DuckSql.planeDot/lshBucket for table `t` (an SQL
+  // expression — the `t` column for multi-table callers, "0" for the
+  // single-table base family) and plane count read from the np column —
+  // same formula, same fold
+  private def dynBucket(v: String, t: String = "t"): String =
     s"""list_reduce(list_transform(range(0, np.np), p ->
        |  CASE WHEN list_reduce(list_transform(range(1, len($v)+1),
-       |      i -> $v[i]::DOUBLE * CAST(((((p + 1000*t)*131 + (i-1)*37 + 11) % 19) - 9) AS DOUBLE)),
+       |      i -> $v[i]::DOUBLE * CAST(((((p + 1000*($t))*131 + (i-1)*37 + 11) % 19) - 9) AS DOUBLE)),
        |      (x,y) -> x+y) > 0
        |  THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END), (a,b) -> a+b)""".stripMargin
 
@@ -440,9 +464,13 @@ object LlmSimilarity {
       .orderBy("vec_id", "rank")
   }
 
-  val qs06 = Q(
-    "qs06_knn_join",
-    s"""WITH np AS (SELECT $knnNpCase AS np FROM (SELECT COUNT(*) AS c FROM embeddings)),
+  /** Shared oracle CTE prefix producing `s` — the DISTINCT scored
+    * candidate pairs of the corpus-scaled multi-table LSH (both
+    * orientations). qs06 ranks it per vector; qd08/qd15 mine/decide
+    * over it — ONE definition of the candidate set across all three.
+    */
+  private[queries] val scaledCandCtes: String =
+    s"""np AS (SELECT $knnNpCase AS np FROM (SELECT COUNT(*) AS c FROM embeddings)),
        |b AS (SELECT vec_id, embedding, r.t, ${dynBucket("embedding")} AS bucket
        |      FROM embeddings, np, range(0, $KnnTables) r(t)),
        |pr AS (SELECT vec_id, embedding, t,
@@ -452,7 +480,11 @@ object LlmSimilarity {
        |s AS (SELECT DISTINCT pr.vec_id, b2.vec_id AS neighbor_id,
        |        ${DuckSql.cosine("pr.embedding", "b2.embedding")} AS cos_sim
        |      FROM pr JOIN b b2 ON pr.t = b2.t AND pr.pbucket = b2.bucket
-       |        AND pr.vec_id <> b2.vec_id)
+       |        AND pr.vec_id <> b2.vec_id)""".stripMargin
+
+  val qs06 = Q(
+    "qs06_knn_join",
+    s"""WITH $scaledCandCtes
        |SELECT vec_id, neighbor_id, rank, cos_sim FROM (
        |  SELECT vec_id, neighbor_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank

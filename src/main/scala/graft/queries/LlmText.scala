@@ -977,7 +977,83 @@ object LlmText {
       .orderBy("decile")
   }
 
+  // ---------------------------------------------------------------------
+  // qt19 — BM25 retrieval scoring (the Robertson–Spärck Jones ranking
+  // family): score every document against a fixed query-term set with
+  // the corpus-trained statistics (df per term, average doc length) and
+  // return the top-50. This is the retrieval primitive of a RAG /
+  // training-data-selection pipeline, next to qs01-06's dense ANN.
+  //
+  // Engine-exact scoring: classic BM25's idf is ln((N-df+0.5)/(df+0.5))
+  // — transcendental, so the last ulp may differ across engines (the
+  // qt16 lesson). The score here uses the RATIONAL idf (N-df+0.5)/
+  // (df+0.5) — the same per-term monotone signal through one
+  // correctly-rounded division, so every arithmetic step (divisions,
+  // multiplies, the fixed-order 4-term sum) is bit-identical in Spark
+  // and DuckDB. k1 = 1.2, b = 0.75 folded to the usual constants.
+  //
+  // Scale plan: tf per term is a map-side size(filter(tokens)) — the
+  // whole per-doc stage is ONE corpus pass with no shuffle; the corpus
+  // statistics are a single two-phase aggregate row broadcast back
+  // (same scalar-subquery shape as qt12/qt16/qt18); top-50 is
+  // TakeOrderedAndProject. A df=0 query term ("quantile" here, absent
+  // from the corpus vocabulary) exercises the idf edge: its tf is 0
+  // everywhere, contributing exactly 0.0.
+  private val Bm25Terms = Seq("data", "join", "window", "quantile")
+  val qt19 = Q(
+    "qt19_bm25_topk",
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |d AS (SELECT doc_id, len(t)::BIGINT AS dl,
+       |        ${Bm25Terms.zipWithIndex.map { case (t, i) =>
+                  s"len(list_filter(t, x -> x = '$t'))::BIGINT AS tf$i"
+                }.mkString(", ")}
+       |      FROM tok),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(dl) AS BIGINT) AS total_tokens,
+       |        ${Bm25Terms.indices.map(i =>
+                  s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+                ).mkString(", ")}
+       |       FROM d)
+       |SELECT doc_id, dl AS n_tokens,
+       |  ${Bm25Terms.indices.map(i =>
+            s"""((CAST(st.n_docs AS DOUBLE) - CAST(st.df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               | / (CAST(st.df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               | * (CAST(d.tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE))
+               | / (CAST(d.tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
+               |    * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+               |       * (CAST(d.dl AS DOUBLE)
+               |          / (CAST(st.total_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))"""
+              .stripMargin.linesIterator.mkString(" ")
+          ).mkString(" + ")} AS bm25
+       |FROM d, st
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 50""".stripMargin) { (s, dir) =>
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("t"), x => x === lit(t))).cast(LongType).as(s"tf$i")
+    }
+    val d = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id") +: size(col("t")).cast(LongType).as("dl") +: tfCols: _*)
+    val dfCols = Bm25Terms.indices.map(i =>
+      graft.util.Exact.countIf(col(s"tf$i") > 0).as(s"df$i"))
+    val st = d.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("total_tokens") +: dfCols): _*)
+    val avgdl = col("total_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val norm = lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / avgdl)
+    val score = Bm25Terms.indices.map { i =>
+      val idf = (col("n_docs").cast(DoubleType) - col(s"df$i").cast(DoubleType) + lit(0.5)) /
+        (col(s"df$i").cast(DoubleType) + lit(0.5))
+      idf * (col(s"tf$i").cast(DoubleType) * lit(2.2)) /
+        (col(s"tf$i").cast(DoubleType) + lit(1.2) * norm)
+    }.reduce(_ + _)
+    d.crossJoin(broadcast(st))
+      .select(col("doc_id"), col("dl").as("n_tokens"), score.as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15, qt16, qt17, qt18)
+      qt13, qt14, qt15, qt16, qt17, qt18, qt19)
 }
