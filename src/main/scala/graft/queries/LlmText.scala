@@ -1053,7 +1053,67 @@ object LlmText {
       .limit(50)
   }
 
+  // ---------------------------------------------------------------------
+  // qt20 — sequence packing: lay the tokenized corpus out as fixed-size
+  // training windows (the pretraining batching step — docs concatenated
+  // per shard and split every PackCtx tokens, GPT-style concat-and-split;
+  // a doc that straddles a boundary spills into the next window rather
+  // than padding). Emits each doc's physical placement: shard, window
+  // index, offset inside the window, and whether it crosses a boundary.
+  //
+  // Scale plan: shard = multiplicative hash of doc_id (closed-form, so
+  // the oracle replays it bit-exactly — xxhash64 would not) → the ONLY
+  // shuffle is hash-partitioning by shard, and the running token cumsum
+  // is a Window PARTITIONED by shard (each shard sorts locally — no
+  // global sort, no single-partition Window; qt15's exact-ntile is the
+  // anti-pattern this avoids). At 100 TB you raise PackShards from 8 to
+  // ~corpus_tokens / 10⁹ so each shard's sort stays executor-sized;
+  // placement is deterministic for any shard count, and training-order
+  // randomization is the hash itself. All arithmetic is BIGINT — no
+  // float drift possible.
+  private[graft] final val PackCtx = 512L // tokens per training window
+  private[graft] final val PackShards = 8L
+  val qt20 = Q(
+    "qt20_sequence_packing",
+    s"""WITH d AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+       |             (doc_id * 2654435761) % 4294967296 % $PackShards AS shard
+       |           FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |      FROM d)
+       |SELECT doc_id, shard, n_tokens,
+       |  start_tok // $PackCtx AS seq_id,
+       |  start_tok % $PackCtx AS seq_offset,
+       |  (start_tok % $PackCtx) + n_tokens > $PackCtx AS spans_boundary
+       |FROM c
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    packSequences(docs(s, dir)).orderBy("doc_id")
+  }
+
+  /** The packing operator itself (qt20 is its oracle projection): doc →
+    * (shard, seq_id, seq_offset, spans_boundary) placements under
+    * concat-and-split packing. See the qt20 comment for the plan shape.
+    */
+  def packSequences(docsDf: DataFrame): DataFrame = {
+    val shard = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(PackShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docsDf
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        shard.as("shard"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        // integer `div`, not floor(a/b): double division is only exact
+        // below 2^53 — a 100 TB shard's token cumsum overflows that
+        expr(s"start_tok div $PackCtx").as("seq_id"),
+        (col("start_tok") % lit(PackCtx)).as("seq_offset"),
+        ((col("start_tok") % lit(PackCtx)) + col("n_tokens") > lit(PackCtx))
+          .as("spans_boundary"))
+  }
+
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15, qt16, qt17, qt18, qt19)
+      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFns
@@ -131,6 +132,63 @@ object DocStreams {
       .select(col("doc_id"), col("dup_of"),
         LlmDedup.jaccard(col("sh"), col("_ish")).as("jaccard"))
       .filter(col("jaccard") >= LlmDedup.VerifyJaccard)
+  }
+
+  /** A document's placement in the packed training-window layout (the
+    * streaming twin of graft.queries.LlmText.packSequences — same
+    * columns, same semantics).
+    */
+  final case class Placement(
+      doc_id: Long, shard: Long, n_tokens: Long,
+      seq_id: Long, seq_offset: Long, spans_boundary: Boolean)
+
+  /** Internal row shape feeding the packer (public: the generated
+    * encoder projection can't touch a private class).
+    */
+  final case class PackIn(doc_id: Long, shard: Long, n_tokens: Long)
+
+  /** Streaming sequence packing: place each arriving doc into the
+    * fixed-size training-window layout AS THE CRAWL LANDS, instead of
+    * re-packing the accumulated corpus per batch. The per-shard state is
+    * ONE long — the shard's next free token offset — maintained by
+    * flatMapGroupsWithState keyed on the same multiplicative doc_id hash
+    * as the batch packer: constant-size state per shard, shards
+    * partition the cluster, placement arithmetic identical to batch
+    * (seq_id/seq_offset/spans_boundary from the running cumsum).
+    *
+    * Determinism contract: batch packs in doc_id order within a shard;
+    * a stream packs in ARRIVAL order (offsets must be append-only — an
+    * already-placed window can never be reopened). Within one
+    * micro-batch the group iterator carries no order guarantee, so the
+    * batch's rows are sorted by doc_id before folding — a stream fed in
+    * doc_id order (the landing pattern: files are drops of an ordered
+    * crawl) therefore reproduces the batch layout EXACTLY, which
+    * DocStreamsSpec pins across multi-batch replays.
+    */
+  def packStream(docs: DataFrame): Dataset[Placement] = {
+    import docs.sparkSession.implicits._
+    import graft.queries.LlmText.{PackCtx, PackShards}
+    docs
+      .select(col("doc_id"),
+        ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(PackShards))
+          .as("shard"),
+        size(TextFns.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .as[PackIn]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, Placement](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, batch: Iterator[PackIn], state: GroupState[Long]) =>
+          var start = state.getOption.getOrElse(0L)
+          val placed = batch.toSeq.sortBy(_.doc_id).map { d =>
+            val p = Placement(d.doc_id, shard, d.n_tokens,
+              start / PackCtx, start % PackCtx,
+              start % PackCtx + d.n_tokens > PackCtx)
+            start += d.n_tokens
+            p
+          }
+          state.update(start)
+          placed.iterator
+      }
   }
 
   /** Land curated docs as source-partitioned parquet via the shared

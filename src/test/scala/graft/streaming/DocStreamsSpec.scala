@@ -76,6 +76,36 @@ class DocStreamsSpec extends SparkSuite {
     assert(kept.length == 1)
   }
 
+  test("packStream: cross-trigger placements match the batch packer exactly") {
+    // 60 docs with 1..13-token texts, delivered as two ordered drops —
+    // the landing pattern the operator's determinism contract assumes.
+    // Per-shard offset state must carry across the trigger boundary: a
+    // doc in batch 2 continues its shard's token stream where batch 1
+    // left it, never reopening a placed window.
+    def mk(id: Long) = doc(id, Seq.tabulate((id % 13).toInt + 1)(i => s"w$i").mkString(" "))
+    val batch1 = (0L until 37L).map(mk)
+    val batch2 = (37L until 60L).map(mk)
+    val dir = java.nio.file.Files.createTempDirectory("graft-packsrc")
+    batch1.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/in")
+    val q = packStream(readDocs(spark, s"$dir/in")).toDF().writeStream
+      .format("memory").queryName("packed").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    batch2.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+
+    val cols = Seq("doc_id", "shard", "n_tokens", "seq_id", "seq_offset", "spans_boundary")
+    val got = spark.table("packed").select(cols.map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue)
+    val statics = (batch1 ++ batch2).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val want = LlmText.packSequences(statics).select(cols.map(col): _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue)
+    assert(got.length == 60 && got.toSeq == want.toSeq,
+      s"stream layout diverged from batch:\n got=${got.take(5).toSeq}\nwant=${want.take(5).toSeq}")
+  }
+
   test("writeCurated lands idempotent batch/source-partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docsink")
     Seq(doc(1L, goodText), doc(2L, goodText + " tail", "s1"))
