@@ -886,7 +886,54 @@ object LlmDedup {
         when(col("cluster_id") % 10 === 0, lit("val")).otherwise(lit("train")).as("split"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------------
+  // qd17 — cross-source overlap matrix: for every pair of sources, how
+  // much identical content they BOTH ship (the provenance diagnostic a
+  // curation pipeline runs before weighting sources — two mirrors of the
+  // same crawl must not count twice in qt12's token budgeting, and a
+  // benchmark source overlapping a training source is qd11's
+  // contamination seen from the provenance side).
+  //
+  // Scale plan: one distinct (source, content-hash) vote per source per
+  // content (two-phase agg on the 16-byte hash), then a self-join ON THE
+  // HASH. Unlike a shingle join (qd02's df problem), this join key is
+  // inherently bounded: a hash matches at most n_sources rows, so the
+  // per-key pair blow-up is ≤ n_sources² regardless of corpus size — no
+  // df cap needed. Overlap coefficient = shared / min(|A|,|B|): one
+  // double division per output row, bit-exact cross-engine.
+  val qd17 = Q(
+    "qd17_source_overlap",
+    """WITH f AS (SELECT DISTINCT source, md5(lower(text)) AS h FROM documents),
+      |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contents FROM f GROUP BY source),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+      |            CAST(COUNT(*) AS BIGINT) AS n_shared
+      |          FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
+      |          GROUP BY a.source, b.source)
+      |SELECT p.src_a, p.src_b, p.n_shared, sa.n_contents AS n_a, sb.n_contents AS n_b,
+      |  CAST(p.n_shared AS DOUBLE) / CAST(LEAST(sa.n_contents, sb.n_contents) AS DOUBLE)
+      |    AS overlap_coef
+      |FROM pairs p
+      |JOIN sz sa ON p.src_a = sa.source
+      |JOIN sz sb ON p.src_b = sb.source
+      |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    val f = docs(s, dir)
+      .select(col("source"), contentHash(col("text")).as("h"))
+      .distinct()
+    val sz = f.groupBy("source").agg(count(lit(1)).as("n_contents"))
+    val pairs = f.as("a")
+      .join(f.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n_contents").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n_contents").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType)).as("overlap_coef"))
+      .orderBy("src_a", "src_b")
+  }
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
-      qd13, qd14, qd15, qd16)
+      qd13, qd14, qd15, qd16, qd17)
 }

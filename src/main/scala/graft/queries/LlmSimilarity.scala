@@ -494,7 +494,117 @@ object LlmSimilarity {
     knnJoin(emb(s, dir))
   }
 
-  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05, qs06)
+  // ---------------------------------------------------------------------
+  // qs07 — MMR diversified re-rank (maximal marginal relevance,
+  // Carbonell & Goldstein 1998): from the query's top-20 relevance pool,
+  // greedily pick 5 where each pick maximizes
+  //   λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)
+  // — the diversity-aware selection a RAG pipeline runs AFTER dense
+  // retrieval (qs01-04) so the context window isn't five copies of the
+  // same paragraph; within a curation pipeline it is the "pick diverse
+  // exemplars per cluster" primitive next to qd12's keep-best.
+  //
+  // Plan: pool selection is the distributed part (brute-force scored
+  // corpus → TakeOrderedAndProject top-20, same shape as qs01 — swap in
+  // qs03's IVF probe at 100 TB); the greedy is inherently sequential in
+  // k, so it runs on the driver over the COLLECTED ≤20-row pool (k·pool²
+  // local cosines — the qs03 eager-pipeline precedent, not a distributed
+  // anti-pattern). λ = 0.5: halving is exact in binary floating point,
+  // so every MMR score is one multiply + one subtract over bit-exact
+  // cosines — the greedy's comparisons agree with DuckDB's recursive-CTE
+  // replay to the last ulp, ties broken by smaller vec_id both sides.
+  private val MmrPool = 20
+  private val MmrK = 5
+  val qs07 = Q(
+    "qs07_mmr_rerank",
+    s"""WITH RECURSIVE
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (SELECT e.vec_id, e.embedding, ${DuckSql.cosine("e.embedding", "qv.qe")} AS qsim
+       |           FROM embeddings e, qv WHERE e.vec_id <> 0),
+       |cand AS (SELECT vec_id, embedding, qsim FROM scored
+       |         ORDER BY qsim DESC, vec_id LIMIT $MmrPool),
+       |ps AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |         ${DuckSql.cosine("a.embedding", "b.embedding")} AS sim
+       |       FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |sel(step, picked, ids) AS (
+       |  SELECT 1,
+       |    (SELECT vec_id FROM cand ORDER BY qsim DESC, vec_id LIMIT 1),
+       |    [(SELECT vec_id FROM cand ORDER BY qsim DESC, vec_id LIMIT 1)]
+       |  UNION ALL
+       |  SELECT step + 1,
+       |    (SELECT d.vec_id FROM cand d WHERE NOT list_contains(sel.ids, d.vec_id)
+       |     ORDER BY 0.5 * d.qsim - 0.5 * (SELECT MAX(p.sim) FROM ps p
+       |         WHERE p.ia = d.vec_id AND list_contains(sel.ids, p.ib)) DESC, d.vec_id
+       |     LIMIT 1),
+       |    list_append(sel.ids, (SELECT d.vec_id FROM cand d
+       |     WHERE NOT list_contains(sel.ids, d.vec_id)
+       |     ORDER BY 0.5 * d.qsim - 0.5 * (SELECT MAX(p.sim) FROM ps p
+       |         WHERE p.ia = d.vec_id AND list_contains(sel.ids, p.ib)) DESC, d.vec_id
+       |     LIMIT 1))
+       |  FROM sel WHERE step < $MmrK)
+       |SELECT CAST(s.step AS BIGINT) AS rank, s.picked AS vec_id, c.qsim AS relevance
+       |FROM sel s JOIN cand c ON c.vec_id = s.picked
+       |ORDER BY rank""".stripMargin) { (s, dir) =>
+    mmrRerank(emb(s, dir), queryVecId = 0L, lambda = 0.5, pool = MmrPool, k = MmrK)
+  }
+
+  /** qs07's operator: distributed top-`pool` relevance retrieval, then
+    * the driver-side MMR greedy. Factored out so LlmSimilaritySpec can
+    * run it on planted clustered pools (diversity property, tie-breaks).
+    */
+  def mmrRerank(e0: DataFrame, queryVecId: Long, lambda: Double,
+      pool: Int, k: Int): DataFrame = {
+    val s = e0.sparkSession
+    val qe = e0.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    val collected = e0.crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("embedding"), cosine(col("embedding"), col("qe")).as("qsim"))
+      .orderBy(col("qsim").desc, col("vec_id"))
+      .limit(pool)
+      .collect()
+    // driver-side greedy over the collected pool. cosLocal replicates the
+    // engine fold exactly: double-cast elements, sequential left fold
+    // from 0.0 (VectorFns' documented numeric discipline).
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cands = collected.map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val byId = cands.map(c => c._1 -> c._2).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    while (selected.size < k && chosen.size < cands.length) {
+      // argmax of (score, -id): ties go to the smaller vec_id, matching
+      // the oracle's ORDER BY ... DESC, vec_id
+      val best = cands.iterator.filterNot(c => chosen(c._1)).map { case (id, v, qsim) =>
+        val maxSel = selected.iterator
+          .map(sel => cosLocal(v, byId(sel._1)))
+          .foldLeft(Double.NegativeInfinity)(math.max)
+        val score = if (selected.isEmpty) qsim else lambda * qsim - (1 - lambda) * maxSel
+        (id, qsim, score)
+      }.minBy { case (id, _, score) => (-score, id) }
+      selected += ((best._1, best._2))
+      chosen += best._1
+    }
+    val rows = selected.zipWithIndex.map { case ((id, qsim), i) =>
+      org.apache.spark.sql.Row((i + 1).toLong, id, qsim)
+    }
+    val schema = StructType(Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("relevance", DoubleType, nullable = false)))
+    s.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), schema)
+  }
+
+  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07)
 }
 
 /** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its
