@@ -150,6 +150,12 @@ object MediaOps {
       while ((dataOff < 0 || sampleRate < 0) && bb.remaining() >= 8) {
         val t = tag()
         val len = bb.getInt
+        // a negative length would walk the cursor BACKWARDS (same chunk
+        // forever — a hung task, worse than a crash) or sign a negative
+        // data size past the bounds require; an over-long one just
+        // truncates. Loud failure, per the codec's contract.
+        require(len >= 0 && len <= bb.remaining(),
+          s"media $id: chunk '$t' declares $len bytes with ${bb.remaining()} remaining")
         t match {
           case "fmt " =>
             val fmtEnd = bb.position() + len
@@ -247,9 +253,18 @@ object MediaOps {
       require(bb.getShort == 1, s"media $id: planes != 1")
       require(bb.getShort == 24, s"media $id: only 24-bit BMP supported")
       require(bb.getInt == 0, s"media $id: compressed BMP unsupported")
-      val rowSize = (width * 3 + 3) / 4 * 4
-      require(dataOffset >= 54 && dataOffset + rowSize.toLong * height <= bmp.length,
+      // Long stride: width ≥ ~7.2e8 would overflow Int in width*3 to a
+      // NEGATIVE rowSize that sails through the bounds require below —
+      // a crafted header would then decode to silent garbage instead of
+      // failing loudly. The passing require caps rowSizeL under
+      // bmp.length (an Int), so the .toInt narrowing below is exact.
+      val rowSizeL = (width.toLong * 3 + 3) / 4 * 4
+      // division form: rowSizeL·height ≤ avail without the product (which
+      // itself can overflow Long at adversarial width × height)
+      require(dataOffset >= 54 && dataOffset <= bmp.length &&
+        rowSizeL <= (bmp.length - dataOffset).toLong / height,
         s"media $id: pixel data out of bounds")
+      val rowSize = rowSizeL.toInt
       val hist = new Array[Double](8)
       var row = 0
       while (row < height) {

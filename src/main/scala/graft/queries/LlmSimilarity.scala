@@ -400,22 +400,58 @@ object LlmSimilarity {
     (6 until KnnMaxPlanes)
       .map(p => s"WHEN c <= ${(1L << p) * KnnTargetBucket} THEN $p")
       .mkString("CASE ", " ", s" ELSE $KnnMaxPlanes END")
-  /** Plane family for table `t`: the base integer family with the plane
-    * index offset by 1000·t — each table gets distinct, reproducible
-    * hyperplanes with no RNG state to ship.
+  /** Full-avalanche 32-bit mix (the public xorshift-multiply finalizer
+    * h = ((h>>16)^h)·0x45d9f3b, two rounds + final fold): every step is
+    * a BIJECTION on Z_2^32 (xor-shift, odd multiply mod 2^32), so the
+    * whole mix is one — and every intermediate fits signed 64-bit
+    * (2^32·0x45d9f3b < 2^59), so DuckDB replays it with plain BIGINT
+    * arithmetic.
+    */
+  private[queries] def mix32(x0: Long): Long = {
+    var h = x0 % 4294967296L
+    h = (((h >> 16) ^ h) * 73244475L) % 4294967296L
+    h = (((h >> 16) ^ h) * 73244475L) % 4294967296L
+    (h >> 16) ^ h
+  }
+
+  /** Plane family for table `t`: coefficient(p,t,d) = mix32(u) − 2^31
+    * for the injective index u = (p + 1000t)·64 + d. mix32 bijective ⟹
+    * all coefficients across the whole (p,t,d) grid are DISTINCT — no
+    * two planes can share a pattern, at any np (PlaneFamilySpec pins
+    * it). Avalanche matters as much as distinctness: the previous
+    * `% 19` family had 19 patterns total (tables correlated from np=6,
+    * identical at np ≥ 19 — the OR-construction's recall silently
+    * gone at exactly the corpus sizes that raise np); and a single
+    * multiplicative round over a d-linear seed leaves planes AFFINELY
+    * correlated (Weyl drift), which skews the joint bucket distribution
+    * and inflates candidate volume — KnnJoinScaleSpec's volume contract
+    * catches both. Coefficient magnitude < 2^31: a 64-dim dot stays
+    * < 2^42 — exact in double. No RNG state to ship; the oracle replays
+    * the same closed form.
     */
   private[queries] def tablePlanes(t: Int, np: Int): Seq[Array[Double]] =
     (0 until np).map { p =>
-      Array.tabulate(64)(d => ((((p + 1000 * t) * 131 + d * 37 + 11) % 19) - 9).toDouble)
+      Array.tabulate(64) { d =>
+        val u = (p + 1000L * t) * 64L + d
+        (mix32(u) - 2147483648L).toDouble
+      }
     }
   // dynamic twin of DuckSql.planeDot/lshBucket for table `t` (an SQL
   // expression — the `t` column for multi-table callers, "0" for the
   // single-table base family) and plane count read from the np column —
   // same formula, same fold
+  // SQL twin of mix32 over the inline index u — nested rather than
+  // CTE'd so it stays a scalar expression inside the lambda
+  private def mixSql(u: String): String = {
+    val h1 = s"((xor(($u) // 65536, $u) * 73244475) % 4294967296)"
+    val h2 = s"((xor($h1 // 65536, $h1) * 73244475) % 4294967296)"
+    s"xor($h2 // 65536, $h2)"
+  }
+
   private def dynBucket(v: String, t: String = "t"): String =
     s"""list_reduce(list_transform(range(0, np.np), p ->
        |  CASE WHEN list_reduce(list_transform(range(1, len($v)+1),
-       |      i -> $v[i]::DOUBLE * CAST(((((p + 1000*($t))*131 + (i-1)*37 + 11) % 19) - 9) AS DOUBLE)),
+       |      i -> $v[i]::DOUBLE * CAST((${mixSql(s"(p + 1000*($t))*64 + (i-1)")} - 2147483648) AS DOUBLE)),
        |      (x,y) -> x+y) > 0
        |  THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END), (a,b) -> a+b)""".stripMargin
 

@@ -1061,8 +1061,8 @@ object LlmText {
   // than padding). Emits each doc's physical placement: shard, window
   // index, offset inside the window, and whether it crosses a boundary.
   //
-  // Scale plan: shard = multiplicative hash of doc_id (closed-form, so
-  // the oracle replays it bit-exactly — xxhash64 would not) → the ONLY
+  // Scale plan: shard = closed-form multiplicative hash of doc_id (the
+  // oracle replays it bit-exactly — xxhash64 would not) → the ONLY
   // shuffle is hash-partitioning by shard, and the running token cumsum
   // is a Window PARTITIONED by shard (each shard sorts locally — no
   // global sort, no single-partition Window; qt15's exact-ntile is the
@@ -1071,12 +1071,41 @@ object LlmText {
   // placement is deterministic for any shard count, and training-order
   // randomization is the hash itself. All arithmetic is BIGINT — no
   // float drift possible.
+  //
+  // The hash itself, defined ONCE for batch (shardCol), stream
+  // (shardOfId — packStream's per-row state math), and the oracle SQL
+  // (shardSql): y = doc_id mod 1000003 (keeps the product below 2^63 —
+  // doc_id·K directly overflows signed 64-bit from doc_id ≈ 3.5e9,
+  // wrapping negative in Spark and ERRORING in DuckDB), then the HIGH
+  // 3 bits of the 32-bit Knuth product y·2654435761 mod 2^32 (the low
+  // bits of an odd-multiplier product are y mod 8 verbatim — not a
+  // hash at all).
   private[graft] final val PackCtx = 512L // tokens per training window
   private[graft] final val PackShards = 8L
+  private[graft] final val PackHashMod = 1000003L // prime ≫ shards, K·mod < 2^63
+  private[graft] final val PackHashK = 2654435761L
+  private[graft] final val PackShardDiv = 4294967296L / PackShards
+  private[graft] def shardOfId(docId: Long): Long =
+    ((docId % PackHashMod) * PackHashK % 4294967296L) / PackShardDiv
+  /** Scalar placement arithmetic (the stream's per-row state math):
+    * (seq_id, seq_offset, spans_boundary) of a doc starting at running
+    * token offset `start`. The column twin lives in [[packSequences]];
+    * DocStreamsSpec pins their equality across triggers.
+    */
+  private[graft] def placementOf(start: Long, nTok: Long): (Long, Long, Boolean) =
+    (start / PackCtx, start % PackCtx, start % PackCtx + nTok > PackCtx)
+  private[graft] def shardCol(docId: Column): Column = {
+    // m < 2^32, so the double division inside floor is exact (no div
+    // operator on Column; floor(a/b) is only unsafe past 2^53)
+    val m = (docId % lit(PackHashMod)) * lit(PackHashK) % lit(4294967296L)
+    floor(m / lit(PackShardDiv)).cast(LongType)
+  }
+  private def shardSql(docId: String): String =
+    s"(($docId % $PackHashMod) * $PackHashK % 4294967296) // $PackShardDiv"
   val qt20 = Q(
     "qt20_sequence_packing",
     s"""WITH d AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-       |             (doc_id * 2654435761) % 4294967296 % $PackShards AS shard
+       |             ${shardSql("doc_id")} AS shard
        |           FROM documents),
        |c AS (SELECT doc_id, shard, n_tokens,
        |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1096,13 +1125,12 @@ object LlmText {
     * concat-and-split packing. See the qt20 comment for the plan shape.
     */
   def packSequences(docsDf: DataFrame): DataFrame = {
-    val shard = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(PackShards)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docsDf
       .select(col("doc_id"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens"),
-        shard.as("shard"))
+        shardCol(col("doc_id")).as("shard"))
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         // integer `div`, not floor(a/b): double division is only exact

@@ -167,11 +167,11 @@ object DocStreams {
     */
   def packStream(docs: DataFrame): Dataset[Placement] = {
     import docs.sparkSession.implicits._
-    import graft.queries.LlmText.{PackCtx, PackShards}
     docs
       .select(col("doc_id"),
-        ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % lit(PackShards))
-          .as("shard"),
+        // THE batch shard hash — one definition (LlmText.shardCol), so
+        // stream and batch layouts cannot drift
+        graft.queries.LlmText.shardCol(col("doc_id")).as("shard"),
         size(TextFns.tokens(col("text"))).cast(LongType).as("n_tokens"))
       .as[PackIn]
       .groupByKey(_.shard)
@@ -180,11 +180,9 @@ object DocStreams {
         (shard: Long, batch: Iterator[PackIn], state: GroupState[Long]) =>
           var start = state.getOption.getOrElse(0L)
           val placed = batch.toSeq.sortBy(_.doc_id).map { d =>
-            val p = Placement(d.doc_id, shard, d.n_tokens,
-              start / PackCtx, start % PackCtx,
-              start % PackCtx + d.n_tokens > PackCtx)
+            val (seqId, off, spans) = graft.queries.LlmText.placementOf(start, d.n_tokens)
             start += d.n_tokens
-            p
+            Placement(d.doc_id, shard, d.n_tokens, seqId, off, spans)
           }
           state.update(start)
           placed.iterator

@@ -37,6 +37,24 @@ class BmpCodecSpec extends SparkSuite {
     assert(d.features.toSeq == hist.map(_ / 27.0).toSeq)
   }
 
+  test("a width that overflows Int stride arithmetic is rejected, not silently decoded") {
+    // width = 0x2AAAAAAB: width*3 wraps Int negative; pre-fix the
+    // negative rowSize passed the bounds require and parse returned a
+    // zero-histogram DecodedImage with no error
+    val evil = Bmp.build(Array[Byte](1, 2, 3))
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 0x2AAAAAAB) // width field
+    bb.putInt(22, 1) // height
+    intercept[IllegalArgumentException] { Bmp.parse(1L, evil) }
+    // and the Long-product cliff: huge width AND height whose stride
+    // product wraps 64-bit must also fail via the division-form bound
+    val evil2 = Bmp.build(Array[Byte](1, 2, 3))
+    val bb2 = java.nio.ByteBuffer.wrap(evil2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putInt(18, Int.MaxValue)
+    bb2.putInt(22, Int.MaxValue)
+    intercept[IllegalArgumentException] { Bmp.parse(1L, evil2) }
+  }
+
   test("empty payloads decode as one black pixel; corrupt containers fail loudly") {
     val empty = Bmp.parse(1L, Bmp.build(Array.emptyByteArray))
     assert(empty.width == 1 && empty.height == 1 && empty.n_bytes == 3)

@@ -53,6 +53,34 @@ class WavCodecSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Wav.parse(1L, stereo) }
   }
 
+  test("negative or over-long chunk lengths fail loudly instead of looping or decoding garbage") {
+    // a NEGATIVE unknown-chunk length repositions the walk BACKWARDS
+    // onto the same chunk: pre-fix this spun forever (a hung Spark task,
+    // worse than a crash). Build RIFF [ JUNK(len=-8) fmt data ].
+    val base = Wav.build(16000, pcm)
+    val fmtAndData = base.drop(12)
+    val evil = java.nio.ByteBuffer
+      .allocate(12 + 8 + fmtAndData.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + fmtAndData.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(-8)
+      .put(fmtAndData)
+    intercept[IllegalArgumentException] { Wav.parse(1L, evil.array()) }
+    // a negative DATA length pre-fix passed the bounds require (negative
+    // sum) and returned n_samples < 0 — silent garbage
+    val negData = Wav.build(16000, pcm)
+    val dataLenOff = negData.length - pcm.length - (pcm.length & 1) - 4
+    java.nio.ByteBuffer.wrap(negData).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(dataLenOff, -4)
+    intercept[IllegalArgumentException] { Wav.parse(1L, negData) }
+    // over-long: declares more bytes than remain
+    val tooLong = Wav.build(16000, pcm)
+    java.nio.ByteBuffer.wrap(tooLong).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(dataLenOff, pcm.length + 1000)
+    intercept[IllegalArgumentException] { Wav.parse(1L, tooLong) }
+  }
+
   test("distributed decode matches a driver-side decode of the same payloads") {
     val rows = (0L until 50L).map(i =>
       MediaRow(i, "audio", Array.tabulate((i % 7).toInt + 1)(j => (i * 31 + j).toByte)))
