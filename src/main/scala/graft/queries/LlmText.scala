@@ -978,6 +978,71 @@ object LlmText {
   }
 
   // ---------------------------------------------------------------------
+  // qt21 — PER-LANGUAGE quality deciles: qt18's sketch-boundary
+  // bucketing, grouped. A multilingual curation pipeline cuts quality
+  // thresholds per language (the CCNet discipline) — a global cut
+  // (qt15/qt18) systematically drops whole low-resource languages whose
+  // score distribution sits below the corpus median.
+  //
+  // Scale plan: ONE grouped sketch aggregate (percentile_approx is
+  // mergeable — constant memory per partition per language, map-side
+  // combined; the result is #languages rows, broadcast back), decile
+  // assignment is a map-side comparison, and the rollup is keyed
+  // (lang, decile) — 10·#languages rows. No Window, no global sort, at
+  // any corpus size. Cross-engine contract (qt18's pattern): count_ok
+  // per cell (±4% + 1 doc of n_lang/10, integer-bps arithmetic;
+  // trivially TRUE below 30 docs/language, where a decile split is
+  // statistically meaningless — documented, not hidden) plus EXACT
+  // per-language conservation totals hash-compared across engines.
+  val qt21 = Q(
+    "qt21_lang_quality_deciles",
+    """WITH tok AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+      |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_lang,
+      |               CAST(SUM(len(t)) AS BIGINT) AS token_mass_lang
+      |        FROM tok GROUP BY lang)
+      |SELECT lang, CAST(r.d AS BIGINT) AS decile, TRUE AS count_ok,
+      |  n_docs_lang, token_mass_lang
+      |FROM tot, range(1, 11) r(d)
+      |ORDER BY lang, decile""".stripMargin) { (s, dir) =>
+    val q = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+      qualityScore(col("text")).as("score"))
+    langSketchDeciles(s, q)
+  }
+
+  /** qt21 core over a (doc_id, lang, n_tokens, score) frame. */
+  def langSketchDeciles(s: SparkSession, q: DataFrame): DataFrame = {
+    val bounds = q.groupBy("lang").agg(
+      percentile_approx(col("score"),
+        typedlit((1 to 9).map(_ / 10.0)), lit(10000)).as("bs"),
+      count(lit(1)).as("n_lang"))
+    val perCell = q.join(broadcast(bounds), Seq("lang"))
+      .withColumn("decile",
+        (lit(10) - size(filter(col("bs"), b => col("score") > b))).cast(LongType))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("cell_tokens"),
+        max(col("n_lang")).as("n_lang"))
+    // exact per-language conservation, summed ACROSS the sketch cells
+    val totals = perCell.groupBy("lang").agg(
+      sum(col("n_docs")).as("n_docs_lang"),
+      sum(col("cell_tokens")).as("token_mass_lang"),
+      max(col("n_lang")).as("n_lang_t"))
+    // zero-fill: every (lang, decile) cell emits a row
+    val frame = bounds.select("lang")
+      .crossJoin(broadcast(s.range(1, 11).select(col("id").as("decile"))))
+    val slack = col("n_lang_t") * lit(400L) + lit(10000L)
+    val countOk = (col("n_lang_t") < 30) ||
+      abs(coalesce(col("n_docs"), lit(0L)) * lit(10000L) - col("n_lang_t") * lit(1000L)) <= slack
+    frame.join(perCell.drop("n_lang"), Seq("lang", "decile"), "left")
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("decile"), countOk.as("count_ok"),
+        col("n_docs_lang"), col("token_mass_lang"))
+      .orderBy("lang", "decile")
+  }
+
+  // ---------------------------------------------------------------------
   // qt19 — BM25 retrieval scoring (the Robertson–Spärck Jones ranking
   // family): score every document against a fixed query-term set with
   // the corpus-trained statistics (df per term, average doc length) and
@@ -1143,5 +1208,5 @@ object LlmText {
 
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20)
+      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20, qt21)
 }

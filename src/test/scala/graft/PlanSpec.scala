@@ -124,11 +124,12 @@ class PlanSpec extends SparkSuite {
     // qt16 broadcasts its ONE-row vocab-size aggregate the same way;
     // qt18 broadcasts two one-row frames (the 9-boundary sketch row and
     // the conservation totals) — constant-size at any corpus scale
-    // qt19 broadcasts its ONE-row corpus-statistics aggregate likewise
+    // qt19 broadcasts its ONE-row corpus-statistics aggregate likewise;
+    // qt21's zero-fill frame is #languages rows × a broadcast 10-row range
     val allowNested =
       Set("qs01_cosine_topk", "qm05_image_similarity", "qs04_ann_quantized_topk",
         "qt12_token_budget_mix", "qt16_bigram_lm_score", "qt18_decile_sketch",
-        "qt19_bm25_topk")
+        "qt19_bm25_topk", "qt21_lang_quality_deciles")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")

@@ -54,4 +54,25 @@ class SketchDecileSpec extends SparkSuite {
     val nDocs = graft.util.Tables.load(spark, dir, "documents").count()
     assert(rows.forall(_.getLong(2) == nDocs), "every doc assigned exactly once")
   }
+
+  test("qt21 per-language deciles: boundaries are per-group, cells near-equal, no Window") {
+    // two languages with DISJOINT score ranges: a global cut would put
+    // every 'lo' doc in deciles 6-10; per-language cuts must spread each
+    // language across its OWN ten deciles near-equally
+    val q = spark.range(0, 2000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "hi").otherwise("lo").as("lang"),
+      lit(3L).as("n_tokens"),
+      (col("id").cast("double") * 0.001 +
+        when(col("id") % 2 === 0, 100.0).otherwise(0.0)).as("score"))
+    val rows = LlmText.langSketchDeciles(spark, q).collect()
+    assert(rows.length == 20, "2 languages x 10 zero-filled deciles")
+    assert(rows.forall(_.getBoolean(2)), "every cell inside the count tolerance")
+    assert(rows.forall(_.getLong(3) == 1000L), "per-language conservation: 1000 docs each")
+    assert(rows.forall(_.getLong(4) == 3000L), "per-language token mass conserved")
+    val plan = LlmText.qt21.fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case w: WindowNode => w }.isEmpty,
+      s"qt21 must stay window-free:\n$plan")
+  }
 }
