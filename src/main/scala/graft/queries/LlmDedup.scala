@@ -933,7 +933,110 @@ object LlmDedup {
       .orderBy("src_a", "src_b")
   }
 
+  // ---------------------------------------------------------------------
+  // qd18 — decontamination in the XL-benchmark regime: qd11's decision
+  // semantics when the held-out set is too big to broadcast. qd11's plan
+  // assumes the benchmark shingle set is dim-sized (thousands of eval
+  // docs); a pipeline that decontaminates against the UNION of every
+  // eval suite plus held-out validation shards can carry a shingle set
+  // of tens of GB — past any broadcast threshold. The scale-correct plan
+  // is then a SHUFFLE join on the 8-byte shingle hash: both sides
+  // partition on the key, no single executor ever holds the whole
+  // benchmark set. The merge hints pin that shape even at test SF
+  // (where Catalyst would happily broadcast); at production size the
+  // same plan falls out of the cost model with no hint.
+  //
+  // The overlap probe is an INNER join (qd11 uses a left join + _hit
+  // flag) precisely so the corpus side is PRUNABLE: rows that can't
+  // match may be dropped before the shuffle without changing the
+  // result, which is what lets Spark's runtime bloom-filter injection
+  // build a filter over the benchmark side and push `might_contain`
+  // into the corpus branch — at 100 TB that prunes almost the whole
+  // corpus-shingle shuffle (benchmark overlap is rare), recovering
+  // most of broadcast's savings without the memory cliff. Injection
+  // needs the join key to trace to a scan attribute, so it fires when
+  // the shingle relation is materialized as a silver artifact (the
+  // qd13 discipline); the inline explode here breaks that lineage —
+  // both behaviors pinned empirically in LlmQueriesSpec. Per-doc
+  // totals come from a PRE-join aggregate (map-side combinable — a
+  // doc's shingles are generated contiguously, so partial aggregation
+  // collapses them before any shuffle), and the totals⟕overlap join
+  // runs on two doc-keyed aggregates co-partitioned by doc_id.
+  //
+  // Output is the per-source ACTION summary (the report a curation run
+  // publishes): docs scanned, docs flagged at the integer-bps threshold,
+  // shingle mass scanned/dropped, and the dropped fraction in exact
+  // basis points. `shingle_mass > 0` by construction (a per-doc row
+  // exists only for docs with ≥1 shingle), so the floor division is
+  // total. The oracle joins on shingle STRINGS (no hashing), policing
+  // 64-bit hash collisions exactly as qd11's does.
+  val qd18 = Q(
+    "qd18_contamination_xl",
+    s"""WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+       |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END) AS s FROM tok),
+       |hs AS (SELECT doc_id, source, s FROM sh WHERE len(s) > 0),
+       |bench AS (SELECT DISTINCT unnest(s) AS g FROM hs WHERE source = 'src0'),
+       |ex AS (SELECT doc_id, source, unnest(s) AS g FROM hs WHERE source <> 'src0'),
+       |ov AS (SELECT e.doc_id, e.source,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |         CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |       FROM ex e LEFT JOIN bench b USING (g) GROUP BY 1, 2),
+       |per AS (SELECT source,
+       |          CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |          CAST(SUM(CASE WHEN n_overlap * 10000 >= $ContamBps * n_shingles
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |          CAST(SUM(n_shingles) AS BIGINT) AS shingle_mass,
+       |          CAST(SUM(CASE WHEN n_overlap * 10000 >= $ContamBps * n_shingles
+       |                        THEN n_shingles ELSE 0 END) AS BIGINT) AS dropped_mass
+       |        FROM ov GROUP BY source)
+       |SELECT source, n_docs, n_contaminated, shingle_mass, dropped_mass,
+       |  dropped_mass * 10000 // shingle_mass AS dropped_bps
+       |FROM per ORDER BY source""".stripMargin) { (s, dir) =>
+    contaminationSummaryXl(docsSpread(s, dir), "src0", ContamBps)
+  }
+
+  /** qd18 core over any (doc_id, source, text) frame — injectable for
+    * planted specs. See the qd18 comment for the plan shape.
+    */
+  def contaminationSummaryXl(docsDf: DataFrame, benchSource: String,
+      thresholdBps: Long): DataFrame = {
+    val ex = docsDf
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(col("text"), 3))).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("g"))
+    // the XL path: bench stays DISTRIBUTED (distinct is a shuffle on the
+    // hash key; no driver set, no broadcast) and the membership probe is
+    // a shuffle merge join on the same key
+    val bench = ex.filter(col("source") === benchSource).select("g").distinct()
+    val corpusSh = ex.filter(col("source") =!= benchSource)
+    // per-doc totals BEFORE the probe join: prunable inner join below
+    // must not change them, and partial aggregation collapses each
+    // doc's contiguous shingles pre-shuffle. source is unique per doc.
+    val totals = corpusSh.groupBy("doc_id")
+      .agg(max(col("source")).as("source"), count(lit(1)).as("n_shingles"))
+    // bench g is distinct → inner-join multiplicity 1 per corpus shingle
+    val overlaps = corpusSh.join(bench.hint("merge"), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    // two doc-keyed aggregates, co-partitioned by doc_id; billions of
+    // rows each at scale → merge join, never a broadcast
+    val perDoc = totals.join(overlaps.hint("merge"), Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+    val contaminated =
+      col("n_overlap") * lit(10000L) >= lit(thresholdBps) * col("n_shingles")
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.util.Exact.countIf(contaminated).as("n_contaminated"),
+        sum(col("n_shingles")).as("shingle_mass"),
+        sum(when(contaminated, col("n_shingles")).otherwise(lit(0L))).as("dropped_mass"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        col("shingle_mass"), col("dropped_mass"),
+        expr("dropped_mass * 10000 div shingle_mass").as("dropped_bps"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
-      qd13, qd14, qd15, qd16, qd17)
+      qd13, qd14, qd15, qd16, qd17, qd18)
 }

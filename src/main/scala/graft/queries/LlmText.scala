@@ -1206,7 +1206,94 @@ object LlmText {
           .as("spans_boundary"))
   }
 
+  // ---------------------------------------------------------------------
+  // qt22 — per-source domain-divergence audit: the top over-represented
+  // terms of each source vs the corpus background. The drift monitor a
+  // curation pipeline runs when a new crawl snapshot or vendor source
+  // lands: a source whose top-lift terms are casino/SEO vocabulary gets
+  // quarantined before it pollutes the mix; a source whose divergent
+  // terms are domain jargon (code, math) is a candidate for its own
+  // mixing weight (qt12's knob).
+  //
+  // lift_bps = (c_st / n_s) / (c_t / N) in exact integer basis points:
+  // c_st·N·10000 div (n_s·c_t) — engine-exact with no float ratio. The
+  // product is bounded by c_st·N·10⁴ ≤ n_s·N·10⁴; past ~2⁶³ (corpus
+  // token mass over ~10⁹ with a source over ~10⁵ tokens of one term) the
+  // production path switches the lift to one DOUBLE expression — noted
+  // here, exact form kept as the oracle contract at test scale.
+  //
+  // Scale plan: term counting is ONE map-side-combinable groupBy on
+  // (source, term) — vocab-sized output, not corpus-sized. The corpus
+  // marginals reuse that relation (no second corpus pass): corp is a
+  // term-keyed re-aggregate, src is #sources rows (broadcast), N is one
+  // row (broadcast). The term-keyed st⋈corp join is a shuffle join on
+  // the vocab — both sides are count relations, never document rows.
+  // Top-5 per source runs TWO-PHASE: phase 1 takes top-5 within each of
+  // 64 salt buckets (64·5 survivors per source — the per-partition sort
+  // is bucket-sized), phase 2 ranks the survivors. A single
+  // Window.partitionBy(source) would sort each source's ENTIRE vocab in
+  // one task — a million-row sort per source with #sources-bounded
+  // parallelism; salting makes the heavy sort 64-way parallel and the
+  // final sort 320 rows. Transparent to the result: a source-level
+  // top-5 row is necessarily top-5 within its salt bucket (same total
+  // order both phases). The oracle ranks in one window — semantically
+  // identical, and it polices the two-phase rewrite.
+  private val DivergenceMinCount = 5L
+  val qt22 = Q(
+    "qt22_domain_divergence",
+    s"""WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+       |tc AS (SELECT source, unnest(t) AS term FROM tok),
+       |st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS term_count
+       |       FROM tc GROUP BY 1, 2),
+       |src AS (SELECT source, CAST(SUM(term_count) AS BIGINT) AS n_source_tokens
+       |        FROM st GROUP BY 1),
+       |corp AS (SELECT term, CAST(SUM(term_count) AS BIGINT) AS corpus_count
+       |         FROM st GROUP BY 1),
+       |n AS (SELECT CAST(SUM(term_count) AS BIGINT) AS n_total FROM st),
+       |lift AS (SELECT s.source, s.term, s.term_count, src.n_source_tokens,
+       |    s.term_count * n.n_total * 10000 // (src.n_source_tokens * c.corpus_count) AS lift_bps
+       |  FROM st s JOIN src USING (source) JOIN corp c USING (term) CROSS JOIN n
+       |  WHERE s.term_count >= $DivergenceMinCount),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY lift_bps DESC, term_count DESC, term) AS rank FROM lift)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, term, term_count, lift_bps,
+       |  n_source_tokens
+       |FROM rk WHERE rank <= 5
+       |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+    domainDivergence(docs(s, dir), minCount = DivergenceMinCount, topK = 5)
+  }
+
+  /** qt22 core over any (doc_id, source, text) frame — injectable for
+    * planted specs. See the qt22 comment for the plan shape.
+    */
+  def domainDivergence(docsDf: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    val st = docsDf
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("term_count"))
+    val srcTot = st.groupBy("source").agg(sum(col("term_count")).as("n_source_tokens"))
+    val corp = st.groupBy("term").agg(sum(col("term_count")).as("corpus_count"))
+    val n = st.agg(sum(col("term_count")).as("n_total"))
+    val lift = st.filter(col("term_count") >= minCount)
+      .join(broadcast(srcTot), Seq("source"))
+      .join(corp, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift_bps",
+        expr("term_count * n_total * 10000 div (n_source_tokens * corpus_count)"))
+    // two-phase top-k: bucket-local rank prunes to 64·topK per source,
+    // then the real rank runs over the survivors
+    val salted = lift.withColumn("_salt", pmod(xxhash64(col("term")), lit(64)))
+    val order = Seq(col("lift_bps").desc, col("term_count").desc, col("term"))
+    val w1 = Window.partitionBy(col("source"), col("_salt")).orderBy(order: _*)
+    val w2 = Window.partitionBy(col("source")).orderBy(order: _*)
+    salted.withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= topK)
+      .withColumn("rank", row_number().over(w2).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("term"), col("term_count"),
+        col("lift_bps"), col("n_source_tokens"))
+      .orderBy("source", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20, qt21)
+      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20, qt21, qt22)
 }

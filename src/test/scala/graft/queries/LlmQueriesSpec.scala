@@ -270,4 +270,119 @@ class LlmQueriesSpec extends SparkSuite {
     assert(got(3L) == ((3L, "train")) && got(20L) == ((20L, "val")),
       "singletons are their own cluster")
   }
+
+  test("qd18 XL summary matches qd11's per-doc decisions, and the bench side does NOT broadcast") {
+    import spark.implicits._
+    // same planted corpus as the qd11 test: exact copy (10000 bps),
+    // half-overlap (crosses 10%), disjoint (0 bps); shingle counts:
+    // copy 8, half-overlap 9 (11 tokens), disjoint 7 (9 tokens)
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val corpus = Seq(
+      (1L, "bench", bench),
+      (10L, "train", bench),
+      (11L, "train", "the quick brown fox jumps over a cliff edge instead today"),
+      (12L, "train", "alpha bravo charlie delta echo foxtrot golf hotel india")).toDF(
+      "doc_id", "source", "text")
+    val df = LlmDedup.contaminationSummaryXl(corpus, "bench", 1000L)
+    val got = df.collect()
+    assert(got.length == 1 && got(0).getString(0) == "train",
+      "benchmark source is not summarized")
+    val r = got(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_contaminated") == 2L, "copy + half-overlap both cross 10%")
+    assert(r.getAs[Long]("shingle_mass") == 24L)
+    assert(r.getAs[Long]("dropped_mass") == 17L)
+    assert(r.getAs[Long]("dropped_bps") == 17L * 10000L / 24L)
+    // the XL regime's whole point: a shuffle join, never a broadcast of
+    // the benchmark set (qd11's plan, asserted in its own test)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"bench probe must shuffle-merge:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"bench set must not broadcast in the XL plan:\n$plan")
+  }
+
+  test("qd18's overlap join accepts a runtime bloom filter once shingles are a silver scan") {
+    import org.apache.spark.sql.functions.{array_distinct, explode, xxhash64}
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val out = java.nio.file.Files.createTempDirectory("qd18bloom")
+    try {
+      val docsDf = graft.util.Tables.load(spark, dir, "documents")
+      // the qd13 discipline: the shingle relation materialized as a
+      // silver artifact, so the join keys are SCAN attributes
+      docsDf.select(col("doc_id"), col("source"),
+          explode(array_distinct(graft.functions.TextFns.shingles(col("text"), 3))).as("g"))
+        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("g"))
+        .write.mode("overwrite").parquet(out.toString)
+      val sil = spark.read.parquet(out.toString)
+      val bench = sil.filter(col("source") === "src0").select("g").distinct()
+      val probe = sil.filter(col("source") =!= "src0")
+        .join(bench.hint("merge"), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      assert(probe.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "the silver-scan overlap join must accept a runtime bloom filter")
+      // the documented caveat: the INLINE explode breaks key-to-scan
+      // lineage, so injection declines there (Spark behavior pinned —
+      // if this starts passing, qd18's docstring gets simpler)
+      val inline = LlmDedup.contaminationSummaryXl(docsDf, "src0", 1000L)
+      assert(!inline.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "inline-explode shape unexpectedly accepted a bloom filter — update qd18 docs")
+    } finally {
+      saved.foreach { case (k, Some(v)) => conf.set(k, v); case (k, None) => conf.unset(k) }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("qt22 lift arithmetic on a planted two-source corpus") {
+    import spark.implicits._
+    // srcA = {x:3, common:1}, srcB = {y:3, common:1}; N = 8, n_s = 4
+    // lift(x|A) = 3·8·10⁴ div (4·3) = 20000; lift(common|A) = 1·8·10⁴
+    // div (4·2) = 10000; y never appears in A (no zero-count rows)
+    val corpus = Seq(
+      (1L, "srcA", "x x x common"),
+      (2L, "srcB", "y y y common")).toDF("doc_id", "source", "text")
+    val got = LlmText.domainDivergence(corpus, minCount = 1L, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getAs[Long]("lift_bps"), r.getAs[Long]("n_source_tokens")))
+    assert(got.toSeq == Seq(
+      ("srcA", 1L, "x", 20000L, 4L), ("srcA", 2L, "common", 10000L, 4L),
+      ("srcB", 1L, "y", 20000L, 4L), ("srcB", 2L, "common", 10000L, 4L)),
+      s"got ${got.mkString(", ")}")
+  }
+
+  test("qt22 two-phase salted top-k equals the single-window rank on real testdata") {
+    import org.apache.spark.sql.expressions.Window
+    val docsDf = graft.util.Tables.load(spark, dir, "documents")
+    val twoPhase = LlmText.qt22.fn(spark, dir).collect().toSeq
+    // reference: the same lift relation ranked in ONE window (the
+    // oracle's formulation) — the salting must be invisible in the result
+    val st = docsDf
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("term_count"))
+    val srcTot = st.groupBy("source").agg(sum(col("term_count")).as("n_source_tokens"))
+    val corp = st.groupBy("term").agg(sum(col("term_count")).as("corpus_count"))
+    val n = st.agg(sum(col("term_count")).as("n_total"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_bps").desc, col("term_count").desc, col("term"))
+    val single = st.filter(col("term_count") >= 5)
+      .join(srcTot, Seq("source")).join(corp, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("lift_bps",
+        expr("term_count * n_total * 10000 div (n_source_tokens * corpus_count)"))
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("term"), col("term_count"),
+        col("lift_bps"), col("n_source_tokens"))
+      .orderBy("source", "rank").collect().toSeq
+    assert(twoPhase == single,
+      s"two-phase drifted from single-window rank:\ntwo-phase: $twoPhase\nsingle: $single")
+    assert(twoPhase.nonEmpty)
+  }
 }
