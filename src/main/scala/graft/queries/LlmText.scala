@@ -1293,7 +1293,77 @@ object LlmText {
       .orderBy("source", "rank")
   }
 
+  // ---------------------------------------------------------------------
+  // qt23 — retrieval chunking: split each document into fixed-width
+  // overlapping token windows (the RAG / embedding-prep step that feeds
+  // qs01-qs07's vectors — every chunk becomes one embedding row). Sliding
+  // windows of ChunkW tokens every ChunkStride, with the FINAL window
+  // clamped to end exactly at the document's last token: every chunk of a
+  // long-enough doc is full-width (uniform embedding inputs — no ragged
+  // tail), and the chunk set still covers every token. Short docs emit
+  // one whole-doc chunk.
+  //
+  // Scale plan: this is a pure map pass — tokenize, a generator
+  // (posexplode over a closed-form chunk count), and slice arithmetic,
+  // all inside whole-stage codegen. ZERO shuffles at any corpus size
+  // (the trailing ORDER BY is this oracle projection's display contract,
+  // not the operator's; the production path writes chunks partitioned by
+  // doc shard with no sort — ChunkingSpec pins the operator plan
+  // shuffle-free). Chunk count / start arithmetic is integer-exact
+  // (`div`, no float ceil): the same BIGINT formula runs in both
+  // engines.
+  private[graft] final val ChunkW = 32
+  private[graft] final val ChunkStride = 24
+  val qt23 = Q(
+    "qt23_rag_chunks",
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+       |            FROM documents WHERE text IS NOT NULL),
+       |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tok),
+       |c AS (SELECT doc_id, t, n, i AS chunk_idx,
+       |        LEAST(i * $ChunkStride, GREATEST(n - $ChunkW, 0)) AS start_tok
+       |      FROM d, UNNEST(range(0, CASE WHEN n <= $ChunkW THEN 1
+       |        ELSE (n - $ChunkW + ${ChunkStride - 1}) // $ChunkStride + 1 END)) AS u(i))
+       |SELECT doc_id, chunk_idx, start_tok,
+       |  LEAST($ChunkW, n) AS n_tokens,
+       |  array_to_string(t[(start_tok + 1):(start_tok + $ChunkW)], ' ') AS chunk_text
+       |FROM c
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    ragChunks(docs(s, dir), ChunkW, ChunkStride).orderBy("doc_id", "chunk_idx")
+  }
+
+  /** qt23 core over any (doc_id, text) frame — the chunking operator
+    * itself, orderBy-free (see the qt23 comment for the plan shape).
+    */
+  def ragChunks(docsDf: DataFrame, w: Int, stride: Int): DataFrame = {
+    require(w > 0 && stride > 0 && stride <= w,
+      s"need 0 < stride <= width, got width=$w stride=$stride")
+    docsDf
+      // NULL text: tokens() yields NULL, sequence() yields NULL, the
+      // generator emits nothing in Spark but the arithmetic differs from
+      // the oracle's — drop null docs explicitly on both sides (qt14
+      // precedent)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast(LongType))
+      // chunk count: 1 for docs that fit one window, else enough
+      // stride-spaced starts to reach the clamp — integer `div` so both
+      // engines run the identical BIGINT formula
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(sequence(lit(0L),
+          when(col("n") <= w, lit(0L))
+            .otherwise(expr(s"(n - $w + ${stride - 1}) div $stride")))))
+      .withColumn("chunk_idx", col("col"))
+      .withColumn("start_tok",
+        least(col("chunk_idx") * stride, greatest(col("n") - w, lit(0L))))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(w.toLong), col("n")).as("n_tokens"),
+        // slice takes an Int start — a per-DOCUMENT token index (engine
+        // array limit), not a corpus-sized count
+        array_join(slice(col("t"), (col("start_tok") + 1).cast(IntegerType), lit(w)), " ")
+          .as("chunk_text"))
+  }
+
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20, qt21, qt22)
+      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20, qt21, qt22, qt23)
 }
