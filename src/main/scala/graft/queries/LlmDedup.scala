@@ -115,6 +115,21 @@ object LlmDedup {
     * fixes it at MaxDf; JaccardSkewSpec plants a corpus AT the cap).
     */
   def jaccardPairs(docsDf: DataFrame, maxDf: Int): DataFrame = {
+    val pairs = shinglePairStats(docsDf, maxDf)
+    val jac = col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")).cast(DoubleType)
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"), jac.as("jaccard"))
+      .filter(jac >= 0.05)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+  }
+
+  /** The inverted-index pair-statistics core shared by qd02 (Jaccard)
+    * and qd20 (containment): (doc_a, doc_b, inter, n_a, n_b) for every
+    * doc pair sharing ≥1 kept shingle, doc_a < doc_b. See qd02's
+    * comment for the full plan rationale.
+    */
+  def shinglePairStats(docsDf: DataFrame, maxDf: Int): DataFrame = {
     val d = docsDf.select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
     // each posting entry carries the doc's set size, so Jaccard needs no
     // lookup join afterwards
@@ -155,7 +170,7 @@ object LlmDedup {
     // on the no-skew corpus (max df ≈ 25, sf0.1, warmed): 1.52 s →
     // 1.76 s — the price of not stalling a 1000-executor stage behind
     // one cap²/2-row task when a corpus saturates the cap.
-    val pairs = postings
+    postings
       .select(explode(col("ids")).as("a"), col("ids"))
       .repartition(col("a"))
       .select(col("a"), explode(col("ids")).as("b"))
@@ -163,12 +178,6 @@ object LlmDedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         min(col("a.n")).as("n_a"), min(col("b.n")).as("n_b")) // constant per group
-    val jac = col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")).cast(DoubleType)
-    pairs
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"), jac.as("jaccard"))
-      .filter(jac >= 0.05)
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(100)
   }
 
   // ---------------------------------------------------------------------
@@ -1036,7 +1045,152 @@ object LlmDedup {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // qd19 — cardinality sketches as mergeable ARTIFACTS: qd07 estimates
+  // inline (one opaque approx_count_distinct next to its exact); qd19
+  // lands DataSketches HLL sketches as a first-class relation — one
+  // ~kB binary per (source, lang) cell — and answers every downstream
+  // rollup by MERGING sketches, never re-reading the corpus: per-source
+  // (union over langs), per-lang (union over sources), and the corpus
+  // total (a second-level union over the per-source merges). This is
+  // the shape a 100 TB curation run actually uses: the cell-sketch
+  // relation is written once at ingest (a silver artifact, like qd13's
+  // shingle index), and "how many distinct contents landed this
+  // month / per source / overall" becomes kilobyte-sized sketch merges
+  // — no re-scan, no distinct-shuffle of content hashes. HLL union is
+  // register-wise max, so merge order can't change the result, which
+  // is what makes the two-level rollup legal.
+  //
+  // Sketch internals differ across engines (qd07's rule), so the query
+  // emits exact distincts (hash-gated vs DuckDB) next to the sketch
+  // CONTRACT — each merged estimate within 5% (or ±8) of exact, a
+  // ±3σ window at lgK=12 (rsd ≈ 1.04/√2¹² ≈ 1.6%) — as booleans the
+  // oracle expects TRUE. The exact branch exists FOR the oracle: a
+  // production run keeps only the sketch branch (one corpus pass).
+  val qd19 = Q(
+    "qd19_sketch_rollup",
+    """WITH f AS (SELECT source, lang, md5(lower(text)) AS h FROM documents),
+      |per AS (
+      |  SELECT 'source' AS dim, source AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_unique
+      |  FROM f GROUP BY source
+      |  UNION ALL
+      |  SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT h) AS BIGINT)
+      |  FROM f GROUP BY lang
+      |  UNION ALL
+      |  SELECT 'all', 'all', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT h) AS BIGINT)
+      |  FROM f)
+      |SELECT dim, grp, n_docs, exact_unique, TRUE AS sketch_ok
+      |FROM per ORDER BY dim, grp""".stripMargin) { (s, dir) =>
+    sketchRollup(docs(s, dir)
+      .select(col("source"), col("lang"), contentHash(col("text")).as("h")))
+  }
+
+  private val SketchLgK = 12
+
+  /** qd19 core over any (source, lang, h) frame — injectable for specs.
+    * Returns (dim, grp, n_docs, exact_unique, sketch_ok) rows for the
+    * per-source, per-lang, and corpus-total rollups, every estimate
+    * derived from the ONE cell-sketch relation by union-merging.
+    */
+  def sketchRollup(f: DataFrame): DataFrame = {
+    // the silver artifact: one sketch per (source, lang) cell — a
+    // map-side-combinable aggregate whose buffer is a bounded register
+    // array (constant memory per partition per cell)
+    val cells = f.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        hll_sketch_agg(col("h"), lit(SketchLgK)).as("sk"))
+    // rollups touch ONLY cells (≤ sources×langs rows of kB sketches)
+    val bySource = cells.groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"), hll_union_agg(col("sk")).as("sk"))
+    val byLang = cells.groupBy("lang")
+      .agg(sum(col("n_docs")).as("n_docs"), hll_union_agg(col("sk")).as("sk"))
+    // corpus total: SECOND-level merge over the per-source unions —
+    // legal because HLL union is register-wise max (associative,
+    // merge-order-insensitive)
+    val total = bySource.agg(sum(col("n_docs")).as("n_docs"),
+      hll_union_agg(col("sk")).as("sk"))
+    val est = bySource
+      .select(lit("source").as("dim"), col("source").as("grp"), col("n_docs"), col("sk"))
+      .unionByName(byLang.select(lit("lang").as("dim"), col("lang").as("grp"),
+        col("n_docs"), col("sk")))
+      .unionByName(total.select(lit("all").as("dim"), lit("all").as("grp"),
+        col("n_docs"), col("sk")))
+    // exact branch — the ORACLE's side of the contract; production
+    // drops it (and with it 3 of the 4 corpus passes)
+    val exact = f.groupBy("source")
+      .agg(countDistinct(col("h")).as("exact_unique"))
+      .select(lit("source").as("dim"), col("source").as("grp"), col("exact_unique"))
+      .unionByName(f.groupBy("lang").agg(countDistinct(col("h")).as("exact_unique"))
+        .select(lit("lang").as("dim"), col("lang").as("grp"), col("exact_unique")))
+      .unionByName(f.agg(countDistinct(col("h")).as("exact_unique"))
+        .select(lit("all").as("dim"), lit("all").as("grp"), col("exact_unique")))
+    est.join(exact, Seq("dim", "grp"))
+      .select(col("dim"), col("grp"), col("n_docs"), col("exact_unique"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_unique")).cast(DoubleType) <=
+          greatest(lit(8.0), lit(0.05) * col("exact_unique"))).as("sketch_ok"))
+      .orderBy("dim", "grp")
+  }
+
+  // ---------------------------------------------------------------------
+  // qd20 — containment pairs: the subset-duplication family Jaccard
+  // structurally misses. A 50-shingle quote pasted inside a 5000-shingle
+  // page scores Jaccard ≈ 50/5000 = 0.01 — invisible at any usable
+  // threshold — while its CONTAINMENT (inter / |smaller set|, the
+  // overlap coefficient on shingle sets) is ≈ 1.0. This is the detector
+  // for quoted-inside, boilerplate-wrapped, and excerpt duplicates that
+  // a Jaccard-only dedup pass ships into training. Same bounded
+  // inverted-index core as qd02 (ONE shared definition —
+  // shinglePairStats: df-capped postings, hash keys, fan-out
+  // repartition), so the 100 TB story is qd02's; only the final
+  // projection differs: each pair is reported DIRECTIONALLY as
+  // (contained_doc, container_doc) — the smaller shingle set is the
+  // contained side (tie → lower doc_id, and doc_a < doc_b makes that
+  // deterministic) — because the dedup ACTION is asymmetric: drop or
+  // trim the contained doc, keep the container.
+  val qd20 = Q(
+    "qd20_containment_pairs",
+    s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |         ELSE [] END) AS s FROM tok),
+      |ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |keep AS (SELECT g FROM ex0 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND $MaxDf),
+      |ex AS (SELECT ex0.doc_id, ex0.g FROM ex0 JOIN keep USING (g)),
+      |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      |      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |d AS (SELECT CASE WHEN sa.n <= sb.n THEN p.doc_a ELSE p.doc_b END AS contained_doc,
+      |        CASE WHEN sa.n <= sb.n THEN p.doc_b ELSE p.doc_a END AS container_doc,
+      |        p.inter, LEAST(sa.n, sb.n) AS n_contained, GREATEST(sa.n, sb.n) AS n_container,
+      |        CAST(p.inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+      |      FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id)
+      |SELECT * FROM d WHERE containment >= 0.05
+      |ORDER BY containment DESC, contained_doc, container_doc
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    containmentPairs(docsSpread(s, dir), MaxDf)
+  }
+
+  /** qd20 core with an injectable df cap (spec plants a true
+    * quote-inside-page corpus where Jaccard stays under threshold).
+    */
+  def containmentPairs(docsDf: DataFrame, maxDf: Int): DataFrame = {
+    val aContained = col("n_a") <= col("n_b")
+    shinglePairStats(docsDf, maxDf)
+      .select(
+        when(aContained, col("doc_a")).otherwise(col("doc_b")).as("contained_doc"),
+        when(aContained, col("doc_b")).otherwise(col("doc_a")).as("container_doc"),
+        col("inter"),
+        least(col("n_a"), col("n_b")).as("n_contained"),
+        greatest(col("n_a"), col("n_b")).as("n_container"),
+        (col("inter").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= 0.05)
+      .orderBy(col("containment").desc, col("contained_doc"), col("container_doc"))
+      .limit(100)
+  }
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
-      qd13, qd14, qd15, qd16, qd17, qd18)
+      qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20)
 }
