@@ -189,6 +189,51 @@ object DocStreams {
       }
   }
 
+  /** One monitor row per source per trigger: docs seen so far and the
+    * running distinct-content ESTIMATE from the sketch state.
+    */
+  final case class SourceCardinality(source: String, n_docs: Long, distinct_est: Long)
+
+  /** Streaming per-source distinct-content monitor with BOUNDED state:
+    * the streaming twin of the batch sketch rollup (LlmDedup.qd19). The
+    * exact-dedup state in [[dedupNew]] grows with unique corpus size by
+    * definition — correct when the OUTPUT is the deduped stream, but a
+    * monitor that only needs "how many distinct contents has this
+    * source landed" shouldn't pay unbounded state for it. Here the
+    * per-source state is ONE DataSketches HLL sketch (the same family
+    * `hll_sketch_agg` uses batch-side, same lgK), serialized to a
+    * ~kB-bounded byte array: update with each arriving content hash,
+    * emit the running estimate per trigger. HLL registers are
+    * max-merged, so arrival order and trigger boundaries cannot change
+    * the final state — DocStreamsSpec pins the streamed estimate EQUAL
+    * to the batch `hll_sketch_agg` estimate over the same rows, and
+    * pins the state bound (serialized size is capped by the register
+    * array, not the stream length).
+    *
+    * Scale: state per source is O(2^lgK) bytes regardless of corpus
+    * size; sources partition the cluster. Run with OutputMode.Update
+    * (one refreshed row per source per trigger).
+    */
+  def distinctMonitor(docs: DataFrame, lgK: Int = 12): Dataset[SourceCardinality] = {
+    import docs.sparkSession.implicits._
+    import org.apache.datasketches.hll.HllSketch
+    docs
+      .select(col("source"), TextFns.contentHash(col("text")).as("h"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Array[Byte], Long), SourceCardinality](
+        GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(String, String)],
+         state: GroupState[(Array[Byte], Long)]) =>
+          val (bytes, nPrev) = state.getOption.getOrElse((Array.empty[Byte], 0L))
+          val sk = if (bytes.isEmpty) new HllSketch(lgK) else HllSketch.heapify(bytes)
+          var n = nPrev
+          rows.foreach { case (_, h) => sk.update(h); n += 1 }
+          state.update((sk.toUpdatableByteArray, n))
+          SourceCardinality(source, n, Math.round(sk.getEstimate))
+      }
+  }
+
   /** Land curated docs as source-partitioned parquet via the shared
     * idempotent foreachBatch sink (same replay contract as
     * EventStreams.writeBronzeIncremental: overwrite by `_batch_id`, so

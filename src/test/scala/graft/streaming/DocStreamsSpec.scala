@@ -163,4 +163,58 @@ class DocStreamsSpec extends SparkSuite {
       spark.catalog.clearCache() // lshSignatures(streamDocs) persisted too
     }
   }
+
+  test("distinctMonitor: cross-trigger sketch state matches batch hll_sketch_agg") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docmon")
+    // s0 lands 5 docs / 3 distinct contents across two triggers (one
+    // cross-trigger repeat); s1 lands 3 docs / 2 distinct
+    def d(id: Long, content: Int, source: String) =
+      doc(id, s"content number $content of source $source", source)
+    val batch1 = Seq(d(1, 1, "s0"), d(2, 2, "s0"), d(3, 1, "s0"), d(4, 1, "s1"))
+    val batch2 = Seq(d(5, 3, "s0"), d(6, 1, "s0"), d(7, 2, "s1"), d(8, 1, "s1"))
+    batch1.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/in")
+    val q = distinctMonitor(readDocs(spark, s"$dir/in")).toDF().writeStream
+      .format("memory").queryName("cardmon").outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    batch2.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    // last update per source = the row with that source's max n_docs
+    val last = spark.table("cardmon").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (s, rs) => s -> rs.maxBy(_._2) }
+    assert(last("s0")._2 == 5L && last("s1")._2 == 3L)
+    // the batch estimate over the same rows, same sketch family + lgK —
+    // register state is order/trigger-insensitive, so EQUAL, not close
+    val batchEst = (batch1 ++ batch2).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .groupBy("source")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(graft.functions.TextFns.contentHash(col("text")), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last("s0")._3 == batchEst("s0") && last("s1")._3 == batchEst("s1"),
+      s"stream $last vs batch $batchEst")
+    assert(last("s0")._3 == 3L && last("s1")._3 == 2L,
+      "coupon-exact range: estimates are the true distinct counts")
+  }
+
+  test("distinctMonitor state stays register-bounded regardless of stream length") {
+    // the monitor exists because dedupNew's exact state grows with
+    // unique corpus size; the sketch state must not. 50k distinct
+    // updates: serialized size is capped by the register array.
+    import org.apache.datasketches.hll.HllSketch
+    val sk = new HllSketch(12)
+    (0 until 50000).foreach(i => sk.update(s"content-$i"))
+    val bytes = sk.toUpdatableByteArray.length
+    assert(bytes < 40 * 1024, s"state bytes $bytes must be register-bounded (~2^12)")
+    // and the batch-mode run of the same operator stays within the
+    // ±3σ tolerance at this cardinality (estimate, not exact, out here)
+    val big = spark.range(0, 50000).select(
+      col("id").as("doc_id"),
+      concat(lit("content number "), col("id")).as("text"),
+      lit("en").as("lang"), lit("s0").as("source"), lit(10L).as("n_chars"))
+    val est = distinctMonitor(big).collect().head.distinct_est
+    assert(math.abs(est - 50000L) <= 2500, s"estimate $est vs 50000")
+  }
 }
