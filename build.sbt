@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes straight through instead of going via the
+// sbt logger: the grading driver tail-parses Bench's final JSON stdout
+// line, and the logger's "[info] " prefix stops any line from matching
+// a bare `{...}` JSON object (BENCH_r07.json `parsed: null`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,9 +29,17 @@ object Tables {
           spark.conf.set(nanosAsLongKey, "true")
           spark.read.parquet(s"$dir/$name.parquet")
       }
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+    // Normalize the event-time column to session-local TIMESTAMP whatever
+    // physical shape the generator emitted: TIMESTAMP(NANOS) arrives as a
+    // raw long under nanosAsLong (truncate to µs — data is µs-precision),
+    // and TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    // TIMESTAMP_NTZ, which unix_micros()/cast-to-bigint reject. All graft
+    // sessions run with spark.sql.session.timeZone=UTC, so NTZ→TZ is a
+    // value-identical relabel, not a wall-clock shift.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType)         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                      => df
     }
   }
 
