@@ -16,6 +16,9 @@ run / fork := true
 // line, and the logger's "[info] " prefix stops any line from matching
 // a bare `{...}` JSON object (BENCH_r07.json `parsed: null`).
 run / outputStrategy := Some(StdoutOutput)
+// …and drop the trailing "[success] Total time…" line so that JSON
+// line is the literal last thing on stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
