@@ -16,9 +16,16 @@ object Repro {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val out = sys.env.get("GRAFT_REPRO_OUT")
     names.foreach { n =>
       try {
-        val c = SparkEntry.queries(n)(spark, sfDir).count()
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val c = out match {
+          case Some(dir) =>
+            df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$n")
+            spark.read.parquet(s"$dir/$n").count()
+          case None => df.count()
+        }
         println(s"[repro] $n OK rows=$c")
       } catch {
         case e: Throwable =>
@@ -26,6 +33,21 @@ object Repro {
           e.printStackTrace(System.out)
       }
       spark.catalog.clearCache()
+    }
+    // restricted oracle_sql.json so check_oracle.py can gate just these
+    out.foreach { dir =>
+      def esc(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+        .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/oracle_sql.json"), json)
     }
     spark.stop()
   }

@@ -640,7 +640,96 @@ object LlmSimilarity {
     s.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), schema)
   }
 
-  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07)
+  // ---------------------------------------------------------------------
+  // qs08 — product-quantization ANN (Jégou, Douze & Schmid 2011): split
+  // each 64-dim vector into M=8 subspaces of 8 dims, quantize every
+  // subvector to its nearest of KS=16 codewords, and score candidates by
+  // ADC (asymmetric distance computation) — the query precomputes one
+  // KS-entry lookup table per subspace, so scoring a candidate is M array
+  // lookups + M−1 adds over its CODES, never its floats. The 100 TB
+  // anatomy this demonstrates:
+  //  - the scan-everything artifact is (vec_id, 8 small codes) — ~8 bytes
+  //    a vector vs 256 float bytes, a 32× scan reduction (qs04's int8 is
+  //    4×); codes are a materialized silver table in production;
+  //  - the codebook is KS×64 doubles built driver-side and shipped as
+  //    literals (same discipline as qs03's centroids), LUTs are built per
+  //    query row — M·KS doubles each — and broadcast with the probes;
+  //  - exact-cosine rerank touches floats for only the top-C per query
+  //    (qs04's fetch-by-id shape).
+  // Codebook = the KS lowest vec_ids' subvectors (deterministic sampled
+  // codebook — codebook REFINEMENT is qs03's Lloyd loop; the operator
+  // here is the code/ADC path). The oracle replays the whole pipeline:
+  // argmin code assignment (first-min-wins by codeword index over
+  // identical left-fold squared distances), LUT dots, the ordered-list
+  // ADC fold, shortlist, rerank. Recall@5 vs exact qs01 pinned in
+  // LlmQueriesSpec.
+  private[queries] final val PqM = 8         // subspaces
+  private[queries] final val PqSub = 8       // dims per subspace
+  private[queries] final val PqKs = 16       // codewords per subspace
+  private[queries] final val PqShortlist = 20
+  val qs08 = Q("qs08_pq_ann_topk", Qs08Sql.sql) { (s, dir) =>
+    val e = emb(s, dir)
+    // driver-held codebook: KS×64 doubles — the qs03 "index build on the
+    // driver" precedent, one tiny ordered collect
+    val seedRows: Array[Array[Double]] = e.orderBy("vec_id").limit(PqKs)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def cw(m: Int, j: Int): Array[Double] =
+      seedRows(j).slice(m * PqSub, (m + 1) * PqSub)
+    def sub(m: Int, d: Int): Column =
+      element_at(col("embedding"), m * PqSub + d + 1).cast(DoubleType)
+    // squared L2 to codeword j of subspace m — left fold over d, the
+    // oracle's list_reduce association
+    def sqd(m: Int, j: Int): Column =
+      (0 until PqSub).map { d =>
+        val x = sub(m, d) - lit(cw(m, j)(d)); x * x
+      }.reduce(_ + _)
+    // first-min-wins argmin (array_position finds the FIRST equal value,
+    // matching the oracle's ORDER BY dist, j LIMIT 1)
+    def codeCol(m: Int): Column = {
+      val ds = array((0 until PqKs).map(j => sqd(m, j)): _*)
+      (array_position(ds, array_min(ds)) - 1).cast(IntegerType)
+    }
+    // the quantized corpus: vec_id + M codes (the silver artifact)
+    val codes = e.select(
+      col("vec_id") +: (0 until PqM).map(m => codeCol(m).as(s"_c$m")): _*)
+    // per-query LUTs: dot(q_m, c_{m,j}) for every (m, j)
+    def lutCol(m: Int): Column =
+      array((0 until PqKs).map { j =>
+        (0 until PqSub).map(d => sub(m, d) * lit(cw(m, j)(d))).reduce(_ + _)
+      }: _*)
+    val q = e.filter(col("vec_id") < 8).select(
+      col("vec_id").as("query_id") +:
+        (0 until PqM).map(m => lutCol(m).as(s"_lut$m")): _*)
+    // ADC: M lookups + M−1 adds per (candidate, query) — left fold over
+    // m, the oracle's ordered-list fold
+    val adcExpr = (0 until PqM)
+      .map(m => element_at(col(s"_lut$m"), col(s"_c$m") + 1))
+      .reduce(_ + _)
+    val cand = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adcExpr.as("adc"))
+    val cw2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val topc = cand.withColumn("cr", row_number().over(cw2))
+      .filter(col("cr") <= PqShortlist)
+      .select("query_id", "neighbor_id", "adc")
+    // rerank: floats fetched by id for the ≤ 8×C survivors only
+    val qvecs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.join(broadcast(topc), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        cosine(col("qe"), col("embedding")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "adc", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07, qs08)
 }
 
 /** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its
@@ -691,6 +780,63 @@ private object Qs03Sql {
        |  SELECT query_id, neighbor_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |  FROM scored) ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+}
+
+/** DuckDB twin of qs08's PQ pipeline — codebook slicing, first-min-wins
+  * code assignment, LUT dots, the ordered-list ADC fold, shortlist,
+  * exact-cosine rerank, stage for stage. Same left-fold association as
+  * the Scala expressions at every floating-point step.
+  */
+private object Qs08Sql {
+  private val M = 8
+  private val SUB = 8
+  private val KS = 16
+  private val C = 20
+
+  // Σ_d over the 8-dim slices, left fold. DuckDB 1.0 binder quirk: an
+  // outer-correlated column inside a lambda only binds when the SAME
+  // column also appears outside a lambda in the expression — hence
+  // `range(1, len(..)+1)` (the slice has exactly SUB elements) rather
+  // than a constant range; qs03's oracle relies on the same shape.
+  private def sqdist(esub: String, cbSub: String): String =
+    s"""list_reduce(list_transform(range(1, len($esub)+1),
+       |  i -> ($esub[i] - $cbSub[i]) * ($esub[i] - $cbSub[i])), (a,b) -> a + b)""".stripMargin
+
+  val sql: String =
+    s"""WITH seed AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, embedding
+       |              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $KS)),
+       |cb AS (SELECT j, m.m AS m,
+       |         list_transform(embedding[(m.m*$SUB + 1):(m.m*$SUB + $SUB)], x -> x::DOUBLE) AS sub
+       |       FROM seed, range(0, $M) m(m)),
+       |es AS (SELECT vec_id, m.m AS m,
+       |         list_transform(embedding[(m.m*$SUB + 1):(m.m*$SUB + $SUB)], x -> x::DOUBLE) AS esub
+       |       FROM embeddings, range(0, $M) m(m)),
+       |codes AS (SELECT es.vec_id, es.m,
+       |   (SELECT cb.j FROM cb WHERE cb.m = es.m
+       |    ORDER BY ${sqdist("es.esub", "cb.sub")} ASC, cb.j LIMIT 1) AS code
+       | FROM es),
+       |lut AS (SELECT es.vec_id AS query_id, cb.m, cb.j,
+       |   list_reduce(list_transform(range(1, len(es.esub)+1),
+       |     i -> es.esub[i] * cb.sub[i]), (a,b) -> a + b) AS v
+       | FROM es JOIN cb ON cb.m = es.m WHERE es.vec_id < 8),
+       |adcs AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+       |   list_reduce(list(l.v ORDER BY l.m), (a,b) -> a + b) AS adc
+       | FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code AND c.vec_id <> l.query_id
+       | GROUP BY l.query_id, c.vec_id),
+       |topc AS (SELECT query_id, neighbor_id, adc FROM (
+       |   SELECT query_id, neighbor_id, adc,
+       |     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS cr
+       |   FROM adcs) t WHERE cr <= $C),
+       |rr AS (SELECT t.query_id, t.neighbor_id, t.adc,
+       |    ${DuckSql.cosine("q.embedding", "n.embedding")} AS cos_sim
+       |  FROM topc t JOIN embeddings q ON q.vec_id = t.query_id
+       |              JOIN embeddings n ON n.vec_id = t.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, adc, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, adc, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM rr) ranked
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 }

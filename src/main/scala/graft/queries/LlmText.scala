@@ -1363,7 +1363,84 @@ object LlmText {
           .as("chunk_text"))
   }
 
+  // ---------------------------------------------------------------------
+  // qt24 — WEIGHTED sample per source: Duffield–Lund–Thorup priority
+  // sampling (each doc gets priority w/u for a uniform u; the top-k by
+  // priority are kept, and max(w, τ) with τ = the (k+1)-th priority is an
+  // unbiased per-item weight estimator — the scheme behind weighted
+  // sampling sketches in traffic/corpus accounting). qt05 is the
+  // UNWEIGHTED per-source quota; here weight = n_chars, so long docs are
+  // proportionally likelier to survive — the "sample by token mass, not
+  // doc count" curation op.
+  //
+  // Cross-engine exactness without pow/ln: u = (h+1)/2^31 from a
+  // Lehmer-style integer hash (exact in both engines), and priority is a
+  // SINGLE division of exact inputs — IEEE-754 division is correctly
+  // rounded, so both engines produce the identical double (the pow-based
+  // A-ES form would hinge on library ulp agreement; DLT needs only /).
+  //
+  // 100 TB shape: the global per-source top-k window is computed in TWO
+  // stages — a salted local top-(k+1) first (each (source, salt) cell
+  // keeps ≤ k+1 rows), then the true window over ≤ salt·(k+1) survivors
+  // per source. A hot source (half the corpus from one crawl) hits the
+  // global window with bounded rows instead of its full row count; the
+  // (k+1)-th priority — τ — survives stage 1 by construction, so the
+  // estimator is exact, not approximate. PrioritySampleSpec pins
+  // two-stage ≡ one-stage; the oracle replays the one-stage form.
+  private val PriK = 8
+  private val PriSalt = 16
+  val qt24 = Q(
+    "qt24_priority_sample",
+    s"""WITH pr AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(n_chars AS DOUBLE) /
+       |      (CAST(((doc_id * 48271) % 2147483647) + 1 AS DOUBLE) / CAST(2147483648 AS DOUBLE)) AS priority
+       |  FROM documents),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn FROM pr),
+       |t AS (SELECT source, MAX(CASE WHEN rn = ${PriK + 1} THEN priority END) AS tau FROM r GROUP BY source)
+       |SELECT r.source, CAST(r.rn AS BIGINT) AS rank, r.doc_id, r.n_chars, r.priority,
+       |  GREATEST(CAST(r.n_chars AS DOUBLE), COALESCE(t.tau, CAST(0 AS DOUBLE))) AS est_weight
+       |FROM r JOIN t USING (source) WHERE r.rn <= $PriK
+       |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+    prioritySample(docs(s, dir), PriK).orderBy("source", "rank")
+  }
+
+  /** qt24 core over any (source, doc_id, n_chars) frame: two-stage DLT
+    * priority sample of `k` docs per source, weight = n_chars. Factored
+    * out so PrioritySampleSpec can pin the two-stage == one-stage
+    * equivalence and the per-source output bound.
+    */
+  def prioritySample(docsDf: DataFrame, k: Int): DataFrame = {
+    // u in (0,1]: Lehmer hash of doc_id — integer-exact in both engines,
+    // then ONE exactly-rounded division; priority = w/u, one more.
+    val u = (pmod(col("doc_id") * lit(48271L), lit(2147483647L)) + lit(1L))
+      .cast(DoubleType) / lit(2147483648.0)
+    val pr = docsDf.select(col("source"), col("doc_id"), col("n_chars"),
+      (col("n_chars").cast(DoubleType) / u).as("priority"))
+    // stage 1: salted local top-(k+1) — bounds any one source's
+    // contribution to the global window at PriSalt·(k+1) rows
+    val wLocal = Window.partitionBy(col("source"), col("_salt"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    val thinned = pr
+      .withColumn("_salt", pmod(col("doc_id"), lit(PriSalt.toLong)))
+      .withColumn("_lrn", row_number().over(wLocal))
+      .filter(col("_lrn") <= k + 1)
+      .drop("_salt", "_lrn")
+    // stage 2: the true per-source ranking over the bounded survivor set
+    val wg = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    val wsrc = Window.partitionBy(col("source"))
+    thinned
+      .withColumn("rn", row_number().over(wg))
+      .withColumn("tau", max(when(col("rn") === k + 1, col("priority"))).over(wsrc))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("rn").cast(LongType).as("rank"),
+        col("doc_id"), col("n_chars"), col("priority"),
+        greatest(col("n_chars").cast(DoubleType),
+          coalesce(col("tau"), lit(0.0))).as("est_weight"))
+  }
+
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20, qt21, qt22, qt23)
+      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20, qt21, qt22, qt23, qt24)
 }

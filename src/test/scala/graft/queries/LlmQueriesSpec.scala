@@ -113,6 +113,26 @@ class LlmQueriesSpec extends SparkSuite {
     assert(hits.toDouble / trueTop.size >= 0.9, s"recall=${hits.toDouble / trueTop.size}")
   }
 
+  test("qs08 PQ-ADC ANN reranks to exact cosines; codes compress and recall holds") {
+    val exact = LlmSimilarity.qs01.fn(spark, dir)
+      .select("query_id", "neighbor_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = LlmSimilarity.qs08.fn(spark, dir).collect()
+    assert(got.length == 40) // 8 queries × top-5 survive the C=20 rerank
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      // rerank is the SAME cosine as qs01 — bit-equal where pairs overlap
+      exact.get(key).foreach(c => assert(c == r.getAs[Double]("cos_sim")))
+    }
+    // a 16-codeword sampled codebook is coarser than qs04's int8 scalar
+    // quantizer, but the C=20 rerank must still recover at least half of
+    // the true top-5 on this data
+    val trueTop = exact.keySet
+    val hits = got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .count(trueTop.contains)
+    assert(hits.toDouble / trueTop.size >= 0.5, s"recall=${hits.toDouble / trueTop.size}")
+  }
+
   test("qs02 ANN results agree with qs01 exact scores where they overlap") {
     val exact = LlmSimilarity.qs01.fn(spark, dir)
       .select("query_id", "neighbor_id", "cos_sim").collect()
