@@ -56,6 +56,16 @@ object MediaOps {
       n_samples: Long,
       rms: Double)
 
+  /** Segmental audio stats from a real decode: zero crossings and mean
+    * |first difference| of the pre-emphasized signal.
+    */
+  final case class AudioStats(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      n_zero_crossings: Long,
+      mean_abs_delta: Double)
+
   // -----------------------------------------------------------------------
   /** Deterministic codec fakes. A production build replaces the bodies
     * with real codec calls (e.g. javax.imageio / ffmpeg bindings); the
@@ -137,7 +147,10 @@ object MediaOps {
       * unsupported encodings — a corrupt payload must fail the row
       * loudly, not decode to garbage.
       */
-    def parse(id: Long, wav: Array[Byte]): DecodedAudio = {
+    /** Chunk walk shared by [[parse]] and [[parseStats]]: validate the
+      * container, return (sampleRate, dataOff, dataLen).
+      */
+    private def walk(id: Long, wav: Array[Byte]): (Int, Int, Int) = {
       val bb = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
       def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
       require(wav.length >= 44, s"media $id: truncated WAV (${wav.length} bytes)")
@@ -175,6 +188,11 @@ object MediaOps {
       require(sampleRate > 0, s"media $id: no fmt chunk")
       require(dataOff >= 0 && dataOff + dataLen <= wav.length,
         s"media $id: data chunk out of bounds")
+      (sampleRate, dataOff, dataLen)
+    }
+
+    def parse(id: Long, wav: Array[Byte]): DecodedAudio = {
+      val (sampleRate, dataOff, dataLen) = walk(id, wav)
       var acc = 0.0
       var i = 0
       while (i < dataLen) {
@@ -184,6 +202,38 @@ object MediaOps {
       }
       DecodedAudio(id, sampleRate, dataLen.toLong,
         if (dataLen == 0) 0.0 else math.sqrt(acc / dataLen))
+    }
+
+    /** Segmental stats over the PRE-EMPHASIZED signal (first difference
+      * d_j = s_j − s_{j−1}, the standard high-pass applied before ZCR /
+      * energy analysis — raw excess-128 text-derived PCM never crosses
+      * zero, the differenced signal does): zero-crossing count by strict
+      * sign product < 0 over INTEGER deltas (no float compares, no
+      * boundary ambiguity) and mean |d| — an exact integer sum with ONE
+      * correctly-rounded division at the end, bit-identical
+      * cross-engine. Together the cheap audio-activity gate next to
+      * qm07's RMS loudness.
+      */
+    def parseStats(id: Long, wav: Array[Byte]): AudioStats = {
+      val (sampleRate, dataOff, dataLen) = walk(id, wav)
+      var zc = 0L
+      var absSum = 0L
+      var prevD = 0
+      var prev = 0
+      var i = 0
+      while (i < dataLen) {
+        val s = (wav(dataOff + i) & 0xff) - 128
+        if (i > 0) {
+          val d = s - prev
+          if (i > 1 && prevD * d < 0) zc += 1
+          absSum += math.abs(d)
+          prevD = d
+        }
+        prev = s
+        i += 1
+      }
+      AudioStats(id, sampleRate, dataLen.toLong, zc,
+        if (dataLen <= 1) 0.0 else absSum.toDouble / (dataLen - 1).toDouble)
     }
   }
 
@@ -311,6 +361,12 @@ object MediaOps {
   def decodeWavs(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
     import media.sparkSession.implicits._
     media.mapPartitions(it => it.map(m => Wav.parse(m.media_id, m.payload)))
+  }
+
+  /** Segmental stats (ZCR + peak) from real WAV payloads. */
+  def decodeWavStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map(m => Wav.parseStats(m.media_id, m.payload)))
   }
 
   // -----------------------------------------------------------------------

@@ -315,5 +315,47 @@ object LlmMultimodal {
       .orderBy("media_id", "bin")
   }
 
-  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05, qm06, qm07, qm08)
+  // ---------------------------------------------------------------------
+  // qm09 — segmental audio stats from REAL WAV decode: zero crossings +
+  // mean |first difference| of the PRE-EMPHASIZED signal (d_j = s_j −
+  // s_{j−1}, the standard high-pass before ZCR/energy analysis — raw
+  // excess-128 samples derived from text bytes never cross zero; the
+  // differenced signal does, and its stats vary per document). Same
+  // genuine RIFF/WAVE payloads and shared chunk walk as qm07. ZCR is
+  // pure INTEGER arithmetic (strict sign-product < 0 — no float
+  // compares to disagree at a boundary); mean |d| is an exact integer
+  // sum with ONE correctly-rounded division — both bit-identical
+  // cross-engine by construction. The oracle re-derives everything from
+  // the raw document bytes + the public WAV construction rules, exactly
+  // as qm07/qm08 do. Plan shape: one mapPartitions decode pass, zero
+  // shuffles before the final sort — linear at any corpus size.
+  val qm09 = Q(
+    "qm09_wav_stats",
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |           FROM documents WHERE doc_id % 3 = 1),
+      |b AS (SELECT media_id, n,
+      |        list_transform(range(1, n+1),
+      |          i -> CAST(('0x' || substr(hx, CAST(2*i-1 AS INT), 2)) AS BIGINT) - 128) AS s
+      |      FROM m),
+      |d AS (SELECT media_id, n,
+      |        list_transform(range(2, n+1), i -> s[CAST(i AS INT)] - s[CAST(i-1 AS INT)]) AS dd
+      |      FROM b)
+      |SELECT media_id, CAST(16000 AS BIGINT) AS sample_rate, n AS n_samples,
+      |  CAST(len(list_filter(range(2, len(dd)+1),
+      |    i -> dd[CAST(i-1 AS INT)] * dd[CAST(i AS INT)] < 0)) AS BIGINT) AS n_zero_crossings,
+      |  CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+      |       ELSE CAST(list_reduce(list_transform(dd, x -> abs(x)), (a, c) -> a + c) AS DOUBLE)
+      |            / CAST(n - 1 AS DOUBLE)
+      |  END AS mean_abs_delta
+      |FROM d
+      |ORDER BY media_id""".stripMargin) { (s, dir) =>
+    val audio = media(s, dir).filter(col("kind") === "audio")
+    MediaOps.decodeWavStats(MediaOps.wrapAsWav(audio, sampleRate = 16000))
+      .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("n_zero_crossings"), col("mean_abs_delta"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05, qm06, qm07, qm08, qm09)
 }

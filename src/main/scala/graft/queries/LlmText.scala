@@ -1394,7 +1394,7 @@ object LlmText {
     s"""WITH pr AS (
        |  SELECT source, doc_id, n_chars,
        |    CAST(n_chars AS DOUBLE) /
-       |      (CAST(((doc_id * 48271) % 2147483647) + 1 AS DOUBLE) / CAST(2147483648 AS DOUBLE)) AS priority
+       |      (CAST((((doc_id * 48271) % 2147483647) * 48271 % 2147483647) + 1 AS DOUBLE) / CAST(2147483648 AS DOUBLE)) AS priority
        |  FROM documents),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn FROM pr),
        |t AS (SELECT source, MAX(CASE WHEN rn = ${PriK + 1} THEN priority END) AS tau FROM r GROUP BY source)
@@ -1411,9 +1411,13 @@ object LlmText {
     * equivalence and the per-source output bound.
     */
   def prioritySample(docsDf: DataFrame, k: Int): DataFrame = {
-    // u in (0,1]: Lehmer hash of doc_id — integer-exact in both engines,
-    // then ONE exactly-rounded division; priority = w/u, one more.
-    val u = (pmod(col("doc_id") * lit(48271L), lit(2147483647L)) + lit(1L))
+    // u in (0,1]: TWO Lehmer steps of doc_id — one step never wraps mod
+    // 2^31 for small ids (u would be monotone in doc_id, not uniform;
+    // see qt25's digit-correlation note), the second multiply forces the
+    // wrap. Integer-exact in both engines, then ONE exactly-rounded
+    // division; priority = w/u, one more.
+    val u = (pmod(pmod(col("doc_id") * lit(48271L), lit(2147483647L)) * lit(48271L),
+      lit(2147483647L)) + lit(1L))
       .cast(DoubleType) / lit(2147483648.0)
     val pr = docsDf.select(col("source"), col("doc_id"), col("n_chars"),
       (col("n_chars").cast(DoubleType) / u).as("priority"))
@@ -1440,7 +1444,66 @@ object LlmText {
           coalesce(col("tau"), lit(0.0))).as("est_weight"))
   }
 
+  // ---------------------------------------------------------------------
+  // qt25 — hash-range train/val/test split + stratified allocation audit.
+  // The 100 TB split operator is MAP-SIDE: each doc's split comes from a
+  // Lehmer hash of its id (train if h%10 < 8, val if = 8, test if = 9) —
+  // no shuffle, no ranking, rerun-stable, and membership is decidable
+  // per row forever (adding docs never reshuffles old assignments —
+  // the property an exact-quota split by per-stratum RANK lacks, since
+  // every new doc would shift ranks and flip memberships). The audit is
+  // the distributed part: realized share per (lang, source) stratum vs
+  // the 80/10/10 target in integer bps, ONE two-phase aggregate bounded
+  // by strata×3 rows at any corpus size. Near-dup leakage across the
+  // boundary is qd16's job (cluster-level co-assignment overrides the
+  // hash for dup families); this is the independent-doc base split.
+  val qt25 = Q(
+    "qt25_split_audit",
+    """WITH s AS (SELECT lang, source,
+      |    CASE WHEN (((doc_id * 48271) % 2147483647) * 48271 % 2147483647) % 10 < 8 THEN 'train'
+      |         WHEN (((doc_id * 48271) % 2147483647) * 48271 % 2147483647) % 10 = 8 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |c AS (SELECT lang, source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |      FROM s GROUP BY lang, source, split),
+      |t AS (SELECT lang, source, CAST(SUM(n_docs) AS BIGINT) AS n_stratum
+      |      FROM c GROUP BY lang, source)
+      |SELECT c.lang, c.source, c.split, c.n_docs, t.n_stratum,
+      |  c.n_docs * 10000 // t.n_stratum AS share_bps,
+      |  CAST(CASE c.split WHEN 'train' THEN 8000 WHEN 'val' THEN 1000 ELSE 1000 END AS BIGINT) AS target_bps,
+      |  abs(c.n_docs * 10000 // t.n_stratum
+      |    - CAST(CASE c.split WHEN 'train' THEN 8000 WHEN 'val' THEN 1000 ELSE 1000 END AS BIGINT)) AS dev_bps
+      |FROM c JOIN t USING (lang, source)
+      |ORDER BY lang, source, split""".stripMargin) { (s, dir) =>
+    // TWO Lehmer steps before % 10: one step never wraps mod 2^31 for
+    // small ids, leaving the low digit = (id·g) mod 10 — perfectly
+    // correlated with any id-derived stratum column; the second multiply
+    // forces the wrap, decorrelating the digit (measured: strata mix
+    // 80/10/10 after, single-split-per-stratum before). All
+    // intermediates < 2^31·48271 < 2^63 — exact in both engines.
+    val h = pmod(pmod(col("doc_id") * lit(48271L), lit(2147483647L)) * lit(48271L),
+      lit(2147483647L)) % lit(10L)
+    val split = when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    val c = docs(s, dir)
+      .select(col("lang"), col("source"), split.as("split"))
+      .groupBy("lang", "source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+    // stratum totals derive from the (strata×3)-row audit relation, not
+    // a second corpus pass; strata-bounded -> broadcast back
+    val t = c.groupBy("lang", "source").agg(sum(col("n_docs")).as("n_stratum"))
+    val target = when(col("split") === "train", 8000L)
+      .when(col("split") === "val", 1000L).otherwise(1000L)
+    c.join(broadcast(t), Seq("lang", "source"))
+      .withColumn("share_bps", expr("n_docs * 10000 div n_stratum"))
+      .withColumn("target_bps", target)
+      .withColumn("dev_bps", abs(col("share_bps") - col("target_bps")))
+      .select("lang", "source", "split", "n_docs", "n_stratum",
+        "share_bps", "target_bps", "dev_bps")
+      .orderBy("lang", "source", "split")
+  }
+
   val all: Seq[Q] =
     Seq(qt01, qt02, qt03, qt04, qt05, qt06, qt07, qt08, qt09, qt10, qt11, qt12,
-      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20, qt21, qt22, qt23, qt24)
+      qt13, qt14, qt15, qt16, qt17, qt18, qt19, qt20, qt21, qt22, qt23, qt24,
+      qt25)
 }

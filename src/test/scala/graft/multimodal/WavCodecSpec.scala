@@ -27,6 +27,23 @@ class WavCodecSpec extends SparkSuite {
     assert(d.rms == expected)
   }
 
+  test("parseStats: pre-emphasized ZCR and mean |delta| on a planted signal") {
+    // unsigned samples 100, 150, 120, 180, 60 → excess-128: -28, 22, -8, 52, -68
+    // deltas: 50, -30, 60, -120 → sign flips between EVERY adjacent pair = 3
+    // mean |d| = (50+30+60+120)/4 = 65.0
+    val pcm = Array[Byte](100.toByte, 150.toByte, 120.toByte, 180.toByte, 60.toByte)
+    val st = Wav.parseStats(3L, Wav.build(16000, pcm))
+    assert(st.media_id == 3L && st.sample_rate == 16000 && st.n_samples == 5L)
+    assert(st.n_zero_crossings == 3L)
+    assert(st.mean_abs_delta == 65.0)
+    // monotone signal: deltas all one sign → zero crossings
+    val mono = Wav.parseStats(4L, Wav.build(16000, Array[Byte](10, 20, 30, 40)))
+    assert(mono.n_zero_crossings == 0L && mono.mean_abs_delta == 10.0)
+    // degenerate: 0- and 1-sample tracks have no deltas
+    assert(Wav.parseStats(5L, Wav.build(16000, Array.empty[Byte])).mean_abs_delta == 0.0)
+    assert(Wav.parseStats(6L, Wav.build(16000, Array[Byte](7))).n_zero_crossings == 0L)
+  }
+
   test("parse walks past unknown chunks and odd-length padding") {
     // hand-build: RIFF [ JUNK(3 bytes + pad) fmt data ] — parser must
     // skip JUNK (including its pad byte) and still find fmt/data

@@ -26,7 +26,8 @@ class PrioritySampleSpec extends SparkSuite {
   }
 
   private def naive(k: Int) = {
-    val u = (pmod(col("doc_id") * lit(48271L), lit(2147483647L)) + lit(1L))
+    val u = (pmod(pmod(col("doc_id") * lit(48271L), lit(2147483647L)) * lit(48271L),
+      lit(2147483647L)) + lit(1L))
       .cast(DoubleType) / lit(2147483648.0)
     val wg = Window.partitionBy(col("source"))
       .orderBy(col("priority").desc, col("doc_id"))
@@ -64,7 +65,8 @@ class PrioritySampleSpec extends SparkSuite {
 
   test("stage-1 thinning bounds the hot source's rows entering the global window") {
     // replicate stage 1 standalone: each (source, salt) cell keeps <= k+1
-    val u = (pmod(col("doc_id") * lit(48271L), lit(2147483647L)) + lit(1L))
+    val u = (pmod(pmod(col("doc_id") * lit(48271L), lit(2147483647L)) * lit(48271L),
+      lit(2147483647L)) + lit(1L))
       .cast(DoubleType) / lit(2147483648.0)
     val wLocal = Window.partitionBy(col("source"), col("_salt"))
       .orderBy(col("priority").desc, col("doc_id"))
