@@ -674,30 +674,37 @@ object LlmSimilarity {
     val seedRows: Array[Array[Double]] = e.orderBy("vec_id").limit(PqKs)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    def cw(m: Int, j: Int): Array[Double] =
-      seedRows(j).slice(m * PqSub, (m + 1) * PqSub)
-    def sub(m: Int, d: Int): Column =
-      element_at(col("embedding"), m * PqSub + d + 1).cast(DoubleType)
-    // squared L2 to codeword j of subspace m — left fold over d, the
-    // oracle's list_reduce association
-    def sqd(m: Int, j: Int): Column =
-      (0 until PqSub).map { d =>
-        val x = sub(m, d) - lit(cw(m, j)(d)); x * x
-      }.reduce(_ + _)
+    // ONE 2-D literal per subspace (16×8 doubles) + higher-order-function
+    // loops, NOT 128 inlined per-codeword expressions: the inlined form
+    // generated a ~8 MB task binary whose wholestage method blows the
+    // JIT's compilable-size limit — the scan ran INTERPRETED and qs08
+    // cost 10 s at sf0.1; the loop form runs in ~1 s. Fold order is
+    // unchanged (zip_with preserves index order, aggregate seeds 0.0 and
+    // folds left — 0.0 + x == x, the DuckSql.dot argument), so the
+    // oracle's list_reduce replays bit-identically.
+    def cbLit(m: Int): Column =
+      typedlit(seedRows.map(_.slice(m * PqSub, (m + 1) * PqSub).toSeq).toSeq)
+    def subm(m: Int): Column = slice(col("embedding"), m * PqSub + 1, PqSub)
+    // squared L2 to every codeword of subspace m, in codeword order
+    def distsCol(m: Int): Column =
+      transform(cbLit(m), cw =>
+        aggregate(zip_with(subm(m), cw, (x, c) => {
+          val d = x.cast(DoubleType) - c; d * d
+        }), lit(0.0), (a, x) => a + x))
     // first-min-wins argmin (array_position finds the FIRST equal value,
     // matching the oracle's ORDER BY dist, j LIMIT 1)
     def codeCol(m: Int): Column = {
-      val ds = array((0 until PqKs).map(j => sqd(m, j)): _*)
+      val ds = distsCol(m)
       (array_position(ds, array_min(ds)) - 1).cast(IntegerType)
     }
     // the quantized corpus: vec_id + M codes (the silver artifact)
     val codes = e.select(
       col("vec_id") +: (0 until PqM).map(m => codeCol(m).as(s"_c$m")): _*)
-    // per-query LUTs: dot(q_m, c_{m,j}) for every (m, j)
+    // per-query LUTs: dot(q_m, c_{m,j}) for every j, in codeword order
     def lutCol(m: Int): Column =
-      array((0 until PqKs).map { j =>
-        (0 until PqSub).map(d => sub(m, d) * lit(cw(m, j)(d))).reduce(_ + _)
-      }: _*)
+      transform(cbLit(m), cw =>
+        aggregate(zip_with(subm(m), cw, (x, c) => x.cast(DoubleType) * c),
+          lit(0.0), (a, x) => a + x))
     val q = e.filter(col("vec_id") < 8).select(
       col("vec_id").as("query_id") +:
         (0 until PqM).map(m => lutCol(m).as(s"_lut$m")): _*)
