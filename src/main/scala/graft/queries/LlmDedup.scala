@@ -1190,7 +1190,68 @@ object LlmDedup {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------------
+  // qd21 — MinHash calibration audit: for every banded candidate pair
+  // that exact-verifies as a near-dup, compare the SKETCH's Jaccard
+  // estimate (matching components / k — the unbiased MinHash estimator)
+  // with the exact shingle-set Jaccard, in integer bps. This is the QA
+  // table a production dedup pipeline keeps next to its sketches: it
+  // answers "is k = 16 enough at our similarity threshold, or are we
+  // banding on noise?" empirically, per corpus — the operator that
+  // justifies (or resizes) qd03/qd04's k before anyone trusts the
+  // banding recall math. All comparison arithmetic is INTEGER (equal
+  // longs, counts, `div`), so both engines agree exactly.
+  //
+  // 100 TB shape: the audit touches only the banded CANDIDATE pairs
+  // (bounded by the LSH geometry, never all-pairs), joins the persisted
+  // signature relation twice by doc_id, and is map-side after those
+  // joins. The exact-Jaccard side reuses the same shingle sets the
+  // verify pass already carries.
+  val qd21 = Q(
+    "qd21_minhash_calibration",
+    s"""WITH $duckBandedCtes,
+       |sg AS (SELECT doc_id, s, list_transform(range(0, 16), j ->
+       |         list_min(list_transform(h, x -> (x*(389*(j+1)+1) + 211*(j+1)+7) % $ModBig))) AS sig16
+       |       FROM hs),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |p AS (SELECT doc_a, doc_b,
+       |        CAST(len(list_filter(range(1, len(sa.sig16)+1), i -> sa.sig16[CAST(i AS INT)] = sb.sig16[CAST(i AS INT)])) AS BIGINT) AS n_eq,
+       |        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS ninter,
+       |        CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS BIGINT) AS nuni
+       |      FROM cand JOIN sg sa ON doc_a = sa.doc_id JOIN sg sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, n_eq,
+       |  n_eq * 10000 // 16 AS est_bps,
+       |  ninter * 10000 // nuni AS exact_bps,
+       |  abs(n_eq * 10000 // 16 - ninter * 10000 // nuni) AS err_bps
+       |FROM p WHERE ninter * 10000 // nuni >= 5000
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sig = lshSignatures(docsSpread(s, dir))
+    val banded = lshBanded(sig)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y),
+          b => b)).cast(LongType).as("n_eq"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(LongType).as("ninter"),
+        size(array_union(col("sa.sh"), col("sb.sh"))).cast(LongType).as("nuni"))
+      .filter(expr("ninter * 10000 div nuni") >= 5000L)
+      .select(col("doc_a"), col("doc_b"), col("n_eq"),
+        expr("n_eq * 10000 div 16").as("est_bps"),
+        expr("ninter * 10000 div nuni").as("exact_bps"),
+        abs(expr("n_eq * 10000 div 16") - expr("ninter * 10000 div nuni")).as("err_bps"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
-      qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20)
+      qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20, qd21)
 }
