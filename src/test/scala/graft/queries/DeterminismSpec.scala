@@ -24,7 +24,12 @@ class DeterminismSpec extends SparkSuite {
       "q36_range_join", "q38_order_rank_windows", "qd14_dedup_clusters_star",
       "qd15_semantic_dedup", "qs06_knn_join", "qt14_segment_dedup",
       "qt15_quality_deciles", "qt16_bigram_lm_score", "qm06_frame_dedup",
-      "q39_funnel_sequence")
+      "q39_funnel_sequence",
+      // round 8: salted two-stage sampling windows (qt24), the stratified
+      // split audit (qt25), PQ shortlist windows + driver codebook (qs08),
+      // banded-candidate distinct + double signature join (qd21)
+      "qt24_priority_sample", "qt25_split_audit", "qs08_pq_ann_topk",
+      "qd21_minhash_calibration")
 
   test("order-sensitive queries emit identical rows under 2-way and 13-way shuffle parallelism") {
     val key = "spark.sql.shuffle.partitions"
