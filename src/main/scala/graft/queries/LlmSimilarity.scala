@@ -736,7 +736,48 @@ object LlmSimilarity {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07, qs08)
+  // ---------------------------------------------------------------------
+  // qs09 — ANN recall audit: per probe, how much of the EXACT top-5 the
+  // LSH path (qs02) actually returned, in integer bps — the index-
+  // quality table a pipeline keeps next to its ANN tier (qd21 is the
+  // same idea for the MinHash sketch; together they make "trust the
+  // approximate path" an measured claim, not an assumption). Both
+  // pipelines are reused VERBATIM — the Spark side calls qs01/qs02's
+  // own definitions and the oracle nests their full SQL as CTEs — so
+  // the audit can never drift from the audited queries. Hit counting
+  // and recall are pure integer arithmetic (equi-join + COUNT + `div`).
+  //
+  // 100 TB shape: the audit itself joins two ≤ probes×5-row relations —
+  // free; its cost IS the two audited pipelines, which is the point (a
+  // production run audits a SAMPLE of probes at exactly this shape).
+  val qs09 = Q(
+    "qs09_ann_recall_audit",
+    s"""WITH exact AS (${qs01.sql.get}),
+       |ann AS (${qs02.sql.get}),
+       |h AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |      FROM exact e JOIN ann a
+       |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |      GROUP BY e.query_id),
+       |b AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_true
+       |      FROM exact GROUP BY query_id)
+       |SELECT b.query_id, b.n_true,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  COALESCE(h.n_hits, 0) * 10000 // b.n_true AS recall_bps
+       |FROM b LEFT JOIN h USING (query_id)
+       |ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val exact = qs01.fn(s, dir).select(col("query_id"), col("neighbor_id"))
+    val ann = qs02.fn(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0) * 10000 div n_true").as("recall_bps"))
+      .orderBy("query_id")
+  }
+
+  val all: Seq[Q] = Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07, qs08, qs09)
 }
 
 /** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its

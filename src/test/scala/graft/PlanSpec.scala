@@ -128,12 +128,13 @@ class PlanSpec extends SparkSuite {
     // qt21's zero-fill frame is #languages rows × a broadcast 10-row range;
     // qt22 crossJoins its ONE-row corpus-total aggregate the same way.
     // qs08's ADC pass broadcasts 8 probe LUT rows against the linear
-    // scan of the byte-code corpus — qs04's int8 probe shape.
+    // scan of the byte-code corpus — qs04's int8 probe shape; qs09
+    // embeds qs01's brute-force pipeline verbatim (it audits it).
     val allowNested =
       Set("qs01_cosine_topk", "qm05_image_similarity", "qs04_ann_quantized_topk",
         "qt12_token_budget_mix", "qt16_bigram_lm_score", "qt18_decile_sketch",
         "qt19_bm25_topk", "qt21_lang_quality_deciles", "qt22_domain_divergence",
-        "qs08_pq_ann_topk")
+        "qs08_pq_ann_topk", "qs09_ann_recall_audit")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
