@@ -1251,7 +1251,74 @@ object LlmDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------------
+  // qd22 — cluster-quality audit: per dedup cluster (qd09's components),
+  // the verified-edge count, min/avg within-cluster Jaccard, and EDGE
+  // DENSITY vs the complete graph — the diagnostic for connected-
+  // components' known failure mode: transitive CHAINING (A~B~C with
+  // A̸~C) merges dissimilar docs into one cluster, and it shows up here
+  // as low density + a min_jaccard far under the avg. qd12 decides WHAT
+  // to keep per cluster; qd22 decides whether the cluster should have
+  // existed at all. Completes the approximate-path audit trilogy: qd21
+  // audits the sketch, qs09 the ANN index, qd22 the clustering.
+  // All audit arithmetic is INTEGER bps (j_bps >= 5000 is exactly
+  // jaccard >= 0.5: inter·10⁴ div uni >= 5000 ⟺ 2·inter >= uni), so
+  // both engines agree exactly. 100 TB shape: edges are the sparse
+  // verified pair list; the audit is two grouped aggregates over it.
+  val qd22 = Q(
+    "qd22_cluster_quality",
+    s"""WITH RECURSIVE $duckClusterCtes,
+       |pj AS (SELECT p.doc_a, p.doc_b,
+       |         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) * 10000 //
+       |         CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS BIGINT) AS j_bps
+       |       FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+       |                    JOIN sig sb ON p.doc_b = sb.doc_id),
+       |pe AS (SELECT c.cluster_id, pj.j_bps FROM pj JOIN comp c ON pj.doc_a = c.doc_id),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM comp GROUP BY cluster_id),
+       |ag AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |         CAST(MIN(j_bps) AS BIGINT) AS min_jaccard_bps,
+       |         CAST(SUM(j_bps) AS BIGINT) // COUNT(*) AS avg_jaccard_bps
+       |       FROM pe GROUP BY cluster_id)
+       |SELECT s.cluster_id, s.cluster_size, a.n_edges, a.min_jaccard_bps, a.avg_jaccard_bps,
+       |  a.n_edges * 10000 // (s.cluster_size * (s.cluster_size - 1) // 2) AS density_bps
+       |FROM sz s JOIN ag a USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val sig = lshSignatures(docsSpread(s, dir))
+    val banded = lshBanded(sig)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val pj = cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(LongType) * lit(10000L))
+          .as("_num"),
+        size(array_union(col("sa.sh"), col("sb.sh"))).cast(LongType).as("_den"))
+      .select(col("doc_a"), col("doc_b"), expr("_num div _den").as("j_bps"))
+      .filter(col("j_bps") >= 5000L)
+    val labels = graft.ops.GraphOps.connectedComponents(
+        pj.select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .select(col("node"), col("component").as("cluster_id"))
+    val pe = pj.join(labels.withColumnRenamed("node", "doc_a"), Seq("doc_a"))
+    val sz = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val ag = pe.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_edges"),
+      min(col("j_bps")).as("min_jaccard_bps"),
+      expr("sum(j_bps) div count(1)").as("avg_jaccard_bps"))
+    sz.join(ag, Seq("cluster_id"))
+      .select(col("cluster_id"), col("cluster_size"), col("n_edges"),
+        col("min_jaccard_bps"), col("avg_jaccard_bps"),
+        expr("n_edges * 10000 div (cluster_size * (cluster_size - 1) div 2)")
+          .as("density_bps"))
+      .orderBy("cluster_id")
+  }
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
-      qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20, qd21)
+      qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20, qd21, qd22)
 }

@@ -29,7 +29,7 @@ class DeterminismSpec extends SparkSuite {
       // split audit (qt25), PQ shortlist windows + driver codebook (qs08),
       // banded-candidate distinct + double signature join (qd21)
       "qt24_priority_sample", "qt25_split_audit", "qs08_pq_ann_topk",
-      "qd21_minhash_calibration")
+      "qd21_minhash_calibration", "qd22_cluster_quality")
 
   test("order-sensitive queries emit identical rows under 2-way and 13-way shuffle parallelism") {
     val key = "spark.sql.shuffle.partitions"
