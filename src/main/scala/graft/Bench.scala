@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config(graft.util.Tables.nanosAsLongKey, "true")
+      // Explicit, not inherited from the JVM default: Tables.load's
+      // NTZ->TIMESTAMP relabel is value-identical only under UTC, and
+      // this main must measure the same plans Verify checks even when
+      // launched outside sbt's forked -Dspark.sql.session.timeZone=UTC.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,10 +38,16 @@ object Bench {
     // not one that got slower.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Option: a failed rep must surface as -1 in the output, not as a
-      // millisecond "success" that wins the min
-      val times: Seq[Option[Double]] = (1 to reps).map { _ =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // INTERLEAVED reps: time rep 1 of every query, then rep 2, then rep 3.
+    // A host steal-storm on this box lasts minutes — longer than any one
+    // query but shorter than a full pass over the inventory — so running
+    // all reps of a query back-to-back let one storm poison every sample
+    // of a contiguous alphabetic block (BENCH_r08's q13..q21 false 74x).
+    // Interleaving puts a query's reps in three disjoint weather windows:
+    // min-of-reps now survives any storm shorter than a full pass.
+    val samples: Seq[Seq[Option[Double]]] = (1 to reps).map { _ =>
+      ordered.map { case (name, fn) =>
         // Every rep starts cache-cold: query bodies persist intermediates
         // (qd04's signature relation, qs03's corpus, qd09's labels) that
         // CacheManager keys on the logical plan, so a second rep — or a
@@ -51,10 +62,15 @@ object Bench {
           fn(spark, sfDir).queryExecution.toRdd.count()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
+          // a failed rep must surface as -1 in the output, not as a
+          // millisecond "success" that wins the min
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         }
       }
+    }
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val times = samples.map(_(i))
       val ok = times.flatten
       val min = if (ok.size == times.size) ok.min else -1.0
       val med =

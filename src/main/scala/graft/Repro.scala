@@ -13,6 +13,9 @@ object Repro {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config(graft.util.Tables.nanosAsLongKey, "true")
+      // Explicit UTC so the NTZ->TIMESTAMP relabel in Tables.load stays
+      // value-identical when launched outside sbt's forked JVM options.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
