@@ -302,14 +302,24 @@ object LlmDedup {
       size(array_union(a, b)).cast(DoubleType)
   private[graft] val VerifyJaccard = 0.5
 
-  def lshVerifiedPairs(sig: DataFrame): DataFrame = {
+  /** Banded candidate pairs (doc_a < doc_b, distinct) for a
+    * [[lshSignatures]]-shaped relation — the ONE definition of "LSH
+    * candidate" shared by the verify pass ([[lshVerifiedPairs]]) and the
+    * audit queries (qd21's sketch calibration, qd22's cluster quality),
+    * so a geometry change can never drift between them.
+    */
+  private[graft] def lshCandidatePairs(sig: DataFrame): DataFrame = {
     val banded = lshBanded(sig)
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def lshVerifiedPairs(sig: DataFrame): DataFrame = {
+    val cand = lshCandidatePairs(sig)
     // verify candidates with exact Jaccard on the shingle sets
     val sets = sig.select(col("doc_id"), col("sh"))
     cand
@@ -567,7 +577,7 @@ object LlmDedup {
        |ORDER BY cos_sim DESC, id_a, id_b
        |LIMIT 100""".stripMargin) { (s, dir) =>
     val e = load(s, dir, "embeddings").select("vec_id", "embedding")
-    LlmSimilarity.knnCandidates(e, LlmSimilarity.knnPlanes(e.count()))
+    LlmSimilarity.knnCandidates(e, LlmSimilarity.joinPlanes(e.count()))
       .filter(col("vec_id") < col("neighbor_id"))
       .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
@@ -841,7 +851,7 @@ object LlmDedup {
   def semanticDedupDrops(embDf: DataFrame, tau: Double): DataFrame = {
     val e = embDf.select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dup_of"))
-    LlmSimilarity.knnCandidates(e, LlmSimilarity.knnPlanes(e.count()))
+    LlmSimilarity.knnCandidates(e, LlmSimilarity.joinPlanes(e.count()))
       .filter(col("neighbor_id") < col("vec_id") && col("cos_sim") >= tau)
       .select(col("vec_id"), col("neighbor_id").as("dup_of"), col("cos_sim"))
       .withColumn("rn", row_number().over(w))
@@ -1228,14 +1238,7 @@ object LlmDedup {
        |FROM p WHERE ninter * 10000 // nuni >= 5000
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val sig = lshSignatures(docsSpread(s, dir))
-    val banded = lshBanded(sig)
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
+    lshCandidatePairs(sig)
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -1285,14 +1288,7 @@ object LlmDedup {
        |FROM sz s JOIN ag a USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
     val sig = lshSignatures(docsSpread(s, dir))
-    val banded = lshBanded(sig)
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val pj = cand
+    val pj = lshCandidatePairs(sig)
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),

@@ -345,7 +345,7 @@ object LlmMultimodal {
       |  CAST(len(list_filter(range(2, len(dd)+1),
       |    i -> dd[CAST(i-1 AS INT)] * dd[CAST(i AS INT)] < 0)) AS BIGINT) AS n_zero_crossings,
       |  CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
-      |       ELSE CAST(list_reduce(list_transform(dd, x -> abs(x)), (a, c) -> a + c) AS DOUBLE)
+      |       ELSE CAST(COALESCE(list_sum(list_transform(dd, x -> abs(x))), 0) AS DOUBLE)
       |            / CAST(n - 1 AS DOUBLE)
       |  END AS mean_abs_delta
       |FROM d

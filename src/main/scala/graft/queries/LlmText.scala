@@ -1387,6 +1387,25 @@ object LlmText {
   // (k+1)-th priority — τ — survives stage 1 by construction, so the
   // estimator is exact, not approximate. PrioritySampleSpec pins
   // two-stage ≡ one-stage; the oracle replays the one-stage form.
+  /** Two-step Lehmer hash of a NONNEGATIVE id, in [0, 2^31-1). ONE
+    * definition for qt24's sampling u and qt25's split digit.
+    *
+    * CONTRACT: the input must be >= 0. Spark's pmod and DuckDB's plain %
+    * (which both oracles use) agree only for nonnegative operands — a
+    * negative id would silently diverge between the engines. That holds
+    * for `documents.doc_id` (generator emits sequential nonneg ids), and
+    * any new caller must either keep the contract or switch BOTH sides
+    * to the same signed-mod semantics.
+    *
+    * Two steps, not one: one step never wraps mod 2^31 for small ids
+    * (the value would be monotone in id — correlated with any id-derived
+    * stratum; see qt25's digit-correlation note), the second multiply
+    * forces the wrap. All intermediates < 2^31·48271 < 2^63 — exact in
+    * both engines.
+    */
+  private def lehmer2(id: Column): Column =
+    pmod(pmod(id * lit(48271L), lit(2147483647L)) * lit(48271L), lit(2147483647L))
+
   private val PriK = 8
   private val PriSalt = 16
   val qt24 = Q(
@@ -1411,13 +1430,11 @@ object LlmText {
     * equivalence and the per-source output bound.
     */
   def prioritySample(docsDf: DataFrame, k: Int): DataFrame = {
-    // u in (0,1]: TWO Lehmer steps of doc_id — one step never wraps mod
-    // 2^31 for small ids (u would be monotone in doc_id, not uniform;
-    // see qt25's digit-correlation note), the second multiply forces the
-    // wrap. Integer-exact in both engines, then ONE exactly-rounded
-    // division; priority = w/u, one more.
-    val u = (pmod(pmod(col("doc_id") * lit(48271L), lit(2147483647L)) * lit(48271L),
-      lit(2147483647L)) + lit(1L))
+    // u in (0,1]: two-step Lehmer hash of doc_id (shared lehmer2 —
+    // nonneg-id contract documented there), integer-exact in both
+    // engines, then ONE exactly-rounded division; priority = w/u, one
+    // more.
+    val u = (lehmer2(col("doc_id")) + lit(1L))
       .cast(DoubleType) / lit(2147483648.0)
     val pr = docsDf.select(col("source"), col("doc_id"), col("n_chars"),
       (col("n_chars").cast(DoubleType) / u).as("priority"))
@@ -1475,14 +1492,11 @@ object LlmText {
       |    - CAST(CASE c.split WHEN 'train' THEN 8000 WHEN 'val' THEN 1000 ELSE 1000 END AS BIGINT)) AS dev_bps
       |FROM c JOIN t USING (lang, source)
       |ORDER BY lang, source, split""".stripMargin) { (s, dir) =>
-    // TWO Lehmer steps before % 10: one step never wraps mod 2^31 for
-    // small ids, leaving the low digit = (id·g) mod 10 — perfectly
-    // correlated with any id-derived stratum column; the second multiply
-    // forces the wrap, decorrelating the digit (measured: strata mix
-    // 80/10/10 after, single-split-per-stratum before). All
-    // intermediates < 2^31·48271 < 2^63 — exact in both engines.
-    val h = pmod(pmod(col("doc_id") * lit(48271L), lit(2147483647L)) * lit(48271L),
-      lit(2147483647L)) % lit(10L)
+    // Two-step Lehmer before % 10 (shared lehmer2 — see its wrap +
+    // nonneg-id contract notes); the second multiply decorrelates the
+    // low digit from id-derived strata (measured: strata mix 80/10/10
+    // after, single-split-per-stratum before).
+    val h = lehmer2(col("doc_id")) % lit(10L)
     val split = when(h < 8, "train").when(h === 8, "val").otherwise("test")
     val c = docs(s, dir)
       .select(col("lang"), col("source"), split.as("split"))
