@@ -39,6 +39,14 @@ final case class Lakehouse(
 
   def read(name: String): DataFrame = spark.read.format(format).load(s"$warehouseDir/$name")
 
+  /** The table as a versioned parquet+manifest table (atomic commits,
+    * snapshot isolation, time travel — see [[VersionedTable]]). Uses the
+    * same per-table partition column as [[write]]. A table must pick ONE
+    * sink style: [[write]]'s overwrite deletes the version log.
+    */
+  def versioned(name: String): VersionedTable =
+    VersionedTable(spark, s"$warehouseDir/$name", format, partitioning.get(name))
+
   /** Bucketed sink: hash-clusters rows into `nBuckets` files per
     * partition on `bucketCols` and records the layout in the catalog
     * (bucketing metadata only lives there, so this goes through

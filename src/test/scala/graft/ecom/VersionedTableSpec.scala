@@ -1,0 +1,125 @@
+package graft.ecom
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FileSystem, Path, RawLocalFileSystem}
+
+import graft.SparkSuite
+
+/** Filesystem that refuses to publish manifests: every rename whose
+  * destination ends in `.manifest` returns false (the HDFS-style failure
+  * contract — no exception). Data-file and tmp renames pass through.
+  * This is the commit-time twin of CompactFaultSpec's FaultySwapFs.
+  */
+class FaultyManifestFs extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("faultyman:///")
+  override def rename(src: Path, dst: Path): Boolean =
+    if (dst.getName.endsWith(".manifest")) false
+    else super.rename(src, dst)
+}
+
+/** Pins the versioned table format's three Delta-observable properties:
+  * atomic publish (a refused commit leaves the previous snapshot live),
+  * snapshot isolation (a pinned reader survives a concurrent
+  * overwrite), and byte-identical time travel.
+  */
+class VersionedTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-vt").toString
+
+  test("overwrite commits bump versions; readAt replays history byte-identically") {
+    val vt = VersionedTable(spark, freshDir())
+    val v1Rows = (1L to 50L).map(i => (i, s"a$i"))
+    val v2Rows = (100L to 120L).map(i => (i, s"b$i"))
+    assert(vt.commitOverwrite(v1Rows.toDF("id", "v")) == 1L)
+    assert(vt.commitOverwrite(v2Rows.toDF("id", "v")) == 2L)
+    assert(vt.currentVersion().contains(2L))
+    assert(vt.read().as[(Long, String)].collect().sortBy(_._1).toSeq == v2Rows)
+    // time travel: v1 comes back exactly, after being overwritten
+    assert(vt.readAt(1L).as[(Long, String)].collect().sortBy(_._1).toSeq == v1Rows)
+    assert(vt.readAt(2L).schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("a reader pinned to a snapshot survives a concurrent overwrite") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite((1L to 30L).toDF("id"))
+    val pinned = vt.read() // resolves v1's file list at plan time
+    vt.commitOverwrite((1000L to 1001L).toDF("id"))
+    // the pinned plan still reads v1's immutable files...
+    assert(pinned.as[Long].collect().sorted.toSeq == (1L to 30L))
+    // ...while a fresh read sees v2
+    assert(vt.read().as[Long].collect().sorted.toSeq == Seq(1000L, 1001L))
+  }
+
+  test("append carries prior files forward; evolved schema null-fills old commits") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(Seq((1L, "x")).toDF("id", "v"))
+    // appended batch adds a column; old rows read back with it null
+    vt.commitAppend(Seq((2L, "y", 7L)).toDF("id", "v", "extra"))
+    val got = vt.read().as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "x", None), (2L, "y", Some(7L))))
+    // v1 is unchanged by the append
+    assert(vt.readAt(1L).columns.toSeq == Seq("id", "v"))
+    assert(vt.readAt(1L).count() == 1)
+  }
+
+  test("refused manifest publish aborts the commit and leaves the previous snapshot live") {
+    spark.sparkContext.hadoopConfiguration
+      .setClass("fs.faultyman.impl", classOf[FaultyManifestFs], classOf[FileSystem])
+    val local = freshDir()
+    val vt = VersionedTable(spark, s"faultyman:$local")
+    // bootstrap v1 through a healthy fs (same local dir, default scheme)
+    val healthy = VersionedTable(spark, local)
+    assert(healthy.commitOverwrite((1L to 10L).toDF("id")) == 1L)
+
+    val ex = intercept[IllegalArgumentException] {
+      vt.commitOverwrite((99L to 99L).toDF("id"))
+    }
+    assert(ex.getMessage.contains("previous snapshot v1 is still live"),
+      s"wrong failure surfaced: ${ex.getMessage}")
+    // the previous version is untouched and still what read() returns
+    assert(healthy.currentVersion().contains(1L))
+    assert(healthy.read().as[Long].collect().sorted.toSeq == (1L to 10L))
+    // the aborted commit's files exist but are invisible; vacuum reclaims
+    healthy.vacuum(keepVersions = 1)
+    assert(healthy.read().count() == 10)
+  }
+
+  test("partitioned versioned table via Lakehouse: partition column round-trips") {
+    val lh = Lakehouse(spark, freshDir())
+    val vt = lh.versioned("orders_clean") // partitioned by order_date
+    val rows = Seq(
+      (1L, java.sql.Date.valueOf("2020-01-01"), 10.0),
+      (2L, java.sql.Date.valueOf("2020-01-02"), 20.0))
+    vt.commitOverwrite(rows.toDF("order_id", "order_date", "amount"))
+    val got = vt.read()
+    assert(got.columns.toSeq == Seq("order_id", "order_date", "amount"))
+    assert(got.as[(Long, java.sql.Date, Double)].collect().sortBy(_._1).toSeq == rows)
+  }
+
+  test("vacuum drops old versions and unreferenced commit dirs, keeps the live snapshot") {
+    val dir = freshDir()
+    val vt = VersionedTable(spark, dir)
+    vt.commitOverwrite((1L to 5L).toDF("id"))
+    vt.commitOverwrite((6L to 9L).toDF("id"))
+    vt.commitOverwrite((10L to 12L).toDF("id"))
+    vt.vacuum(keepVersions = 1)
+    assert(vt.versions() == Seq(3L))
+    // live snapshot intact; history is gone
+    assert(vt.read().as[Long].collect().sorted.toSeq == (10L to 12L))
+    intercept[IllegalArgumentException] { vt.readAt(1L) }
+    // only the referenced commit dir remains on disk
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length == 1, s"expected 1 commit dir, found ${dataDirs.length}")
+  }
+
+  test("empty-table commit round-trips schema") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(Seq.empty[(Long, String)].toDF("id", "v"))
+    val got = vt.read()
+    assert(got.count() == 0)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+}
