@@ -354,9 +354,9 @@ object LlmSimilarity {
   //
   // The index SCALES WITH THE CORPUS along both LSH axes:
   //  - band width: np = the smallest plane count (≥6, capped at 20)
-  //    with 2^np buckets of expected size ≤ KnnTargetBucket — so
-  //    per-table candidates stay ~(np+1)·KnnTargetBucket regardless of
-  //    corpus rows. A FIXED plane count makes the self-join O(n²/2^np),
+  //    with 2^np buckets of expected size ≤ the tier's target bucket —
+  //    so per-table candidates stay ~(np+1)·target regardless of corpus
+  //    rows. A FIXED plane count makes the self-join O(n²/2^np),
   //    quadratic again at scale. The formula is pure integer arithmetic
   //    (no log2 floats whose last-bit rounding could disagree across
   //    engines); the oracle derives np from COUNT(*) through an
@@ -367,13 +367,27 @@ object LlmSimilarity {
   //    probes its np Hamming-1 buckets. At the DESIGN similarity — the
   //    near-duplicate regime this join feeds (SemDeDup, similarity
   //    graphs; cos ≥ 0.95 → per-plane agreement p ≈ 0.9) — planted-
-  //    neighbor recall is 1-(1-(p^np + np·p^(np-1)(1-p)))^L ≈ 0.999 at
-  //    np=8, L=4. For uniform noise (top-3 here sits at cos ≈ 0.33) no
-  //    sublinear scheme holds recall — that's the LSH lower bound, not
-  //    a defect; the guarantee-bearing regime is the planted one, which
-  //    KnnJoinScaleSpec pins. For a fixed recall at ever-larger n the
-  //    theory says L ~ n^ρ (ρ<1): L is a constant here, surfaced as the
-  //    one knob a deployment would raise.
+  //    neighbor recall is 1-(1-(p^np + np·p^(np-1)(1-p)))^L ≈ 0.995 at
+  //    np=10, L=4 (0.999 at np=8). For uniform noise (top-3 here sits
+  //    at cos ≈ 0.33) no sublinear scheme holds recall — that's the LSH
+  //    lower bound, not a defect; the guarantee-bearing regime is the
+  //    planted one, which KnnJoinScaleSpec pins. For a fixed recall at
+  //    ever-larger n the theory says L ~ n^ρ (ρ<1): L is a constant
+  //    here, surfaced as the one knob a deployment would raise.
+  //
+  // TWO bucket-size tiers, because the two call shapes price recall
+  // differently:
+  //  - KnnTargetBucket=32 for qs02's query-time top-k: a handful of
+  //    probes each scan (np+1)·32 candidates — bucket size is cheap
+  //    there, and bigger buckets are the only recall lever in the
+  //    noise regime qs09 audits.
+  //  - JoinTargetBucket=8 for the SELF-join family (qs06/qd08/qd15):
+  //    every corpus vector is a probe, so candidate volume IS the
+  //    runtime — ~L·(np+1)·bucket cosines per vector. Paying 2 extra
+  //    planes (np+2) for 4× smaller buckets cuts the join's candidate
+  //    volume ~3-4× while the Hamming-1 OR-construction keeps planted
+  //    recall ≥ 0.995 (per-plane agreement, not bucket population,
+  //    carries the design-regime guarantee — the formula above).
   // A pair found by several (table, probe) routes is deduplicated
   // BEFORE ranking (distinct on the scored row — both engines compute
   // the identical double, so the dedup is exact). Bucket skew is
@@ -385,21 +399,26 @@ object LlmSimilarity {
   // sites): qs02's SQL string, declared above this line, reads them
   // during object init — plain vals would still be 0 there.
   private[queries] final val KnnTargetBucket = 32
+  private[queries] final val JoinTargetBucket = 8
   private[queries] final val KnnMaxPlanes = 20
   private[queries] final val KnnTables = 4
-  private[queries] def knnPlanes(n: Long): Int = {
+  private def planesFor(n: Long, target: Int): Int = {
     var np = 6
-    while (np < KnnMaxPlanes && (1L << np) * KnnTargetBucket < n) np += 1
+    while (np < KnnMaxPlanes && (1L << np) * target < n) np += 1
     np
   }
-  // same thresholds as knnPlanes, as a DuckDB CASE ladder over COUNT(*).
-  // A def, not a val: qs02's SQL (declared ABOVE this line) interpolates
-  // it during object init, and a val would still be null at that point —
+  private[queries] def knnPlanes(n: Long): Int = planesFor(n, KnnTargetBucket)
+  private[queries] def joinPlanes(n: Long): Int = planesFor(n, JoinTargetBucket)
+  // same thresholds as planesFor, as a DuckDB CASE ladder over COUNT(*).
+  // defs, not vals: qs02's SQL (declared ABOVE this line) interpolates
+  // during object init, and a val would still be null at that point —
   // the oracle would silently become `SELECT null AS np` and match nothing.
-  private def knnNpCase: String =
+  private def npCase(target: Int): String =
     (6 until KnnMaxPlanes)
-      .map(p => s"WHEN c <= ${(1L << p) * KnnTargetBucket} THEN $p")
+      .map(p => s"WHEN c <= ${(1L << p) * target} THEN $p")
       .mkString("CASE ", " ", s" ELSE $KnnMaxPlanes END")
+  private def knnNpCase: String = npCase(KnnTargetBucket)
+  private def joinNpCase: String = npCase(JoinTargetBucket)
   /** Full-avalanche 32-bit mix (the public xorshift-multiply finalizer
     * h = ((h>>16)^h)·0x45d9f3b, two rounds + final fold): every step is
     * a BIJECTION on Z_2^32 (xor-shift, odd multiply mod 2^32), so the
@@ -490,7 +509,7 @@ object LlmSimilarity {
   def knnJoin(e0: DataFrame): DataFrame = {
     // one count() to size the index — at scale this is a parquet
     // metadata pass, and real deployments know their corpus size anyway
-    val np = knnPlanes(e0.count())
+    val np = joinPlanes(e0.count())
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     knnCandidates(e0, np)
@@ -506,7 +525,7 @@ object LlmSimilarity {
     * over it — ONE definition of the candidate set across all three.
     */
   private[queries] val scaledCandCtes: String =
-    s"""np AS (SELECT $knnNpCase AS np FROM (SELECT COUNT(*) AS c FROM embeddings)),
+    s"""np AS (SELECT $joinNpCase AS np FROM (SELECT COUNT(*) AS c FROM embeddings)),
        |b AS (SELECT vec_id, embedding, r.t, ${dynBucket("embedding")} AS bucket
        |      FROM embeddings, np, range(0, $KnnTables) r(t)),
        |pr AS (SELECT vec_id, embedding, t,

@@ -7,7 +7,7 @@ import graft.SparkSuite
 /** Pins qs06's two scale contracts on synthetic corpora that straddle
   * the plane-count breakpoints:
   *
-  *  1. candidate volume per vector is governed by KnnTargetBucket, NOT
+  *  1. candidate volume per vector is governed by JoinTargetBucket, NOT
   *     corpus size — growing the corpus 4× past an np breakpoint must
   *     not grow per-vector candidates the way a fixed-plane LSH would
   *     (4×); that was round 6's scale defect.
@@ -32,9 +32,9 @@ class KnnJoinScaleSpec extends SparkSuite {
   test("candidate volume per vector survives a 4x corpus growth") {
     val small = corpus(2048, seed = 7)
     val big = corpus(8192, seed = 11)
-    val npSmall = LlmSimilarity.knnPlanes(small.size) // 6
-    val npBig = LlmSimilarity.knnPlanes(big.size) // 8
-    assert(npSmall == 6 && npBig == 8, "corpora must straddle an np breakpoint")
+    val npSmall = LlmSimilarity.joinPlanes(small.size) // 8 (2^8 * 8 = 2048)
+    val npBig = LlmSimilarity.joinPlanes(big.size) // 10 (2^10 * 8 = 8192)
+    assert(npSmall == 8 && npBig == 10, "corpora must straddle an np breakpoint")
     val avgSmall =
       LlmSimilarity.knnCandidates(df(small), npSmall).count().toDouble / small.size
     val avgBig =
@@ -44,15 +44,15 @@ class KnnJoinScaleSpec extends SparkSuite {
     assert(avgBig <= 2.0 * avgSmall,
       s"candidates/vector grew with the corpus: $avgSmall -> $avgBig")
     // and the absolute level is the designed one: L tables x (np+1)
-    // probes x a bucket that averages <= 2*KnnTargetBucket
-    val cap = LlmSimilarity.KnnTables * (npBig + 1) * 2.0 * LlmSimilarity.KnnTargetBucket
+    // probes x a bucket that averages <= 2*JoinTargetBucket
+    val cap = LlmSimilarity.KnnTables * (npBig + 1) * 2.0 * LlmSimilarity.JoinTargetBucket
     assert(avgBig <= cap, s"candidates/vector $avgBig above design cap $cap")
   }
 
   test("planted near-duplicates are recalled at >=90% through an np breakpoint") {
     val rnd = new scala.util.Random(13)
     def gauss(): Double = (0 until 12).map(_ => rnd.nextDouble()).sum - 6.0
-    val base = corpus(4000, seed = 17) // np=7: past the first breakpoint
+    val base = corpus(4000, seed = 17) // np=9: past a breakpoint
     // 200 twins: base + 0.3*noise -> cos ~ 0.96 against an 8-ish-norm base
     val twins = (0 until 200).map { i =>
       val b = base(i)._2
