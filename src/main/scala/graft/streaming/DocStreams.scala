@@ -64,6 +64,30 @@ object DocStreams {
       .dropDuplicates("_content_hash")
       .drop("_content_hash")
 
+  /** Horizon-bounded exact dedup for EVER-RUNNING crawls: like
+    * [[dedupNew]], first occurrence of each normalized content wins and
+    * later copies are dropped — but only while the copy lands within
+    * `horizon` of the original's event time. State is then EVICTED by
+    * the watermark (one hash entry lives `horizon`, not forever), so an
+    * unbounded crawl runs with bounded state; the documented trade is
+    * that a duplicate arriving after its original's horizon is
+    * RE-ADMITTED. Use this when the stream has no end; use [[dedupNew]]
+    * for finite backfills where exact history-wide dedup is the point
+    * (its state is the deliverable there), or the batch incremental
+    * join (LlmDedup.lshIncrementalPairs) when a persisted index exists.
+    *
+    * `tsCol` must be a TimestampType event-time column (the crawl's
+    * fetch/ingest instant). Same content key as [[dedupNew]] — the
+    * 16-byte unhexed md5 of normalized text — so the two variants agree
+    * on what "duplicate" means.
+    */
+  def dedupNewWithinHorizon(docs: DataFrame, tsCol: String, horizon: String): DataFrame =
+    docs
+      .withColumn("_content_hash", unhex(TextFns.contentHash(col("text"))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("_content_hash")
+      .drop("_content_hash")
+
   /** PII scrub: replace every email/phone/IPv4 match in the text with
     * its redaction token (qt11's expression). Stateless map.
     */

@@ -199,6 +199,50 @@ class DocStreamsSpec extends SparkSuite {
       "coupon-exact range: estimates are the true distinct counts")
   }
 
+  test("dedupNewWithinHorizon: dups drop inside the horizon; state evicts past it") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttldedup")
+    val schema = docSchema.add(StructField("ingest_ts", TimestampType))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def d(id: Long, text: String, at: String) =
+      (id, text, "en", "s0", text.length.toLong, ts(at))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "ingest_ts")
+
+    // batch 1: the original lands at 10:00
+    Seq(d(1L, goodText, "2026-01-01 10:00:00"))
+      .toDF(cols: _*).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = dedupNewWithinHorizon(stream, "ingest_ts", "10 minutes")
+      .writeStream.format("memory").queryName("ttldedup")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+
+    // batch 2: a copy at 10:05 — INSIDE the horizon, must drop (this is
+    // the batch-parity half: same verdict dedupNew/batch dedup gives).
+    // Doc 3 at 11:00 advances the watermark to 10:50 for batch 3,
+    // evicting doc 1's state entry (expired 10:10).
+    Seq(d(2L, goodText, "2026-01-01 10:05:00"),
+        d(3L, goodText + " fresh tail", "2026-01-01 11:00:00"))
+      .toDF(cols: _*).write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+
+    // batch 3: another copy at 10:55 — AFTER the original's horizon and
+    // above the 10:50 watermark: state was evicted, so it RE-ADMITS
+    Seq(d(4L, goodText, "2026-01-01 10:55:00"))
+      .toDF(cols: _*).write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+
+    val ids = spark.table("ttldedup").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L),
+      s"want in-horizon dup 2 dropped, post-horizon dup 4 re-admitted; got $ids")
+
+    // and the state store really shrank: after batch 3 only the NEW
+    // entries live (docs 3 and 4) — doc 1's entry is gone
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(stateRows == 2L, s"state rows $stateRows — horizon eviction must have run")
+  }
+
   test("distinctMonitor state stays register-bounded regardless of stream length") {
     // the monitor exists because dedupNew's exact state grows with
     // unique corpus size; the sketch state must not. 50k distinct
