@@ -1314,7 +1314,39 @@ object LlmDedup {
       .orderBy("cluster_id")
   }
 
+  // ---------------------------------------------------------------------
+  // qd23 — batch replay of the STREAMING distinct monitor
+  // (graft.streaming.DocStreams.distinctMonitor), run through the very
+  // same mapGroupsWithState operator in batch execution — so the code
+  // path the crawl monitor runs per trigger is itself oracle-gated, not
+  // just spec-pinned. Follows qd19's sketch-gating rule: sketch
+  // internals aren't replayable cross-engine, so the query emits the
+  // EXACT per-source distincts (hash-gated vs DuckDB) next to the
+  // monitor CONTRACT — the HLL estimate within 5% (or ±8) of exact, a
+  // ±3σ window at lgK=12 — as a boolean the oracle expects TRUE. The
+  // exact branch exists FOR the oracle; production keeps only the
+  // monitor's register-bounded state.
+  val qd23 = Q(
+    "qd23_distinct_monitor_replay",
+    """WITH f AS (SELECT source, md5(lower(text)) AS h FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_unique,
+      |  TRUE AS monitor_ok
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val mon = graft.streaming.DocStreams.distinctMonitor(d).toDF()
+    val exact = d
+      .select(col("source"), contentHash(col("text")).as("h"))
+      .groupBy("source").agg(countDistinct(col("h")).as("exact_unique"))
+    mon.join(exact, Seq("source"))
+      .select(col("source"), col("n_docs"), col("exact_unique"),
+        (abs(col("distinct_est").cast(DoubleType) - col("exact_unique").cast(DoubleType)) <=
+          greatest(lit(8.0), lit(0.05) * col("exact_unique").cast(DoubleType)))
+          .as("monitor_ok"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
-      qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20, qd21, qd22)
+      qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20, qd21, qd22, qd23)
 }
