@@ -180,30 +180,41 @@ final case class Lakehouse(
     * to provide.
     */
   def upsert(name: String, updates: DataFrame, keys: Seq[String],
-      orderCol: String): Unit = {
+      orderCol: String, partitionChunk: Int = 1000): Unit = {
+    require(partitionChunk > 0, s"partitionChunk must be positive, got $partitionChunk")
     val partCol = partitioning.getOrElse(name,
       throw new IllegalArgumentException(s"$name has no partition column registered"))
+    // the touched-value collect is bounded by the update batch's distinct
+    // partitions (one per date for the registered tables); the merge
+    // below is additionally CHUNKED so a pathological batch touching
+    // very many partitions never builds a single plan with a 100k-value
+    // isin predicate (Catalyst cost blows up long before driver memory
+    // does). Chunks are disjoint partition sets, so per-chunk merges
+    // compose to exactly the one-shot merge.
     val touched = updates.select(partCol).distinct().collect().map(_.get(0))
-    // isin(null) is NULL, never true — without the explicit isNull arm an
-    // update batch touching the null partition would exclude that
-    // partition's existing rows from the merge while dynamic overwrite
-    // still rewrites it, silently deleting them
-    val nonNull = touched.filter(_ != null)
-    val touchedPred = {
-      val in = if (nonNull.nonEmpty) col(partCol).isin(nonNull: _*) else lit(false)
-      if (touched.contains(null)) in || col(partCol).isNull else in
+    touched.grouped(partitionChunk).foreach { chunk =>
+      // isin(null) is NULL, never true — without the explicit isNull arm
+      // an update batch touching the null partition would exclude that
+      // partition's existing rows from the merge while dynamic overwrite
+      // still rewrites it, silently deleting them
+      val nonNull = chunk.filter(_ != null)
+      def touchedPred(c: org.apache.spark.sql.Column) = {
+        val in = if (nonNull.nonEmpty) c.isin(nonNull.toSeq: _*) else lit(false)
+        if (chunk.contains(null)) in || c.isNull else in
+      }
+      val existing = read(name).filter(touchedPred(col(partCol)))
+      // updates win exact-orderCol ties over existing rows (deterministic
+      // MERGE semantics, not partition-order luck)
+      val srcCol = graft.util.Names.fresh("_is_update", existing.columns)
+      val merged = graft.ops.CleanOps.dedupLatest(
+          existing.withColumn(srcCol, lit(0))
+            .unionByName(updates.filter(touchedPred(col(partCol)))
+              .select(existing.columns.map(col): _*)
+              .withColumn(srcCol, lit(1))),
+          keys, Seq(col(orderCol).desc, col(srcCol).desc))
+        .drop(srcCol)
+      overwritePartitions(name, merged)
     }
-    val existing = read(name).filter(touchedPred)
-    // updates win exact-orderCol ties over existing rows (deterministic
-    // MERGE semantics, not partition-order luck)
-    val srcCol = graft.util.Names.fresh("_is_update", existing.columns)
-    val merged = graft.ops.CleanOps.dedupLatest(
-        existing.withColumn(srcCol, lit(0))
-          .unionByName(updates.select(existing.columns.map(col): _*)
-            .withColumn(srcCol, lit(1))),
-        keys, Seq(col(orderCol).desc, col(srcCol).desc))
-      .drop(srcCol)
-    overwritePartitions(name, merged)
   }
 
   /** Training-data shard export: write `df` as exactly `nShards` files,

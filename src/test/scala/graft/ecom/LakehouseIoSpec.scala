@@ -90,6 +90,31 @@ class LakehouseIoSpec extends SparkSuite {
     assert(files(p => !p.contains("event_date=2025-01-05")) == untouchedBefore)
   }
 
+  test("upsert chunks a many-partition update batch into composable merges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-chunk").toString
+    val lh = Lakehouse(spark, dir)
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2025, 1, 1).plusDays(i))
+    // 20 partitions, 2 rows each (key = product_id, versioned by views)
+    val base = (0 until 20).flatMap(i =>
+      Seq((i * 10L, 1L, d(i)), (i * 10L + 1L, 1L, d(i))))
+      .toDF("product_id", "views", "event_date")
+    lh.write("product_metrics", base)
+    // the update batch touches ALL 20 partitions: one in-place update per
+    // partition plus one insert in partition 0. chunk=7 forces 3 merge
+    // passes whose partition sets are disjoint — the composed result must
+    // equal the one-shot merge.
+    val updates = (0 until 20).map(i => (i * 10L, 5L, d(i)))
+      .toDF("product_id", "views", "event_date")
+      .unionByName(Seq((999L, 5L, d(0))).toDF("product_id", "views", "event_date"))
+    lh.upsert("product_metrics", updates, Seq("product_id"), "views", partitionChunk = 7)
+    val after = lh.read("product_metrics")
+    assert(after.count() == 41) // 40 base rows (20 replaced in place) + 1 insert
+    assert(after.filter(col("views") === 5L).count() == 21, "every update applied")
+    assert(after.filter(col("product_id") % 10 === 1).count() == 20,
+      "non-updated rows survive in every chunk's partitions")
+  }
+
   test("overwritePartitions refreshes only the partitions present in the new data") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-refresh").toString
