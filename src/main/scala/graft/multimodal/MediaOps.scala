@@ -49,6 +49,11 @@ object MediaOps {
   /** One sampled video frame: parent media, frame index, frame payload. */
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
+  /** 64-bit perceptual hash of a decoded image (63 AC bits, bit 63
+    * always 0), with the decoded dims.
+    */
+  final case class ImagePhash(media_id: Long, width: Int, height: Int, phash: Long)
+
   /** Decoded-audio metadata + RMS loudness. */
   final case class DecodedAudio(
       media_id: Long,
@@ -328,6 +333,113 @@ object MediaOps {
       while (b < 8) { hist(b) /= pb; b += 1 }
       DecodedImage(id, width, height, 3, pb, hist)
     }
+  }
+
+  /** INTEGER 8-point DCT-II basis: T(u)(x) = round(16384·cos(π(2x+1)u/16)).
+    * Fixed-point so the whole pHash is exact 64-bit integer arithmetic —
+    * replayable bit-for-bit by the DuckDB oracle (a float DCT would hinge
+    * on cross-engine cos()/rounding agreement at the median-compare
+    * boundary). Bounds: |cell| < 2^18, |T| ≤ 2^14 ⟹ |coef| ≤ 64·2^46 < 2^53.
+    */
+  private[graft] val DctT: Array[Array[Long]] = Array(
+    Array(16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L),
+    Array(16069L, 13623L, 9102L, 3196L, -3196L, -9102L, -13623L, -16069L),
+    Array(15137L, 6270L, -6270L, -15137L, -15137L, -6270L, 6270L, 15137L),
+    Array(13623L, -3196L, -16069L, -9102L, 9102L, 16069L, 3196L, -13623L),
+    Array(11585L, -11585L, -11585L, 11585L, 11585L, -11585L, -11585L, 11585L),
+    Array(9102L, -16069L, 3196L, 13623L, -13623L, -3196L, 16069L, -9102L),
+    Array(6270L, -15137L, 15137L, -6270L, -6270L, 15137L, -15137L, 6270L),
+    Array(3196L, -9102L, 13623L, -16069L, 16069L, -13623L, 9102L, -3196L))
+
+  /** 8×8 DCT perceptual hash from a REAL BMP payload — the image twin of
+    * the text near-dup fingerprints (SimHash qd05): same container walk
+    * as [[Bmp.parse]], then
+    *  1. per-pixel integer gray = B+G+R (channel-order-free),
+    *  2. 8×8 average pooling, integer cells = (sum·256) div count,
+    *  3. integer 2D DCT-II ([[DctT]]),
+    *  4. bit k = (AC coefficient k > median of the 63 ACs).
+    * All arithmetic is exact integer, so both engines derive the
+    * identical hash from the raw bytes. Returns None when the decoded
+    * grid is narrower than the 8×8 pooling (w or h < 8): a sub-8-pixel
+    * image has no meaningful 64-cell structure, and pooling would hit
+    * empty cells.
+    */
+  def bmpPhash(id: Long, bmp: Array[Byte]): Option[ImagePhash] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    require(bmp.length >= 54, s"media $id: truncated BMP (${bmp.length} bytes)")
+    val bb = ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, s"media $id: not a BMP")
+    bb.getInt; bb.getInt
+    val dataOffset = bb.getInt
+    require(bb.getInt >= 40, s"media $id: pre-DIB header unsupported")
+    val width = bb.getInt
+    val height = bb.getInt
+    require(width > 0 && height > 0, s"media $id: top-down/degenerate BMP unsupported")
+    require(bb.getShort == 1, s"media $id: planes != 1")
+    require(bb.getShort == 24, s"media $id: only 24-bit BMP supported")
+    require(bb.getInt == 0, s"media $id: compressed BMP unsupported")
+    val rowSizeL = (width.toLong * 3 + 3) / 4 * 4
+    require(dataOffset >= 54 && dataOffset <= bmp.length &&
+      rowSizeL <= (bmp.length - dataOffset).toLong / height,
+      s"media $id: pixel data out of bounds")
+    val rowSize = rowSizeL.toInt
+    if (width < 8 || height < 8) None
+    else {
+      val cellSum = Array.ofDim[Long](8, 8)
+      val cellCnt = Array.ofDim[Long](8, 8)
+      var y = 0
+      while (y < height) {
+        // file rows run bottom-up; y is the LOGICAL (top-down) row —
+        // spatial position matters here, unlike parse's histogram
+        val base = dataOffset + (height - 1 - y) * rowSize
+        val i = y * 8 / height
+        var x = 0
+        while (x < width) {
+          val g = (bmp(base + 3 * x) & 0xff) + (bmp(base + 3 * x + 1) & 0xff) +
+            (bmp(base + 3 * x + 2) & 0xff)
+          val j = x * 8 / width
+          cellSum(i)(j) += g
+          cellCnt(i)(j) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cell = Array.tabulate(8, 8)((i, j) => cellSum(i)(j) * 256 / cellCnt(i)(j))
+      // 63 AC coefficients, k = u*8 + v - 1 (DC (0,0) skipped)
+      val ac = new Array[Long](63)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) {
+            var c = 0L
+            var i = 0
+            while (i < 8) {
+              var j = 0
+              while (j < 8) { c += cell(i)(j) * DctT(u)(j) * DctT(v)(i); j += 1 }
+              i += 1
+            }
+            ac(u * 8 + v - 1) = c
+          }
+          v += 1
+        }
+        u += 1
+      }
+      val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+      val med = sorted(31) // 32nd smallest of 63 = the median
+      var hash = 0L
+      var k = 0
+      while (k < 63) { if (ac(k) > med) hash |= 1L << k; k += 1 }
+      Some(ImagePhash(id, width, height, hash))
+    }
+  }
+
+  /** Perceptual hashes for BMP payloads; sub-8×8 images drop (see
+    * [[bmpPhash]]).
+    */
+  def decodePhashes(media: Dataset[MediaRow]): Dataset[ImagePhash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.flatMap(m => bmpPhash(m.media_id, m.payload)))
   }
 
   /** Wrap each payload in a real BMP container (same ingest-side

@@ -357,5 +357,127 @@ object LlmMultimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(qm01, qm02, qm03, qm04, qm05, qm06, qm07, qm08, qm09)
+  // ---------------------------------------------------------------------
+  // qm10/qm11 — image PERCEPTUAL near-dup: the image twin of the text
+  // near-dup family (SimHash qd05/qd10). qm10 lands the 8×8-DCT pHash
+  // relation from REAL BMP decodes (MediaOps.bmpPhash: container walk →
+  // integer gray → 8×8 average pooling → fixed-point integer DCT-II →
+  // median-threshold bits); qm11 mines near-dup pairs from it with
+  // qd10's banding anatomy widened by Hamming-ball probing: 4 bands of
+  // 16 bits, probe side explodes each band key's Hamming-≤2 ball (137
+  // keys/band), so a pair at distance ≤ 10 has — by pigeonhole — some
+  // band with ≤ floor(10/4) = 2 flipped bits and is REACHED EXACTLY
+  // (recall 1.0 at the τ=10 verify, PhashBandingSpec pins it vs brute
+  // force). The oracle therefore replays qm11 as the brute-force
+  // all-pairs join over its own re-derived hashes — a stronger check
+  // than replaying the banding: it proves the probe construction loses
+  // nothing. Every arithmetic step is 64-bit integer (fixed-point DCT
+  // table shared from MediaOps.DctT — ONE source for Scala and SQL), so
+  // the hashes agree bit-for-bit.
+  //
+  // 100 TB shape: hashing is one mapPartitions decode pass; the join
+  // shuffles band keys only (548 probe rows/image — the Manku-style
+  // block-combination layout cuts that constant if needed; same plan
+  // family). Never all-pairs: PlanSpec's cartesian audit covers qm11.
+  private val PhashMaxHamming = 10
+  private val PhashProbeDeltas: Seq[Long] =
+    Seq(0L) ++ (0 until 16).map(1L << _) ++
+      (for { p <- 0 until 16; q <- p + 1 until 16 } yield (1L << p) | (1L << q))
+
+  // DuckDB CTE prefix re-deriving the pHash relation `hsh(media_id, w,
+  // h, phash)` from the raw document bytes + the public BMP grid rule
+  // (build→parse is identity on pixel content, qm08's argument).
+  private val dctLit: String = MediaOps.DctT
+    .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  private val phashCtes: String =
+    s"""m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |        CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |      FROM documents WHERE doc_id % 3 = 0),
+       |g0 AS (SELECT media_id, hx, n, GREATEST(1, (n+2)//3) AS npix FROM m),
+       |g1 AS (SELECT media_id, hx, n, npix,
+       |         GREATEST(1, CAST(FLOOR(SQRT(CAST(npix AS DOUBLE))) AS BIGINT)) AS w FROM g0),
+       |d AS (SELECT media_id, hx, n, w, (npix + w - 1)//w AS h FROM g1
+       |      WHERE w >= 8 AND (npix + w - 1)//w >= 8),
+       |b AS (SELECT media_id, w, h,
+       |        list_transform(range(1, w*h*3+1),
+       |          i -> CASE WHEN i <= n THEN CAST(('0x' || substr(hx, CAST(2*i-1 AS INT), 2)) AS BIGINT)
+       |                    ELSE 0 END) AS bytes
+       |      FROM d),
+       |cv AS (SELECT media_id, w, h,
+       |         list_transform(range(0, 64), q ->
+       |           (list_sum(list_transform(
+       |              list_filter(range(0, w*h),
+       |                p -> ((p // w) * 8) // h = q // 8 AND ((p % w) * 8) // w = q % 8),
+       |              p -> bytes[CAST(3*p+1 AS INT)] + bytes[CAST(3*p+2 AS INT)] + bytes[CAST(3*p+3 AS INT)])) * 256)
+       |           // len(list_filter(range(0, w*h),
+       |                p -> ((p // w) * 8) // h = q // 8 AND ((p % w) * 8) // w = q % 8))) AS cell
+       |       FROM b),
+       |acs AS (SELECT media_id, w, h,
+       |         list_transform(range(1, 64), t ->
+       |           list_sum(list_transform(range(0, 64), q ->
+       |             cell[CAST(q+1 AS INT)]
+       |               * ($dctLit)[CAST(t//8+1 AS INT)][CAST(q%8+1 AS INT)]
+       |               * ($dctLit)[CAST(t%8+1 AS INT)][CAST(q//8+1 AS INT)]))) AS coefs
+       |       FROM cv),
+       |ph AS (SELECT media_id, w, h, coefs, list_sort(coefs)[32] AS med FROM acs),
+       |hsh AS (SELECT media_id, w, h,
+       |          CAST(list_sum(list_transform(range(0, 63),
+       |            k -> CASE WHEN coefs[CAST(k+1 AS INT)] > med
+       |                      THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+       |        FROM ph)""".stripMargin
+
+  /** qm11 core over any ImagePhash-shaped frame (media_id, phash):
+    * Hamming-≤2 ball band probing + τ-verify. Factored out so
+    * PhashBandingSpec can pin banded == brute-force on planted corpora.
+    */
+  def phashNearDupPairs(sig: DataFrame, tau: Int = PhashMaxHamming): DataFrame = {
+    require(tau <= 11, s"4x16 bands with Hamming-2 probes guarantee recall only to 11, got $tau")
+    val bandKeys = array((0 until 4).map(b =>
+      shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val index = sig.select(col("media_id"), col("phash"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+    // the probe ball stays an ARRAY transform over one literal (codegen
+    // stays method-sized; 137 inlined XOR expressions would not — qs08's
+    // JIT lesson)
+    val probes = index.select(col("media_id"), col("phash"), col("band"),
+      explode(transform(typedlit(PhashProbeDeltas),
+        dlt => col("band_key").bitwiseXOR(dlt))).as("band_key"))
+    probes.as("a")
+      .join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= tau)
+      .orderBy("hamming", "id_a", "id_b")
+  }
+
+  val qm10 = Q(
+    "qm10_image_phash",
+    s"""WITH $phashCtes
+       |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, phash
+       |FROM hsh ORDER BY media_id""".stripMargin) { (s, dir) =>
+    MediaOps.decodePhashes(
+        MediaOps.wrapAsBmp(media(s, dir).filter(col("kind") === "image")))
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("phash"))
+      .orderBy("media_id")
+  }
+
+  val qm11 = Q(
+    "qm11_phash_neardup",
+    s"""WITH $phashCtes
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+       |ORDER BY hamming, id_a, id_b""".stripMargin) { (s, dir) =>
+    phashNearDupPairs(
+      MediaOps.decodePhashes(
+        MediaOps.wrapAsBmp(media(s, dir).filter(col("kind") === "image"))).toDF())
+  }
+
+  val all: Seq[Q] =
+    Seq(qm01, qm02, qm03, qm04, qm05, qm06, qm07, qm08, qm09, qm10, qm11)
 }
