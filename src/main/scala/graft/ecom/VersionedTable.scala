@@ -79,15 +79,34 @@ final case class VersionedTable(
   def currentVersion(): Option[Long] = versions().lastOption
 
   /** Commit `df` as a new version that REPLACES the table contents. */
-  def commitOverwrite(df: DataFrame): Long = commit(df, replace = true)
+  def commitOverwrite(df: DataFrame): Long = commit(df, replace = true, batch = None)
 
   /** Commit `df` as a new version that APPENDS to the current contents.
     * The new version's schema is `df`'s; older commits' files are read
     * back through it (missing columns null-filled, extra ones dropped).
     */
-  def commitAppend(df: DataFrame): Long = commit(df, replace = false)
+  def commitAppend(df: DataFrame): Long = commit(df, replace = false, batch = None)
 
-  private def commit(df: DataFrame, replace: Boolean): Long = {
+  /** The streaming-sink commit: append `df` as the version for micro-
+    * batch `batchId`, EXACTLY ONCE — if the current manifest already
+    * records `batchId` (a foreachBatch replay after a crash between
+    * commit and checkpoint advance), nothing is written and None
+    * returns. foreachBatch replays only the LAST batch, so checking the
+    * head manifest suffices; a crash mid-commit (files written, manifest
+    * not renamed) leaves the batch unrecorded and the replay re-commits,
+    * with the half-written files invisible until vacuum.
+    */
+  def commitAppendBatch(df: DataFrame, batchId: Long): Option[Long] =
+    if (currentBatchId().contains(batchId)) None
+    else Some(commit(df, replace = false, batch = Some(batchId)))
+
+  /** The micro-batch id recorded by the newest version, if it was
+    * committed through [[commitAppendBatch]].
+    */
+  def currentBatchId(): Option[Long] =
+    currentVersion().flatMap(v => readManifest(v)._2)
+
+  private def commit(df: DataFrame, replace: Boolean, batch: Option[Long]): Long = {
     fs.mkdirs(new Path(logDir))
     // 1. write the data files into a commit dir no manifest references —
     //    invisible to every reader until the manifest rename publishes it
@@ -106,9 +125,9 @@ final case class VersionedTable(
       val next = prev.getOrElse(0L) + 1
       val carried =
         if (replace) Seq.empty[String]
-        else prev.map(v => readManifest(v)._2).getOrElse(Seq.empty)
+        else prev.map(v => readManifest(v)._3).getOrElse(Seq.empty)
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, df.schema.json, carried ++ newFiles)
+      writeManifest(tmp, df.schema.json, batch, carried ++ newFiles)
       if (fs.rename(tmp, manifestPath(next))) return next
       fs.delete(tmp, false)
       attempt += 1
@@ -132,7 +151,7 @@ final case class VersionedTable(
     * [[vacuum]] removes them.
     */
   def readAt(version: Long): DataFrame = {
-    val (schema, files) = readManifest(version)
+    val (schema, _, files) = readManifest(version)
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
@@ -166,7 +185,7 @@ final case class VersionedTable(
     val dropped = vs.dropRight(keepVersions)
     val kept = vs.takeRight(keepVersions)
     val referenced: Set[String] =
-      kept.flatMap(v => readManifest(v)._2).map(_.split('/').take(2).mkString("/")).toSet
+      kept.flatMap(v => readManifest(v)._3).map(_.split('/').take(2).mkString("/")).toSet
     dropped.foreach { v =>
       require(fs.delete(manifestPath(v), false), s"vacuum: could not delete manifest v$v")
     }
@@ -203,17 +222,22 @@ final case class VersionedTable(
     buf.toSeq.sorted
   }
 
-  private def writeManifest(at: Path, schemaJson: String, files: Seq[String]): Unit = {
+  private def writeManifest(at: Path, schemaJson: String, batch: Option[Long],
+      files: Seq[String]): Unit = {
     val out = fs.create(at, true)
     try {
       val sb = new StringBuilder("graft-manifest-v1\n")
       sb.append("schema:").append(schemaJson).append('\n')
+      batch.foreach(b => sb.append("batch:").append(b).append('\n'))
       files.foreach(f => sb.append("file:").append(f).append('\n'))
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
   }
 
-  private def readManifest(version: Long): (StructType, Seq[String]) = {
+  /** (schema, streaming batch id if any, file list). Unknown header
+    * lines are ignored for forward compatibility.
+    */
+  private def readManifest(version: Long): (StructType, Option[Long], Seq[String]) = {
     val p = manifestPath(version)
     require(fs.exists(p),
       s"version $version of $tableDir does not exist (never committed, or vacuumed)")
@@ -225,7 +249,8 @@ final case class VersionedTable(
     require(lines.headOption.contains("graft-manifest-v1"),
       s"unrecognized manifest header in $p")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema:")).asInstanceOf[StructType]
-    val files = lines.drop(2).filter(_.startsWith("file:")).map(_.stripPrefix("file:"))
-    (schema, files)
+    val batch = lines.find(_.startsWith("batch:")).map(_.stripPrefix("batch:").toLong)
+    val files = lines.filter(_.startsWith("file:")).map(_.stripPrefix("file:"))
+    (schema, batch, files)
   }
 }

@@ -34,4 +34,23 @@ object Sinks {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Exactly-once landing into a [[graft.ecom.VersionedTable]]: each
+    * micro-batch becomes ONE atomic table version via
+    * `commitAppendBatch`, which records the batch id in the manifest
+    * and makes a foreachBatch REPLAY (at-least-once delivery after a
+    * crash between commit and checkpoint advance) a no-op instead of a
+    * duplicate version. Compared to [[idempotentPartitioned]] this
+    * buys concurrent-reader snapshot isolation and time travel for the
+    * landed stream — batch readers pin a version while the stream
+    * keeps committing; `readAt` replays any retained trigger's state.
+    */
+  def versionedAppend(df: DataFrame, table: graft.ecom.VersionedTable,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        table.commitAppendBatch(batch, batchId): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

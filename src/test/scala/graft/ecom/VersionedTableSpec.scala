@@ -115,6 +115,31 @@ class VersionedTableSpec extends SparkSuite {
     assert(dataDirs.length == 1, s"expected 1 commit dir, found ${dataDirs.length}")
   }
 
+  test("versionedAppend: one atomic version per trigger; a replayed batch commits nothing") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val vt = VersionedTable(spark, s"$dir/tbl")
+    val in = s"$dir/in"
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(in)
+    val q = graft.streaming.Sinks.versionedAppend(
+      spark.readStream.schema(schema).parquet(in), vt, s"$dir/ckpt")
+    q.processAllAvailable()
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    assert(vt.versions().size == 2, s"one version per trigger, got ${vt.versions()}")
+    assert(vt.read().as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // foreachBatch replay: the SAME batch id must be a no-op…
+    val last = vt.currentBatchId().get
+    assert(vt.commitAppendBatch(Seq((3L, "c")).toDF("id", "v"), last).isEmpty)
+    assert(vt.versions().size == 2 && vt.read().count() == 3, "replay must not duplicate")
+    // …while the next batch id commits normally
+    assert(vt.commitAppendBatch(Seq((4L, "d")).toDF("id", "v"), last + 1).isDefined)
+    assert(vt.read().count() == 4)
+  }
+
   test("empty-table commit round-trips schema") {
     val vt = VersionedTable(spark, freshDir())
     vt.commitOverwrite(Seq.empty[(Long, String)].toDF("id", "v"))
