@@ -7,8 +7,8 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
 
 /** Minimal versioned parquet+manifest table format — the observable
   * Delta-Lake semantics the reference claims (`README.md:10` "ACID
@@ -40,6 +40,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    pinned before a concurrent overwrite keeps reading its snapshot.
   *  - '''Time travel''': [[readAt]] replays any retained version
   *    byte-identically, because data files are immutable.
+  *  - '''Data skipping''': with `statsColumns` set, each commit records
+  *    per-file [min, max] for those (integral) columns in the manifest,
+  *    and [[readRange]] prunes whole files whose range cannot match —
+  *    Delta's file-statistics skipping on the manifest layer. Stats are
+  *    advisory: a file without them is read conservatively, and the
+  *    exact predicate is always applied on top.
   *
   * Concurrent writers use optimistic concurrency exactly like Delta's
   * log: both compute `next = current + 1`; the filesystem `rename`
@@ -56,7 +62,8 @@ final case class VersionedTable(
     spark: SparkSession,
     tableDir: String,
     format: String = "parquet",
-    partitionCol: Option[String] = None) {
+    partitionCol: Option[String] = None,
+    statsColumns: Seq[String] = Nil) {
 
   private val logDir = s"$tableDir/_graft_log"
   private def fs: FileSystem =
@@ -104,7 +111,7 @@ final case class VersionedTable(
     * committed through [[commitAppendBatch]].
     */
   def currentBatchId(): Option[Long] =
-    currentVersion().flatMap(v => readManifest(v)._2)
+    currentVersion().flatMap(v => readManifest(v).batch)
 
   private def commit(df: DataFrame, replace: Boolean, batch: Option[Long]): Long = {
     fs.mkdirs(new Path(logDir))
@@ -115,6 +122,7 @@ final case class VersionedTable(
     val w = df.write.format(format).mode(SaveMode.ErrorIfExists)
     partitionCol.fold(w)(w.partitionBy(_)).save(commitAbs)
     val newFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
+    val newStats = collectFileStats(df, commitRel, commitAbs)
     // 2. CAS publish loop: losing a race surfaces as rename->false (the
     //    destination version already exists); re-read the log and retry
     //    one version higher. A rename refused for any OTHER reason also
@@ -123,11 +131,12 @@ final case class VersionedTable(
     while (true) {
       val prev = currentVersion()
       val next = prev.getOrElse(0L) + 1
-      val carried =
-        if (replace) Seq.empty[String]
-        else prev.map(v => readManifest(v)._3).getOrElse(Seq.empty)
+      val carriedM = if (replace) None else prev.map(readManifest)
+      val carried = carriedM.fold(Seq.empty[String])(_.files)
+      val carriedStats = carriedM.fold(Map.empty[String, Map[String, (Long, Long)]])(_.stats)
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, df.schema.json, batch, carried ++ newFiles)
+      writeManifest(tmp, df.schema.json, batch, carried ++ newFiles,
+        carriedStats ++ newStats)
       if (fs.rename(tmp, manifestPath(next))) return next
       fs.delete(tmp, false)
       attempt += 1
@@ -151,7 +160,36 @@ final case class VersionedTable(
     * [[vacuum]] removes them.
     */
   def readAt(version: Long): DataFrame = {
-    val (schema, _, files) = readManifest(version)
+    val m = readManifest(version)
+    loadFiles(m.schema, m.files)
+  }
+
+  /** Data-skipping read: the rows of the current version with
+    * `lo <= column <= hi`, touching ONLY the files whose committed
+    * per-file [min, max] for `column` can overlap the range — Delta's
+    * file-statistics pruning on the manifest layer. Files with no
+    * recorded stats for `column` (all-null file, or committed before
+    * the column joined [[statsColumns]]) are read conservatively; the
+    * exact predicate is applied on top either way, so pruning can only
+    * remove IO, never rows.
+    */
+  def readRange(column: String, lo: Long, hi: Long): DataFrame =
+    readRangeAt(currentVersion().getOrElse(
+      throw new IllegalArgumentException(s"$tableDir has no committed version")),
+      column, lo, hi)
+
+  def readRangeAt(version: Long, column: String, lo: Long, hi: Long): DataFrame = {
+    val m = readManifest(version)
+    val keep = m.files.filter { f =>
+      m.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    loadFiles(m.schema, keep).filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  private def loadFiles(schema: StructType, files: Seq[String]): DataFrame =
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
@@ -170,7 +208,6 @@ final case class VersionedTable(
       // type inference for non-inferable originals like string dates)
       unioned.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     }
-  }
 
   /** Drop all but the newest `keepVersions` manifests and every commit
     * dir no retained manifest references. This — and only this — breaks
@@ -185,7 +222,7 @@ final case class VersionedTable(
     val dropped = vs.dropRight(keepVersions)
     val kept = vs.takeRight(keepVersions)
     val referenced: Set[String] =
-      kept.flatMap(v => readManifest(v)._3).map(_.split('/').take(2).mkString("/")).toSet
+      kept.flatMap(v => readManifest(v).files).map(_.split('/').take(2).mkString("/")).toSet
     dropped.foreach { v =>
       require(fs.delete(manifestPath(v), false), s"vacuum: could not delete manifest v$v")
     }
@@ -222,22 +259,81 @@ final case class VersionedTable(
     buf.toSeq.sorted
   }
 
+  /** Per-file [min, max] of each stats column for the files just
+    * written — the data-skipping metadata [[readRange]] prunes on. One
+    * read-back scan of the NEW files only (Delta collects these inline
+    * during the write; a post-scan of the committed batch is the
+    * jar-free equivalent, and costs one pass over the batch, never the
+    * table). Restricted to integral-typed columns: min/max serialize as
+    * longs, exact in both the manifest text and the prune compare.
+    * All-null files get no entry (conservatively read). Keyed by the
+    * manifest-relative file path.
+    */
+  private def collectFileStats(df: DataFrame, commitRel: String,
+      commitAbs: String): Map[String, Map[String, (Long, Long)]] = {
+    if (statsColumns.isEmpty) Map.empty
+    else {
+      val integral: Set[Any] = Set(LongType, IntegerType, ShortType, ByteType)
+      // partition columns are legal stats columns (basePath read restores
+      // them), so validate against the read-back schema, not df's alone
+      val back = spark.read.format(format).option("basePath", commitAbs).load(commitAbs)
+      statsColumns.foreach { c =>
+        val f = back.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"stats column $c not in committed schema"))
+        require(integral.contains(f.dataType),
+          s"stats column $c is ${f.dataType.simpleString}; only integral types " +
+            "serialize exactly in the manifest")
+      }
+      val aggs = statsColumns.flatMap(c => Seq(
+        min(col(c).cast(LongType)).as(s"_mn_$c"), max(col(c).cast(LongType)).as(s"_mx_$c")))
+      val base = new Path(commitAbs).toUri.getPath
+      back.groupBy(input_file_name().as("_f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+          require(abs.startsWith(base + "/"), s"stats file $abs escapes commit dir")
+          val rel = s"$commitRel/${abs.drop(base.length + 1)}"
+          rel -> statsColumns.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(1 + 2 * i)) None // all-null file: no prunable range
+            else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+          }.toMap
+        }
+        .filter(_._2.nonEmpty)
+        .toMap
+    }
+  }
+
   private def writeManifest(at: Path, schemaJson: String, batch: Option[Long],
-      files: Seq[String]): Unit = {
+      files: Seq[String], stats: Map[String, Map[String, (Long, Long)]]): Unit = {
     val out = fs.create(at, true)
     try {
       val sb = new StringBuilder("graft-manifest-v1\n")
       sb.append("schema:").append(schemaJson).append('\n')
       batch.foreach(b => sb.append("batch:").append(b).append('\n'))
-      files.foreach(f => sb.append("file:").append(f).append('\n'))
+      files.foreach { f =>
+        sb.append("file:").append(f).append('\n')
+        // stats ride next to their file line: col \t min \t max \t path
+        // (path LAST — it is the only field that could ever be exotic)
+        stats.get(f).toSeq.flatMap(_.toSeq).sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          sb.append("stats:").append(c).append('\t').append(mn).append('\t')
+            .append(mx).append('\t').append(f).append('\n')
+        }
+      }
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
   }
 
-  /** (schema, streaming batch id if any, file list). Unknown header
-    * lines are ignored for forward compatibility.
+  /** A parsed manifest. Unknown line prefixes are ignored for forward
+    * compatibility.
     */
-  private def readManifest(version: Long): (StructType, Option[Long], Seq[String]) = {
+  private case class Manifest(
+      schema: StructType,
+      batch: Option[Long],
+      files: Seq[String],
+      stats: Map[String, Map[String, (Long, Long)]])
+
+  private def readManifest(version: Long): Manifest = {
     val p = manifestPath(version)
     require(fs.exists(p),
       s"version $version of $tableDir does not exist (never committed, or vacuumed)")
@@ -251,6 +347,14 @@ final case class VersionedTable(
     val schema = DataType.fromJson(lines(1).stripPrefix("schema:")).asInstanceOf[StructType]
     val batch = lines.find(_.startsWith("batch:")).map(_.stripPrefix("batch:").toLong)
     val files = lines.filter(_.startsWith("file:")).map(_.stripPrefix("file:"))
-    (schema, batch, files)
+    val stats = lines.filter(_.startsWith("stats:"))
+      .map { l =>
+        val parts = l.stripPrefix("stats:").split('\t')
+        require(parts.length == 4, s"malformed stats line in $p: $l")
+        (parts(3), parts(0), parts(1).toLong, parts(2).toLong)
+      }
+      .groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(r => r._2 -> (r._3, r._4)).toMap }
+    Manifest(schema, batch, files, stats)
   }
 }

@@ -3,6 +3,7 @@ package graft.ecom
 import java.nio.file.Files
 
 import org.apache.hadoop.fs.{FileSystem, Path, RawLocalFileSystem}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SparkSuite
 
@@ -171,6 +172,34 @@ class VersionedTableSpec extends SparkSuite {
     // the gold partition column survives the versioned round-trip
     assert(vt.read().select("event_date").distinct().count() >
       vt.readAt(1L).select("event_date").distinct().count())
+  }
+
+  test("readRange prunes files by committed min/max stats, never rows") {
+    val vt = VersionedTable(spark, freshDir(), statsColumns = Seq("id"))
+    // 4 range-partitioned files -> disjoint committed id ranges
+    val data = spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id") * 7L)
+      .repartitionByRange(4, col("id"))
+    vt.commitOverwrite(data)
+    val all = vt.read()
+    assert(all.inputFiles.length == 4)
+
+    // a range inside one file's span must touch ~1 file, not 4
+    val pruned = vt.readRange("id", 100L, 200L)
+    assert(pruned.inputFiles.length < 4,
+      s"stats pruning must drop files: read ${pruned.inputFiles.length} of 4")
+    // and pruning removes IO only — rows match the unpruned filter exactly
+    val want = all.filter(col("id").between(100L, 200L))
+      .collect().map(_.toSeq).toSet
+    assert(pruned.collect().map(_.toSeq).toSet == want)
+
+    // append WITHOUT overlapping ids: old files' stats carry forward
+    vt.commitAppend(spark.range(10000, 10100).toDF("id").withColumn("v", lit(0L)))
+    val pruned2 = vt.readRange("id", 100L, 200L)
+    assert(pruned2.inputFiles.length < vt.read().inputFiles.length)
+    assert(pruned2.collect().map(_.toSeq).toSet == want)
+    // the appended range is itself reachable
+    assert(vt.readRange("id", 10000L, 10050L).count() == 51L)
   }
 
   test("empty-table commit round-trips schema") {
