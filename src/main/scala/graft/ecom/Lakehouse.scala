@@ -33,7 +33,19 @@ final case class Lakehouse(
     "session_metrics" -> "session_date")
 
   def write(name: String, df: DataFrame): Unit = {
-    val w = df.write.format(format).mode(SaveMode.Overwrite)
+    // cluster partitioned writes by the partition column BEFORE writing:
+    // without it every shuffle task writes a sliver into every date dir
+    // (tasks × dates files — the small-files problem at birth, and the
+    // reason compact() exists); clustered, each date lands in exactly
+    // one task → one well-sized file per dir. This is the optimize-
+    // on-write shape. Caveat: a single-date refresh collapses to one
+    // task — for hot-partition incremental refreshes use
+    // overwritePartitions, which keeps the input's parallelism.
+    val out = partitioning.get(name) match {
+      case Some(p) => df.repartition(col(p))
+      case None => df
+    }
+    val w = out.write.format(format).mode(SaveMode.Overwrite)
     partitioning.get(name).fold(w)(w.partitionBy(_)).save(s"$warehouseDir/$name")
   }
 
