@@ -24,6 +24,24 @@ class AggOpsSpec extends SparkSuite {
     assert(got == Seq(Some(100.0), Some(25.0), None))
   }
 
+  test("DqOps.run fuses row-predicate checks into one pass, same counts as the query form") {
+    val df = Seq((1, -5.0), (2, 3.0), (2, 7.0), (3, -1.0)).toDF("id", "revenue")
+    val negPred = col("revenue") < 0
+    val mixed = Seq(
+      DqOps.DqCheck("nonneg", d => d.filter(negPred), Some(negPred)),
+      // grouped check: no predicate, keeps its own query
+      DqOps.DqCheck("id_unique",
+        d => d.groupBy("id").count().filter(col("count") > 1)),
+      DqOps.DqCheck("ids_positive", d => d.filter(col("id") <= 0), Some(col("id") <= 0)))
+    val got = DqOps.run(df, mixed).map(r => r.name -> r.badCount)
+    // fused counts equal each check's own badRows query
+    assert(got == mixed.map(c => c.name -> c.badRows(df).count()))
+    assert(got == Seq("nonneg" -> 2L, "id_unique" -> 1L, "ids_positive" -> 0L))
+    // empty input: sum-over-zero-rows is NULL, must read back as 0 bad
+    val empty = df.filter(col("id") < 0)
+    assert(DqOps.run(empty, mixed).forall(_.passed))
+  }
+
   test("DqOps.enforce raises with failing check names") {
     val df = Seq((1, -5.0), (2, 3.0)).toDF("id", "revenue")
     val checks = Seq(
