@@ -31,6 +31,10 @@ object DqOps {
     * rest run their own query.
     */
   def run(df: DataFrame, checks: Seq[DqCheck]): Seq[DqResult] = {
+    // names key the fused-aggregate columns and the result attribution —
+    // a duplicate would silently report one check's count as another's
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name).mkString(", ")}")
     val rowChecks = checks.filter(_.rowPredicate.isDefined)
     val fused: Map[String, Long] =
       if (rowChecks.isEmpty) Map.empty
