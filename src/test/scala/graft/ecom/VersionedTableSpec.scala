@@ -19,6 +19,20 @@ class FaultyManifestFs extends RawLocalFileSystem {
     else super.rename(src, dst)
 }
 
+/** Refuses only the FIRST manifest publish, then passes everything —
+  * the transient-failure shape (quota race, FS hiccup) the CAS loop's
+  * retry exists for.
+  */
+class FlakyManifestFs extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flakyman:///")
+  override def rename(src: Path, dst: Path): Boolean =
+    if (dst.getName.endsWith(".manifest") && FlakyManifestFs.refusals.getAndDecrement() > 0) false
+    else super.rename(src, dst)
+}
+object FlakyManifestFs {
+  val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Pins the versioned table format's three Delta-observable properties:
   * atomic publish (a refused commit leaves the previous snapshot live),
   * snapshot isolation (a pinned reader survives a concurrent
@@ -86,6 +100,18 @@ class VersionedTableSpec extends SparkSuite {
     // the aborted commit's files exist but are invisible; vacuum reclaims
     healthy.vacuum(keepVersions = 1)
     assert(healthy.read().count() == 10)
+  }
+
+  test("a transient manifest-rename refusal is retried and the commit still lands") {
+    spark.sparkContext.hadoopConfiguration
+      .setClass("fs.flakyman.impl", classOf[FlakyManifestFs], classOf[FileSystem])
+    val local = freshDir()
+    val vt = VersionedTable(spark, s"flakyman:$local")
+    FlakyManifestFs.refusals.set(1) // exactly one refusal, then healthy
+    assert(vt.commitOverwrite((1L to 5L).toDF("id")) == 1L)
+    assert(vt.read().as[Long].collect().sorted.toSeq == (1L to 5L))
+    // no stray version landed from the refused attempt
+    assert(vt.versions() == Seq(1L))
   }
 
   test("partitioned versioned table via Lakehouse: partition column round-trips") {
