@@ -6,8 +6,8 @@ import java.util.UUID
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not, regexp_extract}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
 
 /** Minimal versioned parquet+manifest table format — the observable
@@ -24,35 +24,60 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *
   * A manifest is self-contained: header + schema JSON + the FULL list of
   * data files visible at that version (no log replay, no checkpoint
-  * needed). The commit protocol gives the three Delta properties users
+  * needed). The commit protocol gives the Delta properties users
   * actually observe:
   *
-  *  - '''Atomic overwrite/append''': data files land in a fresh
-  *    `data/c-<uuid>/` dir that no manifest references, then the new
-  *    manifest is published by a single atomic `rename` into the log. A
-  *    crash (or rename refusal) anywhere before that rename leaves the
-  *    previous version live and the half-written files invisible —
-  *    pinned by VersionedTableSpec on a rename-refusing filesystem,
-  *    extending CompactFaultSpec's harness.
+  *  - '''Atomic publish''': data files land in a fresh `data/c-<uuid>/`
+  *    dir that no manifest references, then the new manifest is
+  *    published by a single atomic `rename` into the log. A crash (or
+  *    rename refusal) anywhere before that rename leaves the previous
+  *    version live and the half-written files invisible — pinned by
+  *    VersionedTableSpec on a rename-refusing filesystem, extending
+  *    CompactFaultSpec's harness.
   *  - '''Snapshot isolation''': readers resolve a manifest's explicit
   *    file list at plan time; commits never mutate or delete existing
   *    commit dirs (only [[vacuum]] does, explicitly), so a DataFrame
   *    pinned before a concurrent overwrite keeps reading its snapshot.
   *  - '''Time travel''': [[readAt]] replays any retained version
-  *    byte-identically, because data files are immutable.
+  *    byte-identically, because data files are immutable. [[history]]
+  *    is the DESCRIBE HISTORY view: per-version operation name, batch
+  *    id, file count.
+  *  - '''Schema enforcement + evolution''': [[commitAppend]] REJECTS a
+  *    batch whose columns exist in the table under a different type
+  *    (Delta's enforcement) and ADDS genuinely new columns to the table
+  *    schema (Delta's additive `mergeSchema`); older files read back
+  *    with the new columns null-filled.
+  *  - '''Row-level writes''' (copy-on-write, like Delta without
+  *    deletion vectors): [[delete]] / [[update]] / [[merge]] rewrite
+  *    ONLY the files that contain affected rows — discovered with one
+  *    distributed scan — and carry every untouched file forward
+  *    unchanged into the new version. At 100 TB a point delete
+  *    rewrites a handful of files, not the table.
+  *  - '''Optimistic concurrency''': append/overwrite retry blind (they
+  *    commute with any winner); the row-level ops and [[optimize]]
+  *    compute a file set against a base version and throw
+  *    `ConcurrentModificationException` if another writer lands first,
+  *    exactly Delta's conflict-detection contract.
   *  - '''Data skipping''': with `statsColumns` set, each commit records
   *    per-file [min, max] for those (integral) columns in the manifest,
   *    and [[readRange]] prunes whole files whose range cannot match —
   *    Delta's file-statistics skipping on the manifest layer. Stats are
   *    advisory: a file without them is read conservatively, and the
-  *    exact predicate is always applied on top.
+  *    exact predicate is always applied on top. Pair with
+  *    [[graft.ops.ZOrder]] clustering so BOTH dimensions of a
+  *    two-column workload prune (multi-dimensional skipping).
+  *  - '''Incremental consumption''': [[readChangesSince]] returns the
+  *    rows of files ADDED after a version — for an append-only history
+  *    this is exactly the insert change-feed, so a downstream job
+  *    processes each batch once instead of rescanning the table.
   *
   * Concurrent writers use optimistic concurrency exactly like Delta's
   * log: both compute `next = current + 1`; the filesystem `rename`
   * refuses an existing destination, the loser re-reads the log and
-  * retries at a higher version. At 100 TB the manifest is O(files) —
-  * the same cost Delta pays in its JSON log — and data-file IO is all
-  * bulk parquet; the log path touches only tiny manifest files.
+  * retries (appends) or aborts (row-level ops). At 100 TB the manifest
+  * is O(files) — the same cost Delta pays in its JSON log — and
+  * data-file IO is all bulk parquet; the log path touches only tiny
+  * manifest files.
   *
   * One sink style per table: the plain [[Lakehouse.write]] overwrite
   * deletes the whole table dir, log included — pick versioned OR plain
@@ -65,6 +90,8 @@ final case class VersionedTable(
     partitionCol: Option[String] = None,
     statsColumns: Seq[String] = Nil) {
 
+  import VersionedTable.VersionInfo
+
   private val logDir = s"$tableDir/_graft_log"
   private def fs: FileSystem =
     new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,6 +99,8 @@ final case class VersionedTable(
   private val ManifestRe = "^v(\\d{8})\\.manifest$".r
   private def manifestPath(version: Long): Path =
     new Path(logDir, f"v$version%08d.manifest")
+
+  private type FileStats = Map[String, Map[String, (Long, Long)]]
 
   /** All retained versions, ascending. */
   def versions(): Seq[Long] = {
@@ -85,14 +114,31 @@ final case class VersionedTable(
 
   def currentVersion(): Option[Long] = versions().lastOption
 
-  /** Commit `df` as a new version that REPLACES the table contents. */
-  def commitOverwrite(df: DataFrame): Long = commit(df, replace = true, batch = None)
-
-  /** Commit `df` as a new version that APPENDS to the current contents.
-    * The new version's schema is `df`'s; older commits' files are read
-    * back through it (missing columns null-filled, extra ones dropped).
+  /** The DESCRIBE HISTORY view: one row per retained version — the
+    * operation that produced it, its streaming batch id (if any), how
+    * many data files it references, and the commit wall-clock (the
+    * manifest file's modification time; good enough for audit display,
+    * never used for correctness).
     */
-  def commitAppend(df: DataFrame): Long = commit(df, replace = false, batch = None)
+  def history(): Seq[VersionInfo] = versions().map { v =>
+    val m = readManifest(v)
+    VersionInfo(v, m.op, m.batch, m.files.size,
+      fs.getFileStatus(manifestPath(v)).getModificationTime)
+  }
+
+  /** Commit `df` as a new version that REPLACES the table contents. */
+  def commitOverwrite(df: DataFrame): Long =
+    commit(df, replace = true, batch = None)
+
+  /** Commit `df` as a new version that APPENDS to the current contents,
+    * under Delta's schema contract: a column already in the table must
+    * arrive with the SAME type (enforcement — violation throws, nothing
+    * is committed), a genuinely new column extends the table schema
+    * (additive evolution), and a column the batch omits stays in the
+    * schema with the old files' values and nulls for the new rows.
+    */
+  def commitAppend(df: DataFrame): Long =
+    commit(df, replace = false, batch = None)
 
   /** The streaming-sink commit: append `df` as the version for micro-
     * batch `batchId`, EXACTLY ONCE — if the current manifest already
@@ -113,16 +159,34 @@ final case class VersionedTable(
   def currentBatchId(): Option[Long] =
     currentVersion().flatMap(v => readManifest(v).batch)
 
+  /** Delta's append-side schema contract: shared columns must type-match
+    * (enforcement), new columns extend the schema at the end (additive
+    * evolution). Compared on `catalogString` — structural type identity,
+    * ignoring nullability flags, which parquet round-trips loosely.
+    */
+  private def mergeAppendSchema(current: StructType, incoming: StructType): StructType = {
+    incoming.fields.foreach { f =>
+      current.fields.find(_.name == f.name).foreach { cf =>
+        require(cf.dataType.catalogString == f.dataType.catalogString,
+          s"schema enforcement: column ${f.name} is ${cf.dataType.simpleString} " +
+            s"in the table but ${f.dataType.simpleString} in the appended batch — " +
+            "appends may add columns, never change a column's type " +
+            "(use commitOverwrite to rewrite the table under a new schema)")
+      }
+    }
+    val have = current.fieldNames.toSet
+    StructType(current.fields ++ incoming.fields.filterNot(f => have(f.name)))
+  }
+
   private def commit(df: DataFrame, replace: Boolean, batch: Option[Long]): Long = {
     fs.mkdirs(new Path(logDir))
+    // schema enforcement must fail BEFORE any files land: check against
+    // the version current at entry (append retries re-check fresh prevs)
+    if (!replace) currentVersion().foreach(v =>
+      mergeAppendSchema(readManifest(v).schema, df.schema): Unit)
     // 1. write the data files into a commit dir no manifest references —
     //    invisible to every reader until the manifest rename publishes it
-    val commitRel = s"data/c-${UUID.randomUUID()}"
-    val commitAbs = s"$tableDir/$commitRel"
-    val w = df.write.format(format).mode(SaveMode.ErrorIfExists)
-    partitionCol.fold(w)(w.partitionBy(_)).save(commitAbs)
-    val newFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
-    val newStats = collectFileStats(df, commitRel, commitAbs)
+    val (commitRel, newFiles, newStats) = writeDataFiles(df)
     // 2. CAS publish loop: losing a race surfaces as rename->false (the
     //    destination version already exists); re-read the log and retry
     //    one version higher. A rename refused for any OTHER reason also
@@ -133,16 +197,254 @@ final case class VersionedTable(
       val next = prev.getOrElse(0L) + 1
       val carriedM = if (replace) None else prev.map(readManifest)
       val carried = carriedM.fold(Seq.empty[String])(_.files)
-      val carriedStats = carriedM.fold(Map.empty[String, Map[String, (Long, Long)]])(_.stats)
+      val carriedStats = carriedM.fold(Map.empty: FileStats)(_.stats)
+      val schema = carriedM.fold(df.schema)(m => mergeAppendSchema(m.schema, df.schema))
+      val op = if (replace) "overwrite" else "append"
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, df.schema.json, batch, carried ++ newFiles,
+      writeManifest(tmp, schema.json, op, batch, carried ++ newFiles,
         carriedStats ++ newStats)
-      if (fs.rename(tmp, manifestPath(next))) return next
+      // The rename is the atomic commit point on HDFS-contract
+      // filesystems (refuses an existing destination). RawLocalFileSystem
+      // renames CLOBBER (POSIX rename(2)), so the exists pre-check
+      // catches a lost race there — best-effort on local, belt-and-
+      // braces on HDFS, and it short-circuits a known-lost CAS round.
+      val dest = manifestPath(next)
+      if (!fs.exists(dest) && fs.rename(tmp, dest)) return next
       fs.delete(tmp, false)
       attempt += 1
       require(attempt < 20,
         s"could not publish version after $attempt attempts — " +
           s"previous snapshot ${prev.fold("(none)")(v => s"v$v")} is still live; " +
+          s"uncommitted files left invisible at $commitRel (vacuum reclaims them)")
+    }
+    -1L // unreachable
+  }
+
+  // ---- row-level copy-on-write ops ------------------------------------
+
+  /** DELETE: remove the rows where `predicate` is TRUE (null keeps the
+    * row, Delta/SQL semantics), rewriting ONLY the files that contain a
+    * matching row. Discovery is one distributed scan of the snapshot
+    * grouped by `input_file_name`; the driver holds file NAMES (O(files)
+    * metadata, the same order Delta's log carries), never rows. Files
+    * with no match are carried forward untouched — at 100 TB a
+    * predicate localized by clustering rewrites a few files, not the
+    * table. Returns the new version, or the CURRENT version unchanged
+    * if nothing matched (no empty commits). Throws
+    * `ConcurrentModificationException` if another writer commits
+    * between the scan and the publish.
+    */
+  def delete(predicate: Column): Long = {
+    val (base, m) = baseSnapshot()
+    deleteFrom(base, m, m.files, predicate)
+  }
+
+  /** DELETE restricted to `lo <= column <= hi`, with the file-discovery
+    * scan itself pruned by the committed per-file stats: files whose
+    * [min, max] cannot overlap the range are never even READ — the
+    * write-path twin of [[readRange]]'s skipping (what Delta does by
+    * analyzing the predicate against its log stats). On a table
+    * clustered by [[graft.ops.ZOrder]], a point delete scans and
+    * rewrites a handful of files out of thousands.
+    */
+  def deleteRange(column: String, lo: Long, hi: Long): Long = {
+    val (base, m) = baseSnapshot()
+    val candidates = m.files.filter { f =>
+      m.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats: conservatively a candidate
+      }
+    }
+    deleteFrom(base, m, candidates, col(column) >= lo && col(column) <= hi)
+  }
+
+  private def deleteFrom(base: Long, m: Manifest, candidates: Seq[String],
+      predicate: Column): Long = {
+    val touched = touchedFiles(m, candidates, coalesce(predicate, lit(false)))
+    if (touched.isEmpty) return base
+    val survivors = loadFiles(m.schema, touched)
+      .filter(not(coalesce(predicate, lit(false))))
+    publishCow("delete", base, m, touched.toSet, survivors)
+  }
+
+  /** UPDATE: for rows where `predicate` is TRUE, replace each column
+    * named in `set` with its expression (evaluated against the old row,
+    * cast to the column's declared type); other rows and columns are
+    * byte-identical. Same copy-on-write file discovery and conflict
+    * contract as [[delete]]. Updating the partition column is legal —
+    * rewritten rows land in their new partition dirs.
+    */
+  def update(predicate: Column, set: Map[String, Column]): Long = {
+    val (base, m) = baseSnapshot()
+    val unknown = set.keySet -- m.schema.fieldNames
+    require(unknown.isEmpty, s"update sets unknown columns: ${unknown.mkString(", ")}")
+    val touched = touchedFiles(m, m.files, coalesce(predicate, lit(false)))
+    if (touched.isEmpty) return base
+    val hit = coalesce(predicate, lit(false))
+    val rewritten = loadFiles(m.schema, touched).select(m.schema.map { f =>
+      set.get(f.name) match {
+        case Some(e) => org.apache.spark.sql.functions.when(hit, e.cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    publishCow("update", base, m, touched.toSet, rewritten)
+  }
+
+  /** MERGE (upsert): source rows whose `keys` match a table row REPLACE
+    * that row (`WHEN MATCHED THEN UPDATE SET *`); the rest INSERT
+    * (`WHEN NOT MATCHED THEN INSERT *`). Source must carry exactly the
+    * table's columns (any order) and be key-unique — multiple source
+    * rows for one key would make the result order-dependent, so that
+    * throws, as Delta does. Copy-on-write: only files containing a
+    * matched key are rewritten (matched rows removed by anti-join, all
+    * source rows appended); untouched files carry forward. Null-keyed
+    * table rows never match and survive; null-keyed source rows insert.
+    * Same conflict contract as [[delete]].
+    */
+  def merge(source: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val (base, m) = baseSnapshot()
+    val tableCols = m.schema.fieldNames.toSeq
+    require(source.columns.sorted.toSeq == tableCols.sorted,
+      s"merge source columns ${source.columns.sorted.mkString(",")} must equal " +
+        s"table columns ${tableCols.sorted.mkString(",")}")
+    keys.foreach(k => require(tableCols.contains(k), s"merge key $k not in table schema"))
+    val src = source.select(m.schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // key-uniqueness: one aggregation over the source (cheap next to the
+    // rewrite), because a dup key would non-deterministically pick a winner
+    val dups = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+    require(dups == 0, s"merge source has duplicate keys on (${keys.mkString(", ")})")
+    // touched files = files holding at least one matched key; the
+    // semi-join shuffles on the keys (or broadcasts a small source —
+    // AQE's call), and only distinct FILE NAMES reach the driver
+    val fileC = freshFileCol(m)
+    val touched = loadFiles(m.schema, m.files, Some(fileC))
+      .join(src.select(keys.map(col): _*), keys, "left_semi")
+      .select(fileC).distinct().collect().map(_.getString(0)).toSeq.sorted
+    checkKnown(m, touched)
+    val rewritten =
+      if (touched.isEmpty) src
+      else loadFiles(m.schema, touched).join(src.select(keys.map(col): _*), keys, "left_anti")
+        .select(m.schema.map(f => col(f.name)): _*)
+        .unionByName(src)
+    publishCow("merge", base, m, touched.toSet, rewritten)
+  }
+
+  /** OPTIMIZE: bin-pack files smaller than `smallFileBytes` into
+    * ~`targetFileBytes` outputs as a new, data-identical version — the
+    * streaming sink's per-trigger commits and point-write slivers get
+    * compacted without breaking snapshot isolation or time travel
+    * (readers pinned to old versions keep their files until [[vacuum]]).
+    * File sizes come from O(small-file-count) filesystem metadata calls,
+    * the planning cost Delta pays reading its log. Partitioned tables
+    * re-cluster rewritten rows by the partition column so each date dir
+    * gets one well-sized file. No-op (current version, no commit) when
+    * fewer than two files qualify. Conflicts like [[delete]]: another
+    * writer landing first throws rather than dropping their commit.
+    */
+  def optimize(targetFileBytes: Long = 128L << 20,
+      smallFileBytes: Long = 64L << 20): Long = {
+    val (base, m) = baseSnapshot()
+    val sized = m.files.map(f => f -> fs.getFileStatus(new Path(s"$tableDir/$f")).getLen)
+    val small = sized.filter(_._2 < smallFileBytes)
+    if (small.size < 2) return base
+    val numOut = math.max(1L, (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val rows = loadFiles(m.schema, small.map(_._1))
+    val rewritten = partitionCol match {
+      // cluster by partition value: every dir's rows land in one task ->
+      // one compacted file per dir (the Lakehouse.write clustering rule)
+      case Some(p) => rows.repartition(numOut, col(p))
+      case None => rows.repartition(numOut)
+    }
+    publishCow("optimize", base, m, small.map(_._1).toSet, rewritten)
+  }
+
+  /** Incremental consumption: the rows of every data file ADDED after
+    * `fromVersion`, read through the current schema. For an append-only
+    * history (appends, streaming batches) this is exactly the inserted
+    * rows — a downstream job that remembers its last version processes
+    * each batch once, never rescanning the table. Versions produced by
+    * rewriting ops (delete/update/merge/optimize) contribute their
+    * rewritten survivor files too — use [[history]] to see which ops
+    * are in the window before treating the result as pure inserts.
+    */
+  def readChangesSince(fromVersion: Long): DataFrame =
+    readChangesBetween(fromVersion, currentVersion().getOrElse(
+      throw new IllegalArgumentException(s"$tableDir has no committed version")))
+
+  def readChangesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readChangesBetween: from v$fromVersion is after to v$toVersion")
+    val from = readManifest(fromVersion).files.toSet
+    val to = readManifest(toVersion)
+    loadFiles(to.schema, to.files.filterNot(from))
+  }
+
+  /** Current version + manifest for a copy-on-write op. */
+  private def baseSnapshot(): (Long, Manifest) = {
+    val v = currentVersion().getOrElse(
+      throw new IllegalArgumentException(s"$tableDir has no committed version"))
+    (v, readManifest(v))
+  }
+
+  /** A scratch file-name column that cannot collide with a data column. */
+  private def freshFileCol(m: Manifest): String =
+    graft.util.Names.fresh("_graft_file", m.schema.fieldNames)
+
+  /** The manifest-relative names of every candidate file containing a
+    * row where `hit` is true — ONE distributed scan, file names only on
+    * the driver. The scan reads all columns `hit` needs plus the
+    * virtual input_file_name; Parquet still prunes untouched columns.
+    */
+  private def touchedFiles(m: Manifest, candidates: Seq[String],
+      hit: Column): Seq[String] = {
+    if (candidates.isEmpty) return Seq.empty
+    val fileC = freshFileCol(m)
+    val names = loadFiles(m.schema, candidates, Some(fileC))
+      .filter(hit).select(fileC).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    checkKnown(m, names)
+    names
+  }
+
+  private def checkKnown(m: Manifest, names: Seq[String]): Unit = {
+    val known = m.files.toSet
+    val unknown = names.filterNot(known)
+    require(unknown.isEmpty,
+      s"scanned file names not in manifest (path-encoding drift?): ${unknown.take(3).mkString(", ")}")
+  }
+
+  /** Publish a copy-on-write result: `rewritten` replaces the rows of
+    * `replaced` files; every other file carries forward with its stats.
+    * The CAS expects the table still at `base` — another writer landing
+    * first means our file math is stale, so we throw (Delta's
+    * write-conflict behavior) instead of silently dropping their commit.
+    * A transient rename refusal WITH the version unmoved retries.
+    */
+  private def publishCow(op: String, base: Long, m: Manifest,
+      replaced: Set[String], rewritten: DataFrame): Long = {
+    val (commitRel, newFiles, newStats) = writeDataFiles(rewritten)
+    val carried = m.files.filterNot(replaced)
+    val carriedStats = m.stats.filter { case (f, _) => !replaced(f) }
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion()
+      if (!cur.contains(base))
+        throw new java.util.ConcurrentModificationException(
+          s"$op computed against v$base but the table is now at " +
+            s"${cur.fold("(empty)")(v => s"v$v")} — retry the operation " +
+            s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
+      val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
+      writeManifest(tmp, m.schema.json, op, None, carried ++ newFiles,
+        carriedStats ++ newStats)
+      // exists pre-check: see commit() — local renames clobber
+      val dest = manifestPath(base + 1)
+      if (!fs.exists(dest) && fs.rename(tmp, dest)) return base + 1
+      fs.delete(tmp, false)
+      attempt += 1
+      require(attempt < 20,
+        s"could not publish $op after $attempt attempts — v$base is still live; " +
           s"uncommitted files left invisible at $commitRel (vacuum reclaims them)")
     }
     -1L // unreachable
@@ -189,24 +491,33 @@ final case class VersionedTable(
     loadFiles(m.schema, keep).filter(col(column) >= lo && col(column) <= hi)
   }
 
-  private def loadFiles(schema: StructType, files: Seq[String]): DataFrame =
+  private def loadFiles(schema: StructType, files: Seq[String],
+      fileCol: Option[String] = None): DataFrame =
     if (files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      fileCol.fold(base)(c => base.withColumn(c, lit("")))
     } else {
       // one read per commit dir: basePath recovers the partition column
       // from each dir's own layout, then unionByName aligns commits
       // whose schemas evolved additively
       val byCommit = files.groupBy(_.split('/').take(2).mkString("/")).toSeq.sortBy(_._1)
       val perCommit = byCommit.map { case (dir, fl) =>
-        spark.read.format(format)
+        val df = spark.read.format(format)
           .option("basePath", s"$tableDir/$dir")
           .load(fl.map(f => s"$tableDir/$f"): _*)
+        // the manifest-relative file name, recovered from the scan's
+        // virtual column (commit dirs are always data/c-<uuid>, so the
+        // suffix match is unambiguous regardless of scheme/authority)
+        fileCol.fold(df)(c =>
+          df.withColumn(c, regexp_extract(input_file_name(), "(data/c-.+)$", 1)))
       }
       val unioned = perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
       // the manifest schema governs column order and types (partition
       // values round-trip through dir names; the cast undoes partition
       // type inference for non-inferable originals like string dates)
-      unioned.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val cols = schema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+        fileCol.map(col).toSeq
+      unioned.select(cols: _*)
     }
 
   /** Drop all but the newest `keepVersions` manifests and every commit
@@ -235,6 +546,22 @@ final case class VersionedTable(
   }
 
   // ---- manifest + listing plumbing ------------------------------------
+
+  /** Write `df`'s rows into a fresh, unreferenced commit dir; returns
+    * (commit-relative dir, manifest-relative file names, their stats).
+    * Nothing is visible until a manifest referencing the files lands.
+    */
+  private def writeDataFiles(df: DataFrame): (String, Seq[String], FileStats) = {
+    val commitRel = s"data/c-${UUID.randomUUID()}"
+    val commitAbs = s"$tableDir/$commitRel"
+    val w = df.write.format(format).mode(SaveMode.ErrorIfExists)
+    partitionCol.fold(w)(w.partitionBy(_)).save(commitAbs)
+    val newFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
+    val stats =
+      if (newFiles.isEmpty) Map.empty: FileStats
+      else collectFileStats(commitRel, commitAbs)
+    (commitRel, newFiles, stats)
+  }
 
   /** Data files under `dir`, as paths relative to `dir`. Skips Spark's
     * `_SUCCESS` markers and hidden files.
@@ -269,8 +596,7 @@ final case class VersionedTable(
     * All-null files get no entry (conservatively read). Keyed by the
     * manifest-relative file path.
     */
-  private def collectFileStats(df: DataFrame, commitRel: String,
-      commitAbs: String): Map[String, Map[String, (Long, Long)]] = {
+  private def collectFileStats(commitRel: String, commitAbs: String): FileStats = {
     if (statsColumns.isEmpty) Map.empty
     else {
       val integral: Set[Any] = Set(LongType, IntegerType, ShortType, ByteType)
@@ -304,12 +630,13 @@ final case class VersionedTable(
     }
   }
 
-  private def writeManifest(at: Path, schemaJson: String, batch: Option[Long],
-      files: Seq[String], stats: Map[String, Map[String, (Long, Long)]]): Unit = {
+  private def writeManifest(at: Path, schemaJson: String, op: String,
+      batch: Option[Long], files: Seq[String], stats: FileStats): Unit = {
     val out = fs.create(at, true)
     try {
       val sb = new StringBuilder("graft-manifest-v1\n")
       sb.append("schema:").append(schemaJson).append('\n')
+      sb.append("op:").append(op).append('\n')
       batch.foreach(b => sb.append("batch:").append(b).append('\n'))
       files.foreach { f =>
         sb.append("file:").append(f).append('\n')
@@ -325,10 +652,12 @@ final case class VersionedTable(
   }
 
   /** A parsed manifest. Unknown line prefixes are ignored for forward
-    * compatibility.
+    * compatibility (and a missing op line reads as "write": pre-op
+    * manifests stay readable).
     */
   private case class Manifest(
       schema: StructType,
+      op: String,
       batch: Option[Long],
       files: Seq[String],
       stats: Map[String, Map[String, (Long, Long)]])
@@ -345,6 +674,7 @@ final case class VersionedTable(
     require(lines.headOption.contains("graft-manifest-v1"),
       s"unrecognized manifest header in $p")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema:")).asInstanceOf[StructType]
+    val op = lines.find(_.startsWith("op:")).map(_.stripPrefix("op:")).getOrElse("write")
     val batch = lines.find(_.startsWith("batch:")).map(_.stripPrefix("batch:").toLong)
     val files = lines.filter(_.startsWith("file:")).map(_.stripPrefix("file:"))
     val stats = lines.filter(_.startsWith("stats:"))
@@ -355,6 +685,16 @@ final case class VersionedTable(
       }
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> (r._3, r._4)).toMap }
-    Manifest(schema, batch, files, stats)
+    Manifest(schema, op, batch, files, stats)
   }
+}
+
+object VersionedTable {
+  /** One [[VersionedTable.history]] row — the DESCRIBE HISTORY shape. */
+  final case class VersionInfo(
+      version: Long,
+      op: String,
+      batch: Option[Long],
+      numFiles: Int,
+      modifiedMs: Long)
 }

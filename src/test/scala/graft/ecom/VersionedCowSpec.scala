@@ -1,0 +1,253 @@
+package graft.ecom
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.hadoop.fs.{FileSystem, Path, RawLocalFileSystem}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.SparkSuite
+
+/** Gates the FIRST tmp-manifest create: signals `arrived`, then blocks
+  * on `proceed` — so a test can deterministically interleave a competing
+  * commit between a copy-on-write op's snapshot scan and its publish.
+  * (Gating the create, not the rename: RawLocalFileSystem renames
+  * CLOBBER an existing destination, so a rename parked past its exists
+  * pre-check would overwrite the competing commit instead of losing the
+  * race — the exact local-fs hole the pre-check narrows.)
+  */
+class GatedManifestFs extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("gatedman:///")
+  private def gate(f: Path): Unit =
+    if (f.getName.startsWith(".tmp-") && GatedManifestFs.armed.compareAndSet(true, false)) {
+      GatedManifestFs.arrived.countDown()
+      require(GatedManifestFs.proceed.await(60, TimeUnit.SECONDS), "gate timed out")
+    }
+  // fs.create(path, overwrite) routes through the permission-less
+  // overload on RawLocalFileSystem; override both to be version-proof
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    gate(f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+  override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    gate(f)
+    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}
+object GatedManifestFs {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile var arrived: CountDownLatch = _
+  @volatile var proceed: CountDownLatch = _
+}
+
+/** Pins the copy-on-write write surface of [[VersionedTable]]: row-level
+  * delete/update/merge rewrite ONLY the files containing affected rows,
+  * schema enforcement rejects type drift before anything lands, optimize
+  * bin-packs without changing data, history records every operation, and
+  * a competing commit between scan and publish surfaces as a conflict
+  * instead of silently dropping either write.
+  */
+class VersionedCowSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-vtcow").toString
+
+  /** ids 0..3999 spread over 4 range-disjoint files, stats on id. */
+  private def rangedTable(dir: String): VersionedTable = {
+    val vt = VersionedTable(spark, dir, statsColumns = Seq("id"))
+    val data = spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id") * 7L)
+      .repartitionByRange(4, col("id"))
+    vt.commitOverwrite(data)
+    vt
+  }
+
+  test("delete rewrites only the files containing matches; the rest carry forward") {
+    val vt = rangedTable(freshDir())
+    val beforeFiles = vt.read().inputFiles.toSet
+    assert(beforeFiles.size == 4)
+    // ids 100..200 live in exactly one range file
+    vt.delete(col("id").between(100L, 200L))
+    val after = vt.read()
+    // 3 of the 4 original files must still be referenced verbatim
+    assert(beforeFiles.intersect(after.inputFiles.toSet).size == 3,
+      "untouched files must carry forward, not be rewritten")
+    assert(after.as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      ((0L until 100L) ++ (201L until 4000L)))
+    // time travel: the pre-delete snapshot still has every row
+    assert(vt.readAt(1L).count() == 4000)
+    assert(vt.history().map(_.op) == Seq("overwrite", "delete"))
+  }
+
+  test("delete with a null-valued predicate keeps the row (SQL semantics)") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "score"))
+    vt.delete(col("score") > 10L) // null > 10 is null -> row 2 survives
+    assert(vt.read().as[(Long, Option[Long])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, Some(5L)), (2L, None)))
+  }
+
+  test("delete matching nothing commits no version") {
+    val vt = rangedTable(freshDir())
+    assert(vt.delete(col("id") > 1000000L) == 1L)
+    assert(vt.versions() == Seq(1L))
+  }
+
+  test("deleteRange prunes the discovery scan by stats and deletes exactly the range") {
+    val vt = rangedTable(freshDir())
+    val before = vt.read().inputFiles.toSet
+    vt.deleteRange("id", 100L, 200L)
+    val after = vt.read()
+    assert(before.intersect(after.inputFiles.toSet).size == 3)
+    assert(after.count() == 4000 - 101)
+    assert(after.filter(col("id").between(100L, 200L)).count() == 0)
+    // stats survive the rewrite: a later range read still prunes files
+    assert(vt.readRange("id", 3000L, 3010L).inputFiles.length < after.inputFiles.length)
+  }
+
+  test("update rewrites matching rows only; untouched files carry forward byte-identical") {
+    val vt = rangedTable(freshDir())
+    val beforeFiles = vt.read().inputFiles.toSet
+    vt.update(col("id").between(100L, 110L), Map("v" -> lit(-1L)))
+    val after = vt.read()
+    assert(beforeFiles.intersect(after.inputFiles.toSet).size == 3)
+    val got = after.as[(Long, Long)].collect().toMap
+    assert(got.size == 4000)
+    (100L to 110L).foreach(i => assert(got(i) == -1L, s"row $i must be updated"))
+    assert(got(99L) == 99L * 7 && got(111L) == 111L * 7, "non-matching rows unchanged")
+    assert(vt.history().map(_.op) == Seq("overwrite", "update"))
+    // unknown column rejected before anything lands
+    intercept[IllegalArgumentException] {
+      vt.update(col("id") === 1L, Map("nope" -> lit(0L)))
+    }
+    assert(vt.versions().size == 2)
+  }
+
+  test("merge replaces matched rows, inserts the rest, carries untouched files") {
+    val vt = rangedTable(freshDir())
+    val beforeFiles = vt.read().inputFiles.toSet
+    // 150 matches one file's range; 99999 is a pure insert
+    val src = Seq((150L, 0L), (99999L, 1L)).toDF("id", "v")
+    vt.merge(src, Seq("id"))
+    val after = vt.read()
+    assert(beforeFiles.intersect(after.inputFiles.toSet).size == 3,
+      "only the file containing id=150 may be rewritten")
+    val got = after.as[(Long, Long)].collect().toMap
+    assert(got.size == 4001)
+    assert(got(150L) == 0L, "matched row must take the source value")
+    assert(got(99999L) == 1L, "unmatched source row must insert")
+    assert(got(151L) == 151L * 7, "neighbor rows unchanged")
+    assert(vt.history().map(_.op) == Seq("overwrite", "merge"))
+  }
+
+  test("merge into an empty-match source set still inserts; bad sources are rejected") {
+    val vt = rangedTable(freshDir())
+    // pure-insert merge touches NO existing file
+    val beforeFiles = vt.read().inputFiles.toSet
+    vt.merge(Seq((50000L, 5L)).toDF("id", "v"), Seq("id"))
+    assert(beforeFiles.subsetOf(vt.read().inputFiles.toSet))
+    assert(vt.read().count() == 4001)
+    // duplicate source keys are order-dependent -> rejected
+    val ex = intercept[IllegalArgumentException] {
+      vt.merge(Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), Seq("id"))
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+    // column drift rejected
+    intercept[IllegalArgumentException] {
+      vt.merge(Seq((1L, 1L)).toDF("id", "other"), Seq("id"))
+    }
+    assert(vt.versions().size == 2, "failed merges must commit nothing")
+  }
+
+  test("append schema enforcement: type drift throws and commits nothing; new columns evolve") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    // same column name, different type -> rejected before any files land
+    val ex = intercept[IllegalArgumentException] {
+      vt.commitAppend(Seq((2, "b")).toDF("id", "v")) // id is INT here, BIGINT in table
+    }
+    assert(ex.getMessage.contains("schema enforcement"))
+    assert(vt.versions() == Seq(1L))
+    assert(new java.io.File(s"${vt.tableDir}/data").listFiles().count(_.isDirectory) == 1,
+      "a rejected append must not leave a commit dir behind")
+    // a batch MISSING a column appends fine (old column null for new rows)
+    vt.commitAppend(Seq(3L).toDF("id"))
+    assert(vt.read().as[(Long, Option[String])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, Some("a")), (3L, None)))
+    // a batch ADDING a column extends the schema additively
+    vt.commitAppend(Seq((4L, "d", 9L)).toDF("id", "v", "extra"))
+    assert(vt.read().columns.toSeq == Seq("id", "v", "extra"))
+    assert(vt.read().count() == 3)
+  }
+
+  test("optimize bin-packs small files into fewer, data stays identical, history pinned") {
+    val vt = VersionedTable(spark, freshDir(), statsColumns = Seq("id"))
+    // 6 tiny appends = 6+ small files (the streaming-sink sliver shape)
+    (0 until 6).foreach(i =>
+      vt.commitAppend(spark.range(i * 10L, i * 10L + 10L).toDF("id")))
+    val beforeFiles = vt.read().inputFiles.length
+    assert(beforeFiles >= 6)
+    val before = vt.read().as[Long].collect().sorted.toSeq
+    vt.optimize(targetFileBytes = 128L << 20, smallFileBytes = 64L << 20)
+    assert(vt.read().inputFiles.length < beforeFiles,
+      s"optimize must shrink the file count from $beforeFiles")
+    assert(vt.read().as[Long].collect().sorted.toSeq == before, "optimize must not change data")
+    assert(vt.history().last.op == "optimize")
+    // stats recollected for the compacted files: range reads still prune-safe
+    assert(vt.readRange("id", 0L, 5L).as[Long].collect().sorted.toSeq == (0L to 5L))
+    // pre-optimize snapshot still readable (old files retained until vacuum)
+    assert(vt.readAt(6L).as[Long].collect().sorted.toSeq == before)
+    // a second optimize on the already-packed table is a no-op
+    val v = vt.currentVersion().get
+    assert(vt.optimize(128L << 20, 64L << 20) == v)
+  }
+
+  test("readChangesSince returns exactly the rows appended after the version") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(spark.range(0, 100).toDF("id"))
+    vt.commitAppend(spark.range(100, 150).toDF("id"))
+    vt.commitAppend(spark.range(150, 160).toDF("id"))
+    assert(vt.readChangesSince(1L).as[Long].collect().sorted.toSeq == (100L until 160L))
+    assert(vt.readChangesBetween(1L, 2L).as[Long].collect().sorted.toSeq == (100L until 150L))
+    assert(vt.readChangesSince(3L).count() == 0)
+    intercept[IllegalArgumentException] { vt.readChangesBetween(3L, 1L) }
+  }
+
+  test("a competing commit between a COW scan and its publish raises a conflict") {
+    spark.sparkContext.hadoopConfiguration
+      .setClass("fs.gatedman.impl", classOf[GatedManifestFs], classOf[FileSystem])
+    val local = freshDir()
+    val healthy = VersionedTable(spark, local)
+    healthy.commitOverwrite(spark.range(0, 100).toDF("id"))
+    val gated = VersionedTable(spark, s"gatedman:$local")
+
+    GatedManifestFs.arrived = new CountDownLatch(1)
+    GatedManifestFs.proceed = new CountDownLatch(1)
+    GatedManifestFs.armed.set(true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cow = Future(gated.delete(col("id") < 10L))
+    // the delete has scanned v1 and is parked at its manifest rename…
+    assert(GatedManifestFs.arrived.await(60, TimeUnit.SECONDS), "delete never reached publish")
+    // …when an append lands v2 through the healthy handle
+    healthy.commitAppend(spark.range(100, 110).toDF("id"))
+    GatedManifestFs.proceed.countDown()
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Await.result(cow, 120.seconds)
+    }
+    assert(ex.getMessage.contains("v1"), s"conflict must name the stale base: ${ex.getMessage}")
+    // NEITHER write was lost: the append's rows are all present, the
+    // delete (correctly) did not apply
+    assert(healthy.read().as[Long].collect().sorted.toSeq == (0L until 110L))
+    // and the retried delete applies cleanly on the new base
+    healthy.delete(col("id") < 10L)
+    assert(healthy.read().as[Long].collect().sorted.toSeq == (10L until 110L))
+  }
+}
