@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmDedup, LlmMultimodal, LlmSimilarity, LlmText, Medallion, Parity, Q}
+import graft.queries.{LlmDedup, LlmMultimodal, LlmSimilarity, LlmText, Medallion, Parity, Q, Versioned}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def suites: Seq[Q] =
     Parity.all ++ LlmDedup.all ++ LlmSimilarity.all ++ LlmText.all ++
-      LlmMultimodal.all ++ Medallion.all
+      LlmMultimodal.all ++ Medallion.all ++ Versioned.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

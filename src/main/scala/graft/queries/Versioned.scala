@@ -1,0 +1,171 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.ecom.VersionedTable
+import graft.ops.ZOrder
+import graft.util.Exact.dsum
+import graft.util.Tables.load
+
+/** The versioned table format (graft.ecom.VersionedTable — the
+  * reference's Delta layer, `README.md:10`, `01_bronze_ingest.py:34`)
+  * exercised END TO END inside the oracle gate: each query builds a
+  * throwaway versioned table from testdata, drives the write surface
+  * (z-ordered commits + stats skipping, copy-on-write MERGE,
+  * append + incremental change reads, DELETE/UPDATE + time travel),
+  * reads the result back and aggregates it — while the DuckDB twin
+  * re-derives the same final state relationally from the raw tables.
+  * A hash match therefore proves the FORMAT's semantics (what rows a
+  * version contains), not just an aggregation.
+  *
+  * Writes are part of the timed work, as in q35: every bench rep pays
+  * the full commit cost into a fresh temp dir.
+  */
+object Versioned {
+
+  /** Z-ordered versioned commit + two stats-pruned range reads, one per
+    * clustered dimension — the multi-dimensional data-skipping path
+    * (ZOrderSpec pins the pruning itself; here the PRUNED READS face
+    * the oracle, proving skipping never drops or duplicates rows).
+    */
+  val qv01 = Q(
+    "qv01_zorder_skip",
+    """WITH ok AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500),
+      |sk AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem WHERE l_suppkey BETWEEN 10 AND 50)
+      |SELECT dim, n_rows, total_price, total_qty FROM (
+      |  SELECT 'orderkey' AS dim, * FROM ok
+      |  UNION ALL
+      |  SELECT 'suppkey' AS dim, * FROM sk) u
+      |ORDER BY dim""".stripMargin) { (s, dir) =>
+    val vt = VersionedTable(s, Files.createTempDirectory("graft-qv01-").toString,
+      statsColumns = Seq("l_orderkey", "l_suppkey"))
+    vt.commitOverwrite(ZOrder.cluster(
+      load(s, dir, "lineitem"), Seq("l_orderkey", "l_suppkey"), numFiles = 16))
+    def agg(dim: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("total_price"),
+          sum(col("l_quantity").cast(LongType)).as("total_qty"))
+        .select(lit(dim).as("dim"), col("n_rows"), col("total_price"), col("total_qty"))
+    agg("orderkey", vt.readRange("l_orderkey", 100L, 500L))
+      .unionByName(agg("suppkey", vt.readRange("l_suppkey", 10L, 50L)))
+      .orderBy("dim")
+  }
+
+  /** Copy-on-write MERGE: upsert a derived batch (price bump on even
+    * order keys — updates where the key survives the base filter,
+    * inserts where it does not) and aggregate the merged table. The
+    * oracle replays MERGE as anti-join + union — the standard
+    * relational definition — so a hash match pins matched-replace,
+    * unmatched-insert, and untouched-row semantics all at once.
+    */
+  val qv02 = Q(
+    "qv02_versioned_merge",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 4 <> 0),
+      |src AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10 AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      |  UNION ALL SELECT * FROM src)
+      |SELECT o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val orders = load(s, dir, "orders")
+    val vt = VersionedTable(s, Files.createTempDirectory("graft-qv02-").toString)
+    vt.commitOverwrite(orders.filter(col("o_orderkey") % 4 =!= 0).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DoubleType).as("price")))
+    vt.merge(
+      orders.filter(col("o_orderkey") % 2 === 0).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) +
+          lit(10).cast(DecimalType(18, 2))).cast(DoubleType).as("price")),
+      keys = Seq("o_orderkey"))
+    vt.read()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("price")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Append + incremental change read: commit a base slice of events,
+    * append the rest, then aggregate ONLY `readChangesSince(v1)` — the
+    * change-feed path a 100 TB downstream job uses to process each
+    * batch once. The oracle computes the appended slice directly.
+    */
+  val qv03 = Q(
+    "qv03_append_changes",
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_id % 10 >= 7
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val events = load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val vt = VersionedTable(s, Files.createTempDirectory("graft-qv03-").toString)
+    vt.commitOverwrite(events.filter(col("event_id") % 10 < 7))
+    vt.commitAppend(events.filter(col("event_id") % 10 >= 7))
+    vt.readChangesSince(1L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Copy-on-write DELETE + UPDATE + byte-identical time travel, all
+    * under one hash: the current version must equal the oracle's
+    * filtered/updated derivation AND version 1 must still equal the
+    * raw table after both rewrites.
+    */
+  val qv04 = Q(
+    "qv04_delete_update_timetravel",
+    """WITH cur AS (
+      |  SELECT p_partkey,
+      |    CASE WHEN p_partkey % 7 = 0
+      |      THEN CAST(CAST(p_retailprice AS DECIMAL(18,2)) + CAST(5 AS DECIMAL(18,2)) AS DOUBLE)
+      |      ELSE CAST(p_retailprice AS DOUBLE) END AS price
+      |  FROM part WHERE NOT (p_size >= 40))
+      |SELECT rel, n_parts, total_price FROM (
+      |  SELECT 'current' AS rel, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |  FROM cur
+      |  UNION ALL
+      |  SELECT 'v1', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM part) u
+      |ORDER BY rel""".stripMargin) { (s, dir) =>
+    val vt = VersionedTable(s, Files.createTempDirectory("graft-qv04-").toString,
+      statsColumns = Seq("p_size"))
+    vt.commitOverwrite(load(s, dir, "part").select(
+      col("p_partkey"), col("p_size"),
+      col("p_retailprice").cast(DoubleType).as("price")))
+    // stats-pruned copy-on-write delete, then a row-level update
+    vt.deleteRange("p_size", 40L, Long.MaxValue)
+    vt.update(col("p_partkey") % 7 === 0, Map("price" ->
+      (col("price").cast(DecimalType(18, 2)) + lit(5).cast(DecimalType(18, 2)))
+        .cast(DoubleType)))
+    def agg(rel: String, df: org.apache.spark.sql.DataFrame, price: String) =
+      df.agg(count(lit(1)).as("n_parts"), dsum(col(price)).as("total_price"))
+        .select(lit(rel).as("rel"), col("n_parts"), col("total_price"))
+    agg("current", vt.read(), "price")
+      .unionByName(agg("v1", vt.readAt(1L), "price"))
+      .orderBy("rel")
+  }
+
+  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04)
+}
