@@ -1,9 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{aggregate, col, lit, shiftleft, shiftright, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, shiftleft, shiftright}
+import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.DoubleType
 
+import graft.functions.EquiDepthBin
 import graft.util.Names
 
 /** Multi-dimensional write clustering (Delta's `OPTIMIZE ZORDER BY`,
@@ -21,8 +23,9 @@ import graft.util.Names
   *  1. ONE `approxQuantile` pass computes 2^bits−1 equi-depth boundaries
   *     per column (rank-based, so skewed columns still spread across
   *     bins — a min/max linear scale would collapse under skew);
-  *  2. each row's per-column bin is `#boundaries <= value`, evaluated as
-  *     a codegen'd fold over one array literal (no UDF, no JIT blowup);
+  *  2. each row's per-column bin is `#boundaries <= value`, one native
+  *     codegen'd binary search per row ([[graft.functions.EquiDepthBin]]
+  *     — no UDF, no interpreted lambdas);
   *  3. bins interleave bit-by-bit into a Morton value (LSB of every
   *     column first, so high-order z bits are the high-order bin bits
   *     of ALL columns together);
@@ -83,17 +86,17 @@ object ZOrder {
     interleave(bins, cols.size, bits)
   }
 
-  /** Equi-depth bin rank: how many boundaries the value is >= — a
-    * codegen'd fold over ONE array literal (see the JIT-size note in
-    * the verify skill: per-boundary inlined expressions would blow the
-    * wholestage method size at 255 boundaries × 4 columns). NULL
-    * compares to null → the `when` contributes 0 → bin 0.
+  /** Equi-depth bin rank: how many boundaries the value is >= — the
+    * native codegen'd binary search [[graft.functions.EquiDepthBin]].
+    * (A higher-order `aggregate` fold over an array literal runs as
+    * INTERPRETED Catalyst lambdas: 12 s per pass at sf0.1 for 2 × 255
+    * boundaries, paid twice because repartitionByRange evaluates its
+    * key for sampling and again for the shuffle.) NULL bins to 0.
     */
   private def binOf(c: Column, boundaries: Array[Double]): Column =
-    aggregate(
-      lit(boundaries),
-      lit(0),
-      (acc, b) => acc + when(c.cast(DoubleType) >= b, 1).otherwise(0))
+    coalesce(
+      shims.column(EquiDepthBin(shims.expression(c.cast(DoubleType)), boundaries)),
+      lit(0))
 
   /** Morton interleave: bit j of column i lands at z bit `j*n + i`, so
     * the top z bits are the top bin bits of all columns together.

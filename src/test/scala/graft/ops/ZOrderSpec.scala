@@ -63,6 +63,21 @@ class ZOrderSpec extends SparkSuite {
     assert(clustered.columns.toSeq == Seq("x", "y"), "scratch z column must not leak")
   }
 
+  test("EquiDepthBin matches the fold semantics: exact hits, misses, nulls") {
+    import org.apache.spark.sql.functions.{aggregate, coalesce, col, lit, when}
+    import org.apache.spark.sql.graft.shims
+    import graft.functions.EquiDepthBin
+    val bounds = Array(10.0, 20.0, 30.0)
+    val df = Seq(Some(5.0), Some(10.0), Some(15.0), Some(30.0), Some(35.0), None).toDF("v")
+    val native = coalesce(
+      shims.column(EquiDepthBin(shims.expression(col("v")), bounds)), lit(0))
+    val fold = aggregate(lit(bounds), lit(0),
+      (acc, b) => acc + when(col("v") >= b, 1).otherwise(0))
+    val rows = df.select(native.as("n"), fold.as("f")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), s"native vs fold diverged: $r"))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 1, 3, 3, 0))
+  }
+
   test("bad arguments are rejected") {
     intercept[IllegalArgumentException] { ZOrder.cluster(grid(), Seq.empty, 4) }
     intercept[IllegalArgumentException] { ZOrder.cluster(grid(), Seq("nope"), 4) }
