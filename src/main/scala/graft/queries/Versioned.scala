@@ -167,5 +167,39 @@ object Versioned {
       .orderBy("rel")
   }
 
-  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04)
+  /** The exactly-once incremental pipeline (VersionedPipe): source
+    * bootstrap + append consumed in TWO delta steps (with a replayed
+    * step in between that must commit nothing), a per-batch filter
+    * transform, destination read back and aggregated. The oracle
+    * derives the same destination relationally — a hash match pins
+    * that every source row flowed exactly once through the change-feed
+    * path, bootstrap and delta alike.
+    */
+  val qv05 = Q(
+    "qv05_incremental_pipe",
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_type <> 'click'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import graft.ecom.VersionedPipe
+    val events = load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val base = Files.createTempDirectory("graft-qv05-").toString
+    val src = VersionedTable(s, s"$base/src")
+    val dst = VersionedTable(s, s"$base/dst")
+    val keep = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") =!= "click")
+    src.commitOverwrite(events.filter(col("event_id") % 10 < 7))
+    VersionedPipe.step(src, dst, keep)      // bootstrap: whole v1
+    VersionedPipe.step(src, dst, keep)      // replay: must be a no-op
+    src.commitAppend(events.filter(col("event_id") % 10 >= 7))
+    VersionedPipe.step(src, dst, keep)      // delta: only the appended files
+    dst.read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05)
 }

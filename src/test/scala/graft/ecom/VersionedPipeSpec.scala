@@ -1,0 +1,82 @@
+package graft.ecom
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+
+/** Pins the incremental pipeline step's contract: each source version's
+  * rows are delivered to the destination exactly once (bootstrap, delta,
+  * replay no-op), the transform applies per batch, and a rewriting op in
+  * the pending window refuses rather than double-delivering rows.
+  */
+class VersionedPipeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fresh(name: String) =
+    VersionedTable(spark, Files.createTempDirectory(name).toString)
+
+  test("bootstrap, delta-only steps, and replay no-op — exactly once end to end") {
+    val src = fresh("graft-pipe-src")
+    val dst = fresh("graft-pipe-dst")
+    // nothing to do on an empty source
+    assert(VersionedPipe.step(src, dst).isEmpty)
+
+    src.commitOverwrite(spark.range(0, 100).toDF("id"))
+    // bootstrap: the whole table is the first change set (v1 overwrite allowed)
+    assert(VersionedPipe.step(src, dst,
+      _.filter(col("id") % 2 === 0)).contains(1L))
+    assert(dst.read().as[Long].collect().sorted.toSeq == (0L until 100L by 2))
+    // a replayed step with no new source commits is a no-op
+    assert(VersionedPipe.step(src, dst, _.filter(col("id") % 2 === 0)).isEmpty)
+    assert(dst.read().count() == 50)
+
+    // two more appends, ONE step: only the delta flows, in one commit
+    src.commitAppend(spark.range(100, 120).toDF("id"))
+    src.commitAppend(spark.range(120, 130).toDF("id"))
+    assert(VersionedPipe.step(src, dst,
+      _.filter(col("id") % 2 === 0)).contains(2L))
+    assert(dst.read().as[Long].collect().sorted.toSeq == (0L until 130L by 2))
+    // destination history records which source version each batch closed
+    assert(dst.currentBatchId().contains(3L))
+  }
+
+  test("a rewriting op in the pending window refuses; catching up past it works from scratch") {
+    val src = fresh("graft-pipe-src2")
+    val dst = fresh("graft-pipe-dst2")
+    src.commitOverwrite(spark.range(0, 50).toDF("id"))
+    assert(VersionedPipe.step(src, dst).contains(1L))
+    // source deletes rows -> the window (v1, v3] holds a rewrite
+    src.commitAppend(spark.range(50, 60).toDF("id"))
+    src.delete(col("id") < 5L)
+    val ex = intercept[IllegalArgumentException] { VersionedPipe.step(src, dst) }
+    assert(ex.getMessage.contains("delete"), s"must name the rewriting op: ${ex.getMessage}")
+    // nothing was half-delivered
+    assert(dst.read().count() == 50)
+  }
+
+  test("a reset source (destination ahead) is refused loudly") {
+    val src = fresh("graft-pipe-src3")
+    val dst = fresh("graft-pipe-dst3")
+    src.commitOverwrite(spark.range(0, 10).toDF("id"))
+    src.commitAppend(spark.range(10, 20).toDF("id"))
+    assert(VersionedPipe.step(src, dst).contains(1L))
+    // simulate a source rebuilt from scratch at a LOWER version
+    val src2 = fresh("graft-pipe-src3b")
+    src2.commitOverwrite(spark.range(0, 5).toDF("id"))
+    intercept[IllegalArgumentException] { VersionedPipe.step(src2, dst) }
+  }
+
+  test("readAsOf returns the newest version at or before the timestamp") {
+    val vt = fresh("graft-asof")
+    vt.commitOverwrite(spark.range(0, 10).toDF("id"))
+    val t1 = vt.history().last.modifiedMs
+    Thread.sleep(50) // keep the two manifests' mtimes distinct
+    vt.commitAppend(spark.range(10, 20).toDF("id"))
+    val t2 = vt.history().last.modifiedMs
+    assert(vt.readAsOf(t1).count() == 10)
+    assert(vt.readAsOf(t2 + 1).count() == 20)
+    intercept[IllegalArgumentException] { vt.readAsOf(t1 - 100000) }
+  }
+}
