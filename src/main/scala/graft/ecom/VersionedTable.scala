@@ -72,9 +72,11 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *    processes each batch once instead of rescanning the table.
   *
   * Concurrent writers use optimistic concurrency exactly like Delta's
-  * log: both compute `next = current + 1`; the filesystem `rename`
-  * refuses an existing destination, the loser re-reads the log and
-  * retries (appends) or aborts (row-level ops). At 100 TB the manifest
+  * log: both compute `next = current + 1` and publish through ONE
+  * atomic no-overwrite primitive (POSIX `link(2)` on local filesystems
+  * — local `rename(2)` clobbers — and contract `rename` on HDFS-style
+  * ones; see `publishManifest`); the loser re-reads the log and retries
+  * (appends) or aborts (row-level ops). At 100 TB the manifest
   * is O(files) — the same cost Delta pays in its JSON log — and
   * data-file IO is all bulk parquet; the log path touches only tiny
   * manifest files.
@@ -203,19 +205,19 @@ final case class VersionedTable(
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
       writeManifest(tmp, schema.json, op, batch, carried ++ newFiles,
         carriedStats ++ newStats)
-      // The rename is the atomic commit point on HDFS-contract
-      // filesystems (refuses an existing destination). RawLocalFileSystem
-      // renames CLOBBER (POSIX rename(2)), so the exists pre-check
-      // catches a lost race there — best-effort on local, belt-and-
-      // braces on HDFS, and it short-circuits a known-lost CAS round.
-      val dest = manifestPath(next)
-      if (!fs.exists(dest) && fs.rename(tmp, dest)) return next
-      fs.delete(tmp, false)
-      attempt += 1
-      require(attempt < 20,
-        s"could not publish version after $attempt attempts — " +
-          s"previous snapshot ${prev.fold("(none)")(v => s"v$v")} is still live; " +
-          s"uncommitted files left invisible at $commitRel (vacuum reclaims them)")
+      publishManifest(tmp, manifestPath(next)) match {
+        case Landed => return next
+        // a lost CAS is NOT a fault: another writer landed (global
+        // progress — livelock-free), so loop unbudgeted with a fresh
+        // prev; only genuine filesystem refusals count toward abort
+        case Lost => ()
+        case Refused =>
+          attempt += 1
+          require(attempt < 20,
+            s"could not publish version after $attempt attempts — " +
+              s"previous snapshot ${prev.fold("(none)")(v => s"v$v")} is still live; " +
+              s"uncommitted files left invisible at $commitRel (vacuum reclaims them)")
+      }
     }
     -1L // unreachable
   }
@@ -457,14 +459,17 @@ final case class VersionedTable(
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
       writeManifest(tmp, m.schema.json, op, None, carried ++ newFiles,
         carriedStats ++ newStats)
-      // exists pre-check: see commit() — local renames clobber
-      val dest = manifestPath(base + 1)
-      if (!fs.exists(dest) && fs.rename(tmp, dest)) return base + 1
-      fs.delete(tmp, false)
-      attempt += 1
-      require(attempt < 20,
-        s"could not publish $op after $attempt attempts — v$base is still live; " +
-          s"uncommitted files left invisible at $commitRel (vacuum reclaims them)")
+      publishManifest(tmp, manifestPath(base + 1)) match {
+        case Landed => return base + 1
+        // someone landed base+1 under us: the next loop iteration sees
+        // the moved version and raises the conflict
+        case Lost => ()
+        case Refused =>
+          attempt += 1
+          require(attempt < 20,
+            s"could not publish $op after $attempt attempts — v$base is still live; " +
+              s"uncommitted files left invisible at $commitRel (vacuum reclaims them)")
+      }
     }
     -1L // unreachable
   }
@@ -565,6 +570,57 @@ final case class VersionedTable(
   }
 
   // ---- manifest + listing plumbing ------------------------------------
+
+  private sealed trait PublishOutcome
+  private case object Landed extends PublishOutcome  // we committed
+  private case object Lost extends PublishOutcome    // another writer did
+  private case object Refused extends PublishOutcome // fs fault, dest free
+
+  /** Atomically land `tmp` at `dest` WITHOUT overwriting, and say which
+    * of the three outcomes happened. The primitive differs by
+    * filesystem, because only one atomic no-overwrite operation exists
+    * on each:
+    *
+    *  - plain local filesystems: POSIX `link(2)` — `rename(2)` CLOBBERS
+    *    an existing destination, so two racing local writers publishing
+    *    by rename would silently lose a commit; a hard link fails
+    *    `EEXIST` atomically instead (exact-class check: test doubles
+    *    SUBCLASS RawLocalFileSystem to instrument rename, and keep it);
+    *  - HDFS-contract filesystems: `rename` itself refuses an existing
+    *    destination atomically (the same primitive Delta's HDFS
+    *    LogStore relies on), with an exists re-check to classify a
+    *    refusal as lost-race vs fault.
+    */
+  private def publishManifest(tmp: Path, dest: Path): PublishOutcome = {
+    val cls: Class[_] = fs.getClass
+    if (cls == classOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        cls == classOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dest.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        fs.delete(tmp, false)
+        Landed
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); Lost
+        case _: java.io.IOException =>
+          fs.delete(tmp, false); Refused
+      }
+    } else {
+      // exists pre-check first: on a RawLocalFileSystem SUBCLASS (test
+      // doubles; real deployments never take this branch with one) the
+      // rename would clobber, and on HDFS it cheaply classifies a
+      // known-lost race before the rename round-trip
+      if (fs.exists(dest)) { fs.delete(tmp, false); Lost }
+      else if (fs.rename(tmp, dest)) Landed
+      else {
+        val outcome = if (fs.exists(dest)) Lost else Refused
+        fs.delete(tmp, false)
+        outcome
+      }
+    }
+  }
 
   /** Write `df`'s rows into a fresh, unreferenced commit dir; returns
     * (commit-relative dir, manifest-relative file names, their stats).

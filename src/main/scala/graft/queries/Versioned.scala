@@ -201,5 +201,32 @@ object Versioned {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05)
+  /** The small-files lifecycle end to end: sliver appends (the
+    * streaming-sink shape) → OPTIMIZE bin-packing → vacuum of the
+    * superseded versions — and the surviving single snapshot must
+    * still hash-match a straight relational read of the source. Pins
+    * that compaction + retention never lose or duplicate a row; the
+    * file-count mechanics are spec-pinned in VersionedCowSpec.
+    */
+  val qv06 = Q(
+    "qv06_optimize_lifecycle",
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val events = load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val vt = VersionedTable(s, Files.createTempDirectory("graft-qv06-").toString)
+    (0 until 3).foreach(r =>
+      vt.commitAppend(events.filter(col("event_id") % 3 === r).repartition(8)))
+    vt.optimize()
+    vt.vacuum(keepVersions = 1)
+    vt.read()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05, qv06)
 }
