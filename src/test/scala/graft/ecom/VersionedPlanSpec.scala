@@ -1,0 +1,53 @@
+package graft.ecom
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+
+/** Plan audit for the versioned read path: the manifest layer resolves
+  * explicit file lists and re-asserts the schema with casts, and NONE
+  * of that may cost anything at scan time — Catalyst must eliminate the
+  * identity casts, push predicates through the per-commit union into
+  * every parquet scan, and prune unread columns. If a cast ever blocks
+  * pushdown here, every versioned read becomes a full-file scan at
+  * 100 TB; this spec is the tripwire.
+  */
+class VersionedPlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def table(): VersionedTable = {
+    val vt = VersionedTable(spark,
+      Files.createTempDirectory("graft-vtplan").toString, statsColumns = Seq("id"))
+    vt.commitOverwrite(spark.range(0, 10000).toDF("id")
+      .withColumn("a", col("id") * 2).withColumn("b", col("id") * 3)
+      .repartitionByRange(4, col("id")))
+    vt.commitAppend(spark.range(10000, 12000).toDF("id")
+      .withColumn("a", col("id") * 2).withColumn("b", col("id") * 3))
+    vt
+  }
+
+  test("readRange: stats prune files, filters push into the scan, columns prune") {
+    val df = table().readRange("id", 100L, 200L).select("id", "a")
+    // manifest-level skipping: one of 5 files survives the stats prune
+    assert(df.inputFiles.length == 1, s"expected 1 file, got ${df.inputFiles.length}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(id,100)") &&
+      plan.contains("LessThanOrEqual(id,200)"),
+      s"range predicate must push into the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,a:bigint>"),
+      s"unread column b must be pruned from the scan:\n$plan")
+  }
+
+  test("a filter over a multi-commit read pushes into EVERY commit's scan") {
+    val vt = table()
+    val df = vt.read().filter(col("a") > 19000L).select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    // both commit dirs survive (no stats on a), so the union remains —
+    // and each branch's scan must carry the pushed predicate
+    val pushed = plan.split(java.util.regex.Pattern.quote("GreaterThan(a,19000)")).length - 1
+    assert(pushed >= 2, s"filter must push into each commit's scan (found $pushed):\n$plan")
+    assert(df.count() == 10000 - 9501 + 2000)
+  }
+}
