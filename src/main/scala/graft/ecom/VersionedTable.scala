@@ -346,19 +346,39 @@ final case class VersionedTable(
     * writer landing first throws rather than dropping their commit.
     */
   def optimize(targetFileBytes: Long = 128L << 20,
-      smallFileBytes: Long = 64L << 20): Long = {
+      smallFileBytes: Long = 64L << 20): Long =
+    optimizeImpl(targetFileBytes, smallFileBytes, zorderBy = Nil)
+
+  /** Delta's `OPTIMIZE ... ZORDER BY`: compaction that ALSO re-clusters
+    * the rewritten rows on a Z-order interleave of `cols`
+    * ([[graft.ops.ZOrder]]), so the packed files regain multi-
+    * dimensional min/max locality — the maintenance op for a table
+    * whose streaming appends arrive in arrival order but whose reads
+    * prune on content columns. Unlike plain [[optimize]] this rewrites
+    * ALL current files (re-clustering only the small ones would leave
+    * the layout mixed), so schedule it like Delta users do: rarely,
+    * after enough append volume. Same no-op/conflict contract.
+    */
+  def optimizeZOrder(cols: Seq[String],
+      targetFileBytes: Long = 128L << 20): Long =
+    optimizeImpl(targetFileBytes, smallFileBytes = Long.MaxValue, zorderBy = cols)
+
+  private def optimizeImpl(targetFileBytes: Long, smallFileBytes: Long,
+      zorderBy: Seq[String]): Long = {
     val (base, m) = baseSnapshot()
     val sized = m.files.map(f => f -> fs.getFileStatus(new Path(s"$tableDir/$f")).getLen)
     val small = sized.filter(_._2 < smallFileBytes)
     if (small.size < 2) return base
     val numOut = math.max(1L, (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
     val rows = loadFiles(m.schema, small.map(_._1))
-    val rewritten = partitionCol match {
-      // cluster by partition value: every dir's rows land in one task ->
-      // one compacted file per dir (the Lakehouse.write clustering rule)
-      case Some(p) => rows.repartition(numOut, col(p))
-      case None => rows.repartition(numOut)
-    }
+    val rewritten =
+      if (zorderBy.nonEmpty) graft.ops.ZOrder.cluster(rows, zorderBy, numOut)
+      else partitionCol match {
+        // cluster by partition value: every dir's rows land in one task ->
+        // one compacted file per dir (the Lakehouse.write clustering rule)
+        case Some(p) => rows.repartition(numOut, col(p))
+        case None => rows.repartition(numOut)
+      }
     publishCow("optimize", base, m, small.map(_._1).toSet, rewritten)
   }
 
@@ -554,8 +574,24 @@ final case class VersionedTable(
   def vacuum(keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = versions()
-    val dropped = vs.dropRight(keepVersions)
-    val kept = vs.takeRight(keepVersions)
+    vacuumVersions(vs.dropRight(keepVersions), vs.takeRight(keepVersions))
+  }
+
+  /** Retention-window vacuum (Delta's `VACUUM ... RETAIN n HOURS` on
+    * manifest mtimes): drop every version whose manifest landed before
+    * `cutoffMs` — except the newest one, which is always retained even
+    * if old (a cold table must stay readable). Readers pinned beyond
+    * the horizon break, exactly like [[vacuum]].
+    */
+  def vacuumOlderThan(cutoffMs: Long): Unit = {
+    val vs = versions()
+    if (vs.isEmpty) return
+    val old = vs.init.filter(v =>
+      fs.getFileStatus(manifestPath(v)).getModificationTime < cutoffMs)
+    vacuumVersions(old, vs.filterNot(old.contains))
+  }
+
+  private def vacuumVersions(dropped: Seq[Long], kept: Seq[Long]): Unit = {
     val referenced: Set[String] =
       kept.flatMap(v => readManifest(v).files).map(_.split('/').take(2).mkString("/")).toSet
     dropped.foreach { v =>

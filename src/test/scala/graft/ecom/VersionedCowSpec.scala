@@ -208,6 +208,45 @@ class VersionedCowSpec extends SparkSuite {
     assert(vt.optimize(128L << 20, 64L << 20) == v)
   }
 
+  test("optimizeZOrder compacts AND re-clusters: range reads prune on both dims after") {
+    val vt = VersionedTable(spark, freshDir(), statsColumns = Seq("x", "y"))
+    def bitrev12(v: Int): Int =
+      (0 until 12).foldLeft(0)((acc, b) => acc | (((v >> b) & 1) << (11 - b)))
+    val rows = (0 until 4096).map(i => (i.toLong, bitrev12(i).toLong))
+    // arrival-order appends: NO locality in either dimension
+    rows.grouped(1024).foreach(g => vt.commitAppend(g.toDF("x", "y")))
+    val before = vt.read().inputFiles.length
+    assert(vt.readRange("y", 0L, 255L).inputFiles.length == before,
+      "arrival-order files must not prune on y (that is the point of the test)")
+    vt.optimizeZOrder(Seq("x", "y"), targetFileBytes = 4L << 10)
+    val after = vt.read()
+    assert(after.as[(Long, Long)].collect().sorted.toSeq == rows.sorted,
+      "optimizeZOrder must not change data")
+    val total = after.inputFiles.length
+    assert(total > 4, s"target size must yield multiple files, got $total")
+    assert(vt.readRange("x", 0L, 255L).inputFiles.length < total)
+    assert(vt.readRange("y", 0L, 255L).inputFiles.length < total,
+      "z-ordered compaction must restore locality on BOTH dimensions")
+    assert(vt.history().last.op == "optimize")
+  }
+
+  test("vacuumOlderThan drops versions by age but always keeps the newest") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(spark.range(0, 10).toDF("id"))
+    vt.commitAppend(spark.range(10, 20).toDF("id"))
+    Thread.sleep(50)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(50)
+    vt.commitAppend(spark.range(20, 30).toDF("id"))
+    vt.vacuumOlderThan(cut)
+    assert(vt.versions() == Seq(3L), s"got ${vt.versions()}")
+    assert(vt.read().count() == 30)
+    // a cutoff in the future still retains the newest version
+    vt.vacuumOlderThan(System.currentTimeMillis() + 1000000)
+    assert(vt.versions() == Seq(3L))
+    assert(vt.read().count() == 30)
+  }
+
   test("readChangesSince returns exactly the rows appended after the version") {
     val vt = VersionedTable(spark, freshDir())
     vt.commitOverwrite(spark.range(0, 100).toDF("id"))
