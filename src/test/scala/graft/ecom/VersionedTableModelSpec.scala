@@ -5,13 +5,14 @@ import java.nio.file.Files
 import graft.SparkSuite
 
 /** Model-based randomized check of the versioned table format: a seeded
-  * random sequence of overwrite / append / vacuum operations runs
-  * against both the real table and a trivial in-memory model (a vector
-  * of id-multisets, one per version). After EVERY op the live read must
-  * match the model head, and at the end every retained version must
-  * replay its model snapshot while every vacuumed one must refuse —
-  * the whole commit/carry-forward/vacuum state machine, not just the
-  * hand-picked paths of VersionedTableSpec.
+  * random sequence of overwrite / append / vacuum / copy-on-write
+  * delete / optimize operations runs against both the real table and a
+  * trivial in-memory model (a vector of id-multisets, one per version).
+  * After EVERY op the live read must match the model head, and at the
+  * end every retained version must replay its model snapshot while
+  * every vacuumed one must refuse — the whole commit/carry-forward/
+  * rewrite/vacuum state machine, not just the hand-picked paths of
+  * VersionedTableSpec and VersionedCowSpec.
   */
 class VersionedTableModelSpec extends SparkSuite {
   import spark.implicits._
@@ -34,8 +35,8 @@ class VersionedTableModelSpec extends SparkSuite {
         nextId += n
         rows
       }
-      (0 until 8).foreach { _ =>
-        rnd.nextInt(5) match {
+      (0 until 10).foreach { _ =>
+        rnd.nextInt(7) match {
           case 0 | 1 =>
             val rows = freshRows()
             vt.commitOverwrite(rows.toDF("id"))
@@ -47,7 +48,22 @@ class VersionedTableModelSpec extends SparkSuite {
           case 4 if model.size - vacuumedBelow > 2 =>
             vt.vacuum(keepVersions = 2)
             vacuumedBelow = model.size - 2
-          case _ => // vacuum with too-short history: skip (nothing to drop)
+          case 5 if model.nonEmpty =>
+            // copy-on-write delete of a random id range; matching
+            // nothing must commit NO version (model stays)
+            val lo = rnd.nextLong(nextId + 20)
+            val hi = lo + rnd.nextLong(60)
+            val before = vt.versions().size
+            vt.delete(org.apache.spark.sql.functions.col("id").between(lo, hi))
+            val expect = model.last.filterNot(i => i >= lo && i <= hi)
+            if (vt.versions().size > before) model = model :+ expect
+            else assert(expect == model.last, s"no-op delete must mean no matches (seed $seed)")
+          case 6 if model.nonEmpty =>
+            // optimize never changes data; commits only if it packed
+            val before = vt.versions().size
+            vt.optimize()
+            if (vt.versions().size > before) model = model :+ model.last
+          case _ => // op not applicable yet: skip
         }
         if (model.nonEmpty)
           assert(readIds(vt) == model.last, s"live read diverged (seed $seed)")
