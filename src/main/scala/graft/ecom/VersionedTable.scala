@@ -468,6 +468,33 @@ final case class VersionedTable(
     val (commitRel, newFiles, newStats) = writeDataFiles(rewritten)
     val carried = m.files.filterNot(replaced)
     val carriedStats = m.stats.filter { case (f, _) => !replaced(f) }
+    publishAt(op, base, m.schema.json, carried ++ newFiles,
+      carriedStats ++ newStats, commitRel)
+  }
+
+  /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): make the
+    * head a zero-copy replay of `version` — the new manifest simply
+    * references that version's files again (no data moves; the files
+    * are immutable and still on disk while any retaining manifest
+    * exists). History is preserved: the bad head stays time-travelable
+    * below the restored one, and vacuum keeps the restored files
+    * because the NEW head references them. The undo button for a wrong
+    * delete/merge/overwrite. No-op if already at `version`; conflicts
+    * like the other base-pinned ops.
+    */
+  def restore(version: Long): Long = {
+    val (base, _) = baseSnapshot()
+    if (version == base) return base
+    val target = readManifest(version)
+    publishAt("restore", base, target.schema.json, target.files, target.stats,
+      commitRel = "(none — restore writes no files)")
+  }
+
+  /** Base-pinned CAS publish of an explicit file list (the shared tail
+    * of the copy-on-write ops and restore).
+    */
+  private def publishAt(op: String, base: Long, schemaJson: String,
+      files: Seq[String], stats: FileStats, commitRel: String): Long = {
     var attempt = 0
     while (true) {
       val cur = currentVersion()
@@ -477,8 +504,7 @@ final case class VersionedTable(
             s"${cur.fold("(empty)")(v => s"v$v")} — retry the operation " +
             s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, m.schema.json, op, None, carried ++ newFiles,
-        carriedStats ++ newStats)
+      writeManifest(tmp, schemaJson, op, None, files, stats)
       publishManifest(tmp, manifestPath(base + 1)) match {
         case Landed => return base + 1
         // someone landed base+1 under us: the next loop iteration sees

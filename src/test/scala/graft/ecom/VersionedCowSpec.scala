@@ -247,6 +247,28 @@ class VersionedCowSpec extends SparkSuite {
     assert(vt.read().count() == 30)
   }
 
+  test("restore makes the head a zero-copy replay of an old version; vacuum keeps its files") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(spark.range(0, 100).toDF("id"))
+    vt.commitAppend(spark.range(100, 120).toDF("id"))
+    vt.delete(col("id") < 50L) // the mistake to undo
+    assert(vt.read().count() == 70)
+    val v = vt.restore(2L)
+    assert(v == 4L)
+    // the head replays v2 exactly, referencing v2's files verbatim
+    assert(vt.read().as[Long].collect().sorted.toSeq == (0L until 120L))
+    assert(vt.read().inputFiles.toSet == vt.readAt(2L).inputFiles.toSet,
+      "restore must reference the old files, not copy them")
+    // the bad head stays in history below the restored one
+    assert(vt.readAt(3L).count() == 70)
+    assert(vt.history().map(_.op) == Seq("overwrite", "append", "delete", "restore"))
+    // restoring to the current state is a no-op
+    assert(vt.restore(4L) == 4L)
+    // vacuum to the head alone: the restored (old) files must survive
+    vt.vacuum(keepVersions = 1)
+    assert(vt.read().as[Long].collect().sorted.toSeq == (0L until 120L))
+  }
+
   test("readChangesSince returns exactly the rows appended after the version") {
     val vt = VersionedTable(spark, freshDir())
     vt.commitOverwrite(spark.range(0, 100).toDF("id"))
