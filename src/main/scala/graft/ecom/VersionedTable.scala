@@ -47,12 +47,18 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *    (Delta's enforcement) and ADDS genuinely new columns to the table
   *    schema (Delta's additive `mergeSchema`); older files read back
   *    with the new columns null-filled.
-  *  - '''Row-level writes''' (copy-on-write, like Delta without
-  *    deletion vectors): [[delete]] / [[update]] / [[merge]] rewrite
-  *    ONLY the files that contain affected rows — discovered with one
-  *    distributed scan — and carry every untouched file forward
-  *    unchanged into the new version. At 100 TB a point delete
-  *    rewrites a handful of files, not the table.
+  *  - '''Row-level writes''' (copy-on-write): [[delete]] / [[update]] /
+  *    [[merge]] rewrite ONLY the files that contain affected rows —
+  *    discovered with one distributed scan — and carry every untouched
+  *    file forward unchanged into the new version. At 100 TB a point
+  *    delete rewrites a handful of files, not the table.
+  *  - '''Deletion vectors''' (merge-on-read, Delta's DV feature):
+  *    [[deleteMoR]] records matching rows' (file, row-position)
+  *    coordinates in a parquet sidecar instead of rewriting anything —
+  *    a wide-but-sparse delete (GDPR erasure across the whole table)
+  *    costs one scan plus a tiny sidecar. Readers apply active DVs as
+  *    an anti-join on `_metadata.row_index`; [[purgeDeletes]] (Delta's
+  *    `REORG ... APPLY (PURGE)`) folds them back into the files.
   *  - '''Optimistic concurrency''': append/overwrite retry blind (they
   *    commute with any winner); the row-level ops and [[optimize]]
   *    compute a file set against a base version and throw
@@ -125,7 +131,7 @@ final case class VersionedTable(
   def history(): Seq[VersionInfo] = versions().map { v =>
     val m = readManifest(v)
     VersionInfo(v, m.op, m.batch, m.files.size,
-      fs.getFileStatus(manifestPath(v)).getModificationTime)
+      fs.getFileStatus(manifestPath(v)).getModificationTime, m.dv.size)
   }
 
   /** Commit `df` as a new version that REPLACES the table contents. */
@@ -200,11 +206,15 @@ final case class VersionedTable(
       val carriedM = if (replace) None else prev.map(readManifest)
       val carried = carriedM.fold(Seq.empty[String])(_.files)
       val carriedStats = carriedM.fold(Map.empty: FileStats)(_.stats)
+      // appends keep prior deletion vectors active (deleted rows stay
+      // deleted; new files are untouched by old positions); overwrite
+      // replaces the content wholesale, so DVs reset with it
+      val carriedDv = carriedM.fold(Seq.empty[String])(_.dv)
       val schema = carriedM.fold(df.schema)(m => mergeAppendSchema(m.schema, df.schema))
       val op = if (replace) "overwrite" else "append"
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
       writeManifest(tmp, schema.json, op, batch, carried ++ newFiles,
-        carriedStats ++ newStats)
+        carriedStats ++ newStats, carriedDv)
       publishManifest(tmp, manifestPath(next)) match {
         case Landed => return next
         // a lost CAS is NOT a fault: another writer landed (global
@@ -264,9 +274,72 @@ final case class VersionedTable(
       predicate: Column): Long = {
     val touched = touchedFiles(m, candidates, coalesce(predicate, lit(false)))
     if (touched.isEmpty) return base
-    val survivors = loadFiles(m.schema, touched)
+    val survivors = snapshot(m, touched)
       .filter(not(coalesce(predicate, lit(false))))
     publishCow("delete", base, m, touched.toSet, survivors)
+  }
+
+  /** DELETE, merge-on-read (Delta's deletion vectors): instead of
+    * rewriting every file that contains a matching row ([[delete]]),
+    * record the matches' (file, row-position) coordinates in a parquet
+    * sidecar and publish a manifest referencing it — no data file is
+    * touched, so a wide-but-sparse delete (GDPR erasure of one user
+    * across a 100 TB table, where copy-on-write would rewrite nearly
+    * every file) costs one scan plus a sidecar the size of the match.
+    * Readers apply active DVs as an anti-join on
+    * `_metadata.row_index`, the same stable coordinate Delta's DV
+    * readers mask on; the write amplification moves to read time, and
+    * [[purgeDeletes]] folds it back into the files when the overhead
+    * accumulates. Same null-keeps-row predicate semantics, stats
+    * conservatism (committed [min,max] stay valid — pruning never
+    * resurrects a deleted row because the exact anti-join applies on
+    * top), and conflict contract as [[delete]]; no-op (current version,
+    * no commit) when nothing matches.
+    */
+  def deleteMoR(predicate: Column): Long = {
+    val (base, m) = baseSnapshot()
+    val fc = freshFileCol(m)
+    val ic = graft.util.Names.fresh("_graft_pos", m.schema.fieldNames.toSeq :+ fc)
+    // alive (DV-applied) rows matching the predicate → their coordinates
+    val pairs = snapshot(m, m.files, Some(fc), Some(ic))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(fc).as("f"), col(ic).as("pos"))
+    val commitRel = s"data/c-${UUID.randomUUID()}"
+    val commitAbs = s"$tableDir/$commitRel"
+    pairs.write.mode(SaveMode.ErrorIfExists).parquet(commitAbs)
+    // metadata-only count over the sidecar just written (parquet
+    // footers); an empty delete publishes nothing and the orphan dir
+    // stays invisible until vacuum reclaims it
+    if (spark.read.schema("f STRING, pos BIGINT").parquet(commitAbs).isEmpty) return base
+    val dvFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
+    publishAt("delete", base, m.schema.json, m.files, m.stats,
+      m.dv ++ dvFiles, commitRel)
+  }
+
+  /** Delta's `REORG TABLE ... APPLY (PURGE)`: fold every ACTIVE
+    * deletion vector back into the data by rewriting only the files
+    * that still have live DV entries, then drop the sidecars from the
+    * manifest — restoring zero read-time overhead after a run of
+    * [[deleteMoR]]s (pair with [[vacuum]] to reclaim the sidecar
+    * bytes). Entries for files already rewritten by later COW ops are
+    * inert; if only those remain, the purge is a metadata-only commit.
+    * No-op when the manifest carries no DVs at all. Same conflict
+    * contract as [[optimize]].
+    */
+  def purgeDeletes(): Long = {
+    val (base, m) = baseSnapshot()
+    if (m.dv.isEmpty) return base
+    val fc = freshFileCol(m)
+    val ic = graft.util.Names.fresh("_graft_pos", m.schema.fieldNames.toSeq :+ fc)
+    // distinct file names in the sidecars: O(files) on the driver
+    val dvd = dvEntries(m, fc, ic).select(col(fc)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = m.files.filter(dvd)
+    if (touched.isEmpty)
+      return publishAt("purge", base, m.schema.json, m.files, m.stats,
+        Seq.empty, "(none — purge dropped inert deletion vectors)")
+    publishCow("purge", base, m, touched.toSet, snapshot(m, touched),
+      dvOut = Some(Seq.empty))
   }
 
   /** UPDATE: for rows where `predicate` is TRUE, replace each column
@@ -283,7 +356,7 @@ final case class VersionedTable(
     val touched = touchedFiles(m, m.files, coalesce(predicate, lit(false)))
     if (touched.isEmpty) return base
     val hit = coalesce(predicate, lit(false))
-    val rewritten = loadFiles(m.schema, touched).select(m.schema.map { f =>
+    val rewritten = snapshot(m, touched).select(m.schema.map { f =>
       set.get(f.name) match {
         case Some(e) => org.apache.spark.sql.functions.when(hit, e.cast(f.dataType))
           .otherwise(col(f.name)).as(f.name)
@@ -321,13 +394,13 @@ final case class VersionedTable(
     // semi-join shuffles on the keys (or broadcasts a small source —
     // AQE's call), and only distinct FILE NAMES reach the driver
     val fileC = freshFileCol(m)
-    val touched = loadFiles(m.schema, m.files, Some(fileC))
+    val touched = snapshot(m, m.files, Some(fileC))
       .join(src.select(keys.map(col): _*), keys, "left_semi")
       .select(fileC).distinct().collect().map(_.getString(0)).toSeq.sorted
     checkKnown(m, touched)
     val rewritten =
       if (touched.isEmpty) src
-      else loadFiles(m.schema, touched).join(src.select(keys.map(col): _*), keys, "left_anti")
+      else snapshot(m, touched).join(src.select(keys.map(col): _*), keys, "left_anti")
         .select(m.schema.map(f => col(f.name)): _*)
         .unionByName(src)
     publishCow("merge", base, m, touched.toSet, rewritten)
@@ -370,7 +443,7 @@ final case class VersionedTable(
     val small = sized.filter(_._2 < smallFileBytes)
     if (small.size < 2) return base
     val numOut = math.max(1L, (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
-    val rows = loadFiles(m.schema, small.map(_._1))
+    val rows = snapshot(m, small.map(_._1))
     val rewritten =
       if (zorderBy.nonEmpty) graft.ops.ZOrder.cluster(rows, zorderBy, numOut)
       else partitionCol match {
@@ -406,7 +479,7 @@ final case class VersionedTable(
       if (fromVersion == 0) Set.empty[String]
       else readManifest(fromVersion).files.toSet
     val to = readManifest(toVersion)
-    loadFiles(to.schema, to.files.filterNot(from))
+    snapshot(to, to.files.filterNot(from))
   }
 
   /** Time travel by wall clock (Delta's `TIMESTAMP AS OF`): the newest
@@ -442,7 +515,7 @@ final case class VersionedTable(
       hit: Column): Seq[String] = {
     if (candidates.isEmpty) return Seq.empty
     val fileC = freshFileCol(m)
-    val names = loadFiles(m.schema, candidates, Some(fileC))
+    val names = snapshot(m, candidates, Some(fileC))
       .filter(hit).select(fileC).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     checkKnown(m, names)
@@ -464,12 +537,16 @@ final case class VersionedTable(
     * A transient rename refusal WITH the version unmoved retries.
     */
   private def publishCow(op: String, base: Long, m: Manifest,
-      replaced: Set[String], rewritten: DataFrame): Long = {
+      replaced: Set[String], rewritten: DataFrame,
+      dvOut: Option[Seq[String]] = None): Long = {
     val (commitRel, newFiles, newStats) = writeDataFiles(rewritten)
     val carried = m.files.filterNot(replaced)
     val carriedStats = m.stats.filter { case (f, _) => !replaced(f) }
+    // DV sidecars carry forward by default: entries for replaced files
+    // are inert (their file names left the manifest), entries for
+    // carried files stay active. purgeDeletes overrides to drop them.
     publishAt(op, base, m.schema.json, carried ++ newFiles,
-      carriedStats ++ newStats, commitRel)
+      carriedStats ++ newStats, dvOut.getOrElse(m.dv), commitRel)
   }
 
   /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): make the
@@ -487,14 +564,15 @@ final case class VersionedTable(
     if (version == base) return base
     val target = readManifest(version)
     publishAt("restore", base, target.schema.json, target.files, target.stats,
-      commitRel = "(none — restore writes no files)")
+      target.dv, commitRel = "(none — restore writes no files)")
   }
 
   /** Base-pinned CAS publish of an explicit file list (the shared tail
     * of the copy-on-write ops and restore).
     */
   private def publishAt(op: String, base: Long, schemaJson: String,
-      files: Seq[String], stats: FileStats, commitRel: String): Long = {
+      files: Seq[String], stats: FileStats, dv: Seq[String],
+      commitRel: String): Long = {
     var attempt = 0
     while (true) {
       val cur = currentVersion()
@@ -504,7 +582,7 @@ final case class VersionedTable(
             s"${cur.fold("(empty)")(v => s"v$v")} — retry the operation " +
             s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, schemaJson, op, None, files, stats)
+      writeManifest(tmp, schemaJson, op, None, files, stats, dv)
       publishManifest(tmp, manifestPath(base + 1)) match {
         case Landed => return base + 1
         // someone landed base+1 under us: the next loop iteration sees
@@ -533,7 +611,7 @@ final case class VersionedTable(
     */
   def readAt(version: Long): DataFrame = {
     val m = readManifest(version)
-    loadFiles(m.schema, m.files)
+    snapshot(m, m.files)
   }
 
   /** Data-skipping read: the rows of the current version with
@@ -558,14 +636,15 @@ final case class VersionedTable(
         case None => true
       }
     }
-    loadFiles(m.schema, keep).filter(col(column) >= lo && col(column) <= hi)
+    snapshot(m, keep).filter(col(column) >= lo && col(column) <= hi)
   }
 
   private def loadFiles(schema: StructType, files: Seq[String],
-      fileCol: Option[String] = None): DataFrame =
+      fileCol: Option[String] = None, posCol: Option[String] = None): DataFrame =
     if (files.isEmpty) {
       val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      fileCol.fold(base)(c => base.withColumn(c, lit("")))
+      val withF = fileCol.fold(base)(c => base.withColumn(c, lit("")))
+      posCol.fold(withF)(c => withF.withColumn(c, lit(-1L)))
     } else {
       // one read per commit dir: basePath recovers the partition column
       // from each dir's own layout, then unionByName aligns commits
@@ -578,17 +657,56 @@ final case class VersionedTable(
         // the manifest-relative file name, recovered from the scan's
         // virtual column (commit dirs are always data/c-<uuid>, so the
         // suffix match is unambiguous regardless of scheme/authority)
-        fileCol.fold(df)(c =>
+        val withF = fileCol.fold(df)(c =>
           df.withColumn(c, regexp_extract(input_file_name(), "(data/c-.+)$", 1)))
+        // the row's physical position in its parquet file — the stable
+        // coordinate deletion vectors address rows by (resolved per
+        // commit read: metadata columns don't survive a union)
+        posCol.fold(withF)(c => withF.withColumn(c, col("_metadata.row_index")))
       }
       val unioned = perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
       // the manifest schema governs column order and types (partition
       // values round-trip through dir names; the cast undoes partition
       // type inference for non-inferable originals like string dates)
       val cols = schema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
-        fileCol.map(col).toSeq
+        fileCol.map(col).toSeq ++ posCol.map(col).toSeq
       unioned.select(cols: _*)
     }
+
+  /** The rows of `files` as of manifest `m`, with `m`'s deletion
+    * vectors applied (rows a DV marks deleted never surface). With no
+    * DVs this is exactly [[loadFiles]] — zero read overhead for tables
+    * that only ever use copy-on-write. With DVs, application is ONE
+    * anti-join on (file, row-position) — the distributed equivalent of
+    * Delta's reader-side bitmap masking; AQE broadcasts the sidecar
+    * when it is small (the common case: DVs exist to avoid rewrites for
+    * SPARSE deletes). DV entries addressing files outside `files`
+    * (pruned reads, files since rewritten) are inert by construction —
+    * a row position is only meaningful inside the immutable file that
+    * produced it, and rewritten files get fresh commit-dir names.
+    */
+  private def snapshot(m: Manifest, files: Seq[String],
+      fileCol: Option[String] = None, posCol: Option[String] = None): DataFrame =
+    if (m.dv.isEmpty) loadFiles(m.schema, files, fileCol, posCol)
+    else {
+      val fc = fileCol.getOrElse(freshFileCol(m))
+      val ic = posCol.getOrElse(
+        graft.util.Names.fresh("_graft_pos", m.schema.fieldNames.toSeq :+ fc))
+      val alive = loadFiles(m.schema, files, Some(fc), Some(ic))
+        .join(dvEntries(m, fc, ic), Seq(fc, ic), "left_anti")
+      val cols = m.schema.map(f => col(f.name)) ++
+        fileCol.map(col).toSeq ++ posCol.map(col).toSeq
+      alive.select(cols: _*)
+    }
+
+  /** The (file, row-position) coordinates of every deleted row, read
+    * from the active sidecars and renamed to this read's scratch
+    * column names.
+    */
+  private def dvEntries(m: Manifest, fc: String, ic: String): DataFrame =
+    spark.read.schema("f STRING, pos BIGINT")
+      .parquet(m.dv.map(p => s"$tableDir/$p"): _*)
+      .select(col("f").as(fc), col("pos").as(ic))
 
   /** Drop all but the newest `keepVersions` manifests and every commit
     * dir no retained manifest references. This — and only this — breaks
@@ -619,7 +737,8 @@ final case class VersionedTable(
 
   private def vacuumVersions(dropped: Seq[Long], kept: Seq[Long]): Unit = {
     val referenced: Set[String] =
-      kept.flatMap(v => readManifest(v).files).map(_.split('/').take(2).mkString("/")).toSet
+      kept.flatMap { v => val m = readManifest(v); m.files ++ m.dv }
+        .map(_.split('/').take(2).mkString("/")).toSet
     dropped.foreach { v =>
       require(fs.delete(manifestPath(v), false), s"vacuum: could not delete manifest v$v")
     }
@@ -768,7 +887,8 @@ final case class VersionedTable(
   }
 
   private def writeManifest(at: Path, schemaJson: String, op: String,
-      batch: Option[Long], files: Seq[String], stats: FileStats): Unit = {
+      batch: Option[Long], files: Seq[String], stats: FileStats,
+      dv: Seq[String]): Unit = {
     val out = fs.create(at, true)
     try {
       val sb = new StringBuilder("graft-manifest-v1\n")
@@ -784,6 +904,9 @@ final case class VersionedTable(
             .append(mx).append('\t').append(f).append('\n')
         }
       }
+      // active deletion-vector sidecars (parquet files of (f, pos)
+      // coordinates); readers anti-join these against the data files
+      dv.foreach(d => sb.append("dvfile:").append(d).append('\n'))
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
   }
@@ -797,7 +920,8 @@ final case class VersionedTable(
       op: String,
       batch: Option[Long],
       files: Seq[String],
-      stats: Map[String, Map[String, (Long, Long)]])
+      stats: Map[String, Map[String, (Long, Long)]],
+      dv: Seq[String])
 
   private def readManifest(version: Long): Manifest = {
     val p = manifestPath(version)
@@ -822,7 +946,8 @@ final case class VersionedTable(
       }
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> (r._3, r._4)).toMap }
-    Manifest(schema, op, batch, files, stats)
+    val dv = lines.filter(_.startsWith("dvfile:")).map(_.stripPrefix("dvfile:"))
+    Manifest(schema, op, batch, files, stats, dv)
   }
 }
 
@@ -833,5 +958,6 @@ object VersionedTable {
       op: String,
       batch: Option[Long],
       numFiles: Int,
-      modifiedMs: Long)
+      modifiedMs: Long,
+      numDvFiles: Int = 0)
 }

@@ -228,5 +228,58 @@ object Versioned {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05, qv06)
+  /** Merge-on-read deletion vectors end to end: a sidecar-only delete
+    * (no file rewritten), an append that must stay subject to it, a
+    * second stacked DV delete over the combined state, then REORG
+    * APPLY (PURGE) folding both back into the files — and time travel
+    * to the sidecar version AFTER the purge. The oracle replays the
+    * history as plain filter algebra, so a hash match pins that the
+    * positional anti-join hides exactly the deleted rows at every
+    * version, appends are untouched by older positions, and the purge
+    * is data-identical.
+    */
+  val qv07 = Q(
+    "qv07_deletion_vectors",
+    """WITH a AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |b AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |v2 AS (SELECT * FROM a WHERE NOT (o_orderkey % 5 = 0)),
+      |cur AS (
+      |  SELECT * FROM (SELECT * FROM v2 UNION ALL SELECT * FROM b) u
+      |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+      |SELECT rel, o_orderstatus, n_orders, total_price FROM (
+      |  SELECT 'current' AS rel, o_orderstatus,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |  FROM cur GROUP BY o_orderstatus
+      |  UNION ALL
+      |  SELECT 'v2', o_orderstatus, CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM v2 GROUP BY o_orderstatus) u
+      |ORDER BY rel, o_orderstatus""".stripMargin) { (s, dir) =>
+    val orders = load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DoubleType).as("price"))
+    val vt = VersionedTable(s, Files.createTempDirectory("graft-qv07-").toString)
+    vt.commitOverwrite(orders.filter(col("o_orderkey") % 3 =!= 0))           // v1
+    vt.deleteMoR(col("o_orderkey") % 5 === 0)                                // v2
+    vt.commitAppend(orders.filter(col("o_orderkey") % 3 === 0))              // v3
+    vt.deleteMoR(col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0) // v4
+    vt.purgeDeletes()                                                        // v5
+    def agg(rel: String, df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("price")).as("total_price"))
+        .select(lit(rel).as("rel"), col("o_orderstatus"),
+          col("n_orders"), col("total_price"))
+    agg("current", vt.read())
+      .unionByName(agg("v2", vt.readAt(2L)))
+      .orderBy("rel", "o_orderstatus")
+  }
+
+  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07)
 }
