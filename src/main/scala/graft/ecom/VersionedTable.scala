@@ -71,7 +71,10 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *    advisory: a file without them is read conservatively, and the
   *    exact predicate is always applied on top. Pair with
   *    [[graft.ops.ZOrder]] clustering so BOTH dimensions of a
-  *    two-column workload prune (multi-dimensional skipping).
+  *    two-column workload prune (multi-dimensional skipping). With
+  *    `bloomColumns` set, commits also record a per-file bloom filter
+  *    and [[readPoint]] prunes equality lookups on high-cardinality
+  *    columns that min/max can never skip (Delta's bloom indexes).
   *  - '''Incremental consumption''': [[readChangesSince]] returns the
   *    rows of files ADDED after a version — for an append-only history
   *    this is exactly the insert change-feed, so a downstream job
@@ -96,7 +99,10 @@ final case class VersionedTable(
     tableDir: String,
     format: String = "parquet",
     partitionCol: Option[String] = None,
-    statsColumns: Seq[String] = Nil) {
+    statsColumns: Seq[String] = Nil,
+    bloomColumns: Seq[String] = Nil,
+    bloomBits: Int = 1 << 16,
+    bloomHashes: Int = 5) {
 
   import VersionedTable.VersionInfo
 
@@ -109,6 +115,8 @@ final case class VersionedTable(
     new Path(logDir, f"v$version%08d.manifest")
 
   private type FileStats = Map[String, Map[String, (Long, Long)]]
+  // per-file per-column bloom: (probe count k, filter bits)
+  private type FileBlooms = Map[String, Map[String, (Int, Array[Long])]]
 
   /** All retained versions, ascending. */
   def versions(): Seq[Long] = {
@@ -194,7 +202,7 @@ final case class VersionedTable(
       mergeAppendSchema(readManifest(v).schema, df.schema): Unit)
     // 1. write the data files into a commit dir no manifest references —
     //    invisible to every reader until the manifest rename publishes it
-    val (commitRel, newFiles, newStats) = writeDataFiles(df)
+    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(df)
     // 2. CAS publish loop: losing a race surfaces as rename->false (the
     //    destination version already exists); re-read the log and retry
     //    one version higher. A rename refused for any OTHER reason also
@@ -210,11 +218,12 @@ final case class VersionedTable(
       // deleted; new files are untouched by old positions); overwrite
       // replaces the content wholesale, so DVs reset with it
       val carriedDv = carriedM.fold(Seq.empty[String])(_.dv)
+      val carriedBlooms = carriedM.fold(Map.empty: FileBlooms)(_.blooms)
       val schema = carriedM.fold(df.schema)(m => mergeAppendSchema(m.schema, df.schema))
       val op = if (replace) "overwrite" else "append"
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
       writeManifest(tmp, schema.json, op, batch, carried ++ newFiles,
-        carriedStats ++ newStats, carriedDv)
+        carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms)
       publishManifest(tmp, manifestPath(next)) match {
         case Landed => return next
         // a lost CAS is NOT a fault: another writer landed (global
@@ -313,7 +322,7 @@ final case class VersionedTable(
     if (spark.read.schema("f STRING, pos BIGINT").parquet(commitAbs).isEmpty) return base
     val dvFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
     publishAt("delete", base, m.schema.json, m.files, m.stats,
-      m.dv ++ dvFiles, commitRel)
+      m.dv ++ dvFiles, m.blooms, commitRel)
   }
 
   /** Delta's `REORG TABLE ... APPLY (PURGE)`: fold every ACTIVE
@@ -337,7 +346,7 @@ final case class VersionedTable(
     val touched = m.files.filter(dvd)
     if (touched.isEmpty)
       return publishAt("purge", base, m.schema.json, m.files, m.stats,
-        Seq.empty, "(none — purge dropped inert deletion vectors)")
+        Seq.empty, m.blooms, "(none — purge dropped inert deletion vectors)")
     publishCow("purge", base, m, touched.toSet, snapshot(m, touched),
       dvOut = Some(Seq.empty))
   }
@@ -539,14 +548,16 @@ final case class VersionedTable(
   private def publishCow(op: String, base: Long, m: Manifest,
       replaced: Set[String], rewritten: DataFrame,
       dvOut: Option[Seq[String]] = None): Long = {
-    val (commitRel, newFiles, newStats) = writeDataFiles(rewritten)
+    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(rewritten)
     val carried = m.files.filterNot(replaced)
     val carriedStats = m.stats.filter { case (f, _) => !replaced(f) }
+    val carriedBlooms = m.blooms.filter { case (f, _) => !replaced(f) }
     // DV sidecars carry forward by default: entries for replaced files
     // are inert (their file names left the manifest), entries for
     // carried files stay active. purgeDeletes overrides to drop them.
     publishAt(op, base, m.schema.json, carried ++ newFiles,
-      carriedStats ++ newStats, dvOut.getOrElse(m.dv), commitRel)
+      carriedStats ++ newStats, dvOut.getOrElse(m.dv),
+      carriedBlooms ++ newBlooms, commitRel)
   }
 
   /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): make the
@@ -564,7 +575,7 @@ final case class VersionedTable(
     if (version == base) return base
     val target = readManifest(version)
     publishAt("restore", base, target.schema.json, target.files, target.stats,
-      target.dv, commitRel = "(none — restore writes no files)")
+      target.dv, target.blooms, commitRel = "(none — restore writes no files)")
   }
 
   /** Base-pinned CAS publish of an explicit file list (the shared tail
@@ -572,7 +583,7 @@ final case class VersionedTable(
     */
   private def publishAt(op: String, base: Long, schemaJson: String,
       files: Seq[String], stats: FileStats, dv: Seq[String],
-      commitRel: String): Long = {
+      blooms: FileBlooms, commitRel: String): Long = {
     var attempt = 0
     while (true) {
       val cur = currentVersion()
@@ -582,7 +593,7 @@ final case class VersionedTable(
             s"${cur.fold("(empty)")(v => s"v$v")} — retry the operation " +
             s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, schemaJson, op, None, files, stats, dv)
+      writeManifest(tmp, schemaJson, op, None, files, stats, dv, blooms)
       publishManifest(tmp, manifestPath(base + 1)) match {
         case Landed => return base + 1
         // someone landed base+1 under us: the next loop iteration sees
@@ -637,6 +648,46 @@ final case class VersionedTable(
       }
     }
     snapshot(m, keep).filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** Point-lookup read with bloom-filter skipping (Delta/Iceberg's
+    * bloom indexes): the rows of the current version where
+    * `column = value`, touching only the files whose committed bloom
+    * says the value MIGHT be present — the high-cardinality complement
+    * to [[readRange]]'s min/max pruning (on a column whose values are
+    * spread across every file, min/max can never prune; a bloom prunes
+    * all but ~fpp of the files). The probe literal is cast to the
+    * column's declared type and hashed exactly as the build side hashed
+    * the data (`BloomSketch.hashCols`), so build and probe agree by
+    * construction. Files with no committed bloom for `column` are read
+    * conservatively, and the exact predicate applies on top either way
+    * — skipping can only remove IO, never rows. `value` must be
+    * non-null (`x = NULL` is never true in SQL).
+    */
+  def readPoint(column: String, value: Any): DataFrame =
+    readPointAt(currentVersion().getOrElse(
+      throw new IllegalArgumentException(s"$tableDir has no committed version")),
+      column, value)
+
+  def readPointAt(version: Long, column: String, value: Any): DataFrame = {
+    require(value != null, "readPoint value must be non-null (col = NULL is never true)")
+    val m = readManifest(version)
+    val field = m.schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"readPoint column $column not in table schema"))
+    val probe = lit(value).cast(field.dataType)
+    // one driver-local 1-row job re-derives the scan side's xxhash64
+    // pair for the probe literal — same codepath, so equal values hash
+    // equal regardless of the literal's JVM type
+    val (h1c, h2c) = graft.util.BloomSketch.hashCols(probe)
+    val hr = spark.range(1).select(h1c, h2c).head()
+    val (h1, h2) = (hr.getLong(0), hr.getLong(1))
+    val keep = m.files.filter { f =>
+      m.blooms.get(f).flatMap(_.get(column)) match {
+        case Some((k, bits)) => graft.util.BloomSketch.mightContain(bits, k, h1, h2)
+        case None => true // no bloom: conservatively a candidate
+      }
+    }
+    snapshot(m, keep).filter(col(column) === probe)
   }
 
   private def loadFiles(schema: StructType, files: Seq[String],
@@ -807,16 +858,17 @@ final case class VersionedTable(
     * (commit-relative dir, manifest-relative file names, their stats).
     * Nothing is visible until a manifest referencing the files lands.
     */
-  private def writeDataFiles(df: DataFrame): (String, Seq[String], FileStats) = {
+  private def writeDataFiles(df: DataFrame): (String, Seq[String], FileStats, FileBlooms) = {
     val commitRel = s"data/c-${UUID.randomUUID()}"
     val commitAbs = s"$tableDir/$commitRel"
     val w = df.write.format(format).mode(SaveMode.ErrorIfExists)
     partitionCol.fold(w)(w.partitionBy(_)).save(commitAbs)
     val newFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
-    val stats =
-      if (newFiles.isEmpty) Map.empty: FileStats
-      else collectFileStats(commitRel, commitAbs)
-    (commitRel, newFiles, stats)
+    if (newFiles.isEmpty) (commitRel, newFiles, Map.empty: FileStats, Map.empty: FileBlooms)
+    else {
+      val (stats, blooms) = collectFileMeta(commitRel, commitAbs)
+      (commitRel, newFiles, stats, blooms)
+    }
   }
 
   /** Data files under `dir`, as paths relative to `dir`. Skips Spark's
@@ -852,8 +904,8 @@ final case class VersionedTable(
     * All-null files get no entry (conservatively read). Keyed by the
     * manifest-relative file path.
     */
-  private def collectFileStats(commitRel: String, commitAbs: String): FileStats = {
-    if (statsColumns.isEmpty) Map.empty
+  private def collectFileMeta(commitRel: String, commitAbs: String): (FileStats, FileBlooms) = {
+    if (statsColumns.isEmpty && bloomColumns.isEmpty) (Map.empty, Map.empty)
     else {
       val integral: Set[Any] = Set(LongType, IntegerType, ShortType, ByteType)
       // partition columns are legal stats columns (basePath read restores
@@ -866,29 +918,41 @@ final case class VersionedTable(
           s"stats column $c is ${f.dataType.simpleString}; only integral types " +
             "serialize exactly in the manifest")
       }
+      bloomColumns.foreach(c => require(back.schema.fieldNames.contains(c),
+        s"bloom column $c not in committed schema"))
+      // ONE read-back pass collects both kinds of skipping metadata:
+      // min/max ranges and point-lookup blooms (map-side combinable)
       val aggs = statsColumns.flatMap(c => Seq(
-        min(col(c).cast(LongType)).as(s"_mn_$c"), max(col(c).cast(LongType)).as(s"_mx_$c")))
+        min(col(c).cast(LongType)).as(s"_mn_$c"), max(col(c).cast(LongType)).as(s"_mx_$c"))) ++
+        bloomColumns.map(c =>
+          graft.util.BloomSketch.agg(col(c), bloomBits, bloomHashes).as(s"_bf_$c"))
       val base = new Path(commitAbs).toUri.getPath
-      back.groupBy(input_file_name().as("_f"))
+      val rows = back.groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
           val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
           require(abs.startsWith(base + "/"), s"stats file $abs escapes commit dir")
           val rel = s"$commitRel/${abs.drop(base.length + 1)}"
-          rel -> statsColumns.zipWithIndex.flatMap { case (c, i) =>
+          val st = statsColumns.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(1 + 2 * i)) None // all-null file: no prunable range
             else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
           }.toMap
+          val bfBase = 1 + 2 * statsColumns.size
+          val bf = bloomColumns.zipWithIndex.map { case (c, i) =>
+            c -> (bloomHashes, graft.util.BloomSketch.fromBytes(
+              r.getAs[Array[Byte]](bfBase + i)))
+          }.toMap
+          (rel, st, bf)
         }
-        .filter(_._2.nonEmpty)
-        .toMap
+      (rows.map(t => t._1 -> t._2).filter(_._2.nonEmpty).toMap,
+        rows.map(t => t._1 -> t._3).filter(_._2.nonEmpty).toMap)
     }
   }
 
   private def writeManifest(at: Path, schemaJson: String, op: String,
       batch: Option[Long], files: Seq[String], stats: FileStats,
-      dv: Seq[String]): Unit = {
+      dv: Seq[String], blooms: FileBlooms): Unit = {
     val out = fs.create(at, true)
     try {
       val sb = new StringBuilder("graft-manifest-v1\n")
@@ -902,6 +966,13 @@ final case class VersionedTable(
         stats.get(f).toSeq.flatMap(_.toSeq).sortBy(_._1).foreach { case (c, (mn, mx)) =>
           sb.append("stats:").append(c).append('\t').append(mn).append('\t')
             .append(mx).append('\t').append(f).append('\n')
+        }
+        // point-lookup blooms: col \t k \t base64(bits) \t path
+        blooms.get(f).toSeq.flatMap(_.toSeq).sortBy(_._1).foreach { case (c, (k, bits)) =>
+          sb.append("bloom:").append(c).append('\t').append(k).append('\t')
+            .append(java.util.Base64.getEncoder.encodeToString(
+              graft.util.BloomSketch.toBytes(bits)))
+            .append('\t').append(f).append('\n')
         }
       }
       // active deletion-vector sidecars (parquet files of (f, pos)
@@ -921,7 +992,8 @@ final case class VersionedTable(
       batch: Option[Long],
       files: Seq[String],
       stats: Map[String, Map[String, (Long, Long)]],
-      dv: Seq[String])
+      dv: Seq[String],
+      blooms: Map[String, Map[String, (Int, Array[Long])]])
 
   private def readManifest(version: Long): Manifest = {
     val p = manifestPath(version)
@@ -947,7 +1019,16 @@ final case class VersionedTable(
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> (r._3, r._4)).toMap }
     val dv = lines.filter(_.startsWith("dvfile:")).map(_.stripPrefix("dvfile:"))
-    Manifest(schema, op, batch, files, stats, dv)
+    val blooms = lines.filter(_.startsWith("bloom:"))
+      .map { l =>
+        val parts = l.stripPrefix("bloom:").split('\t')
+        require(parts.length == 4, s"malformed bloom line in $p: ${l.take(80)}")
+        (parts(3), parts(0), parts(1).toInt,
+          graft.util.BloomSketch.fromBytes(java.util.Base64.getDecoder.decode(parts(2))))
+      }
+      .groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(r => r._2 -> (r._3, r._4)).toMap }
+    Manifest(schema, op, batch, files, stats, dv, blooms)
   }
 }
 

@@ -281,5 +281,31 @@ object Versioned {
       .orderBy("rel", "o_orderstatus")
   }
 
-  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07)
+  /** Bloom-filter point-lookup skipping end to end: documents committed
+    * UNCLUSTERED (round-robin over 16 files, so every file's [min, max]
+    * covers the whole id domain and range stats can never prune) with a
+    * per-file bloom on doc_id; three point lookups plus one guaranteed
+    * miss read back through [[VersionedTable.readPoint]]. The oracle is
+    * the plain relational lookup — a hash match pins that bloom pruning
+    * loses no rows and the miss probe invents none. The pruning
+    * mechanics themselves (files actually skipped) are spec-pinned in
+    * VersionedBloomSpec.
+    */
+  val qv08 = Q(
+    "qv08_bloom_point_lookup",
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents WHERE doc_id IN (7, 123, 404, 999999)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val vt = VersionedTable(s, Files.createTempDirectory("graft-qv08-").toString,
+      bloomColumns = Seq("doc_id"))
+    vt.commitOverwrite(docs.repartition(16))
+    Seq(7L, 123L, 404L, 999999L)
+      .map(id => vt.readPoint("doc_id", id))
+      .reduce(_.unionByName(_))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08)
 }
