@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not, regexp_extract}
+import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, max, min, not, regexp_extract, sum, when}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
 
 /** Minimal versioned parquet+manifest table format — the observable
@@ -75,6 +75,10 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *    `bloomColumns` set, commits also record a per-file bloom filter
   *    and [[readPoint]] prunes equality lookups on high-cardinality
   *    columns that min/max can never skip (Delta's bloom indexes).
+  *  - '''CHECK constraints''' (Delta's `ADD CONSTRAINT`):
+  *    [[addCheckConstraint]] verifies existing rows then enforces the
+  *    expression on every future row-introducing commit — a violating
+  *    batch aborts before any manifest references it.
   *  - '''Incremental consumption''': [[readChangesSince]] returns the
   *    rows of files ADDED after a version — for an append-only history
   *    this is exactly the insert change-feed, so a downstream job
@@ -203,6 +207,17 @@ final case class VersionedTable(
     // 1. write the data files into a commit dir no manifest references —
     //    invisible to every reader until the manifest rename publishes it
     val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(df)
+    // CHECK-constraint enforcement on what LANDED, read back through the
+    // merged schema (an omitted evolving column null-fills, exactly as
+    // readers will see it); a violation aborts with the files still
+    // invisible. Constraints are pinned at entry like the schema check.
+    currentVersion().map(readManifest).foreach { pm =>
+      if (pm.constraints.nonEmpty) {
+        val sch = if (replace) df.schema else mergeAppendSchema(pm.schema, df.schema)
+        enforceConstraints(pm.constraints, loadFiles(sch, newFiles),
+          if (replace) "the overwrite batch" else "the appended batch")
+      }
+    }
     // 2. CAS publish loop: losing a race surfaces as rename->false (the
     //    destination version already exists); re-read the log and retry
     //    one version higher. A rename refused for any OTHER reason also
@@ -211,7 +226,8 @@ final case class VersionedTable(
     while (true) {
       val prev = currentVersion()
       val next = prev.getOrElse(0L) + 1
-      val carriedM = if (replace) None else prev.map(readManifest)
+      val prevM = prev.map(readManifest)
+      val carriedM = if (replace) None else prevM
       val carried = carriedM.fold(Seq.empty[String])(_.files)
       val carriedStats = carriedM.fold(Map.empty: FileStats)(_.stats)
       // appends keep prior deletion vectors active (deleted rows stay
@@ -219,11 +235,14 @@ final case class VersionedTable(
       // replaces the content wholesale, so DVs reset with it
       val carriedDv = carriedM.fold(Seq.empty[String])(_.dv)
       val carriedBlooms = carriedM.fold(Map.empty: FileBlooms)(_.blooms)
+      // CHECK constraints survive an overwrite (Delta: table metadata,
+      // not data) — read them from prev even when replace drops files
+      val cons = prevM.fold(Map.empty[String, String])(_.constraints)
       val schema = carriedM.fold(df.schema)(m => mergeAppendSchema(m.schema, df.schema))
       val op = if (replace) "overwrite" else "append"
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, schema.json, op, batch, carried ++ newFiles,
-        carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms)
+      writeManifest(tmp, Manifest(schema, op, batch, carried ++ newFiles,
+        carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms, cons))
       publishManifest(tmp, manifestPath(next)) match {
         case Landed => return next
         // a lost CAS is NOT a fault: another writer landed (global
@@ -321,8 +340,7 @@ final case class VersionedTable(
     // stays invisible until vacuum reclaims it
     if (spark.read.schema("f STRING, pos BIGINT").parquet(commitAbs).isEmpty) return base
     val dvFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
-    publishAt("delete", base, m.schema.json, m.files, m.stats,
-      m.dv ++ dvFiles, m.blooms, commitRel)
+    publishAt(base, m.copy(op = "delete", batch = None, dv = m.dv ++ dvFiles), commitRel)
   }
 
   /** Delta's `REORG TABLE ... APPLY (PURGE)`: fold every ACTIVE
@@ -345,8 +363,8 @@ final case class VersionedTable(
       .collect().map(_.getString(0)).toSet
     val touched = m.files.filter(dvd)
     if (touched.isEmpty)
-      return publishAt("purge", base, m.schema.json, m.files, m.stats,
-        Seq.empty, m.blooms, "(none — purge dropped inert deletion vectors)")
+      return publishAt(base, m.copy(op = "purge", batch = None, dv = Seq.empty),
+        "(none — purge dropped inert deletion vectors)")
     publishCow("purge", base, m, touched.toSet, snapshot(m, touched),
       dvOut = Some(Seq.empty))
   }
@@ -413,6 +431,63 @@ final case class VersionedTable(
         .select(m.schema.map(f => col(f.name)): _*)
         .unionByName(src)
     publishCow("merge", base, m, touched.toSet, rewritten)
+  }
+
+  /** Delta's `ALTER TABLE ... ADD CONSTRAINT name CHECK (sqlExpr)`:
+    * from this version on, every commit that introduces rows (append,
+    * overwrite, update, merge, streaming batches) verifies the landed
+    * batch against the expression and ABORTS before publishing if any
+    * row makes it FALSE (null passes, SQL CHECK semantics). Adding the
+    * constraint first verifies every EXISTING row, exactly as Delta
+    * does, then publishes a metadata-only version; constraints survive
+    * overwrite (table metadata, not data) and replay under restore.
+    * Enforcement reads the batch back through the merged schema — an
+    * appended batch that omits a constrained column null-fills it and
+    * passes, matching what readers will see. N constraints cost ONE
+    * fused conditional-count pass over the batch (never the table).
+    */
+  def addCheckConstraint(name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"constraint name must be non-empty and tab/newline-free: '$name'")
+    require(sqlExpr.nonEmpty && !sqlExpr.exists(c => c == '\t' || c == '\n'),
+      "constraint expression must be non-empty and tab/newline-free (manifest line format)")
+    val (base, m) = baseSnapshot()
+    require(!m.constraints.contains(name), s"constraint $name already exists")
+    // Delta semantics: adding a constraint verifies every existing row
+    enforceConstraints(Map(name -> sqlExpr), snapshot(m, m.files), "existing table data")
+    publishAt(base, m.copy(op = "addConstraint", batch = None,
+      constraints = m.constraints + (name -> sqlExpr)), "(none — metadata-only)")
+  }
+
+  def dropCheckConstraint(name: String): Long = {
+    val (base, m) = baseSnapshot()
+    require(m.constraints.contains(name), s"constraint $name does not exist")
+    publishAt(base, m.copy(op = "dropConstraint", batch = None,
+      constraints = m.constraints - name), "(none — metadata-only)")
+  }
+
+  /** The active CHECK constraints: name -> boolean SQL expression. */
+  def checkConstraints(): Map[String, String] =
+    currentVersion().fold(Map.empty[String, String])(v => readManifest(v).constraints)
+
+  /** One fused conditional-count pass over `batch`: every constraint
+    * evaluated per row (FALSE = violation, null passes), all counted in
+    * a single aggregate — N constraints never cost N scans. Throws
+    * naming the first violated constraint and its violation count.
+    */
+  private def enforceConstraints(constraints: Map[String, String],
+      batch: DataFrame, ctx: String): Unit = {
+    if (constraints.isEmpty) return
+    val checks = constraints.toSeq.sortBy(_._1)
+    val aggs = checks.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)).as(s"_viol_$i")
+    }
+    val r = batch.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.foreach { case ((n, e), i) =>
+      val v = if (r.isNullAt(i)) 0L else r.getLong(i) // sum over 0 rows is null
+      if (v > 0) throw new IllegalArgumentException(
+        s"CHECK constraint $n violated by $v row(s) in $ctx: $e")
+    }
   }
 
   /** OPTIMIZE: bin-pack files smaller than `smallFileBytes` into
@@ -549,15 +624,19 @@ final case class VersionedTable(
       replaced: Set[String], rewritten: DataFrame,
       dvOut: Option[Seq[String]] = None): Long = {
     val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(rewritten)
+    // update/merge can introduce violating rows; delete/optimize/purge/
+    // restore only rearrange rows that already passed
+    if ((op == "update" || op == "merge") && m.constraints.nonEmpty)
+      enforceConstraints(m.constraints, loadFiles(m.schema, newFiles), s"the $op result")
     val carried = m.files.filterNot(replaced)
     val carriedStats = m.stats.filter { case (f, _) => !replaced(f) }
     val carriedBlooms = m.blooms.filter { case (f, _) => !replaced(f) }
     // DV sidecars carry forward by default: entries for replaced files
     // are inert (their file names left the manifest), entries for
     // carried files stay active. purgeDeletes overrides to drop them.
-    publishAt(op, base, m.schema.json, carried ++ newFiles,
-      carriedStats ++ newStats, dvOut.getOrElse(m.dv),
-      carriedBlooms ++ newBlooms, commitRel)
+    publishAt(base, m.copy(op = op, batch = None,
+      files = carried ++ newFiles, stats = carriedStats ++ newStats,
+      dv = dvOut.getOrElse(m.dv), blooms = carriedBlooms ++ newBlooms), commitRel)
   }
 
   /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): make the
@@ -574,26 +653,24 @@ final case class VersionedTable(
     val (base, _) = baseSnapshot()
     if (version == base) return base
     val target = readManifest(version)
-    publishAt("restore", base, target.schema.json, target.files, target.stats,
-      target.dv, target.blooms, commitRel = "(none — restore writes no files)")
+    publishAt(base, target.copy(op = "restore", batch = None),
+      commitRel = "(none — restore writes no files)")
   }
 
   /** Base-pinned CAS publish of an explicit file list (the shared tail
     * of the copy-on-write ops and restore).
     */
-  private def publishAt(op: String, base: Long, schemaJson: String,
-      files: Seq[String], stats: FileStats, dv: Seq[String],
-      blooms: FileBlooms, commitRel: String): Long = {
+  private def publishAt(base: Long, man: Manifest, commitRel: String): Long = {
     var attempt = 0
     while (true) {
       val cur = currentVersion()
       if (!cur.contains(base))
         throw new java.util.ConcurrentModificationException(
-          s"$op computed against v$base but the table is now at " +
+          s"${man.op} computed against v$base but the table is now at " +
             s"${cur.fold("(empty)")(v => s"v$v")} — retry the operation " +
             s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, schemaJson, op, None, files, stats, dv, blooms)
+      writeManifest(tmp, man)
       publishManifest(tmp, manifestPath(base + 1)) match {
         case Landed => return base + 1
         // someone landed base+1 under us: the next loop iteration sees
@@ -602,7 +679,7 @@ final case class VersionedTable(
         case Refused =>
           attempt += 1
           require(attempt < 20,
-            s"could not publish $op after $attempt attempts — v$base is still live; " +
+            s"could not publish ${man.op} after $attempt attempts — v$base is still live; " +
               s"uncommitted files left invisible at $commitRel (vacuum reclaims them)")
       }
     }
@@ -718,8 +795,15 @@ final case class VersionedTable(
       val unioned = perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
       // the manifest schema governs column order and types (partition
       // values round-trip through dir names; the cast undoes partition
-      // type inference for non-inferable originals like string dates)
-      val cols = schema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+      // type inference for non-inferable originals like string dates).
+      // A schema column NONE of the loaded files carry (a subset read —
+      // change feed, constraint read-back — of files older or newer
+      // than an additive evolution) null-fills, exactly as the full
+      // table read sees it via unionByName.
+      val have = unioned.columns.toSet
+      val cols = schema.map(f =>
+        (if (have(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)) ++
         fileCol.map(col).toSeq ++ posCol.map(col).toSeq
       unioned.select(cols: _*)
     }
@@ -950,25 +1034,23 @@ final case class VersionedTable(
     }
   }
 
-  private def writeManifest(at: Path, schemaJson: String, op: String,
-      batch: Option[Long], files: Seq[String], stats: FileStats,
-      dv: Seq[String], blooms: FileBlooms): Unit = {
+  private def writeManifest(at: Path, m: Manifest): Unit = {
     val out = fs.create(at, true)
     try {
       val sb = new StringBuilder("graft-manifest-v1\n")
-      sb.append("schema:").append(schemaJson).append('\n')
-      sb.append("op:").append(op).append('\n')
-      batch.foreach(b => sb.append("batch:").append(b).append('\n'))
-      files.foreach { f =>
+      sb.append("schema:").append(m.schema.json).append('\n')
+      sb.append("op:").append(m.op).append('\n')
+      m.batch.foreach(b => sb.append("batch:").append(b).append('\n'))
+      m.files.foreach { f =>
         sb.append("file:").append(f).append('\n')
         // stats ride next to their file line: col \t min \t max \t path
         // (path LAST — it is the only field that could ever be exotic)
-        stats.get(f).toSeq.flatMap(_.toSeq).sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        m.stats.get(f).toSeq.flatMap(_.toSeq).sortBy(_._1).foreach { case (c, (mn, mx)) =>
           sb.append("stats:").append(c).append('\t').append(mn).append('\t')
             .append(mx).append('\t').append(f).append('\n')
         }
         // point-lookup blooms: col \t k \t base64(bits) \t path
-        blooms.get(f).toSeq.flatMap(_.toSeq).sortBy(_._1).foreach { case (c, (k, bits)) =>
+        m.blooms.get(f).toSeq.flatMap(_.toSeq).sortBy(_._1).foreach { case (c, (k, bits)) =>
           sb.append("bloom:").append(c).append('\t').append(k).append('\t')
             .append(java.util.Base64.getEncoder.encodeToString(
               graft.util.BloomSketch.toBytes(bits)))
@@ -977,7 +1059,11 @@ final case class VersionedTable(
       }
       // active deletion-vector sidecars (parquet files of (f, pos)
       // coordinates); readers anti-join these against the data files
-      dv.foreach(d => sb.append("dvfile:").append(d).append('\n'))
+      m.dv.foreach(d => sb.append("dvfile:").append(d).append('\n'))
+      // CHECK constraints: name \t sql (both validated tab/newline-free)
+      m.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
+        sb.append("constraint:").append(n).append('\t').append(e).append('\n')
+      }
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
   }
@@ -993,7 +1079,8 @@ final case class VersionedTable(
       files: Seq[String],
       stats: Map[String, Map[String, (Long, Long)]],
       dv: Seq[String],
-      blooms: Map[String, Map[String, (Int, Array[Long])]])
+      blooms: Map[String, Map[String, (Int, Array[Long])]],
+      constraints: Map[String, String])
 
   private def readManifest(version: Long): Manifest = {
     val p = manifestPath(version)
@@ -1028,7 +1115,13 @@ final case class VersionedTable(
       }
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> (r._3, r._4)).toMap }
-    Manifest(schema, op, batch, files, stats, dv, blooms)
+    val constraints = lines.filter(_.startsWith("constraint:"))
+      .map { l =>
+        val parts = l.stripPrefix("constraint:").split('\t')
+        require(parts.length == 2, s"malformed constraint line in $p: $l")
+        parts(0) -> parts(1)
+      }.toMap
+    Manifest(schema, op, batch, files, stats, dv, blooms, constraints)
   }
 }
 
