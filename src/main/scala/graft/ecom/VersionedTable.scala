@@ -783,10 +783,16 @@ final case class VersionedTable(
           .option("basePath", s"$tableDir/$dir")
           .load(fl.map(f => s"$tableDir/$f"): _*)
         // the manifest-relative file name, recovered from the scan's
-        // virtual column (commit dirs are always data/c-<uuid>, so the
-        // suffix match is unambiguous regardless of scheme/authority)
+        // _metadata.file_path (commit dirs are always data/c-<uuid>, so
+        // the suffix match is unambiguous regardless of scheme). NOT
+        // input_file_name(): that function is NONDETERMINISTIC to
+        // Catalyst, and a project containing it blocks predicate
+        // pushdown into the scan below — every DV read and COW
+        // discovery scan would become a full-file scan at 100 TB
+        // (VersionedPlanSpec is the tripwire). _metadata is a proper
+        // deterministic metadata column; filters push straight past it.
         val withF = fileCol.fold(df)(c =>
-          df.withColumn(c, regexp_extract(input_file_name(), "(data/c-.+)$", 1)))
+          df.withColumn(c, regexp_extract(col("_metadata.file_path"), "(data/c-.+)$", 1)))
         // the row's physical position in its parquet file — the stable
         // coordinate deletion vectors address rows by (resolved per
         // commit read: metadata columns don't survive a union)

@@ -50,4 +50,34 @@ class VersionedPlanSpec extends SparkSuite {
     assert(pushed >= 2, s"filter must push into each commit's scan (found $pushed):\n$plan")
     assert(df.count() == 10000 - 9501 + 2000)
   }
+
+  test("a DV read still pushes filters into the data scan and prunes columns") {
+    val vt = table()
+    vt.deleteMoR(col("id") === 42L)
+    val df = vt.read().filter(col("id").between(100L, 200L)).select("id", "a")
+    val plan = df.queryExecution.executedPlan.toString
+    // the anti-join may not smother the data side: user predicates must
+    // still reach the parquet scans, and unread data columns must prune
+    // (the scan additionally carries the join's file/pos columns)
+    assert(plan.contains("GreaterThanOrEqual(id,100)") &&
+      plan.contains("LessThanOrEqual(id,200)"),
+      s"user predicate must push through the DV anti-join:\n$plan")
+    assert(!plan.contains("b:bigint"),
+      s"unread column b must be pruned from the DV read:\n$plan")
+    // the sidecar side broadcasts (sparse deletes = tiny right side)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"sparse DV application should be a broadcast anti-join:\n$plan")
+    assert(df.count() == 101)
+  }
+
+  test("readRange composes manifest pruning with DV application") {
+    val vt = table()
+    vt.deleteMoR(col("id").between(150L, 160L))
+    val df = vt.readRange("id", 100L, 200L)
+    // stats still prune to the one overlapping data file (sidecar files
+    // appear in inputFiles as the anti-join's right side)
+    val dataFiles = df.inputFiles.filter(_.contains("/part-")).toSet
+    assert(df.count() == 101 - 11)
+    assert(dataFiles.nonEmpty, "sanity: some data files read")
+  }
 }
