@@ -75,6 +75,10 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *    `bloomColumns` set, commits also record a per-file bloom filter
   *    and [[readPoint]] prunes equality lookups on high-cardinality
   *    columns that min/max can never skip (Delta's bloom indexes).
+  *  - '''Column mapping''' (Delta's rename/drop without rewrite):
+  *    [[renameColumn]] / [[dropColumn]] are metadata-only — files keep
+  *    physical names, reads alias them back, tombstones prevent a new
+  *    column from resurrecting orphaned data.
   *  - '''CHECK constraints''' (Delta's `ADD CONSTRAINT`):
   *    [[addCheckConstraint]] verifies existing rows then enforces the
   *    expression on every future row-introducing commit — a violating
@@ -200,21 +204,30 @@ final case class VersionedTable(
 
   private def commit(df: DataFrame, replace: Boolean, batch: Option[Long]): Long = {
     fs.mkdirs(new Path(logDir))
+    val entryM = currentVersion().map(readManifest)
     // schema enforcement must fail BEFORE any files land: check against
     // the version current at entry (append retries re-check fresh prevs)
-    if (!replace) currentVersion().foreach(v =>
-      mergeAppendSchema(readManifest(v).schema, df.schema): Unit)
+    if (!replace) entryM.foreach { pm =>
+      mergeAppendSchema(pm.schema, df.schema): Unit
+      guardNewColumns(pm, df.schema)
+    }
+    // appends write through the table's column mapping (files store
+    // physical names); an overwrite REPLACES the schema, so mapping and
+    // tombstones reset with it (identity names for the fresh content)
+    val entryColmap =
+      if (replace) Map.empty[String, String]
+      else entryM.fold(Map.empty[String, String])(_.colmap)
     // 1. write the data files into a commit dir no manifest references —
     //    invisible to every reader until the manifest rename publishes it
-    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(df)
+    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(df, entryColmap)
     // CHECK-constraint enforcement on what LANDED, read back through the
     // merged schema (an omitted evolving column null-fills, exactly as
     // readers will see it); a violation aborts with the files still
     // invisible. Constraints are pinned at entry like the schema check.
-    currentVersion().map(readManifest).foreach { pm =>
+    entryM.foreach { pm =>
       if (pm.constraints.nonEmpty) {
         val sch = if (replace) df.schema else mergeAppendSchema(pm.schema, df.schema)
-        enforceConstraints(pm.constraints, loadFiles(sch, newFiles),
+        enforceConstraints(pm.constraints, loadFiles(sch, newFiles, colmap = entryColmap),
           if (replace) "the overwrite batch" else "the appended batch")
       }
     }
@@ -238,11 +251,16 @@ final case class VersionedTable(
       // CHECK constraints survive an overwrite (Delta: table metadata,
       // not data) — read them from prev even when replace drops files
       val cons = prevM.fold(Map.empty[String, String])(_.constraints)
+      // column mapping + tombstones follow the files: carried on append,
+      // reset by overwrite (whose batch was written with identity names)
+      val colmap = carriedM.fold(Map.empty[String, String])(_.colmap)
+      val dropped = carriedM.fold(Seq.empty[String])(_.droppedPhys)
       val schema = carriedM.fold(df.schema)(m => mergeAppendSchema(m.schema, df.schema))
       val op = if (replace) "overwrite" else "append"
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
       writeManifest(tmp, Manifest(schema, op, batch, carried ++ newFiles,
-        carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms, cons))
+        carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms, cons,
+        colmap, dropped))
       publishManifest(tmp, manifestPath(next)) match {
         case Landed => return next
         // a lost CAS is NOT a fault: another writer landed (global
@@ -470,6 +488,106 @@ final case class VersionedTable(
   def checkConstraints(): Map[String, String] =
     currentVersion().fold(Map.empty[String, String])(v => readManifest(v).constraints)
 
+  /** Delta's column mapping: `ALTER TABLE ... RENAME COLUMN`, metadata
+    * only — no data file is touched. Files keep the column under its
+    * PHYSICAL name (the name it was born with); the manifest records
+    * logical→physical and every read aliases it back, so renames cost
+    * one manifest write at any table size. Time travel keeps each
+    * version's own logical names. Restrictions: the partition, stats,
+    * and bloom columns are table-handle configuration and cannot be
+    * renamed; the new name must not collide with any logical name,
+    * live physical name, or dropped-column tombstone (a later append
+    * introducing it would resurrect old file data); CHECK constraints
+    * referencing the old name must be dropped first (they are SQL text
+    * over logical names — verified by dry-run analysis).
+    */
+  def renameColumn(from: String, to: String): Long = {
+    require(to.nonEmpty && !to.exists(c => c == '\t' || c == '\n'),
+      s"new column name must be non-empty and tab/newline-free: '$to'")
+    val (base, m) = baseSnapshot()
+    require(m.schema.fieldNames.contains(from), s"renameColumn: no column $from")
+    require(!m.schema.fieldNames.contains(to), s"renameColumn: column $to already exists")
+    val config = (partitionCol.toSeq ++ statsColumns ++ bloomColumns).toSet
+    require(!config(from) && !config(to),
+      s"renameColumn: $from/$to is partition/stats/bloom configuration — " +
+        "those names are fixed at table-handle construction")
+    val usedPhys = m.schema.fieldNames.map(m.physical).toSet
+    require(!usedPhys(to) && !m.droppedPhys.contains(to),
+      s"renameColumn: $to is a live physical name or a dropped-column " +
+        "tombstone — reusing it would resurrect old file data")
+    val newSchema = StructType(m.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    requireConstraintsAnalyzable(m.constraints, newSchema, s"rename $from to $to")
+    val entry = to -> m.physical(from)
+    val newColmap = (m.colmap - from) ++
+      (if (entry._1 == entry._2) Map.empty else Map(entry))
+    publishAt(base, m.copy(op = "renameColumn", batch = None, schema = newSchema,
+      stats = remapKeys(m.stats, from, to), blooms = remapKeys(m.blooms, from, to),
+      colmap = newColmap), "(none — metadata-only)")
+  }
+
+  /** Delta's `ALTER TABLE ... DROP COLUMN` under column mapping:
+    * metadata only — the data stays in the files under its physical
+    * name, unread; old versions still show the column via time travel.
+    * The physical name is tombstoned so a later append can never
+    * introduce a column that would resurrect the orphaned data. Same
+    * configuration and constraint restrictions as [[renameColumn]].
+    */
+  def dropColumn(name: String): Long = {
+    val (base, m) = baseSnapshot()
+    require(m.schema.fieldNames.contains(name), s"dropColumn: no column $name")
+    require(m.schema.fields.length > 1, "dropColumn: cannot drop the last column")
+    val config = (partitionCol.toSeq ++ statsColumns ++ bloomColumns).toSet
+    require(!config(name),
+      s"dropColumn: $name is partition/stats/bloom configuration")
+    val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
+    requireConstraintsAnalyzable(m.constraints, newSchema, s"drop column $name")
+    publishAt(base, m.copy(op = "dropColumn", batch = None, schema = newSchema,
+      stats = m.stats.map { case (f, s) => f -> (s - name) }.filter(_._2.nonEmpty),
+      blooms = m.blooms.map { case (f, b) => f -> (b - name) }.filter(_._2.nonEmpty),
+      colmap = m.colmap - name,
+      droppedPhys = m.droppedPhys :+ m.physical(name)), "(none — metadata-only)")
+  }
+
+  private def remapKeys[V](per: Map[String, Map[String, V]], from: String,
+      to: String): Map[String, Map[String, V]] =
+    per.map { case (f, kv) =>
+      f -> kv.map { case (c, v) => (if (c == from) to else c) -> v }
+    }
+
+  /** A new column may not be born under a name some file already uses
+    * physically (live under another logical name, or tombstoned by a
+    * drop) — the files would leak their old data into it.
+    */
+  private def guardNewColumns(m: Manifest, incoming: StructType): Unit = {
+    val existing = m.schema.fieldNames.toSet
+    val hazard = m.schema.fieldNames.map(m.physical).toSet.diff(existing) ++ m.droppedPhys
+    incoming.fieldNames.filterNot(existing).foreach(n =>
+      require(!hazard(n),
+        s"appended column $n collides with the physical name of a renamed " +
+          "or dropped column — pick a different name (old files already " +
+          "carry data under it)"))
+  }
+
+  /** Dry-run every constraint against an empty frame of `schema`: an
+    * analysis failure means the constraint references a column the
+    * schema change removes/renames — refuse, as Delta does.
+    */
+  private def requireConstraintsAnalyzable(cons: Map[String, String],
+      schema: StructType, why: String): Unit =
+    cons.foreach { case (n, e) =>
+      try {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          .filter(not(coalesce(expr(e), lit(true)))).queryExecution.analyzed
+        ()
+      } catch {
+        case ex: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"cannot $why: CHECK constraint $n ($e) would no longer " +
+              "resolve — drop the constraint first", ex)
+      }
+    }
+
   /** One fused conditional-count pass over `batch`: every constraint
     * evaluated per row (FALSE = violation, null passes), all counted in
     * a single aggregate — N constraints never cost N scans. Throws
@@ -586,9 +704,11 @@ final case class VersionedTable(
     (v, readManifest(v))
   }
 
-  /** A scratch file-name column that cannot collide with a data column. */
+  /** A scratch file-name column that cannot collide with a data column
+    * (logical OR physical — the pre-alias frame carries physical names).
+    */
   private def freshFileCol(m: Manifest): String =
-    graft.util.Names.fresh("_graft_file", m.schema.fieldNames)
+    graft.util.Names.fresh("_graft_file", m.schema.fieldNames.toSeq ++ m.colmap.values)
 
   /** The manifest-relative names of every candidate file containing a
     * row where `hit` is true — ONE distributed scan, file names only on
@@ -623,11 +743,12 @@ final case class VersionedTable(
   private def publishCow(op: String, base: Long, m: Manifest,
       replaced: Set[String], rewritten: DataFrame,
       dvOut: Option[Seq[String]] = None): Long = {
-    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(rewritten)
+    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(rewritten, m.colmap)
     // update/merge can introduce violating rows; delete/optimize/purge/
     // restore only rearrange rows that already passed
     if ((op == "update" || op == "merge") && m.constraints.nonEmpty)
-      enforceConstraints(m.constraints, loadFiles(m.schema, newFiles), s"the $op result")
+      enforceConstraints(m.constraints,
+        loadFiles(m.schema, newFiles, colmap = m.colmap), s"the $op result")
     val carried = m.files.filterNot(replaced)
     val carriedStats = m.stats.filter { case (f, _) => !replaced(f) }
     val carriedBlooms = m.blooms.filter { case (f, _) => !replaced(f) }
@@ -768,7 +889,8 @@ final case class VersionedTable(
   }
 
   private def loadFiles(schema: StructType, files: Seq[String],
-      fileCol: Option[String] = None, posCol: Option[String] = None): DataFrame =
+      fileCol: Option[String] = None, posCol: Option[String] = None,
+      colmap: Map[String, String] = Map.empty): DataFrame =
     if (files.isEmpty) {
       val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       val withF = fileCol.fold(base)(c => base.withColumn(c, lit("")))
@@ -807,10 +929,13 @@ final case class VersionedTable(
       // than an additive evolution) null-fills, exactly as the full
       // table read sees it via unionByName.
       val have = unioned.columns.toSet
-      val cols = schema.map(f =>
-        (if (have(f.name)) col(f.name).cast(f.dataType)
-         else lit(null).cast(f.dataType)).as(f.name)) ++
-        fileCol.map(col).toSeq ++ posCol.map(col).toSeq
+      val cols = schema.map { f =>
+        // column mapping: files store PHYSICAL names (stable across
+        // renames); the select aliases them back to the logical schema
+        val phys = colmap.getOrElse(f.name, f.name)
+        (if (have(phys)) col(phys).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      } ++ fileCol.map(col).toSeq ++ posCol.map(col).toSeq
       unioned.select(cols: _*)
     }
 
@@ -828,12 +953,12 @@ final case class VersionedTable(
     */
   private def snapshot(m: Manifest, files: Seq[String],
       fileCol: Option[String] = None, posCol: Option[String] = None): DataFrame =
-    if (m.dv.isEmpty) loadFiles(m.schema, files, fileCol, posCol)
+    if (m.dv.isEmpty) loadFiles(m.schema, files, fileCol, posCol, m.colmap)
     else {
       val fc = fileCol.getOrElse(freshFileCol(m))
       val ic = posCol.getOrElse(
         graft.util.Names.fresh("_graft_pos", m.schema.fieldNames.toSeq :+ fc))
-      val alive = loadFiles(m.schema, files, Some(fc), Some(ic))
+      val alive = loadFiles(m.schema, files, Some(fc), Some(ic), m.colmap)
         .join(dvEntries(m, fc, ic), Seq(fc, ic), "left_anti")
       val cols = m.schema.map(f => col(f.name)) ++
         fileCol.map(col).toSeq ++ posCol.map(col).toSeq
@@ -948,10 +1073,16 @@ final case class VersionedTable(
     * (commit-relative dir, manifest-relative file names, their stats).
     * Nothing is visible until a manifest referencing the files lands.
     */
-  private def writeDataFiles(df: DataFrame): (String, Seq[String], FileStats, FileBlooms) = {
+  private def writeDataFiles(df: DataFrame,
+      colmap: Map[String, String] = Map.empty): (String, Seq[String], FileStats, FileBlooms) = {
     val commitRel = s"data/c-${UUID.randomUUID()}"
     val commitAbs = s"$tableDir/$commitRel"
-    val w = df.write.format(format).mode(SaveMode.ErrorIfExists)
+    // column mapping: batches arrive with LOGICAL names; files store
+    // PHYSICAL names so every commit epoch agrees on disk
+    val phys =
+      if (colmap.isEmpty) df
+      else df.select(df.columns.map(c => col(c).as(colmap.getOrElse(c, c))).toSeq: _*)
+    val w = phys.write.format(format).mode(SaveMode.ErrorIfExists)
     partitionCol.fold(w)(w.partitionBy(_)).save(commitAbs)
     val newFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
     if (newFiles.isEmpty) (commitRel, newFiles, Map.empty: FileStats, Map.empty: FileBlooms)
@@ -1070,6 +1201,12 @@ final case class VersionedTable(
       m.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
         sb.append("constraint:").append(n).append('\t').append(e).append('\n')
       }
+      // column mapping: logical \t physical (identity entries omitted);
+      // tombstoned physical names guard against data resurrection
+      m.colmap.toSeq.sortBy(_._1).foreach { case (l, ph) =>
+        sb.append("colmap:").append(l).append('\t').append(ph).append('\n')
+      }
+      m.droppedPhys.foreach(d => sb.append("droppedphys:").append(d).append('\n'))
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
   }
@@ -1086,7 +1223,14 @@ final case class VersionedTable(
       stats: Map[String, Map[String, (Long, Long)]],
       dv: Seq[String],
       blooms: Map[String, Map[String, (Int, Array[Long])]],
-      constraints: Map[String, String])
+      constraints: Map[String, String],
+      colmap: Map[String, String],
+      droppedPhys: Seq[String]) {
+    /** The on-disk column name for logical `name` (identity unless a
+      * rename moved the logical name; physical names never change).
+      */
+    def physical(name: String): String = colmap.getOrElse(name, name)
+  }
 
   private def readManifest(version: Long): Manifest = {
     val p = manifestPath(version)
@@ -1127,7 +1271,14 @@ final case class VersionedTable(
         require(parts.length == 2, s"malformed constraint line in $p: $l")
         parts(0) -> parts(1)
       }.toMap
-    Manifest(schema, op, batch, files, stats, dv, blooms, constraints)
+    val colmap = lines.filter(_.startsWith("colmap:"))
+      .map { l =>
+        val parts = l.stripPrefix("colmap:").split('\t')
+        require(parts.length == 2, s"malformed colmap line in $p: $l")
+        parts(0) -> parts(1)
+      }.toMap
+    val droppedPhys = lines.filter(_.startsWith("droppedphys:")).map(_.stripPrefix("droppedphys:"))
+    Manifest(schema, op, batch, files, stats, dv, blooms, constraints, colmap, droppedPhys)
   }
 }
 
