@@ -83,6 +83,9 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *    [[addCheckConstraint]] verifies existing rows then enforces the
   *    expression on every future row-introducing commit — a violating
   *    batch aborts before any manifest references it.
+  *  - '''Generated columns''': [[addGeneratedColumn]] declares a column
+  *    derived from an expression — computed when a batch omits it,
+  *    verified when a batch carries it, recomputed by UPDATE.
   *  - '''Incremental consumption''': [[readChangesSince]] returns the
   *    rows of files ADDED after a version — for an append-only history
   *    this is exactly the insert change-feed, so a downstream job
@@ -205,11 +208,20 @@ final case class VersionedTable(
   private def commit(df: DataFrame, replace: Boolean, batch: Option[Long]): Long = {
     fs.mkdirs(new Path(logDir))
     val entryM = currentVersion().map(readManifest)
+    // generated columns the batch OMITS are computed here (Delta's
+    // write-path generation); ones the batch carries are verified
+    // against their expression after landing, below
+    val entryGen = entryM.fold(Map.empty[String, String])(_.generated)
+    val withGen = entryGen.filterNot { case (g, _) => df.columns.contains(g) }
+      .foldLeft(df) { case (d, (g, e)) =>
+        val declared = entryM.flatMap(_.schema.fields.find(_.name == g).map(_.dataType))
+        declared.fold(d.withColumn(g, expr(e)))(t => d.withColumn(g, expr(e).cast(t)))
+      }
     // schema enforcement must fail BEFORE any files land: check against
     // the version current at entry (append retries re-check fresh prevs)
     if (!replace) entryM.foreach { pm =>
-      mergeAppendSchema(pm.schema, df.schema): Unit
-      guardNewColumns(pm, df.schema)
+      mergeAppendSchema(pm.schema, withGen.schema): Unit
+      guardNewColumns(pm, withGen.schema)
     }
     // appends write through the table's column mapping (files store
     // physical names); an overwrite REPLACES the schema, so mapping and
@@ -219,15 +231,21 @@ final case class VersionedTable(
       else entryM.fold(Map.empty[String, String])(_.colmap)
     // 1. write the data files into a commit dir no manifest references —
     //    invisible to every reader until the manifest rename publishes it
-    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(df, entryColmap)
-    // CHECK-constraint enforcement on what LANDED, read back through the
-    // merged schema (an omitted evolving column null-fills, exactly as
-    // readers will see it); a violation aborts with the files still
-    // invisible. Constraints are pinned at entry like the schema check.
+    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(withGen, entryColmap)
+    // CHECK-constraint + generated-equality enforcement on what LANDED,
+    // read back through the merged schema (an omitted evolving column
+    // null-fills, exactly as readers will see it); a violation aborts
+    // with the files still invisible. Pinned at entry like the schema
+    // check. Generated columns the batch carried must match their
+    // expression (null-safe equality); computed ones match by
+    // construction and are skipped. All checks fuse into ONE pass.
     entryM.foreach { pm =>
-      if (pm.constraints.nonEmpty) {
-        val sch = if (replace) df.schema else mergeAppendSchema(pm.schema, df.schema)
-        enforceConstraints(pm.constraints, loadFiles(sch, newFiles, colmap = entryColmap),
+      val genChecks = entryGen.filter { case (g, _) => df.columns.contains(g) }
+        .map { case (g, e) => s"generated $g" -> s"$g <=> ($e)" }
+      val checks = pm.constraints ++ genChecks
+      if (checks.nonEmpty) {
+        val sch = if (replace) withGen.schema else mergeAppendSchema(pm.schema, withGen.schema)
+        enforceConstraints(checks, loadFiles(sch, newFiles, colmap = entryColmap),
           if (replace) "the overwrite batch" else "the appended batch")
       }
     }
@@ -255,12 +273,15 @@ final case class VersionedTable(
       // reset by overwrite (whose batch was written with identity names)
       val colmap = carriedM.fold(Map.empty[String, String])(_.colmap)
       val dropped = carriedM.fold(Seq.empty[String])(_.droppedPhys)
-      val schema = carriedM.fold(df.schema)(m => mergeAppendSchema(m.schema, df.schema))
+      // generated-column rules are table metadata like constraints:
+      // they survive an overwrite
+      val gen = prevM.fold(Map.empty[String, String])(_.generated)
+      val schema = carriedM.fold(withGen.schema)(m => mergeAppendSchema(m.schema, withGen.schema))
       val op = if (replace) "overwrite" else "append"
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
       writeManifest(tmp, Manifest(schema, op, batch, carried ++ newFiles,
         carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms, cons,
-        colmap, dropped))
+        colmap, dropped, gen))
       publishManifest(tmp, manifestPath(next)) match {
         case Landed => return next
         // a lost CAS is NOT a fault: another writer landed (global
@@ -401,13 +422,27 @@ final case class VersionedTable(
     val touched = touchedFiles(m, m.files, coalesce(predicate, lit(false)))
     if (touched.isEmpty) return base
     val hit = coalesce(predicate, lit(false))
-    val rewritten = snapshot(m, touched).select(m.schema.map { f =>
-      set.get(f.name) match {
-        case Some(e) => org.apache.spark.sql.functions.when(hit, e.cast(f.dataType))
-          .otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
+    // the hit flag must be evaluated against the OLD row (the predicate
+    // may reference updated columns), so stage it as a scratch column
+    // before any assignment applies
+    val hitC = graft.util.Names.fresh("_graft_hit",
+      m.schema.fieldNames.toSeq ++ m.colmap.values)
+    val staged = snapshot(m, touched).withColumn(hitC, hit)
+      .select(m.schema.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(col(hitC), e.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      } :+ col(hitC): _*)
+    // generated columns not explicitly set recompute on updated rows
+    // from the NEW values of their sources (Delta's UPDATE behavior)
+    val gens = m.generated.filterNot { case (g, _) => set.contains(g) }
+    val rewritten = gens.foldLeft(staged) { case (d, (g, e)) =>
+        val t = m.schema.fields.find(_.name == g).get.dataType
+        d.withColumn(g, when(col(hitC), expr(e).cast(t)).otherwise(col(g)))
       }
-    }: _*)
+      .select(m.schema.map(f => col(f.name)): _*)
     publishCow("update", base, m, touched.toSet, rewritten)
   }
 
@@ -488,6 +523,44 @@ final case class VersionedTable(
   def checkConstraints(): Map[String, String] =
     currentVersion().fold(Map.empty[String, String])(v => readManifest(v).constraints)
 
+  /** Delta's generated columns: declare that `name` is derived from
+    * `sqlExpr` over the other columns. From this version on, a batch
+    * that OMITS the column gets it computed at write time (cast to the
+    * declared type), and a batch that CARRIES it is verified
+    * null-safe-equal to the expression (abort on mismatch, fused into
+    * the same single enforcement pass as CHECK constraints); UPDATE
+    * recomputes it on updated rows unless the update sets it
+    * explicitly, exactly Delta's behavior. The column must already
+    * exist, and every existing row must already satisfy the rule
+    * (files are never rewritten by a metadata change). Rules survive
+    * overwrite and replay under restore; renaming/dropping the column
+    * or its sources is blocked while the rule exists.
+    */
+  def addGeneratedColumn(name: String, sqlExpr: String): Long = {
+    require(sqlExpr.nonEmpty && !sqlExpr.exists(c => c == '\t' || c == '\n'),
+      "generation expression must be non-empty and tab/newline-free (manifest line format)")
+    val (base, m) = baseSnapshot()
+    require(m.schema.fieldNames.contains(name),
+      s"generated column $name must already exist in the schema " +
+        "(declare it over a table that carries it; files are never rewritten)")
+    require(!m.generated.contains(name), s"column $name is already generated")
+    enforceConstraints(Map(s"generated $name" -> s"$name <=> ($sqlExpr)"),
+      snapshot(m, m.files), "existing table data")
+    publishAt(base, m.copy(op = "addGeneratedColumn", batch = None,
+      generated = m.generated + (name -> sqlExpr)), "(none — metadata-only)")
+  }
+
+  def dropGeneratedColumn(name: String): Long = {
+    val (base, m) = baseSnapshot()
+    require(m.generated.contains(name), s"column $name is not generated")
+    publishAt(base, m.copy(op = "dropGeneratedColumn", batch = None,
+      generated = m.generated - name), "(none — metadata-only)")
+  }
+
+  /** The active generated-column rules: name -> SQL expression. */
+  def generatedColumns(): Map[String, String] =
+    currentVersion().fold(Map.empty[String, String])(v => readManifest(v).generated)
+
   /** Delta's column mapping: `ALTER TABLE ... RENAME COLUMN`, metadata
     * only — no data file is touched. Files keep the column under its
     * PHYSICAL name (the name it was born with); the manifest records
@@ -517,7 +590,9 @@ final case class VersionedTable(
         "tombstone — reusing it would resurrect old file data")
     val newSchema = StructType(m.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    requireConstraintsAnalyzable(m.constraints, newSchema, s"rename $from to $to")
+    requireConstraintsAnalyzable(m.constraints ++
+      m.generated.map { case (g, e) => s"generated $g" -> s"$g <=> ($e)" },
+      newSchema, s"rename $from to $to")
     val entry = to -> m.physical(from)
     val newColmap = (m.colmap - from) ++
       (if (entry._1 == entry._2) Map.empty else Map(entry))
@@ -541,7 +616,9 @@ final case class VersionedTable(
     require(!config(name),
       s"dropColumn: $name is partition/stats/bloom configuration")
     val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
-    requireConstraintsAnalyzable(m.constraints, newSchema, s"drop column $name")
+    requireConstraintsAnalyzable(m.constraints ++
+      m.generated.map { case (g, e) => s"generated $g" -> s"$g <=> ($e)" },
+      newSchema, s"drop column $name")
     publishAt(base, m.copy(op = "dropColumn", batch = None, schema = newSchema,
       stats = m.stats.map { case (f, s) => f -> (s - name) }.filter(_._2.nonEmpty),
       blooms = m.blooms.map { case (f, b) => f -> (b - name) }.filter(_._2.nonEmpty),
@@ -569,9 +646,12 @@ final case class VersionedTable(
           "carry data under it)"))
   }
 
-  /** Dry-run every constraint against an empty frame of `schema`: an
-    * analysis failure means the constraint references a column the
-    * schema change removes/renames — refuse, as Delta does.
+  /** Dry-run every constraint AND generated-column rule against an
+    * empty frame of `schema`: an analysis failure means the rule
+    * references a column the schema change removes/renames — refuse,
+    * as Delta does. (A generated rule mentions its own column in the
+    * null-safe equality, so renaming/dropping the generated column
+    * itself is caught too.)
     */
   private def requireConstraintsAnalyzable(cons: Map[String, String],
       schema: StructType, why: String): Unit =
@@ -746,8 +826,10 @@ final case class VersionedTable(
     val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(rewritten, m.colmap)
     // update/merge can introduce violating rows; delete/optimize/purge/
     // restore only rearrange rows that already passed
-    if ((op == "update" || op == "merge") && m.constraints.nonEmpty)
-      enforceConstraints(m.constraints,
+    val rowChecks = m.constraints ++
+      m.generated.map { case (g, e) => s"generated $g" -> s"$g <=> ($e)" }
+    if ((op == "update" || op == "merge") && rowChecks.nonEmpty)
+      enforceConstraints(rowChecks,
         loadFiles(m.schema, newFiles, colmap = m.colmap), s"the $op result")
     val carried = m.files.filterNot(replaced)
     val carriedStats = m.stats.filter { case (f, _) => !replaced(f) }
@@ -1207,6 +1289,11 @@ final case class VersionedTable(
         sb.append("colmap:").append(l).append('\t').append(ph).append('\n')
       }
       m.droppedPhys.foreach(d => sb.append("droppedphys:").append(d).append('\n'))
+      // generated columns: name \t sql (computed on omission, verified
+      // on presence)
+      m.generated.toSeq.sortBy(_._1).foreach { case (n, e) =>
+        sb.append("gencol:").append(n).append('\t').append(e).append('\n')
+      }
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
   }
@@ -1225,7 +1312,8 @@ final case class VersionedTable(
       blooms: Map[String, Map[String, (Int, Array[Long])]],
       constraints: Map[String, String],
       colmap: Map[String, String],
-      droppedPhys: Seq[String]) {
+      droppedPhys: Seq[String],
+      generated: Map[String, String]) {
     /** The on-disk column name for logical `name` (identity unless a
       * rename moved the logical name; physical names never change).
       */
@@ -1278,7 +1366,14 @@ final case class VersionedTable(
         parts(0) -> parts(1)
       }.toMap
     val droppedPhys = lines.filter(_.startsWith("droppedphys:")).map(_.stripPrefix("droppedphys:"))
-    Manifest(schema, op, batch, files, stats, dv, blooms, constraints, colmap, droppedPhys)
+    val generated = lines.filter(_.startsWith("gencol:"))
+      .map { l =>
+        val parts = l.stripPrefix("gencol:").split('\t')
+        require(parts.length == 2, s"malformed gencol line in $p: $l")
+        parts(0) -> parts(1)
+      }.toMap
+    Manifest(schema, op, batch, files, stats, dv, blooms, constraints,
+      colmap, droppedPhys, generated)
   }
 }
 
