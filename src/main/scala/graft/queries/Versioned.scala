@@ -307,5 +307,44 @@ object Versioned {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08)
+  /** The metadata features end to end: a generated column declared
+    * over the base slice (verified), an append OMITTING it (the engine
+    * computes it at write time), a metadata-only column rename and a
+    * metadata-only drop — then the final read aggregates through the
+    * renamed logical names. The oracle re-derives everything
+    * relationally, so a hash match pins that write-time generation
+    * produces exactly the declared expression and that the
+    * rename/drop mapping layer loses nothing. Abort semantics
+    * (violating batches, blocked renames) are spec-pinned in
+    * VersionedGencolSpec/VersionedColmapSpec.
+    */
+  val qv09 = Q(
+    "qv09_metadata_features",
+    """SELECT l_returnflag AS flag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_quantity AS BIGINT)
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS total_gross,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = load(s, dir, "lineitem").select(
+      col("l_orderkey"),
+      col("l_quantity").cast(LongType).as("l_quantity"),
+      col("l_extendedprice").cast(DoubleType).as("l_extendedprice"),
+      col("l_returnflag"), col("l_linestatus"))
+    val withGross = li.withColumn("gross",
+      col("l_extendedprice") * col("l_quantity"))
+    val vt = VersionedTable(s, Files.createTempDirectory("graft-qv09-").toString)
+    vt.commitOverwrite(withGross.filter(col("l_orderkey") % 2 === 1))       // v1
+    vt.addGeneratedColumn("gross", "l_extendedprice * l_quantity")         // v2
+    vt.commitAppend(li.filter(col("l_orderkey") % 2 === 0))                // v3: computed
+    vt.renameColumn("l_returnflag", "flag")                                // v4
+    vt.dropColumn("l_linestatus")                                          // v5
+    vt.read()
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("gross")).as("total_gross"),
+        sum(col("l_quantity")).as("total_qty"))
+      .orderBy("flag")
+  }
+
+  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09)
 }
