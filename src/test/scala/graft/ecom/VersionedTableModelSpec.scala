@@ -6,7 +6,8 @@ import graft.SparkSuite
 
 /** Model-based randomized check of the versioned table format: a seeded
   * random sequence of overwrite / append / vacuum / copy-on-write
-  * delete / optimize operations runs against both the real table and a
+  * delete / merge-on-read delete / purge / optimize operations runs
+  * against both the real table and a
   * trivial in-memory model (a vector of id-multisets, one per version).
   * After EVERY op the live read must match the model head, and at the
   * end every retained version must replay its model snapshot while
@@ -35,8 +36,8 @@ class VersionedTableModelSpec extends SparkSuite {
         nextId += n
         rows
       }
-      (0 until 10).foreach { _ =>
-        rnd.nextInt(7) match {
+      (0 until 14).foreach { _ =>
+        rnd.nextInt(9) match {
           case 0 | 1 =>
             val rows = freshRows()
             vt.commitOverwrite(rows.toDF("id"))
@@ -62,6 +63,24 @@ class VersionedTableModelSpec extends SparkSuite {
             // optimize never changes data; commits only if it packed
             val before = vt.versions().size
             vt.optimize()
+            if (vt.versions().size > before) model = model :+ model.last
+          case 7 if model.nonEmpty =>
+            // merge-on-read delete: same observable semantics as the
+            // copy-on-write delete (rows hidden, no-op on no match) —
+            // the sidecar mechanics must be invisible to readers
+            val lo = rnd.nextLong(nextId + 20)
+            val hi = lo + rnd.nextLong(60)
+            val before = vt.versions().size
+            vt.deleteMoR(org.apache.spark.sql.functions.col("id").between(lo, hi))
+            val expect = model.last.filterNot(i => i >= lo && i <= hi)
+            if (vt.versions().size > before) model = model :+ expect
+            else assert(expect == model.last,
+              s"no-op deleteMoR must mean no matches (seed $seed)")
+          case 8 if model.nonEmpty =>
+            // purge folds DVs into files, data-identical; commits only
+            // when the manifest carried DVs
+            val before = vt.versions().size
+            vt.purgeDeletes()
             if (vt.versions().size > before) model = model :+ model.last
           case _ => // op not applicable yet: skip
         }
