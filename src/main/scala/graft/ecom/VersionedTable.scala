@@ -544,6 +544,25 @@ final case class VersionedTable(
       s"generated column $name must already exist in the schema " +
         "(declare it over a table that carries it; files are never rewritten)")
     require(!m.generated.contains(name), s"column $name is already generated")
+    // a generated column may not derive from another generated column
+    // (as Delta): computation order over the rule set would otherwise
+    // be order-dependent when both are omitted from a batch
+    val refs = spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }.toSet
+    val genRefs = refs.intersect(m.generated.keySet)
+    require(genRefs.isEmpty,
+      s"generated column $name may not reference generated column(s) " +
+        s"${genRefs.mkString(", ")}")
+    require(!refs.contains(name),
+      s"generated column $name may not reference itself")
+    m.generated.foreach { case (g, e) =>
+      val otherRefs = spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }.toSet
+      require(!otherRefs.contains(name),
+        s"existing generated column $g references $name — drop it first")
+    }
     enforceConstraints(Map(s"generated $name" -> s"$name <=> ($sqlExpr)"),
       snapshot(m, m.files), "existing table data")
     publishAt(base, m.copy(op = "addGeneratedColumn", batch = None,

@@ -107,6 +107,19 @@ class VersionedGencolSpec extends SparkSuite {
       Seq("addGeneratedColumn", "dropGeneratedColumn", "renameColumn"))
   }
 
+  test("generated columns may not reference generated columns (or themselves)") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(Seq((1L, 2L, 3L, 6L, 12L)).toDF("id", "a", "b", "ab", "ab2"))
+    vt.addGeneratedColumn("ab", "a * b")
+    intercept[IllegalArgumentException] { vt.addGeneratedColumn("ab2", "ab * 2") }
+    intercept[IllegalArgumentException] { vt.addGeneratedColumn("ab2", "ab2") }
+    // nor may a new rule's TARGET be referenced by an existing rule
+    val vt2 = VersionedTable(spark, freshDir())
+    vt2.commitOverwrite(Seq((1L, 2L, 4L)).toDF("id", "a", "a2"))
+    vt2.addGeneratedColumn("a2", "a * 2")
+    intercept[IllegalArgumentException] { vt2.addGeneratedColumn("a", "id * 2") }
+  }
+
   test("streaming-style batch append computes the column too") {
     val vt = table()
     assert(vt.commitAppendBatch(Seq((7L, 2L, 2L)).toDF("id", "price", "qty"), 0L).isDefined)
