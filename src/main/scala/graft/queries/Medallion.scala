@@ -32,13 +32,25 @@ object Medallion {
     * (same deterministic derivations as the q20–q23 e2e adapters, except
     * ids stay NUMERIC strings so Silver's clean_id keeps them).
     */
-  def bronzeFromEvents(s: SparkSession, dir: String): Map[String, DataFrame] = {
-    val raw = load(s, dir, "events").select(
+  def bronzeFromEvents(s: SparkSession, dir: String): Map[String, DataFrame] =
+    bronzeSources(rawEvents(s, dir))
+
+  /** The shared projected/JSON-parsed event frame all seven source
+    * derivations read. Exposed separately so q35 can persist it: the
+    * seven silver writes otherwise each re-scan the events parquet and
+    * re-parse the props JSON (an adapter artifact — the reference's
+    * seven sources are separate files; only here are they all derived
+    * from one stream).
+    */
+  def rawEvents(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events").select(
       col("event_id"), col("user_id"), col("ts"), col("value"),
       get_json_object(col("props"), "$.k").as("product_id"),
       when(col("event_type") === "view", "page_view")
         .when(col("event_type") === "click", "add_to_cart")
         .otherwise(col("event_type")).as("event_type"))
+
+  def bronzeSources(raw: DataFrame): Map[String, DataFrame] = {
 
     val events = raw.select(
       col("event_id"),
@@ -227,8 +239,15 @@ object Medallion {
     // a fresh throwaway warehouse per invocation: the bench reps each
     // pay the full write cost (that IS what this query times)
     val wh = Files.createTempDirectory("graft-medallion-").toString
-    val gold = Lakehouse(s, wh).runAll(bronzeFromEvents(s, dir), AsOf, enforceDq = false)
+    // persist the shared adapter frame: the seven silver writes all
+    // derive from it, and without the cache each re-scans the events
+    // parquet and re-parses the props JSON (adapter cost, not pipeline
+    // cost — see rawEvents). Released before return: gold frames are
+    // disk-backed reads with no lineage to raw (CacheContractSpec).
+    val raw = rawEvents(s, dir).persist()
+    val gold = Lakehouse(s, wh).runAll(bronzeSources(raw), AsOf, enforceDq = false)
     val dq = DqChecks.runAll(gold)
+    raw.unpersist(blocking = false)
     val dqRow = Seq(("dq", dq.count(_.passed).toLong, 0.0, dq.map(_.badCount).sum))
       .toDF("relation", "n_rows", "total_money", "total_units")
     fp("product_metrics", gold("product_metrics"),
