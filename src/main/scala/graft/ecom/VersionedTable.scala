@@ -212,11 +212,25 @@ final case class VersionedTable(
     // write-path generation); ones the batch carries are verified
     // against their expression after landing, below
     val entryGen = entryM.fold(Map.empty[String, String])(_.generated)
-    val withGen = entryGen.filterNot { case (g, _) => df.columns.contains(g) }
-      .foldLeft(df) { case (d, (g, e)) =>
-        val declared = entryM.flatMap(_.schema.fields.find(_.name == g).map(_.dataType))
-        declared.fold(d.withColumn(g, expr(e)))(t => d.withColumn(g, expr(e).cast(t)))
+    val toCompute = entryGen.filterNot { case (g, _) => df.columns.contains(g) }
+    // a computed rule may reference a table column the batch ALSO omits
+    // (legal — omitted columns null-fill at read time): extend the batch
+    // with typed nulls for those references so generation computes the
+    // same null result readers would derive, instead of failing analysis
+    val needed = toCompute.values.flatMap(e =>
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }).toSet
+    val dfExt = entryM.fold(df) { pm =>
+      needed.filterNot(df.columns.contains).foldLeft(df) { (d, c) =>
+        pm.schema.fields.find(_.name == c)
+          .fold(d)(f => d.withColumn(c, lit(null).cast(f.dataType)))
       }
+    }
+    val withGen = toCompute.foldLeft(dfExt) { case (d, (g, e)) =>
+      val declared = entryM.flatMap(_.schema.fields.find(_.name == g).map(_.dataType))
+      declared.fold(d.withColumn(g, expr(e)))(t => d.withColumn(g, expr(e).cast(t)))
+    }
     // schema enforcement must fail BEFORE any files land: check against
     // the version current at entry (append retries re-check fresh prevs)
     if (!replace) entryM.foreach { pm =>
@@ -249,6 +263,19 @@ final case class VersionedTable(
           if (replace) "the overwrite batch" else "the appended batch")
       }
     }
+    // metadata fingerprint pinned at entry: constraint enforcement, the
+    // generated-rule computation, guardNewColumns, and the colmap the
+    // files were WRITTEN under all used the entry manifest. A competing
+    // DATA commit commutes with this append/overwrite (schema evolution
+    // included — the loop re-merges against each fresh prev), but a
+    // competing METADATA op (constraints, generated rules, column
+    // mapping, drops) invalidates those entry-pinned checks — surface
+    // it as a write conflict, exactly as Delta's protocol does.
+    def metaOf(om: Option[Manifest]) = om.fold(
+      (Map.empty[String, String], Map.empty[String, String],
+        Map.empty[String, String], Seq.empty[String]))(mm =>
+      (mm.constraints, mm.generated, mm.colmap, mm.droppedPhys))
+    val entryMeta = metaOf(entryM)
     // 2. CAS publish loop: losing a race surfaces as rename->false (the
     //    destination version already exists); re-read the log and retry
     //    one version higher. A rename refused for any OTHER reason also
@@ -258,6 +285,11 @@ final case class VersionedTable(
       val prev = currentVersion()
       val next = prev.getOrElse(0L) + 1
       val prevM = prev.map(readManifest)
+      if (metaOf(prevM) != entryMeta)
+        throw new java.util.ConcurrentModificationException(
+          s"table metadata (constraints/generated/column mapping) changed " +
+            s"concurrently while committing this batch — retry the operation " +
+            s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
       val carriedM = if (replace) None else prevM
       val carried = carriedM.fold(Seq.empty[String])(_.files)
       val carriedStats = carriedM.fold(Map.empty: FileStats)(_.stats)
@@ -603,14 +635,15 @@ final case class VersionedTable(
     require(!config(from) && !config(to),
       s"renameColumn: $from/$to is partition/stats/bloom configuration — " +
         "those names are fixed at table-handle construction")
-    val usedPhys = m.schema.fieldNames.map(m.physical).toSet
+    // exclude the renamed column's OWN physical: renaming a->b->a back
+    // to its birth name is the safe identity-restoring inverse
+    val usedPhys = m.schema.fieldNames.filterNot(_ == from).map(m.physical).toSet
     require(!usedPhys(to) && !m.droppedPhys.contains(to),
       s"renameColumn: $to is a live physical name or a dropped-column " +
         "tombstone — reusing it would resurrect old file data")
     val newSchema = StructType(m.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    requireConstraintsAnalyzable(m.constraints ++
-      m.generated.map { case (g, e) => s"generated $g" -> s"$g <=> ($e)" },
+    requireConstraintsAnalyzable(m.constraints ++ m.genChecks,
       newSchema, s"rename $from to $to")
     val entry = to -> m.physical(from)
     val newColmap = (m.colmap - from) ++
@@ -635,8 +668,7 @@ final case class VersionedTable(
     require(!config(name),
       s"dropColumn: $name is partition/stats/bloom configuration")
     val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
-    requireConstraintsAnalyzable(m.constraints ++
-      m.generated.map { case (g, e) => s"generated $g" -> s"$g <=> ($e)" },
+    requireConstraintsAnalyzable(m.constraints ++ m.genChecks,
       newSchema, s"drop column $name")
     publishAt(base, m.copy(op = "dropColumn", batch = None, schema = newSchema,
       stats = m.stats.map { case (f, s) => f -> (s - name) }.filter(_._2.nonEmpty),
@@ -845,8 +877,7 @@ final case class VersionedTable(
     val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(rewritten, m.colmap)
     // update/merge can introduce violating rows; delete/optimize/purge/
     // restore only rearrange rows that already passed
-    val rowChecks = m.constraints ++
-      m.generated.map { case (g, e) => s"generated $g" -> s"$g <=> ($e)" }
+    val rowChecks = m.constraints ++ m.genChecks
     if ((op == "update" || op == "merge") && rowChecks.nonEmpty)
       enforceConstraints(rowChecks,
         loadFiles(m.schema, newFiles, colmap = m.colmap), s"the $op result")
@@ -1188,7 +1219,7 @@ final case class VersionedTable(
     val newFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
     if (newFiles.isEmpty) (commitRel, newFiles, Map.empty: FileStats, Map.empty: FileBlooms)
     else {
-      val (stats, blooms) = collectFileMeta(commitRel, commitAbs)
+      val (stats, blooms) = collectFileMeta(commitRel, commitAbs, phys.schema)
       (commitRel, newFiles, stats, blooms)
     }
   }
@@ -1226,28 +1257,39 @@ final case class VersionedTable(
     * All-null files get no entry (conservatively read). Keyed by the
     * manifest-relative file path.
     */
-  private def collectFileMeta(commitRel: String, commitAbs: String): (FileStats, FileBlooms) = {
-    if (statsColumns.isEmpty && bloomColumns.isEmpty) (Map.empty, Map.empty)
+  /** `written` is the schema of the frame as WRITTEN (physical names,
+    * declared types). Skipping metadata is collected only for the
+    * stats/bloom columns that batch actually carried — a legal evolving
+    * append that omits one simply gets no skipping for its files (they
+    * hold nulls there; readers treat missing metadata conservatively).
+    * Every read-back column is cast to its DECLARED type before
+    * aggregation/hashing: the basePath read re-infers partition-column
+    * types (a string partition value "7" comes back as an int), and a
+    * bloom built over the inferred type would disagree with the probe's
+    * manifest-typed hash — pruning files that DO contain the value.
+    */
+  private def collectFileMeta(commitRel: String, commitAbs: String,
+      written: StructType): (FileStats, FileBlooms) = {
+    // config columns are rename-proof, so physical name == logical name
+    val declared = written.fields.map(f => f.name -> f.dataType).toMap
+    val statsCols = statsColumns.filter(declared.contains)
+    val bloomCols = bloomColumns.filter(declared.contains)
+    if (statsCols.isEmpty && bloomCols.isEmpty) (Map.empty, Map.empty)
     else {
       val integral: Set[Any] = Set(LongType, IntegerType, ShortType, ByteType)
-      // partition columns are legal stats columns (basePath read restores
-      // them), so validate against the read-back schema, not df's alone
-      val back = spark.read.format(format).option("basePath", commitAbs).load(commitAbs)
-      statsColumns.foreach { c =>
-        val f = back.schema.fields.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(s"stats column $c not in committed schema"))
-        require(integral.contains(f.dataType),
-          s"stats column $c is ${f.dataType.simpleString}; only integral types " +
+      statsCols.foreach { c =>
+        require(integral.contains(declared(c)),
+          s"stats column $c is ${declared(c).simpleString}; only integral types " +
             "serialize exactly in the manifest")
       }
-      bloomColumns.foreach(c => require(back.schema.fieldNames.contains(c),
-        s"bloom column $c not in committed schema"))
+      val back = spark.read.format(format).option("basePath", commitAbs).load(commitAbs)
       // ONE read-back pass collects both kinds of skipping metadata:
       // min/max ranges and point-lookup blooms (map-side combinable)
-      val aggs = statsColumns.flatMap(c => Seq(
+      val aggs = statsCols.flatMap(c => Seq(
         min(col(c).cast(LongType)).as(s"_mn_$c"), max(col(c).cast(LongType)).as(s"_mx_$c"))) ++
-        bloomColumns.map(c =>
-          graft.util.BloomSketch.agg(col(c), bloomBits, bloomHashes).as(s"_bf_$c"))
+        bloomCols.map(c =>
+          graft.util.BloomSketch.agg(col(c).cast(declared(c)), bloomBits, bloomHashes)
+            .as(s"_bf_$c"))
       val base = new Path(commitAbs).toUri.getPath
       val rows = back.groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -1256,12 +1298,12 @@ final case class VersionedTable(
           val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
           require(abs.startsWith(base + "/"), s"stats file $abs escapes commit dir")
           val rel = s"$commitRel/${abs.drop(base.length + 1)}"
-          val st = statsColumns.zipWithIndex.flatMap { case (c, i) =>
+          val st = statsCols.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(1 + 2 * i)) None // all-null file: no prunable range
             else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
           }.toMap
-          val bfBase = 1 + 2 * statsColumns.size
-          val bf = bloomColumns.zipWithIndex.map { case (c, i) =>
+          val bfBase = 1 + 2 * statsCols.size
+          val bf = bloomCols.zipWithIndex.map { case (c, i) =>
             c -> (bloomHashes, graft.util.BloomSketch.fromBytes(
               r.getAs[Array[Byte]](bfBase + i)))
           }.toMap
@@ -1337,6 +1379,12 @@ final case class VersionedTable(
       * rename moved the logical name; physical names never change).
       */
     def physical(name: String): String = colmap.getOrElse(name, name)
+
+    /** Generated rules as null-safe-equality row checks — the one shape
+      * constraint enforcement and the dry-run analysis consume.
+      */
+    def genChecks: Map[String, String] =
+      generated.map { case (g, e) => s"generated $g" -> s"$g <=> ($e)" }
   }
 
   private def readManifest(version: Long): Manifest = {

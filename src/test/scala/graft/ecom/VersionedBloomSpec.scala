@@ -106,6 +106,33 @@ class VersionedBloomSpec extends SparkSuite {
     assert(after.inputFiles.length < vt.read().inputFiles.length)
   }
 
+  test("a bloom on a string PARTITION column probes type-faithfully") {
+    // the basePath read-back re-infers partition types ("7" comes back
+    // as an int); the bloom must hash the DECLARED string type or the
+    // probe prunes files that contain the value
+    val vt = VersionedTable(spark, freshDir(), partitionCol = Some("code"),
+      bloomColumns = Seq("code"))
+    vt.commitOverwrite(spark.range(0, 100).toDF("id")
+      .withColumn("code", (col("id") % 10).cast("string")))
+    val hit = vt.readPoint("code", "7")
+    assert(hit.count() == 10, "every id ending in 7 must surface")
+    assert(hit.inputFiles.length < vt.read().inputFiles.length,
+      "other partitions' files must prune")
+  }
+
+  test("an evolving append omitting a bloom/stats column lands without metadata") {
+    val vt = VersionedTable(spark, freshDir(), statsColumns = Seq("n"),
+      bloomColumns = Seq("doc"))
+    vt.commitOverwrite(Seq((1L, 5L, "a")).toDF("id", "n", "doc"))
+    // batch without doc and n: legal append (columns null-fill); its
+    // files simply get no skipping metadata and read conservatively
+    vt.commitAppend(Seq(2L).toDF("id"))
+    assert(vt.read().count() == 2)
+    assert(vt.readPoint("doc", "a").as[(Long, Long, String)].collect()
+      .map(_._1).toSeq == Seq(1L))
+    assert(vt.readRange("n", 5L, 5L).count() == 1)
+  }
+
   test("files without a bloom read conservatively; time-travel probes work") {
     val dir = freshDir()
     // v1 committed with NO bloom config

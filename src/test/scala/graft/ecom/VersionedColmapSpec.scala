@@ -80,6 +80,18 @@ class VersionedColmapSpec extends SparkSuite {
       Seq(10L, 20L, 30L))
   }
 
+  test("renaming back to the birth name is the safe identity-restoring inverse") {
+    val vt = table()
+    vt.renameColumn("score", "points")
+    vt.renameColumn("points", "score")
+    assert(vt.read().columns.toSeq == Seq("id", "score", "tag"))
+    assert(vt.read().select("score").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L))
+    // and a fresh column named after ANOTHER column's physical stays blocked
+    vt.renameColumn("score", "points")
+    intercept[IllegalArgumentException] { vt.renameColumn("tag", "score") }
+  }
+
   test("drop is metadata-only and restore resurrects the column") {
     val vt = table()
     val before = vt.read().inputFiles.toSet

@@ -1,7 +1,9 @@
 package graft.ecom
 
 import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
 
+import org.apache.hadoop.fs.FileSystem
 import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SparkSuite
@@ -101,6 +103,40 @@ class VersionedConstraintSpec extends SparkSuite {
     assert(vt.read().count() == 4)
     assert(vt.history().map(_.op) ==
       Seq("overwrite", "addConstraint", "dropConstraint", "append"))
+  }
+
+  test("a constraint landing mid-append surfaces as a conflict, never a silent skip") {
+    spark.sparkContext.hadoopConfiguration
+      .setClass("fs.gatedman.impl", classOf[GatedManifestFs], classOf[FileSystem])
+    val local = freshDir()
+    val healthy = VersionedTable(spark, local)
+    healthy.commitOverwrite(Seq((1L, 10L)).toDF("id", "score"))
+    val gated = VersionedTable(spark, s"gatedman:$local")
+
+    GatedManifestFs.arrived = new CountDownLatch(1)
+    GatedManifestFs.proceed = new CountDownLatch(1)
+    GatedManifestFs.armed.set(true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the append's batch VIOLATES the constraint about to land; its
+    // enforcement was pinned before the constraint existed
+    val app = Future(gated.commitAppend(Seq((2L, -5L)).toDF("id", "score")))
+    assert(GatedManifestFs.arrived.await(60, TimeUnit.SECONDS), "append never reached publish")
+    healthy.addCheckConstraint("score_nonneg", "score >= 0")
+    GatedManifestFs.proceed.countDown()
+    intercept[java.util.ConcurrentModificationException] {
+      Await.result(app, 120.seconds)
+    }
+    // the unverified batch never landed…
+    assert(healthy.read().count() == 1)
+    assert(healthy.versions() == Seq(1L, 2L))
+    // …and the retried append IS verified against the new constraint
+    intercept[IllegalArgumentException] {
+      healthy.commitAppend(Seq((2L, -5L)).toDF("id", "score"))
+    }
+    healthy.commitAppend(Seq((2L, 5L)).toDF("id", "score"))
+    assert(healthy.read().count() == 2)
   }
 
   test("tab/newline-hostile names and expressions are rejected up front") {

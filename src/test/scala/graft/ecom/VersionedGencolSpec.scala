@@ -88,6 +88,16 @@ class VersionedGencolSpec extends SparkSuite {
       .collect().toSeq == Seq(9L))
   }
 
+  test("a batch omitting the column AND a source computes over null (reader semantics)") {
+    val vt = table()
+    // qty omitted too: readers would see qty null, so total = price*null = null
+    vt.commitAppend(Seq((8L, 3L)).toDF("id", "price"))
+    val row = vt.read().filter(col("id") === 8L)
+      .select("qty", "total").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1),
+      "generated value over an omitted source must be null, not an analysis error")
+  }
+
   test("rules survive overwrite (batch omitting the column gets it computed)") {
     val vt = table()
     vt.commitOverwrite(Seq((9L, 6L, 6L)).toDF("id", "price", "qty"))
