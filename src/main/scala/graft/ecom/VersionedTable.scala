@@ -193,7 +193,15 @@ final case class VersionedTable(
     */
   private def mergeAppendSchema(current: StructType, incoming: StructType): StructType = {
     incoming.fields.foreach { f =>
-      current.fields.find(_.name == f.name).foreach { cf =>
+      // names match CASE-INSENSITIVELY, as Spark resolves them: a
+      // case-variant duplicate would pass a case-sensitive check, then
+      // unionByName would merge it with the existing column while the
+      // schema select null-fills the variant — silent data corruption
+      current.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { cf =>
+        require(cf.name == f.name,
+          s"schema enforcement: appended column ${f.name} differs only in " +
+            s"case from existing column ${cf.name} — Spark resolves names " +
+            "case-insensitively; use the exact existing spelling")
         require(cf.dataType.catalogString == f.dataType.catalogString,
           s"schema enforcement: column ${f.name} is ${cf.dataType.simpleString} " +
             s"in the table but ${f.dataType.simpleString} in the appended batch — " +
@@ -201,8 +209,8 @@ final case class VersionedTable(
             "(use commitOverwrite to rewrite the table under a new schema)")
       }
     }
-    val have = current.fieldNames.toSet
-    StructType(current.fields ++ incoming.fields.filterNot(f => have(f.name)))
+    val have = current.fieldNames.map(_.toLowerCase).toSet
+    StructType(current.fields ++ incoming.fields.filterNot(f => have(f.name.toLowerCase)))
   }
 
   private def commit(df: DataFrame, replace: Boolean, batch: Option[Long]): Long = {
@@ -221,12 +229,26 @@ final case class VersionedTable(
       spark.sessionState.sqlParser.parseExpression(e).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
       }).toSet
-    val dfExt = entryM.fold(df) { pm =>
-      needed.filterNot(df.columns.contains).foldLeft(df) { (d, c) =>
-        pm.schema.fields.find(_.name == c)
-          .fold(d)(f => d.withColumn(c, lit(null).cast(f.dataType)))
+    // an OVERWRITE defines the table's new schema: silently injecting
+    // old-schema source columns (as nulls) to satisfy a generated rule
+    // would pollute the replacement schema the caller never asked for —
+    // refuse instead, like the other metadata-op restrictions
+    if (replace)
+      needed.filterNot(df.columns.contains) match {
+        case missing if missing.nonEmpty => throw new IllegalArgumentException(
+          s"overwrite batch omits column(s) ${missing.mkString(", ")} that " +
+            "generated rules derive from — carry the columns or drop the " +
+            "rules first (dropGeneratedColumn)")
+        case _ => ()
       }
-    }
+    val dfExt =
+      if (replace) df
+      else entryM.fold(df) { pm =>
+        needed.filterNot(df.columns.contains).foldLeft(df) { (d, c) =>
+          pm.schema.fields.find(_.name == c)
+            .fold(d)(f => d.withColumn(c, lit(null).cast(f.dataType)))
+        }
+      }
     val withGen = toCompute.foldLeft(dfExt) { case (d, (g, e)) =>
       val declared = entryM.flatMap(_.schema.fields.find(_.name == g).map(_.dataType))
       declared.fold(d.withColumn(g, expr(e)))(t => d.withColumn(g, expr(e).cast(t)))
@@ -310,8 +332,13 @@ final case class VersionedTable(
       val gen = prevM.fold(Map.empty[String, String])(_.generated)
       val schema = carriedM.fold(withGen.schema)(m => mergeAppendSchema(m.schema, withGen.schema))
       val op = if (replace) "overwrite" else "append"
+      // the batch marker is the exactly-once checkpoint for the
+      // streaming sink and VersionedPipe: a plain commit must CARRY the
+      // previous marker (erasing it would let a crashed micro-batch
+      // replay as a duplicate after any maintenance commit)
+      val batchOut = batch.orElse(prevM.flatMap(_.batch))
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, Manifest(schema, op, batch, carried ++ newFiles,
+      writeManifest(tmp, Manifest(schema, op, batchOut, carried ++ newFiles,
         carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms, cons,
         colmap, dropped, gen))
       publishManifest(tmp, manifestPath(next)) match {
@@ -360,14 +387,22 @@ final case class VersionedTable(
     */
   def deleteRange(column: String, lo: Long, hi: Long): Long = {
     val (base, m) = baseSnapshot()
-    val candidates = m.files.filter { f =>
+    deleteFrom(base, m, pruneByStats(m, column, lo, hi),
+      col(column) >= lo && col(column) <= hi)
+  }
+
+  /** The files of `m` whose committed [min, max] for `column` can
+    * overlap [lo, hi] — files without stats are conservatively kept.
+    * Shared by the read- and write-path skipping ([[readRangeAt]],
+    * [[deleteRange]]) so the prune predicate cannot drift.
+    */
+  private def pruneByStats(m: Manifest, column: String, lo: Long, hi: Long): Seq[String] =
+    m.files.filter { f =>
       m.stats.get(f).flatMap(_.get(column)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true // no stats: conservatively a candidate
       }
     }
-    deleteFrom(base, m, candidates, col(column) >= lo && col(column) <= hi)
-  }
 
   private def deleteFrom(base: Long, m: Manifest, candidates: Seq[String],
       predicate: Column): Long = {
@@ -406,12 +441,17 @@ final case class VersionedTable(
     val commitRel = s"data/c-${UUID.randomUUID()}"
     val commitAbs = s"$tableDir/$commitRel"
     pairs.write.mode(SaveMode.ErrorIfExists).parquet(commitAbs)
-    // metadata-only count over the sidecar just written (parquet
-    // footers); an empty delete publishes nothing and the orphan dir
-    // stays invisible until vacuum reclaims it
-    if (spark.read.schema("f STRING, pos BIGINT").parquet(commitAbs).isEmpty) return base
+    // read the sidecar back: an empty delete publishes nothing (the
+    // orphan dir stays invisible until vacuum), and every recorded file
+    // name must resolve against the manifest — the same path-encoding
+    // tripwire the COW paths run through checkKnown, because a sidecar
+    // addressing unknown names would SILENTLY leave rows visible
+    val recorded = spark.read.schema("f STRING, pos BIGINT").parquet(commitAbs)
+      .select(col("f")).distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (recorded.isEmpty) return base
+    checkKnown(m, recorded)
     val dvFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
-    publishAt(base, m.copy(op = "delete", batch = None, dv = m.dv ++ dvFiles), commitRel)
+    publishAt(base, m.copy(op = "delete", dv = m.dv ++ dvFiles), commitRel)
   }
 
   /** Delta's `REORG TABLE ... APPLY (PURGE)`: fold every ACTIVE
@@ -434,7 +474,7 @@ final case class VersionedTable(
       .collect().map(_.getString(0)).toSet
     val touched = m.files.filter(dvd)
     if (touched.isEmpty)
-      return publishAt(base, m.copy(op = "purge", batch = None, dv = Seq.empty),
+      return publishAt(base, m.copy(op = "purge", dv = Seq.empty),
         "(none — purge dropped inert deletion vectors)")
     publishCow("purge", base, m, touched.toSet, snapshot(m, touched),
       dvOut = Some(Seq.empty))
@@ -497,10 +537,22 @@ final case class VersionedTable(
       s"merge source columns ${source.columns.sorted.mkString(",")} must equal " +
         s"table columns ${tableCols.sorted.mkString(",")}")
     keys.foreach(k => require(tableCols.contains(k), s"merge key $k not in table schema"))
-    val src = source.select(m.schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // schema enforcement like the append path: a silently-failing cast
+    // (string "12x" -> bigint null) would corrupt keys instead of
+    // erroring, so types must match structurally up front
+    m.schema.foreach { f =>
+      val st = source.schema.fields.find(_.name == f.name).get.dataType
+      require(st.catalogString == f.dataType.catalogString,
+        s"merge source column ${f.name} is ${st.simpleString} but the table " +
+          s"declares ${f.dataType.simpleString} — cast the source explicitly")
+    }
+    val src = source.select(m.schema.map(f => col(f.name)): _*)
     // key-uniqueness: one aggregation over the source (cheap next to the
-    // rewrite), because a dup key would non-deterministically pick a winner
-    val dups = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+    // rewrite), because a dup key would non-deterministically pick a
+    // winner. NULL-keyed rows are exempt — they never match any table
+    // row (or each other) in the join, so they all insert deterministically
+    val dups = src.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     require(dups == 0, s"merge source has duplicate keys on (${keys.mkString(", ")})")
     // touched files = files holding at least one matched key; the
     // semi-join shuffles on the keys (or broadcasts a small source —
@@ -540,14 +592,14 @@ final case class VersionedTable(
     require(!m.constraints.contains(name), s"constraint $name already exists")
     // Delta semantics: adding a constraint verifies every existing row
     enforceConstraints(Map(name -> sqlExpr), snapshot(m, m.files), "existing table data")
-    publishAt(base, m.copy(op = "addConstraint", batch = None,
+    publishAt(base, m.copy(op = "addConstraint",
       constraints = m.constraints + (name -> sqlExpr)), "(none — metadata-only)")
   }
 
   def dropCheckConstraint(name: String): Long = {
     val (base, m) = baseSnapshot()
     require(m.constraints.contains(name), s"constraint $name does not exist")
-    publishAt(base, m.copy(op = "dropConstraint", batch = None,
+    publishAt(base, m.copy(op = "dropConstraint",
       constraints = m.constraints - name), "(none — metadata-only)")
   }
 
@@ -597,14 +649,14 @@ final case class VersionedTable(
     }
     enforceConstraints(Map(s"generated $name" -> s"$name <=> ($sqlExpr)"),
       snapshot(m, m.files), "existing table data")
-    publishAt(base, m.copy(op = "addGeneratedColumn", batch = None,
+    publishAt(base, m.copy(op = "addGeneratedColumn",
       generated = m.generated + (name -> sqlExpr)), "(none — metadata-only)")
   }
 
   def dropGeneratedColumn(name: String): Long = {
     val (base, m) = baseSnapshot()
     require(m.generated.contains(name), s"column $name is not generated")
-    publishAt(base, m.copy(op = "dropGeneratedColumn", batch = None,
+    publishAt(base, m.copy(op = "dropGeneratedColumn",
       generated = m.generated - name), "(none — metadata-only)")
   }
 
@@ -630,7 +682,10 @@ final case class VersionedTable(
       s"new column name must be non-empty and tab/newline-free: '$to'")
     val (base, m) = baseSnapshot()
     require(m.schema.fieldNames.contains(from), s"renameColumn: no column $from")
-    require(!m.schema.fieldNames.contains(to), s"renameColumn: column $to already exists")
+    // case-insensitive like Spark's resolution (a case-only rename of
+    // the SAME column is legal)
+    require(!m.schema.fieldNames.exists(n => n != from && n.equalsIgnoreCase(to)),
+      s"renameColumn: column $to already exists (names resolve case-insensitively)")
     val config = (partitionCol.toSeq ++ statsColumns ++ bloomColumns).toSet
     require(!config(from) && !config(to),
       s"renameColumn: $from/$to is partition/stats/bloom configuration — " +
@@ -648,7 +703,7 @@ final case class VersionedTable(
     val entry = to -> m.physical(from)
     val newColmap = (m.colmap - from) ++
       (if (entry._1 == entry._2) Map.empty else Map(entry))
-    publishAt(base, m.copy(op = "renameColumn", batch = None, schema = newSchema,
+    publishAt(base, m.copy(op = "renameColumn", schema = newSchema,
       stats = remapKeys(m.stats, from, to), blooms = remapKeys(m.blooms, from, to),
       colmap = newColmap), "(none — metadata-only)")
   }
@@ -670,7 +725,7 @@ final case class VersionedTable(
     val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
     requireConstraintsAnalyzable(m.constraints ++ m.genChecks,
       newSchema, s"drop column $name")
-    publishAt(base, m.copy(op = "dropColumn", batch = None, schema = newSchema,
+    publishAt(base, m.copy(op = "dropColumn", schema = newSchema,
       stats = m.stats.map { case (f, s) => f -> (s - name) }.filter(_._2.nonEmpty),
       blooms = m.blooms.map { case (f, b) => f -> (b - name) }.filter(_._2.nonEmpty),
       colmap = m.colmap - name,
@@ -688,10 +743,11 @@ final case class VersionedTable(
     * drop) — the files would leak their old data into it.
     */
   private def guardNewColumns(m: Manifest, incoming: StructType): Unit = {
-    val existing = m.schema.fieldNames.toSet
-    val hazard = m.schema.fieldNames.map(m.physical).toSet.diff(existing) ++ m.droppedPhys
-    incoming.fieldNames.filterNot(existing).foreach(n =>
-      require(!hazard(n),
+    val existing = m.schema.fieldNames.map(_.toLowerCase).toSet
+    val hazard = m.schema.fieldNames.map(c => m.physical(c).toLowerCase).toSet
+      .diff(existing) ++ m.droppedPhys.map(_.toLowerCase)
+    incoming.fieldNames.filterNot(n => existing(n.toLowerCase)).foreach(n =>
+      require(!hazard(n.toLowerCase),
         s"appended column $n collides with the physical name of a renamed " +
           "or dropped column — pick a different name (old files already " +
           "carry data under it)"))
@@ -822,7 +878,10 @@ final case class VersionedTable(
     * exact version).
     */
   def readAsOf(tsMillis: Long): DataFrame = {
-    val at = history().takeWhile(_.modifiedMs <= tsMillis).lastOption.getOrElse(
+    // filter, not takeWhile: manifest mtimes are not guaranteed
+    // monotonic (clock steps), and one out-of-order mtime must not hide
+    // every later qualifying version
+    val at = history().filter(_.modifiedMs <= tsMillis).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"$tableDir has no version committed at or before $tsMillis"))
     readAt(at.version)
@@ -886,10 +945,14 @@ final case class VersionedTable(
     val carriedBlooms = m.blooms.filter { case (f, _) => !replaced(f) }
     // DV sidecars carry forward by default: entries for replaced files
     // are inert (their file names left the manifest), entries for
-    // carried files stay active. purgeDeletes overrides to drop them.
-    publishAt(base, m.copy(op = op, batch = None,
+    // carried files stay active. purgeDeletes overrides to drop them,
+    // and a FULL rewrite (optimizeZOrder) leaves no file any entry can
+    // address, so the sidecars drop for free instead of taxing every
+    // future read until a manual purge.
+    val dvCarried = if (m.files.forall(replaced)) Seq.empty[String] else m.dv
+    publishAt(base, m.copy(op = op,
       files = carried ++ newFiles, stats = carriedStats ++ newStats,
-      dv = dvOut.getOrElse(m.dv), blooms = carriedBlooms ++ newBlooms), commitRel)
+      dv = dvOut.getOrElse(dvCarried), blooms = carriedBlooms ++ newBlooms), commitRel)
   }
 
   /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): make the
@@ -903,10 +966,13 @@ final case class VersionedTable(
     * like the other base-pinned ops.
     */
   def restore(version: Long): Long = {
-    val (base, _) = baseSnapshot()
+    val (base, baseM) = baseSnapshot()
     if (version == base) return base
     val target = readManifest(version)
-    publishAt(base, target.copy(op = "restore", batch = None),
+    // data replays from the target, but the batch marker (streaming /
+    // change-feed checkpoint) stays the HEAD's: a replayed micro-batch
+    // must remain a no-op after the restore
+    publishAt(base, target.copy(op = "restore", batch = baseM.batch),
       commitRel = "(none — restore writes no files)")
   }
 
@@ -971,13 +1037,8 @@ final case class VersionedTable(
 
   def readRangeAt(version: Long, column: String, lo: Long, hi: Long): DataFrame = {
     val m = readManifest(version)
-    val keep = m.files.filter { f =>
-      m.stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
-      }
-    }
-    snapshot(m, keep).filter(col(column) >= lo && col(column) <= hi)
+    snapshot(m, pruneByStats(m, column, lo, hi))
+      .filter(col(column) >= lo && col(column) <= hi)
   }
 
   /** Point-lookup read with bloom-filter skipping (Delta/Iceberg's
@@ -1045,8 +1106,12 @@ final case class VersionedTable(
         // discovery scan would become a full-file scan at 100 TB
         // (VersionedPlanSpec is the tripwire). _metadata is a proper
         // deterministic metadata column; filters push straight past it.
+        // greedy ^.*/ anchors the capture to the LAST data/c- segment, so
+        // a tableDir that itself contains "data/c-" cannot shift the
+        // extraction (deleteMoR additionally checkKnown-validates)
         val withF = fileCol.fold(df)(c =>
-          df.withColumn(c, regexp_extract(col("_metadata.file_path"), "(data/c-.+)$", 1)))
+          df.withColumn(c,
+            regexp_extract(col("_metadata.file_path"), "^.*/(data/c-[^/]+/.+)$", 1)))
         // the row's physical position in its parquet file — the stable
         // coordinate deletion vectors address rows by (resolved per
         // commit read: metadata columns don't survive a union)
@@ -1113,10 +1178,12 @@ final case class VersionedTable(
     * orphan data (harmless, re-vacuumable), never a manifest pointing at
     * missing files.
     */
-  def vacuum(keepVersions: Int = 1): Unit = {
+  def vacuum(keepVersions: Int = 1,
+      unreferencedGraceMs: Long = VersionedTable.DefaultVacuumGraceMs): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = versions()
-    vacuumVersions(vs.dropRight(keepVersions), vs.takeRight(keepVersions))
+    vacuumVersions(vs.dropRight(keepVersions), vs.takeRight(keepVersions),
+      unreferencedGraceMs)
   }
 
   /** Retention-window vacuum (Delta's `VACUUM ... RETAIN n HOURS` on
@@ -1125,25 +1192,36 @@ final case class VersionedTable(
     * if old (a cold table must stay readable). Readers pinned beyond
     * the horizon break, exactly like [[vacuum]].
     */
-  def vacuumOlderThan(cutoffMs: Long): Unit = {
+  def vacuumOlderThan(cutoffMs: Long,
+      unreferencedGraceMs: Long = VersionedTable.DefaultVacuumGraceMs): Unit = {
     val vs = versions()
     if (vs.isEmpty) return
     val old = vs.init.filter(v =>
       fs.getFileStatus(manifestPath(v)).getModificationTime < cutoffMs)
-    vacuumVersions(old, vs.filterNot(old.contains))
+    vacuumVersions(old, vs.filterNot(old.contains), unreferencedGraceMs)
   }
 
-  private def vacuumVersions(dropped: Seq[Long], kept: Seq[Long]): Unit = {
+  /** An unreferenced dir younger than `graceMs` is NOT reclaimed: an
+    * in-flight writer's freshly written commit dir is unreferenced by
+    * construction until its manifest publishes, and a vacuum racing it
+    * would leave the about-to-publish version pointing at deleted files
+    * (the CAS cannot catch this — vacuum bumps no version). The same
+    * age threshold Delta's VACUUM retention window provides; pass 0
+    * only when no writer can be in flight.
+    */
+  private def vacuumVersions(dropped: Seq[Long], kept: Seq[Long],
+      graceMs: Long): Unit = {
     val referenced: Set[String] =
       kept.flatMap { v => val m = readManifest(v); m.files ++ m.dv }
         .map(_.split('/').take(2).mkString("/")).toSet
     dropped.foreach { v =>
       require(fs.delete(manifestPath(v), false), s"vacuum: could not delete manifest v$v")
     }
+    val youngestKeptMs = System.currentTimeMillis() - graceMs
     val dataPath = new Path(s"$tableDir/data")
     if (fs.exists(dataPath)) fs.listStatus(dataPath).foreach { st =>
       val rel = s"data/${st.getPath.getName}"
-      if (!referenced.contains(rel))
+      if (!referenced.contains(rel) && st.getModificationTime < youngestKeptMs)
         require(fs.delete(st.getPath, true), s"vacuum: could not delete $rel")
     }
   }
@@ -1445,6 +1523,12 @@ final case class VersionedTable(
 }
 
 object VersionedTable {
+  /** Default in-flight-writer protection window for [[vacuum]]: an
+    * unreferenced commit dir younger than this is assumed to belong to
+    * a writer between its data write and its manifest publish.
+    */
+  val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
+
   /** One [[VersionedTable.history]] row — the DESCRIBE HISTORY shape. */
   final case class VersionInfo(
       version: Long,

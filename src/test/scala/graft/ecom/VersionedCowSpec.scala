@@ -129,6 +129,23 @@ class VersionedCowSpec extends SparkSuite {
     assert(vt.versions().size == 2)
   }
 
+  test("merge: null-keyed source rows insert freely; type drift is rejected loudly") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(Seq((Some(1L), 10L)).toDF("id", "v"))
+    // two null-keyed rows are NOT duplicates of each other: null keys
+    // match nothing, so both deterministically insert
+    vt.merge(Seq((Option.empty[Long], 7L), (Option.empty[Long], 8L), (Some(1L), 11L))
+      .toDF("id", "v"), Seq("id"))
+    val got = vt.read().as[(Option[Long], Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((None, 7L), (None, 8L), (Some(1L), 11L)))
+    // a source column under a different type must fail loudly — the old
+    // silent cast turned uncastable keys into null inserts
+    val ex = intercept[IllegalArgumentException] {
+      vt.merge(Seq(("12x", 9L)).toDF("id", "v"), Seq("id"))
+    }
+    assert(ex.getMessage.contains("cast the source explicitly"))
+  }
+
   test("merge replaces matched rows, inserts the rest, carries untouched files") {
     val vt = rangedTable(freshDir())
     val beforeFiles = vt.read().inputFiles.toSet

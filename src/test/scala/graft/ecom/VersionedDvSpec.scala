@@ -146,16 +146,26 @@ class VersionedDvSpec extends SparkSuite {
     val dir = freshDir()
     val vt = rangedTable(dir)
     vt.deleteMoR(col("id") < 10L)
-    vt.vacuum(keepVersions = 1) // head references the sidecar -> must survive
+    vt.vacuum(keepVersions = 1, unreferencedGraceMs = 0) // head references the sidecar -> must survive
     assert(vt.read().count() == 3990)
     vt.purgeDeletes()
-    vt.vacuum(keepVersions = 1) // head has no DVs -> sidecar dir reclaimed
+    vt.vacuum(keepVersions = 1, unreferencedGraceMs = 0) // head has no DVs -> sidecar dir reclaimed
     assert(vt.read().count() == 3990)
     // every remaining commit dir is referenced by the head's data files
     val head = vt.read().inputFiles.map(f =>
       "data/c-" + f.split("/data/c-")(1).split("/")(0)).toSet
     val onDisk = new java.io.File(s"$dir/data").listFiles().map("data/" + _.getName).toSet
     assert(onDisk == head, s"unreferenced commit dirs must be gone: $onDisk vs $head")
+  }
+
+  test("a full rewrite (optimize zorder) sheds sidecars without a manual purge") {
+    val vt = rangedTable(freshDir())
+    vt.deleteMoR(col("id").between(0L, 9L))
+    assert(vt.history().last.numDvFiles > 0)
+    vt.optimizeZOrder(Seq("id", "v"))
+    assert(vt.history().last.numDvFiles == 0,
+      "no surviving file can carry a DV entry after a full rewrite")
+    assert(vt.read().count() == 3990)
   }
 
   test("restore to a DV version replays the sidecar; changes feed applies head DVs") {

@@ -105,6 +105,16 @@ class VersionedGencolSpec extends SparkSuite {
     assert(vt.generatedColumns().keySet == Set("total"))
   }
 
+  test("an overwrite omitting a rule's SOURCE refuses instead of polluting the schema") {
+    val vt = table()
+    val ex = intercept[IllegalArgumentException] {
+      vt.commitOverwrite(Seq((9L, 6L)).toDF("id", "price")) // no qty
+    }
+    assert(ex.getMessage.contains("qty") && ex.getMessage.contains("generated"))
+    assert(vt.read().columns.toSeq == Seq("id", "price", "qty", "total"),
+      "nothing published; schema unchanged")
+  }
+
   test("rename/drop of the column or a source is blocked while the rule exists") {
     val vt = table()
     intercept[IllegalArgumentException] { vt.renameColumn("total", "sum") }

@@ -47,7 +47,7 @@ class VersionedTableModelSpec extends SparkSuite {
             vt.commitAppend(rows.toDF("id"))
             model = model :+ (model.lastOption.getOrElse(Seq.empty) ++ rows).sorted
           case 4 if model.size - vacuumedBelow > 2 =>
-            vt.vacuum(keepVersions = 2)
+            vt.vacuum(keepVersions = 2, unreferencedGraceMs = 0)
             vacuumedBelow = model.size - 2
           case 5 if model.nonEmpty =>
             // copy-on-write delete of a random id range; matching

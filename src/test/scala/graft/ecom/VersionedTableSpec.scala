@@ -98,8 +98,49 @@ class VersionedTableSpec extends SparkSuite {
     assert(healthy.currentVersion().contains(1L))
     assert(healthy.read().as[Long].collect().sorted.toSeq == (1L to 10L))
     // the aborted commit's files exist but are invisible; vacuum reclaims
-    healthy.vacuum(keepVersions = 1)
+    // (grace 0: both writers in this test have completed)
+    healthy.vacuum(keepVersions = 1, unreferencedGraceMs = 0)
     assert(healthy.read().count() == 10)
+  }
+
+  test("maintenance commits carry the batch marker (exactly-once survives optimize)") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite((1L to 5L).toDF("id"))
+    assert(vt.commitAppendBatch((6L to 8L).toDF("id"), batchId = 7L).isDefined)
+    // maintenance between a batch commit and its replay must NOT erase
+    // the marker — a replayed micro-batch would land twice
+    (0 until 2).foreach(_ => vt.commitAppend((100L to 120L).toDF("id").repartition(4)))
+    vt.optimize()
+    vt.delete(col("id") > 200L) // no-op, and even a landing op keeps it
+    assert(vt.currentBatchId().contains(7L),
+      "batch marker must survive maintenance commits")
+    assert(vt.commitAppendBatch((6L to 8L).toDF("id"), batchId = 7L).isEmpty,
+      "replayed batch must still be a no-op")
+  }
+
+  test("case-variant append columns are rejected, not silently merged") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(Seq((1L, 10L)).toDF("id", "score"))
+    val ex = intercept[IllegalArgumentException] {
+      vt.commitAppend(Seq((2L, 20L)).toDF("id", "SCORE"))
+    }
+    assert(ex.getMessage.contains("case"))
+    assert(vt.read().count() == 1)
+  }
+
+  test("readAsOf tolerates non-monotonic manifest mtimes") {
+    val dir = freshDir()
+    val vt = VersionedTable(spark, dir)
+    vt.commitOverwrite(Seq(1L).toDF("id"))
+    vt.commitOverwrite(Seq(2L).toDF("id"))
+    vt.commitOverwrite(Seq(3L).toDF("id"))
+    // simulate a clock step: v2's manifest looks newer than v3's
+    val m2 = new java.io.File(s"$dir/_graft_log/v00000002.manifest")
+    val m3 = new java.io.File(s"$dir/_graft_log/v00000003.manifest")
+    assert(m2.setLastModified(m3.lastModified() + 60000))
+    // as-of "after v3 landed": v3 is the newest qualifying version even
+    // though v2's (stepped) mtime disqualifies itself
+    assert(vt.readAsOf(m3.lastModified() + 1).as[Long].collect().toSeq == Seq(3L))
   }
 
   test("a transient manifest-rename refusal is retried and the commit still lands") {
@@ -132,7 +173,7 @@ class VersionedTableSpec extends SparkSuite {
     vt.commitOverwrite((1L to 5L).toDF("id"))
     vt.commitOverwrite((6L to 9L).toDF("id"))
     vt.commitOverwrite((10L to 12L).toDF("id"))
-    vt.vacuum(keepVersions = 1)
+    vt.vacuum(keepVersions = 1, unreferencedGraceMs = 0)
     assert(vt.versions() == Seq(3L))
     // live snapshot intact; history is gone
     assert(vt.read().as[Long].collect().sorted.toSeq == (10L to 12L))
