@@ -75,13 +75,15 @@ final case class Lakehouse(
     * buckets skip the merge-join sort.
     */
   def writeBucketed(name: String, df: DataFrame, bucketCols: Seq[String],
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, s"writeBucketed($name): bucketCols must be non-empty")
     df.write.format(format)
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", s"$warehouseDir/$name")
       .saveAsTable(tableName(name))
+  }
 
   /** Read a bucketed table back (bucket metadata comes from the
     * catalog, so this must be a table lookup, not a path read).
@@ -146,6 +148,14 @@ final case class Lakehouse(
     require(!spark.catalog.tableExists(tableName(name)),
       s"$name is a bucketed catalog table — rewrite it with writeBucketed, not compact")
     val target = s"$warehouseDir/$name"
+    // a VERSIONED table must never go through this path: the plain
+    // recursive read would bake every retained version (resurrections),
+    // orphans, and DV sidecars into one frame, and the swap would
+    // destroy the _graft_log — use VersionedTable.optimize instead
+    val logP = new org.apache.hadoop.fs.Path(s"$target/_graft_log")
+    require(!logP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(logP),
+      s"$name is a versioned table — compact it with VersionedTable.optimize, " +
+        "never the path-level compactor (it would flatten the version history)")
     val tmp = s"$warehouseDir/.$name.compact.tmp"
     val current = spark.read.format(format).option("mergeSchema", "true").load(target)
     partitioning.get(name) match {
@@ -218,12 +228,19 @@ final case class Lakehouse(
       // updates win exact-orderCol ties over existing rows (deterministic
       // MERGE semantics, not partition-order luck)
       val srcCol = graft.util.Names.fresh("_is_update", existing.columns)
+      val unioned = existing.withColumn(srcCol, lit(0))
+        .unionByName(updates.filter(touchedPred(col(partCol)))
+          .select(existing.columns.map(col): _*)
+          .withColumn(srcCol, lit(1)))
+      // NULL-keyed rows are exempt from the dedup: a null key matches
+      // nothing (MERGE semantics — see VersionedTable.merge), but
+      // Window.partitionBy groups all nulls into ONE group, so running
+      // them through dedupLatest would silently keep one of N
+      val nullKey = keys.map(col(_).isNull).reduce(_ || _)
       val merged = graft.ops.CleanOps.dedupLatest(
-          existing.withColumn(srcCol, lit(0))
-            .unionByName(updates.filter(touchedPred(col(partCol)))
-              .select(existing.columns.map(col): _*)
-              .withColumn(srcCol, lit(1))),
+          unioned.filter(!nullKey),
           keys, Seq(col(orderCol).desc, col(srcCol).desc))
+        .unionByName(unioned.filter(nullKey))
         .drop(srcCol)
       overwritePartitions(name, merged)
     }
@@ -250,7 +267,11 @@ final case class Lakehouse(
     */
   def writeShards(name: String, df: DataFrame, nShards: Int, seed: Long): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    require(!df.columns.contains("shard"), "input already has a 'shard' column")
+    // case-insensitive, as Spark resolves names: a 'Shard' column would
+    // pass a case-sensitive check and then be silently REPLACED by the
+    // computed shard id
+    require(!df.columns.exists(_.equalsIgnoreCase("shard")),
+      "input already has a 'shard' column (any case)")
     // the contract hashes AND sorts by EVERY column, so every column
     // must be orderable/hashable — a MapType (unhashable by xxhash64,
     // unorderable in sortWithinPartitions) would otherwise surface as

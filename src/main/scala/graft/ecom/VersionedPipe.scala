@@ -10,56 +10,76 @@ import org.apache.spark.sql.DataFrame
   * destination version.
   *
   * There is no separate checkpoint store: the destination manifest's
-  * batch-id field (the same field the streaming sink uses for
-  * exactly-once, [[VersionedTable.commitAppendBatch]]) records the last
-  * PROCESSED source version. The write and the progress marker are
-  * therefore one atomic rename —
+  * per-app transaction marker (namespace [[App]], the same mechanism
+  * the streaming sink uses for exactly-once,
+  * [[VersionedTable.commitAppendBatch]]) records the last PROCESSED
+  * source version. The write and the progress marker are therefore one
+  * atomic rename —
   *
   *  - crash before the commit: nothing landed, nothing recorded, the
   *    retry reprocesses the same window;
-  *  - replayed step after a successful commit: the recorded batch id
-  *    equals the window's end version, so the commit is a no-op —
+  *  - replayed step after a successful commit: the recorded marker
+  *    equals the window's end version, so the commit is a no-op;
+  *  - two CONCURRENT steps (overlapping scheduler fires): identical
+  *    windows collapse idempotently at the publish CAS, and a stale
+  *    window (the other runner advanced the marker further) raises
+  *    `ConcurrentModificationException` instead of appending twice —
   *    exactly-once end to end, with no two-phase anything.
+  *
+  * The marker lives in its own app namespace, so a streaming sink (or
+  * maintenance commits, which carry all markers) on the same
+  * destination cannot clobber the pipe's replay detection.
   *
   * At 100 TB this is the difference between a silver refresh that reads
   * yesterday's appended partitions and one that rescans the table: cost
-  * scales with the CHANGE volume, never the table.
+  * scales with the CHANGE volume, never the table — including the
+  * safety check, which reads exactly two manifests per step
+  * ([[VersionedTable.filesRemovedBetween]]), not the history.
   *
-  * The source window must be append-only (`transform` sees inserted
-  * rows once, so a rewriting op — delete/update/merge/optimize — in the
-  * window would surface its rewritten survivors as duplicate inserts).
-  * A non-append version in the window throws rather than corrupting the
-  * destination; version 1 is exempt (the bootstrap commit of a table is
-  * usually an overwrite, and the whole table IS the first change set).
-  * `transform` must be stateless per-batch (map/filter/project —
-  * anything where f(a ∪ b) = f(a) ∪ f(b)); aggregations belong in a
-  * downstream full-refresh model or a streaming state store.
+  * The source window must be append-only IN EFFECT: every file of the
+  * window's start version must still be referenced at its end
+  * (metadata-only ops and merge-on-read deletes pass — they re-deliver
+  * nothing, though MoR deletions are naturally not retracted from the
+  * destination; a rewriting delete/update/merge/optimize/restore in
+  * the window throws rather than re-delivering rewritten survivors as
+  * duplicate inserts). A bootstrap (nothing processed yet) reads the
+  * full snapshot, which is correct regardless of the source's earlier
+  * history. `transform` must be stateless per-batch (map/filter/
+  * project — anything where f(a ∪ b) = f(a) ∪ f(b)); aggregations
+  * belong in a downstream full-refresh model or a streaming state
+  * store.
   */
 object VersionedPipe {
+
+  /** The pipe's transaction-marker namespace on the destination. */
+  val App: String = "graft-pipe"
 
   /** Process everything committed to `src` since the last step, through
     * `transform`, into one atomic append on `dst`. Returns the new
     * destination version, or None if `src` has nothing new (or a replay
-    * already landed this window). Throws if the pending window contains
-    * a rewriting operation (see class doc), or if `dst` records a
+    * already landed this window). Throws if the pending window rewrites
+    * or removes source files (see class doc), or if `dst` records a
     * source version newer than `src` has (a vacuumed/reset source).
     */
   def step(src: VersionedTable, dst: VersionedTable,
       transform: DataFrame => DataFrame = identity): Option[Long] = {
-    val from = dst.currentBatchId().getOrElse(0L)
+    val from = dst.currentBatchId(App).getOrElse(0L)
     val to = src.currentVersion().getOrElse(0L)
     require(from <= to,
       s"destination has processed source v$from but source is at v$to — " +
         "was the source table reset or replaced?")
     if (to == from) return None
-    val rewriting = src.history()
-      .filter(v => v.version > math.max(from, 1L) && v.version <= to)
-      .filterNot(_.op == "append")
-    require(rewriting.isEmpty,
-      s"source window (v$from, v$to] contains non-append operations " +
-        s"${rewriting.map(v => s"v${v.version}:${v.op}").mkString(", ")} — " +
-        "an incremental step would re-deliver their rewritten rows; " +
+    val removed = src.filesRemovedBetween(from, to)
+    require(removed.isEmpty,
+      s"source window (v$from, v$to] rewrites or removes ${removed.size} " +
+        s"file(s) (ops in window: ${windowOps(src, from, to)}) — an " +
+        "incremental step would re-deliver their rewritten rows; " +
         "rebuild the destination from a full read instead")
-    dst.commitAppendBatch(transform(src.readChangesBetween(from, to)), to)
+    dst.commitAppendBatch(transform(src.readChangesBetween(from, to)), to, App)
   }
+
+  /** Error-path diagnostics only: name the window's operations. */
+  private def windowOps(src: VersionedTable, from: Long, to: Long): String =
+    src.history().filter(v => v.version > from && v.version <= to)
+      .map(v => s"v${v.version}:${v.op}").mkString(", ")
 }

@@ -149,13 +149,13 @@ final case class VersionedTable(
     */
   def history(): Seq[VersionInfo] = versions().map { v =>
     val m = readManifest(v)
-    VersionInfo(v, m.op, m.batch, m.files.size,
+    VersionInfo(v, m.op, m.txns.get(VersionedTable.DefaultApp), m.files.size,
       fs.getFileStatus(manifestPath(v)).getModificationTime, m.dv.size)
   }
 
   /** Commit `df` as a new version that REPLACES the table contents. */
   def commitOverwrite(df: DataFrame): Long =
-    commit(df, replace = true, batch = None)
+    commit(df, replace = true, txn = None)
 
   /** Commit `df` as a new version that APPENDS to the current contents,
     * under Delta's schema contract: a column already in the table must
@@ -165,26 +165,39 @@ final case class VersionedTable(
     * schema with the old files' values and nulls for the new rows.
     */
   def commitAppend(df: DataFrame): Long =
-    commit(df, replace = false, batch = None)
+    commit(df, replace = false, txn = None)
 
   /** The streaming-sink commit: append `df` as the version for micro-
-    * batch `batchId`, EXACTLY ONCE — if the current manifest already
-    * records `batchId` (a foreachBatch replay after a crash between
-    * commit and checkpoint advance), nothing is written and None
-    * returns. foreachBatch replays only the LAST batch, so checking the
-    * head manifest suffices; a crash mid-commit (files written, manifest
-    * not renamed) leaves the batch unrecorded and the replay re-commits,
-    * with the half-written files invisible until vacuum.
+    * batch `batchId` under writer namespace `app`, EXACTLY ONCE — if
+    * the current manifest already records `batchId` for `app` (a
+    * foreachBatch replay after a crash between commit and checkpoint
+    * advance), nothing is written and None returns. Markers are
+    * PER-APP, like Delta's transaction appId map: two independent
+    * exactly-once writers (a stream and a [[VersionedPipe]], or two
+    * streams) on one table cannot clobber each other's replay
+    * detection. Concurrency: the publish CAS re-checks the app's
+    * marker — an identical (app, batchId) landed by a racing twin
+    * makes this commit an idempotent no-op, and a marker that moved to
+    * a DIFFERENT value raises ConcurrentModificationException (the
+    * caller's window math is stale; recompute and retry). A crash
+    * mid-commit (files written, manifest not renamed) leaves the batch
+    * unrecorded and the replay re-commits, with the half-written files
+    * invisible until vacuum.
     */
-  def commitAppendBatch(df: DataFrame, batchId: Long): Option[Long] =
-    if (currentBatchId().contains(batchId)) None
-    else Some(commit(df, replace = false, batch = Some(batchId)))
+  def commitAppendBatch(df: DataFrame, batchId: Long,
+      app: String = VersionedTable.DefaultApp): Option[Long] = {
+    require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n'),
+      s"app name must be non-empty and tab/newline-free: '$app'")
+    if (currentBatchId(app).contains(batchId)) None
+    else Some(commit(df, replace = false, txn = Some((app, batchId))))
+  }
 
-  /** The micro-batch id recorded by the newest version, if it was
-    * committed through [[commitAppendBatch]].
+  /** The micro-batch id recorded for writer `app` by the newest
+    * version (committed through [[commitAppendBatch]] and carried by
+    * every later commit).
     */
-  def currentBatchId(): Option[Long] =
-    currentVersion().flatMap(v => readManifest(v).batch)
+  def currentBatchId(app: String = VersionedTable.DefaultApp): Option[Long] =
+    currentVersion().flatMap(v => readManifest(v).txns.get(app))
 
   /** Delta's append-side schema contract: shared columns must type-match
     * (enforcement), new columns extend the schema at the end (additive
@@ -213,7 +226,7 @@ final case class VersionedTable(
     StructType(current.fields ++ incoming.fields.filterNot(f => have(f.name.toLowerCase)))
   }
 
-  private def commit(df: DataFrame, replace: Boolean, batch: Option[Long]): Long = {
+  private def commit(df: DataFrame, replace: Boolean, txn: Option[(String, Long)]): Long = {
     fs.mkdirs(new Path(logDir))
     val entryM = currentVersion().map(readManifest)
     // generated columns the batch OMITS are computed here (Delta's
@@ -312,6 +325,21 @@ final case class VersionedTable(
           s"table metadata (constraints/generated/column mapping) changed " +
             s"concurrently while committing this batch — retry the operation " +
             s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
+      // exactly-once under RACING twins: if our app's marker moved since
+      // entry, another writer committed a batch for this app. Identical
+      // id -> the same logical batch already landed, drop ours
+      // idempotently (two schedulers firing the same VersionedPipe
+      // window); different id -> our window math is stale, conflict.
+      txn.foreach { case (app, id) =>
+        val cur = prevM.flatMap(_.txns.get(app))
+        if (cur != entryM.flatMap(_.txns.get(app))) {
+          if (cur.contains(id)) return prev.get
+          throw new java.util.ConcurrentModificationException(
+            s"transaction marker for app '$app' advanced to ${cur.fold("(none)")(_.toString)} " +
+              s"while committing batch $id — recompute the batch window and retry " +
+              s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
+        }
+      }
       val carriedM = if (replace) None else prevM
       val carried = carriedM.fold(Seq.empty[String])(_.files)
       val carriedStats = carriedM.fold(Map.empty: FileStats)(_.stats)
@@ -332,13 +360,15 @@ final case class VersionedTable(
       val gen = prevM.fold(Map.empty[String, String])(_.generated)
       val schema = carriedM.fold(withGen.schema)(m => mergeAppendSchema(m.schema, withGen.schema))
       val op = if (replace) "overwrite" else "append"
-      // the batch marker is the exactly-once checkpoint for the
-      // streaming sink and VersionedPipe: a plain commit must CARRY the
-      // previous marker (erasing it would let a crashed micro-batch
-      // replay as a duplicate after any maintenance commit)
-      val batchOut = batch.orElse(prevM.flatMap(_.batch))
+      // transaction markers are the exactly-once checkpoints for the
+      // streaming sink and VersionedPipe, one slot per writer app: a
+      // plain commit CARRIES every previous marker (erasing one would
+      // let a crashed micro-batch replay as a duplicate after any
+      // maintenance commit), and this commit's own marker lands in its
+      // app's slot
+      val txnsOut = prevM.fold(Map.empty[String, Long])(_.txns) ++ txn.toMap
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, Manifest(schema, op, batchOut, carried ++ newFiles,
+      writeManifest(tmp, Manifest(schema, op, txnsOut, carried ++ newFiles,
         carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms, cons,
         colmap, dropped, gen))
       publishManifest(tmp, manifestPath(next)) match {
@@ -871,6 +901,24 @@ final case class VersionedTable(
     snapshot(to, to.files.filterNot(from))
   }
 
+  /** The files of version `fromVersion` that `toVersion` no longer
+    * references — EMPTY exactly when the window is append-only in
+    * effect, the precise safety condition for consuming
+    * [[readChangesBetween]] as an insert feed: metadata-only ops and
+    * merge-on-read deletes keep every file (safe — nothing is
+    * re-delivered), while any rewrite/optimize/restore in the window
+    * removed files whose rows would reappear in the rewritten ones.
+    * Costs two manifest reads, never a history scan; `fromVersion = 0`
+    * (bootstrap) is trivially safe.
+    */
+  def filesRemovedBetween(fromVersion: Long, toVersion: Long): Seq[String] = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"filesRemovedBetween: bad window (v$fromVersion, v$toVersion]")
+    if (fromVersion == 0) return Seq.empty
+    val toF = readManifest(toVersion).files.toSet
+    readManifest(fromVersion).files.filterNot(toF)
+  }
+
   /** Time travel by wall clock (Delta's `TIMESTAMP AS OF`): the newest
     * version whose manifest landed at or before `tsMillis`. Commit
     * times come from manifest file modification time — audit-grade
@@ -972,7 +1020,7 @@ final case class VersionedTable(
     // data replays from the target, but the batch marker (streaming /
     // change-feed checkpoint) stays the HEAD's: a replayed micro-batch
     // must remain a no-op after the restore
-    publishAt(base, target.copy(op = "restore", batch = baseM.batch),
+    publishAt(base, target.copy(op = "restore", txns = baseM.txns),
       commitRel = "(none — restore writes no files)")
   }
 
@@ -1398,7 +1446,11 @@ final case class VersionedTable(
       val sb = new StringBuilder("graft-manifest-v1\n")
       sb.append("schema:").append(m.schema.json).append('\n')
       sb.append("op:").append(m.op).append('\n')
-      m.batch.foreach(b => sb.append("batch:").append(b).append('\n'))
+      // one marker slot per writer app: app \t id (legacy manifests
+      // wrote a bare id — parsed back into the default app's slot)
+      m.txns.toSeq.sortBy(_._1).foreach { case (a, id) =>
+        sb.append("batch:").append(a).append('\t').append(id).append('\n')
+      }
       m.files.foreach { f =>
         sb.append("file:").append(f).append('\n')
         // stats ride next to their file line: col \t min \t max \t path
@@ -1444,7 +1496,7 @@ final case class VersionedTable(
   private case class Manifest(
       schema: StructType,
       op: String,
-      batch: Option[Long],
+      txns: Map[String, Long],
       files: Seq[String],
       stats: Map[String, Map[String, (Long, Long)]],
       dv: Seq[String],
@@ -1478,7 +1530,11 @@ final case class VersionedTable(
       s"unrecognized manifest header in $p")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema:")).asInstanceOf[StructType]
     val op = lines.find(_.startsWith("op:")).map(_.stripPrefix("op:")).getOrElse("write")
-    val batch = lines.find(_.startsWith("batch:")).map(_.stripPrefix("batch:").toLong)
+    val txns = lines.filter(_.startsWith("batch:")).map { l =>
+      val parts = l.stripPrefix("batch:").split('\t')
+      if (parts.length == 2) parts(0) -> parts(1).toLong
+      else VersionedTable.DefaultApp -> parts(0).toLong // legacy bare id
+    }.toMap
     val files = lines.filter(_.startsWith("file:")).map(_.stripPrefix("file:"))
     val stats = lines.filter(_.startsWith("stats:"))
       .map { l =>
@@ -1517,12 +1573,19 @@ final case class VersionedTable(
         require(parts.length == 2, s"malformed gencol line in $p: $l")
         parts(0) -> parts(1)
       }.toMap
-    Manifest(schema, op, batch, files, stats, dv, blooms, constraints,
+    Manifest(schema, op, txns, files, stats, dv, blooms, constraints,
       colmap, droppedPhys, generated)
   }
 }
 
 object VersionedTable {
+  /** The default writer namespace for [[commitAppendBatch]] markers —
+    * independent exactly-once writers (a second stream, a
+    * [[VersionedPipe]]) pass their own app name so replay detection
+    * cannot be clobbered across writers (Delta's transaction appId).
+    */
+  val DefaultApp: String = "default"
+
   /** Default in-flight-writer protection window for [[vacuum]]: an
     * unreferenced commit dir younger than this is assumed to belong to
     * a writer between its data write and its manifest publish.

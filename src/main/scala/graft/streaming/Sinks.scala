@@ -21,7 +21,12 @@ object Sinks {
     * discovery rejects mixed depths).
     */
   def idempotentPartitioned(df: DataFrame, outDir: String, checkpointDir: String,
-      partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+      partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the replay key is synthetic: a pre-existing _batch_id column (any
+    // case — Spark resolves case-insensitively) would be silently
+    // REPLACED and its values repurposed as the overwrite key
+    require(!df.columns.exists(_.equalsIgnoreCase("_batch_id")),
+      "input already has a '_batch_id' column (any case)")
     df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch
@@ -34,6 +39,7 @@ object Sinks {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 
   /** Exactly-once landing into a [[graft.ecom.VersionedTable]]: each
     * micro-batch becomes ONE atomic table version via
@@ -46,10 +52,12 @@ object Sinks {
     * keeps committing; `readAt` replays any retained trigger's state.
     */
   def versionedAppend(df: DataFrame, table: graft.ecom.VersionedTable,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      app: String = graft.ecom.VersionedTable.DefaultApp)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        table.commitAppendBatch(batch, batchId): Unit
+        table.commitAppendBatch(batch, batchId, app): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .start()

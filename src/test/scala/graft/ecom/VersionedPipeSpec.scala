@@ -39,7 +39,7 @@ class VersionedPipeSpec extends SparkSuite {
       _.filter(col("id") % 2 === 0)).contains(2L))
     assert(dst.read().as[Long].collect().sorted.toSeq == (0L until 130L by 2))
     // destination history records which source version each batch closed
-    assert(dst.currentBatchId().contains(3L))
+    assert(dst.currentBatchId(VersionedPipe.App).contains(3L))
   }
 
   test("a rewriting op in the pending window refuses; catching up past it works from scratch") {
@@ -54,6 +54,35 @@ class VersionedPipeSpec extends SparkSuite {
     assert(ex.getMessage.contains("delete"), s"must name the rewriting op: ${ex.getMessage}")
     // nothing was half-delivered
     assert(dst.read().count() == 50)
+  }
+
+  test("metadata-only and merge-on-read ops in the window are append-safe") {
+    val src = fresh("graft-pipe-src4")
+    val dst = fresh("graft-pipe-dst4")
+    src.commitOverwrite(spark.range(0, 50).toDF("id"))
+    assert(VersionedPipe.step(src, dst).contains(1L))
+    // metadata commit + MoR delete + append: no file removed, so the
+    // window is consumable — the new files arrive DV-filtered, and the
+    // pipe no longer wedges on constraint/rename housekeeping
+    src.addCheckConstraint("nonneg", "id >= 0")
+    src.commitAppend(spark.range(50, 60).toDF("id"))
+    src.deleteMoR(col("id") === 55L)
+    assert(VersionedPipe.step(src, dst).contains(2L))
+    assert(dst.read().as[Long].collect().sorted.toSeq ==
+      ((0L until 50L) ++ (50L until 60L).filterNot(_ == 55L)))
+  }
+
+  test("bootstrap over a source with historical rewrites reads the full snapshot") {
+    val src = fresh("graft-pipe-src5")
+    val dst = fresh("graft-pipe-dst5")
+    src.commitOverwrite(spark.range(0, 40).toDF("id").repartition(4))
+    src.delete(col("id") < 5L)   // v2: a rewrite BEFORE the pipe attaches
+    src.optimize()               // v3 (may or may not commit)
+    src.commitAppend(spark.range(40, 45).toDF("id"))
+    // a brand-new destination must be attachable: from=0 is a full
+    // snapshot read, correct regardless of the source's earlier history
+    assert(VersionedPipe.step(src, dst).isDefined)
+    assert(dst.read().as[Long].collect().sorted.toSeq == (5L until 45L))
   }
 
   test("a reset source (destination ahead) is refused loudly") {
