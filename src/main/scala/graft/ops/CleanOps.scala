@@ -15,6 +15,9 @@ object CleanOps {
     * Reference: clean_id, `02_silver/02_silver_transform.py:41-42`.
     * try_cast because Spark 4 is ANSI by default and would throw on
     * non-numeric input, where the reference's PySpark cast yields NULL.
+    * CONTRACT: the double round-trip is exact only up to 2^53 —
+    * integer ids beyond that silently lose low bits (the reference's
+    * float cast has the identical bound; deliberate parity).
     */
   def cleanId(c: Column): Column =
     c.try_cast("double").try_cast("long").cast("string")

@@ -31,24 +31,34 @@ object TimeOps {
     val taken = leftCols ++ right.columns
     val tsCol = graft.util.Names.fresh("_ts", taken)
     val sideCol = graft.util.Names.fresh("_side", taken)
+    val vCol = graft.util.Names.fresh("_vals", taken)
     // side 0 sorts before side 1 at equal ts -> right row at exactly
     // leftTs is visible to the left row (>= semantics, like ASOF JOIN)
-    val l = valueCols.foldLeft(
-        left.withColumn(tsCol, col(leftTs)).withColumn(sideCol, lit(1)))(
-        (df, c) => df.withColumn(c, lit(null)))
+    val l = left.withColumn(tsCol, col(leftTs)).withColumn(sideCol, lit(1))
+    // a NULL rightTs row is "as of never" — it must not sort first
+    // (nulls-first) and attach to left rows with no real backward match
     val r0 = right.select((keys :+ rightTs).map(col) ++ valueCols.map(col): _*)
+      .filter(col(rightTs).isNotNull)
       .withColumn(tsCol, col(rightTs)).withColumn(sideCol, lit(0))
-    val unioned = l.select((keys ++ Seq(tsCol, sideCol) ++ valueCols).map(col) ++
-        leftCols.filterNot(c => keys.contains(c) || valueCols.contains(c))
-          .map(c => col(c)): _*)
-      .unionByName(r0.select((keys ++ Seq(tsCol, sideCol) ++ valueCols).map(col): _*),
+      // the valueCols travel as ONE struct: the latest right ROW wins
+      // WHOLESALE, including its genuine NULLs. Per-column
+      // last(ignoreNulls) would fill each column from a possibly
+      // DIFFERENT right row (a NULL in the newest row falling back to
+      // an older row's value) — a composite row that never existed,
+      // violating ASOF semantics. Left rows omit the struct entirely
+      // (null-filled by unionByName), so ignoreNulls skips them.
+      .withColumn(vCol, struct(valueCols.map(col): _*))
+    val unioned = l.select((keys ++ Seq(tsCol, sideCol)).map(col) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+      .unionByName(
+        r0.select((keys ++ Seq(tsCol, sideCol, vCol)).map(col): _*),
         allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(sideCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned)(
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col(sideCol) === 1).drop(tsCol, sideCol)
+    val filled = unioned.withColumn(vCol, last(col(vCol), ignoreNulls = true).over(w))
+    valueCols.foldLeft(filled)((df, c) => df.withColumn(c, col(vCol).getField(c)))
+      .filter(col(sideCol) === 1).drop(tsCol, sideCol, vCol)
   }
 
   /** Interval (range) join: inner-join each left row to every right row
@@ -111,6 +121,12 @@ object TimeOps {
     */
   def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gapSec: Long,
       tieCols: Seq[String] = Nil, sessionCol: String = "session_idx"): DataFrame = {
+    // CONTRACT: the gap compares WHOLE-SECOND epochs (cast-to-long =
+    // floor), the reference's and the q27 oracle's semantics — two
+    // events whose true sub-second gap exceeds gapSec by < 1 s stay in
+    // one session. Deliberate parity, like `min`-for-`first`; compare
+    // unix_micros against gapSec*1e6 here AND in the oracle SQL if
+    // exact sub-second sessionization is ever required.
     require(gapSec > 0, s"gapSec must be positive, got $gapSec")
     require(!df.columns.contains(sessionCol), s"column $sessionCol already exists")
     val order = (tsCol +: tieCols).map(col)

@@ -58,11 +58,15 @@ object DocStreams {
     * state row holds 16 bytes instead of the 32-char hex string), not
     * the document.
     */
-  def dedupNew(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("_content_hash", unhex(TextFns.contentHash(col("text"))))
-      .dropDuplicates("_content_hash")
+  def dedupNew(docs: DataFrame): DataFrame = {
+    val hashed = docs.withColumn("_content_hash", unhex(TextFns.contentHash(col("text"))))
+    // NULL text hashes to NULL, and dropDuplicates groups NULL keys as
+    // equal — distinct no-content docs would collapse to one survivor.
+    // They have no content to be duplicates OF, so they bypass the state.
+    hashed.filter(col("_content_hash").isNotNull).dropDuplicates("_content_hash")
+      .unionByName(hashed.filter(col("_content_hash").isNull))
       .drop("_content_hash")
+  }
 
   /** Horizon-bounded exact dedup for EVER-RUNNING crawls: like
     * [[dedupNew]], first occurrence of each normalized content wins and
@@ -81,12 +85,15 @@ object DocStreams {
     * 16-byte unhexed md5 of normalized text — so the two variants agree
     * on what "duplicate" means.
     */
-  def dedupNewWithinHorizon(docs: DataFrame, tsCol: String, horizon: String): DataFrame =
-    docs
-      .withColumn("_content_hash", unhex(TextFns.contentHash(col("text"))))
+  def dedupNewWithinHorizon(docs: DataFrame, tsCol: String, horizon: String): DataFrame = {
+    val hashed = docs.withColumn("_content_hash", unhex(TextFns.contentHash(col("text"))))
       .withWatermark(tsCol, horizon)
+    // same NULL-content passthrough as dedupNew
+    hashed.filter(col("_content_hash").isNotNull)
       .dropDuplicatesWithinWatermark("_content_hash")
+      .unionByName(hashed.filter(col("_content_hash").isNull))
       .drop("_content_hash")
+  }
 
   /** PII scrub: replace every email/phone/IPv4 match in the text with
     * its redaction token (qt11's expression). Stateless map.
@@ -143,12 +150,17 @@ object DocStreams {
     */
   def nearDupAgainstIndex(docs: DataFrame, indexSig: DataFrame): DataFrame = {
     import graft.queries.LlmDedup
-    val stream = LlmDedup.lshBanded(
-      LlmDedup.lshBandKeyArray(rowSignatures(docs), "bkeys"), carry = Seq("sh", "bkeys"))
-    val index = LlmDedup.lshBanded(
-      LlmDedup.lshBandKeyArray(indexSig, "ibkeys"), carry = Seq("sh", "ibkeys"))
-      .select(col("doc_id").as("dup_of"), col("band"), col("band_key"),
-        col("sh").as("_ish"), col("ibkeys"))
+    // the band-key ARRAY is already carried for the smallest-band
+    // filter, so the (band, band_key) pairs come from posexploding it —
+    // identical geometry to LlmDedup.lshBanded (same shared definition
+    // builds the array), without computing every key a second time on
+    // this per-micro-batch hot path
+    val stream = LlmDedup.lshBandKeyArray(rowSignatures(docs), "bkeys")
+      .select(col("doc_id"), col("sh"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band", "band_key")))
+    val index = LlmDedup.lshBandKeyArray(indexSig, "ibkeys")
+      .select(col("doc_id").as("dup_of"), col("sh").as("_ish"), col("ibkeys"),
+        posexplode(col("ibkeys")).as(Seq("band", "band_key")))
     stream.join(index, Seq("band", "band_key"))
       // smallest-matching-band filter: no band before this one matched
       .filter(size(filter(slice(col("bkeys"), lit(1), col("band").cast("int")),
@@ -192,11 +204,16 @@ object DocStreams {
   def packStream(docs: DataFrame): Dataset[Placement] = {
     import docs.sparkSession.implicits._
     docs
+      // a NULL doc_id cannot be placed (it is the shard and sort key);
+      // NULL text packs as zero tokens — without the guards a single
+      // malformed doc would kill the stream at the non-nullable encoder
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         // THE batch shard hash — one definition (LlmText.shardCol), so
         // stream and batch layouts cannot drift
         graft.queries.LlmText.shardCol(col("doc_id")).as("shard"),
-        size(TextFns.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        coalesce(size(TextFns.tokens(col("text"))).cast(LongType), lit(0L))
+          .as("n_tokens"))
       .as[PackIn]
       .groupByKey(_.shard)
       .flatMapGroupsWithState[Long, Placement](

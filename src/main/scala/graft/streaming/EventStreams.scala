@@ -230,6 +230,14 @@ object EventStreams {
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the collected result table (test/utility harness; production
     * callers use their own writeStream).
+    *
+    * CAVEAT for Append mode over a WATERMARKED aggregation: append only
+    * emits windows the watermark has CLOSED, and processAllAvailable
+    * advances the watermark to max(event time) − delay — so the final
+    * open window(s) are never emitted and the returned table is the
+    * stream's closed prefix, not the full input. That is correct
+    * streaming semantics, not data loss; use Update/Complete (as the
+    * specs here do) when the tail must be visible.
     */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

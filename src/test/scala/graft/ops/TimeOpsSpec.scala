@@ -28,6 +28,32 @@ class TimeOpsSpec extends SparkSuite {
     assert(out("e4") == None)
   }
 
+  test("asofJoin: the latest right ROW wins wholesale — a NULL in it is NOT backfilled") {
+    val left = Seq((1L, "e1", ts("2024-01-01 12:00:00"))).toDF("k", "id", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(1.0), Some(1.0)),
+      (1L, ts("2024-01-01 11:00:00"), Some(2.0), Option.empty[Double])
+    ).toDF("k", "t", "a", "b")
+    val out = TimeOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("a", "b"))
+      .select("a", "b").collect().head
+    // per-column last(ignoreNulls) would produce (a=2, b=1) — a
+    // composite of two right rows that never existed together
+    assert(out.getDouble(0) == 2.0)
+    assert(out.isNullAt(1), "the newest row's genuine NULL must surface")
+  }
+
+  test("asofJoin: NULL right timestamps never match (they are 'as of never')") {
+    val left = Seq((1L, "e1", ts("2024-01-01 12:00:00"))).toDF("k", "id", "t")
+    val right = Seq(
+      (1L, Option.empty[Timestamp], 99.0),
+      (1L, Some(ts("2024-01-01 13:00:00")), 5.0) // after the left row
+    ).toDF("k", "t", "v")
+    val out = TimeOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("v").collect().head
+    assert(out.isNullAt(0),
+      "a NULL-ts right row must not sort first and attach to unmatched left rows")
+  }
+
   test("asofJoin does not clobber user columns named _ts/_side") {
     val left = Seq((1L, "e1", "user-ts", 9, ts("2024-01-01 10:00:00")))
       .toDF("k", "id", "_ts", "_side", "t")

@@ -76,6 +76,32 @@ class DocStreamsSpec extends SparkSuite {
     assert(kept.length == 1)
   }
 
+  test("NULL-text docs pass dedup untouched and pack as zero tokens") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docnull")
+    // two DISTINCT no-content docs + one real dup pair
+    Seq((1L, Option(goodText), "en", "s0", 10L),
+        (2L, Option.empty[String], "en", "s0", 0L),
+        (3L, Option.empty[String], "en", "s1", 0L),
+        (4L, Option(goodText), "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$dir/in")
+    val q = dedupNew(readDocs(spark, s"$dir/in")).writeStream
+      .format("memory").queryName("nulldedup").outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("nulldedup").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(Set(2L, 3L)) == Set(2L, 3L),
+      "distinct no-content docs must not collapse as 'duplicates' of each other")
+    assert(ids.intersect(Set(1L, 4L)).size == 1, "real content dups still dedup")
+    // the packer tolerates the same rows instead of dying at the encoder
+    val q2 = packStream(readDocs(spark, s"$dir/in")).toDF().writeStream
+      .format("memory").queryName("nullpack").outputMode(OutputMode.Append()).start()
+    q2.processAllAvailable(); q2.stop()
+    val packed = spark.table("nullpack").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    assert(packed.keySet == Set(1L, 2L, 3L, 4L))
+    assert(packed(2L) == 0L && packed(3L) == 0L, "NULL text packs as zero tokens")
+  }
+
   test("packStream: cross-trigger placements match the batch packer exactly") {
     // 60 docs with 1..13-token texts, delivered as two ordered drops —
     // the landing pattern the operator's determinism contract assumes.
