@@ -27,6 +27,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 case class EquiDepthBin(child: Expression, boundaries: Array[Double])
     extends UnaryExpression {
 
+  // the Array field defaults to REFERENCE equality, which would defeat
+  // Catalyst canonicalization/semanticEquals for value-equal instances
+  // (CSE and exchange reuse silently miss); compare contents
+  override def equals(o: Any): Boolean = o match {
+    case e: EquiDepthBin =>
+      child == e.child && java.util.Arrays.equals(boundaries, e.boundaries)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode + java.util.Arrays.hashCode(boundaries)
+
   override def dataType: DataType = IntegerType
   // pure function of the child: lets ConstantFolding collapse literal inputs
   override def foldable: Boolean = child.foldable

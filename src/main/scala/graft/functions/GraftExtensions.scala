@@ -49,7 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_shingles(str, n)")
-        WordShingles(args(0), litLong(args(1), "n").toInt)
+        val n = litLong(args(1), "n")
+        // .toInt would silently WRAP an out-of-Int literal (4294967298
+        // becomes 2-gram shingles with no diagnostic)
+        require(n == n.toInt, s"graft_shingles: n=$n out of Int range")
+        WordShingles(args(0), n.toInt)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_dot_long"),

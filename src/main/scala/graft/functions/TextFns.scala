@@ -72,11 +72,21 @@ object TextFns {
     transform(sequence(lit(0), lit(k - 1)), j => minhashAt(shingleHashes, j))
 
   /** SimHash over an array of ~62-bit token hashes: bit b of the result
-    * is 1 iff the majority of token hashes have bit b set. The bit loop
-    * is unrolled at plan-build time (bits are statically known), which
-    * keeps every shift a foldable literal inside codegen.
+    * is 1 iff the majority of token hashes have bit b set. Native
+    * codegen'd expression ([[graft.functions.SimHash]]) — the unrolled
+    * higher-order-function form it replaces ran as `bits` interpreted
+    * ArrayAggregate walks per row; SimHashSpec pins bit-exact
+    * equivalence to that fold, nulls and negatives included.
     */
   def simhash(tokenHashes: Column, bits: Int = 62): Column =
+    org.apache.spark.sql.graft.shims.column(
+      SimHash(org.apache.spark.sql.graft.shims.expression(tokenHashes), bits))
+
+  /** The pre-native fold formulation of [[simhash]] — retained ONLY as
+    * the equivalence reference for SimHashSpec (and as documentation of
+    * the exact semantics the native expression must reproduce).
+    */
+  private[graft] def simhashFold(tokenHashes: Column, bits: Int): Column =
     (0 until bits).map { b =>
       val majority = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + (shiftright(h, b) % lit(2L)) * lit(2L) - lit(1L))

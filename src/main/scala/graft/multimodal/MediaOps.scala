@@ -174,20 +174,30 @@ object MediaOps {
         // truncates. Loud failure, per the codec's contract.
         require(len >= 0 && len <= bb.remaining(),
           s"media $id: chunk '$t' declares $len bytes with ${bb.remaining()} remaining")
+        // chunk bodies are word-aligned: an odd-length chunk is FOLLOWED
+        // by a pad byte — but real-world writers omit the pad on the
+        // final chunk, so the skip clamps to the buffer end instead of
+        // stepping one past the limit (raw IllegalArgumentException)
+        def skipTo(end: Int): Unit = bb.position(math.min(end, bb.limit()))
         t match {
           case "fmt " =>
+            // a fmt chunk shorter than the 16 PCM header bytes would
+            // read the NEXT chunk's bytes as format fields — garbage
+            // sample rates accepted silently; fail loudly instead
+            require(len >= 16,
+              s"media $id: fmt chunk declares $len bytes (PCM header needs 16)")
             val fmtEnd = bb.position() + len
             require(bb.getShort == 1, s"media $id: non-PCM WAV unsupported")
             require(bb.getShort == 1, s"media $id: only mono supported")
             sampleRate = bb.getInt
             bb.getInt; bb.getShort // byte rate, block align
             require(bb.getShort == 8, s"media $id: only 8-bit PCM supported")
-            bb.position(fmtEnd + (len & 1))
+            skipTo(fmtEnd + (len & 1))
           case "data" =>
             dataOff = bb.position(); dataLen = len
-            bb.position(dataOff + len + (len & 1))
+            skipTo(dataOff + len + (len & 1))
           case _ => // skip unknown chunk + its pad byte
-            bb.position(bb.position() + len + (len & 1))
+            skipTo(bb.position() + len + (len & 1))
         }
       }
       require(sampleRate > 0, s"media $id: no fmt chunk")
@@ -290,12 +300,12 @@ object MediaOps {
       bb.array()
     }
 
-    /** Parse a BMP: validate magic/header, walk the bottom-up padded
-      * rows, return dims + the normalized 8-bin histogram over the
-      * width·height·3 pixel bytes. Throws on non-BMP / compressed /
-      * non-24-bit payloads.
+    /** Validate magic + DIB header and return (dataOffset, width,
+      * height, rowSize) — the ONE header walk [[parse]] and
+      * [[MediaOps.bmpPhash]] share, so a hardening fix can never apply
+      * to one consumer and miss the other.
       */
-    def parse(id: Long, bmp: Array[Byte]): DecodedImage = {
+    private[multimodal] def header(id: Long, bmp: Array[Byte]): (Int, Int, Int, Int) = {
       require(bmp.length >= 54, s"media $id: truncated BMP (${bmp.length} bytes)")
       val bb = ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN)
       require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, s"media $id: not a BMP")
@@ -319,7 +329,16 @@ object MediaOps {
       require(dataOffset >= 54 && dataOffset <= bmp.length &&
         rowSizeL <= (bmp.length - dataOffset).toLong / height,
         s"media $id: pixel data out of bounds")
-      val rowSize = rowSizeL.toInt
+      (dataOffset, width, height, rowSizeL.toInt)
+    }
+
+    /** Parse a BMP: validate magic/header, walk the bottom-up padded
+      * rows, return dims + the normalized 8-bin histogram over the
+      * width·height·3 pixel bytes. Throws on non-BMP / compressed /
+      * non-24-bit payloads.
+      */
+    def parse(id: Long, bmp: Array[Byte]): DecodedImage = {
+      val (dataOffset, width, height, rowSize) = header(id, bmp)
       val hist = new Array[Double](8)
       var row = 0
       while (row < height) {
@@ -365,24 +384,7 @@ object MediaOps {
     * empty cells.
     */
   def bmpPhash(id: Long, bmp: Array[Byte]): Option[ImagePhash] = {
-    import java.nio.{ByteBuffer, ByteOrder}
-    require(bmp.length >= 54, s"media $id: truncated BMP (${bmp.length} bytes)")
-    val bb = ByteBuffer.wrap(bmp).order(ByteOrder.LITTLE_ENDIAN)
-    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, s"media $id: not a BMP")
-    bb.getInt; bb.getInt
-    val dataOffset = bb.getInt
-    require(bb.getInt >= 40, s"media $id: pre-DIB header unsupported")
-    val width = bb.getInt
-    val height = bb.getInt
-    require(width > 0 && height > 0, s"media $id: top-down/degenerate BMP unsupported")
-    require(bb.getShort == 1, s"media $id: planes != 1")
-    require(bb.getShort == 24, s"media $id: only 24-bit BMP supported")
-    require(bb.getInt == 0, s"media $id: compressed BMP unsupported")
-    val rowSizeL = (width.toLong * 3 + 3) / 4 * 4
-    require(dataOffset >= 54 && dataOffset <= bmp.length &&
-      rowSizeL <= (bmp.length - dataOffset).toLong / height,
-      s"media $id: pixel data out of bounds")
-    val rowSize = rowSizeL.toInt
+    val (dataOffset, width, height, rowSize) = Bmp.header(id, bmp)
     if (width < 8 || height < 8) None
     else {
       val cellSum = Array.ofDim[Long](8, 8)
@@ -475,7 +477,7 @@ object MediaOps {
     media.mapPartitions(it => it.map(m => Wav.parse(m.media_id, m.payload)))
   }
 
-  /** Segmental stats (ZCR + peak) from real WAV payloads. */
+  /** Segmental stats (ZCR + mean absolute delta) from real WAV payloads. */
   def decodeWavStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(it => it.map(m => Wav.parseStats(m.media_id, m.payload)))

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions.{lit, udaf, xxhash64}
   */
 object BloomSketch {
 
-  /** The two hash columns for `c` that feed [[agg]] — and that
-    * [[probeHashes]] must reproduce for a literal at probe time.
+  /** The two hash columns for `c` that feed [[agg]] — the probe side
+    * (VersionedTable.readPointAt) calls this same function on the cast
+    * literal, so build and probe agree by construction.
     */
   def hashCols(c: Column): (Column, Column) = (xxhash64(c), xxhash64(lit(1), c))
 

@@ -112,13 +112,18 @@ class DocStreamsSpec extends SparkSuite {
     val batch1 = (0L until 37L).map(mk)
     val batch2 = (37L until 60L).map(mk)
     val dir = java.nio.file.Files.createTempDirectory("graft-packsrc")
+    // ONE file per drop: the determinism contract assumes ordered drops,
+    // and a multi-part drop's files may be listed across trigger
+    // boundaries in arbitrary order (a rare but real race — the split
+    // pickup interleaves doc_ids across triggers and the layout
+    // legitimately diverges from batch)
     batch1.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("append").parquet(s"$dir/in")
+      .repartition(1).write.mode("append").parquet(s"$dir/in")
     val q = packStream(readDocs(spark, s"$dir/in")).toDF().writeStream
       .format("memory").queryName("packed").outputMode(OutputMode.Append()).start()
     q.processAllAvailable()
     batch2.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("append").parquet(s"$dir/in")
+      .repartition(1).write.mode("append").parquet(s"$dir/in")
     q.processAllAvailable()
     q.stop()
 
