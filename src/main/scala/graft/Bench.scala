@@ -1,4 +1,5 @@
 package graft
+import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,8 +23,10 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
+        // NonFatal: a warmup OOM must abort, not leave a corrupted JVM
+        // producing garbage timings for the whole run
         try fn(spark, warmDir).queryExecution.toRdd.count()
-        catch { case _: Throwable => }
+        catch { case NonFatal(_) => }
       }
       spark.catalog.clearCache() // drop warmup-persisted intermediates
     }
@@ -61,9 +64,10 @@ object Bench {
         try {
           fn(spark, sfDir).queryExecution.toRdd.count()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        } catch { case NonFatal(e) =>
           // a failed rep must surface as -1 in the output, not as a
-          // millisecond "success" that wins the min
+          // millisecond "success" that wins the min; fatal JVM errors
+          // (OOM) abort the whole run instead of poisoning later reps
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         }

@@ -12,9 +12,15 @@ import graft.queries.{LlmDedup, LlmMultimodal, LlmSimilarity, LlmText, Medallion
   */
 object SparkEntry {
 
-  private def suites: Seq[Q] =
-    Parity.all ++ LlmDedup.all ++ LlmSimilarity.all ++ LlmText.all ++
+  private def suites: Seq[Q] = {
+    val all = Parity.all ++ LlmDedup.all ++ LlmSimilarity.all ++ LlmText.all ++
       LlmMultimodal.all ++ Medallion.all ++ Versioned.all
+    // toMap would silently DROP a name-colliding query from every gate
+    // (bench, verify, oracle) while the round still reads green
+    val dup = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate query name(s): ${dup.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
