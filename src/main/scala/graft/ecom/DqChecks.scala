@@ -14,15 +14,19 @@ object DqChecks {
   // row-level predicates declared ONCE and shared between the query form
   // and the fused-aggregate form (DqOps.run fuses all predicate checks
   // over a table into one scan; the two forms must agree by construction)
-  private val nullDimsPred = col("customer_id").isNull || col("email").isNull
-  private val negRevenuePred = col("revenue") < 0
+  private val nullDimsPred = col("product_name").isNull || col("category").isNull
+  private val negSessionPred =
+    col("session_duration_sec") < 0 || col("session_revenue") < 0
   private val pctPred =
     col("view_to_cart_pct") > 100.0 ||
       col("cart_to_purchase_pct") > 100.0 ||
       col("view_to_purchase_pct") > 100.0
 
-  /** Check 1 (`:44-50`): no null dimension attributes in customer_360. */
-  val nullCustomerDims: DqCheck = DqCheck("customer_360_null_dims",
+  /** Check 1 (`:44-50`, "Gold Product Integrity"): no null
+    * product_name/category in product_metrics — a silver clean/dim-join
+    * failure surfaces here.
+    */
+  val nullProductDims: DqCheck = DqCheck("product_metrics_null_dims",
     df => df.filter(nullDimsPred), Some(nullDimsPred))
 
   /** Check 2 (`:61-67`): customer_id unique in customer_360 — a grouped
@@ -31,9 +35,11 @@ object DqChecks {
   val uniqueCustomerId: DqCheck = DqCheck("customer_360_pk_unique",
     df => df.groupBy(col("customer_id")).agg(count(lit(1)).as("c")).filter(col("c") > 1))
 
-  /** Check 3 (`:78-84`): no negative revenue in product_metrics. */
-  val nonNegativeRevenue: DqCheck = DqCheck("product_metrics_nonneg_revenue",
-    df => df.filter(negRevenuePred), Some(negRevenuePred))
+  /** Check 3 (`:78-84`, "No Negative Business Metrics"): no negative
+    * duration or revenue in session_metrics.
+    */
+  val nonNegativeSession: DqCheck = DqCheck("session_metrics_nonneg",
+    df => df.filter(negSessionPred), Some(negSessionPred))
 
   /** Check 4 (`:95-101`): funnel percentages capped at 100. */
   val funnelPctCapped: DqCheck = DqCheck("product_funnel_pct_capped",
@@ -43,8 +49,9 @@ object DqChecks {
     * (`04_data_quality_checks.py:25-34`).
     */
   def runAll(gold: Map[String, DataFrame]): Seq[DqResult] =
-    run(gold("customer_360"), Seq(nullCustomerDims, uniqueCustomerId)) ++
-      run(gold("product_metrics"), Seq(nonNegativeRevenue)) ++
+    run(gold("product_metrics"), Seq(nullProductDims)) ++
+      run(gold("customer_360"), Seq(uniqueCustomerId)) ++
+      run(gold("session_metrics"), Seq(nonNegativeSession)) ++
       run(gold("product_funnel"), Seq(funnelPctCapped))
 
   def enforceAll(gold: Map[String, DataFrame]): Unit = {

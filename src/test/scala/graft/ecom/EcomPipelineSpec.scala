@@ -86,10 +86,16 @@ class EcomPipelineSpec extends SparkSuite {
 
   test("DQ gate passes on the pipeline output and catches planted violations") {
     DqChecks.enforceAll(gold) // must not throw
-    val bad = gold + ("product_metrics" ->
-      gold("product_metrics").withColumn("revenue", lit(-1.0)))
-    val e = intercept[IllegalStateException](DqChecks.enforceAll(bad))
-    assert(e.getMessage.contains("product_metrics_nonneg_revenue"))
+    // plant each reference violation shape: a null dim attribute and a
+    // negative session revenue
+    val badDim = gold + ("product_metrics" ->
+      gold("product_metrics").withColumn("product_name", lit(null).cast("string")))
+    val e1 = intercept[IllegalStateException](DqChecks.enforceAll(badDim))
+    assert(e1.getMessage.contains("product_metrics_null_dims"))
+    val badSess = gold + ("session_metrics" ->
+      gold("session_metrics").withColumn("session_revenue", lit(-1.0)))
+    val e2 = intercept[IllegalStateException](DqChecks.enforceAll(badSess))
+    assert(e2.getMessage.contains("session_metrics_nonneg"))
   }
 
   test("incremental silver via upsert equals full recompute; gold agrees") {
