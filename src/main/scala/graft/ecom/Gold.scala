@@ -61,6 +61,11 @@ object Gold {
         coalesce(col("units_sold"), lit(0L)).as("units_sold"))
       .join(broadcast(productAttrs), Seq("product_id"), "left")
       .join(broadcast(reviewMetrics), Seq("product_id"), "left")
+      // reference `:102-103`: review metrics zero-fill for unreviewed
+      // products and the average rounds to 2dp (both engines round
+      // positive halves away from zero, so the oracle matches bit-exact)
+      .withColumn("avg_rating", round(coalesce(col("avg_rating"), lit(0.0)), 2))
+      .withColumn("review_count", coalesce(col("review_count"), lit(0L)))
       .filter(col("product_id").isNotNull)
   }
 

@@ -637,7 +637,9 @@ object Parity {
       |    COALESCE(em.cart_count, 0) AS cart_count,
       |    COALESCE(om.revenue, 0.0) AS revenue,
       |    COALESCE(om.units_sold, 0) AS units_sold,
-      |    pa.category, pa.product_name, pa.price_usd, rm.avg_rating, rm.review_count
+      |    pa.category, pa.product_name, pa.price_usd,
+      |    ROUND(COALESCE(rm.avg_rating, 0.0), 2) AS avg_rating,
+      |    CAST(COALESCE(rm.review_count, 0) AS BIGINT) AS review_count
       |  FROM em FULL OUTER JOIN om USING (event_date, product_id)
       |  LEFT JOIN pa USING (product_id)
       |  LEFT JOIN rm USING (product_id)
