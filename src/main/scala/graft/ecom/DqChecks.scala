@@ -17,10 +17,11 @@ object DqChecks {
   private val nullDimsPred = col("product_name").isNull || col("category").isNull
   private val negSessionPred =
     col("session_duration_sec") < 0 || col("session_revenue") < 0
+  // exactly the reference's TEST 4 columns — it does NOT test the
+  // overall conversion column (`04_data_quality_checks.py:95-101`)
   private val pctPred =
     col("view_to_cart_pct") > 100.0 ||
-      col("cart_to_purchase_pct") > 100.0 ||
-      col("view_to_purchase_pct") > 100.0
+      col("cart_to_purchase_pct") > 100.0
 
   /** Check 1 (`:44-50`, "Gold Product Integrity"): no null
     * product_name/category in product_metrics — a silver clean/dim-join

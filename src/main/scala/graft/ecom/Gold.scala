@@ -1,24 +1,34 @@
 package graft.ecom
 
+import java.sql.Timestamp
 import java.time.LocalDate
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.AggOps.{cappedPct, safeDiv}
 import graft.util.Exact.{countIf, dsumIf}
 
 /** Gold layer: the four aggregate models (reference:
-  * `/root/reference/03_gold/03_gold_aggregate.py`). Semantics preserved:
+  * `/root/reference/03_gold/03_gold_aggregate.py`), column-for-column
+  * faithful to the reference select-lists (pinned by ReferenceParitySpec):
   *  - event-type literals are exactly `page_view` / `add_to_cart` /
   *    `purchase` (`:52-53,173`; README's literal-mismatch regression);
   *  - product_metrics is a FULL OUTER USING-join of event metrics and
-  *    order metrics with zero-fill coalesce (`:78-88`);
-  *  - funnel percentages are capped at 100 and NULL on zero denominator
-  *    (`:137-152`); AOV is NULL when no purchases (`:256-263`);
-  *  - `first(event_date)` is replaced by `min` (deterministic — SURVEY
-  *    §5) and `current_date` by the injectable `asOf` date.
+  *    order metrics with zero-fill coalesce (`:78-88`), int-cast counts
+  *    and review zero-fill/round (`:93-108`);
+  *  - product_funnel derives FROM product_metrics (`:127-152`): purchases
+  *    are order-side units, percentages are 0.0 on zero denominators and
+  *    capped at 100 via least(round(..));
+  *  - session_metrics counts purchase events per session (`has_purchased`
+  *    is a count, `:173-176`), coalesces the EVENTS min start-ts first
+  *    (`:192-197`) and falls back to 'UNKNOWN' for customer/device/
+  *    source/country (`:190,199-201`);
+  *  - customer_360's AOV is NULL when no orders (`:256-263`);
+  *    `current_date`/`current_timestamp` become the injectable `asOf` /
+  *    `loadTs` (determinism, SURVEY §5), and `first(event_date)` is
+  *    replaced by `min` (deterministic `first` — the one deliberate
+  *    deviation, documented at the call site).
   *
   * Scale notes: event/order aggregates shuffle once on their group keys;
   * catalog-bounded product/review dims are broadcast by hint, while
@@ -26,11 +36,14 @@ import graft.util.Exact.{countIf, dsumIf}
   * choice — never force-broadcast; session_metrics and customer_360
   * reuse the session_id / customer_id shuffle. All date-partitioned
   * writes (Lakehouse) keep dashboard date predicates partition-prunable.
+  * The int casts below are the reference's own (`:84-87,108,263-265`);
+  * they hold to ~2.1e9 per (day, product) / customer — per-key volumes,
+  * not corpus volumes, so they survive the 100 TB regime.
   */
 object Gold {
 
   /** product_metrics (`03_gold_aggregate.py:38-110`), partitioned by
-    * event_date downstream.
+    * event_date downstream. Output columns exactly `:93-108`.
     */
   def productMetrics(eventsClean: DataFrame, orderItemsClean: DataFrame,
       productsClean: DataFrame, reviewsClean: DataFrame): DataFrame = {
@@ -44,10 +57,10 @@ object Gold {
       .agg(
         // decimal partial sum: order-independent under any shuffle (plain
         // double sum drifts in the last bit with partition order)
-        graft.util.Exact.dsum(col("line_total_usd")).as("revenue"),
-        sum(col("quantity")).cast(LongType).as("units_sold"))
+        graft.util.Exact.dsum(col("line_total_usd")).as("total_revenue"),
+        sum(col("quantity")).cast(LongType).as("purchase_count"))
       .withColumnRenamed("order_date", "event_date")
-    val productAttrs = productsClean.select("product_id", "category", "product_name", "price_usd")
+    val productAttrs = productsClean.select("product_id", "category", "product_name")
     val reviewMetrics = reviewsClean
       .groupBy(col("product_id"))
       .agg(avg(col("rating")).as("avg_rating"), count(col("review_id")).as("review_count"))
@@ -55,55 +68,66 @@ object Gold {
       .join(orderMetrics, Seq("event_date", "product_id"), "full_outer")
       .select(
         col("event_date"), col("product_id"),
-        coalesce(col("view_count"), lit(0L)).as("view_count"),
-        coalesce(col("cart_count"), lit(0L)).as("cart_count"),
-        coalesce(col("revenue"), lit(0.0)).as("revenue"),
-        coalesce(col("units_sold"), lit(0L)).as("units_sold"))
+        coalesce(col("view_count"), lit(0L)).cast(IntegerType).as("view_count"),
+        coalesce(col("cart_count"), lit(0L)).cast(IntegerType).as("cart_count"),
+        coalesce(col("purchase_count"), lit(0L)).cast(IntegerType).as("purchase_count"),
+        coalesce(col("total_revenue"), lit(0.0)).cast(DoubleType).as("total_revenue"))
       .join(broadcast(productAttrs), Seq("product_id"), "left")
       .join(broadcast(reviewMetrics), Seq("product_id"), "left")
-      // reference `:102-103`: review metrics zero-fill for unreviewed
-      // products and the average rounds to 2dp (both engines round
-      // positive halves away from zero, so the oracle matches bit-exact)
-      .withColumn("avg_rating", round(coalesce(col("avg_rating"), lit(0.0)), 2))
-      .withColumn("review_count", coalesce(col("review_count"), lit(0L)))
+      .select(
+        col("event_date"), col("product_id"), col("product_name"), col("category"),
+        col("view_count"), col("cart_count"), col("purchase_count"), col("total_revenue"),
+        // reference `:107-108`: review zero-fill for unreviewed products,
+        // average rounded to 2dp (both engines round positive halves away
+        // from zero, so the oracle matches bit-exact)
+        round(coalesce(col("avg_rating"), lit(0.0)), 2).as("avg_rating"),
+        coalesce(col("review_count"), lit(0L)).cast(IntegerType).as("review_count"))
       .filter(col("product_id").isNotNull)
   }
 
-  /** product_funnel (`03_gold_aggregate.py:127-155`): per (event_date,
-    * product_id) view→cart→purchase counts with capped percentages.
+  // reference funnel percentage (`:137-152`): 0.0 on zero denominator,
+  // ROUND inside, LEAST cap outside — exactly that evaluation order
+  private def funnelPct(num: Column, den: Column): Column =
+    least(lit(100.0),
+      when(den > 0, round(num.cast(DoubleType) * lit(100.0) / den, 2)).otherwise(lit(0.0)))
+
+  /** product_funnel (`03_gold_aggregate.py:120-155`): derived FROM the
+    * product_metrics gold model — purchase_count is order-side units,
+    * product_name/category carry through, and the three capped
+    * percentages emit 0.0 (not NULL) on zero denominators.
     */
-  def productFunnel(eventsClean: DataFrame): DataFrame =
-    eventsClean
-      .groupBy(col("event_date"), col("product_id"))
-      .agg(
-        countIf(col("event_type") === "page_view").as("views"),
-        countIf(col("event_type") === "add_to_cart").as("carts"),
-        countIf(col("event_type") === "purchase").as("purchases"))
-      .select(
-        col("event_date"), col("product_id"), col("views"), col("carts"), col("purchases"),
-        round(cappedPct(col("carts").cast(DoubleType), col("views")), 2).as("view_to_cart_pct"),
-        round(cappedPct(col("purchases").cast(DoubleType), col("carts")), 2).as("cart_to_purchase_pct"),
-        round(cappedPct(col("purchases").cast(DoubleType), col("views")), 2).as("view_to_purchase_pct"))
-      .filter(col("product_id").isNotNull)
+  def productFunnel(productMetrics: DataFrame): DataFrame =
+    productMetrics.select(
+      col("event_date"), col("product_id"), col("product_name"), col("category"),
+      col("view_count"), col("cart_count"), col("purchase_count"),
+      funnelPct(col("cart_count"), col("view_count")).as("view_to_cart_pct"),
+      funnelPct(col("purchase_count"), col("cart_count")).as("cart_to_purchase_pct"),
+      funnelPct(col("purchase_count"), col("view_count")).as("overall_conversion_pct"))
 
   /** session_metrics (`03_gold_aggregate.py:163-211`): batch min/max
-    * sessionization of the event stream + session-attribute join with
-    * coalesce fallbacks; duration from epoch-second subtraction.
+    * sessionization of the event stream + session-attribute left join.
+    * `has_purchased` is the purchase-event COUNT per session (`:173-176`
+    * — NOT a 0/1 flag; customer_360's total_orders sums it), the
+    * start-ts coalesce prefers the EVENTS min (`:192-197`), and
+    * customer/device/source/country fall back to 'UNKNOWN' (`:190,
+    * 199-201`). No session_id filter: the reference groups null session
+    * ids like any other key (`:165`).
     */
   def sessionMetrics(eventsClean: DataFrame, sessionsClean: DataFrame): DataFrame = {
     val agg = eventsClean
-      .filter(col("session_id").isNotNull)
       .groupBy(col("session_id"))
       .agg(
-        min(col("event_ts")).as("events_start_ts"),
-        max(col("event_ts")).as("events_end_ts"),
-        count(col("event_id")).as("events_count"),
-        min(col("event_date")).as("events_date"), // deterministic `first`
+        min(col("event_ts")).as("session_start_ts_events"),
+        max(col("event_ts")).as("session_end_ts"),
+        count(col("event_id")).as("total_events"),
+        min(col("event_date")).as("session_date"), // deterministic `first` (`:170`)
         dsumIf(col("event_type") === "purchase", col("amount_usd")).as("session_revenue"),
-        countIf(col("event_type") === "purchase").as("purchase_count"))
+        countIf(col("event_type") === "purchase").as("has_purchased"))
     val attrs = sessionsClean.select(
-      col("session_id"), col("customer_id"), col("session_start_ts"),
+      col("session_id"), col("customer_id"),
+      col("session_start_ts").as("session_start_ts_sessions"),
       col("device"), col("source"), col("country"))
+    val startTs = coalesce(col("session_start_ts_events"), col("session_start_ts_sessions"))
     // NO broadcast hint: sessions are fact-sized (one row per visit —
     // they grow with traffic, not with the catalog). Forcing a
     // broadcast here OOMs at scale; both sides already shuffle on
@@ -113,35 +137,38 @@ object Gold {
       .join(attrs, Seq("session_id"), "left")
       .select(
         col("session_id"),
-        col("customer_id"),
-        coalesce(col("session_start_ts"), col("events_start_ts")).as("session_start_ts"),
-        col("events_end_ts").as("session_end_ts"),
-        col("events_count"),
-        col("session_revenue"),
-        col("purchase_count"),
-        when(col("purchase_count") > 0, lit(1)).otherwise(lit(0)).as("has_purchase"),
-        col("device"), col("source"), col("country"),
-        coalesce(col("events_date"), to_date(coalesce(col("session_start_ts"), col("events_start_ts"))))
-          .as("session_date"))
-      .withColumn("session_duration_sec",
-        col("session_end_ts").cast(LongType) - col("session_start_ts").cast(LongType))
+        coalesce(col("customer_id"), lit("UNKNOWN")).as("customer_id"),
+        col("session_date"),
+        startTs.as("session_start_ts"),
+        col("session_end_ts"),
+        (col("session_end_ts").cast(LongType) - startTs.cast(LongType))
+          .as("session_duration_sec"),
+        col("total_events"),
+        coalesce(col("device"), lit("UNKNOWN")).as("device"),
+        coalesce(col("source"), lit("UNKNOWN")).as("source"),
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        col("session_revenue").cast(DoubleType).as("session_revenue"),
+        col("has_purchased").cast(IntegerType).as("has_purchased"))
       .filter(col("session_duration_sec").isNotNull && col("session_duration_sec") >= 0)
   }
 
   /** customer_360 (`03_gold_aggregate.py:226-272`): demographics LEFT
-    * JOIN session rollup, zero-fill, AOV NULL-safe, `asOf` replacing
-    * current_date for determinism.
+    * JOIN the session_metrics rollup, zero-fill, AOV NULL when no orders,
+    * `asOf` replacing current_date and `loadTs` replacing
+    * current_timestamp (scd_load_ts) for determinism. `total_orders`
+    * sums the per-session purchase counts (`:231`). No customer filter
+    * before the rollup: 'UNKNOWN' groups like any key and drops in the
+    * demographics left join unless a customer carries that id (`:229`).
     */
   def customer360(customersClean: DataFrame, sessionMetrics: DataFrame,
-      asOf: LocalDate): DataFrame = {
+      asOf: LocalDate, loadTs: Timestamp): DataFrame = {
     val sessionAgg = sessionMetrics
-      .filter(col("customer_id").isNotNull)
       .groupBy(col("customer_id"))
       .agg(
         // decimal partial sum: order-independent money aggregate (a plain
         // double sum depends on partition order under AQE/parallelism)
-        graft.util.Exact.dsum(col("session_revenue")).as("lifetime_revenue"),
-        sum(col("has_purchase")).cast(LongType).as("total_purchases"),
+        graft.util.Exact.dsum(col("session_revenue")).as("customer_total_revenue"),
+        sum(col("has_purchased")).cast(LongType).as("total_orders"),
         countDistinct(col("session_id")).as("total_sessions"),
         max(col("session_end_ts")).as("last_active_ts"),
         min(col("session_start_ts")).as("first_active_ts"))
@@ -152,25 +179,35 @@ object Gold {
       .select(
         col("customer_id"), col("name"), col("email"), col("country"), col("age"),
         col("signup_date"), col("marketing_opt_in"),
-        coalesce(col("lifetime_revenue"), lit(0.0)).as("lifetime_revenue"),
-        coalesce(col("total_purchases"), lit(0L)).as("total_purchases"),
-        coalesce(col("total_sessions"), lit(0L)).as("total_sessions"),
-        col("last_active_ts"), col("first_active_ts"),
-        datediff(asOfCol, col("signup_date")).as("days_since_signup"),
-        round(safeDiv(coalesce(col("lifetime_revenue"), lit(0.0)),
-          coalesce(col("total_purchases"), lit(0L))), 2).as("avg_order_value"))
+        coalesce(col("customer_total_revenue"), lit(0.0)).as("customer_total_revenue"),
+        coalesce(col("total_orders"), lit(0L)).cast(IntegerType).as("total_orders"),
+        coalesce(col("total_sessions"), lit(0L)).cast(IntegerType).as("total_sessions"),
+        col("first_active_ts"), col("last_active_ts"))
+      .withColumn("average_order_value",
+        round(when(col("total_orders") =!= 0,
+          col("customer_total_revenue") / col("total_orders"))
+          .otherwise(lit(null).cast(DoubleType)), 2))
+      .withColumn("days_since_signup", datediff(asOfCol, col("signup_date")))
+      .withColumn("scd_load_ts", lit(loadTs))
       .filter(col("customer_id").isNotNull)
   }
 
-  /** All four gold models from the silver map. */
-  def aggregateAll(silver: Map[String, DataFrame], asOf: LocalDate): Map[String, DataFrame] = {
+  /** All four gold models from the silver map — the pure (no-IO)
+    * composition; Lakehouse.runAll stages the same derivations through
+    * disk exactly as the reference notebook does (funnel FROM the
+    * written product_metrics, customer_360 FROM the written
+    * session_metrics).
+    */
+  def aggregateAll(silver: Map[String, DataFrame], asOf: LocalDate,
+      loadTs: Timestamp): Map[String, DataFrame] = {
+    val pm = productMetrics(
+      silver("events_clean"), silver("order_items_clean"),
+      silver("products_clean"), silver("reviews_clean"))
     val sm = sessionMetrics(silver("events_clean"), silver("sessions_clean"))
     Map(
-      "product_metrics" -> productMetrics(
-        silver("events_clean"), silver("order_items_clean"),
-        silver("products_clean"), silver("reviews_clean")),
-      "product_funnel" -> productFunnel(silver("events_clean")),
+      "product_metrics" -> pm,
+      "product_funnel" -> productFunnel(pm),
       "session_metrics" -> sm,
-      "customer_360" -> customer360(silver("customers_clean"), sm, asOf))
+      "customer_360" -> customer360(silver("customers_clean"), sm, asOf, loadTs))
   }
 }

@@ -316,13 +316,27 @@ final case class Lakehouse(
     * so callers can inspect failed checks.
     */
   def runAll(bronze: Map[String, DataFrame], asOf: LocalDate,
-      enforceDq: Boolean = true): Map[String, DataFrame] = {
+      loadTs: java.sql.Timestamp = null, enforceDq: Boolean = true): Map[String, DataFrame] = {
+    val ts = Option(loadTs).getOrElse(java.sql.Timestamp.valueOf(asOf.atStartOfDay))
     val silver = Silver.transformAll(bronze)
     silver.foreach { case (name, df) => write(name, df) }
     val silverRead = silver.keys.map(n => n -> read(n)).toMap
-    val gold = Gold.aggregateAll(silverRead, asOf)
-    gold.foreach { case (name, df) => write(name, df) }
-    val goldRead = gold.keys.map(n => n -> read(n)).toMap
+    // STAGED gold writes, exactly as the reference notebook sequences
+    // them (`03_gold_aggregate.py`): product_funnel derives FROM the
+    // WRITTEN product_metrics table (`:122`), customer_360 FROM the
+    // WRITTEN session_metrics table (`:229`) — each downstream model
+    // reads its input back from disk rather than recomputing the plan.
+    val pm = Gold.productMetrics(
+      silverRead("events_clean"), silverRead("order_items_clean"),
+      silverRead("products_clean"), silverRead("reviews_clean"))
+    write("product_metrics", pm)
+    write("product_funnel", Gold.productFunnel(read("product_metrics")))
+    val sm = Gold.sessionMetrics(silverRead("events_clean"), silverRead("sessions_clean"))
+    write("session_metrics", sm)
+    write("customer_360",
+      Gold.customer360(silverRead("customers_clean"), read("session_metrics"), asOf, ts))
+    val goldRead = Seq("product_metrics", "product_funnel", "session_metrics", "customer_360")
+      .map(n => n -> read(n)).toMap
     if (enforceDq) DqChecks.enforceAll(goldRead)
     goldRead
   }

@@ -32,7 +32,7 @@ object Model {
       country: String, device: String, source: String, order_date: Option[Date])
 
   final case class OrderItem(
-      order_id: String, product_id: String, unit_price_usd: Option[Double],
+      order_id: String, product_id: Option[String], unit_price_usd: Option[Double],
       quantity: Option[Int], line_total_usd: Option[Double], order_date: Option[Date])
 
   final case class Product(

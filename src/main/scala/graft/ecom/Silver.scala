@@ -55,7 +55,8 @@ object Silver {
         cleanId(col("product_id")).as("product_id"),
         col("qty").cast(IntegerType).as("qty"),
         col("cart_size").cast(IntegerType).as("cart_size"),
-        trim(col("payment")).as("payment"),
+        // untrimmed, as the reference takes it (`:90`)
+        col("payment").as("payment"),
         col("discount_pct").cast(DoubleType).as("discount_pct"),
         col("amount_usd").cast(DoubleType).as("amount_usd")) ++ audit: _*)
       .withColumn("event_date", to_date(col("event_ts")))
@@ -84,7 +85,10 @@ object Silver {
 
   /** order_items_clean (`02_silver_transform.py:148-174`): composite PK
     * (order_id, product_id), quantity > 0 gate, order_date attached from
-    * orders with ingest-date fallback.
+    * orders with ingest-date fallback. Only order_id is PK-filtered —
+    * the reference KEEPS rows whose product_id nulled under clean_id
+    * (`:157-158`); they group as a null key downstream and gold's
+    * product_id filter is what finally drops them.
     */
   def orderItems(raw: DataFrame, ordersClean: DataFrame): DataFrame = {
     val projected = raw.select(
@@ -94,7 +98,7 @@ object Silver {
         col("unit_price_usd").cast(DoubleType).as("unit_price_usd"),
         col("quantity").cast(IntegerType).as("quantity"),
         col("line_total_usd").cast(DoubleType).as("line_total_usd")) ++ audit: _*)
-      .filter(col("order_id").isNotNull && col("product_id").isNotNull)
+      .filter(col("order_id").isNotNull)
       .filter(col("quantity") > 0)
     val deduped = dedupByKey(projected, Seq("order_id", "product_id"), "line_total_usd")
     deduped
@@ -130,9 +134,13 @@ object Silver {
     dedupByKey(projected, Seq("review_id"), "review_ts")
   }
 
-  /** sessions_clean (`02_silver_transform.py:241-250`). */
-  def sessions(raw: DataFrame): DataFrame = {
-    val projected = raw.select(
+  /** sessions_clean (`02_silver_transform.py:241-253`): project/clean
+    * ONLY — the reference neither PK-filters nor dedups sessions (it is
+    * the one silver table without a row_number pass), so null session
+    * ids and duplicate rows flow through exactly as they do there.
+    */
+  def sessions(raw: DataFrame): DataFrame =
+    raw.select(
       Seq(
         cleanId(col("session_id")).as("session_id"),
         cleanId(col("customer_id")).as("customer_id"),
@@ -140,9 +148,6 @@ object Silver {
         trim(col("device")).as("device"),
         trim(col("source")).as("source"),
         trim(col("country")).as("country")) ++ audit: _*)
-      .filter(col("session_id").isNotNull)
-    dedupByKey(projected, Seq("session_id"), "session_start_ts")
-  }
 
   /** All seven transforms, given the bronze tables by name. */
   def transformAll(bronze: Map[String, DataFrame]): Map[String, DataFrame] = {

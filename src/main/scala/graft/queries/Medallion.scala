@@ -151,28 +151,23 @@ object Medallion {
       |  FROM ev GROUP BY 1, 2),
       |om AS (
       |  SELECT event_date, product_id,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-      |    CAST(SUM(1) AS BIGINT) AS units_sold
-      |  FROM ev WHERE event_type = 'purchase' AND product_id IS NOT NULL GROUP BY 1, 2),
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+      |    CAST(SUM(1) AS BIGINT) AS purchase_count
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
       |pm AS (
       |  SELECT event_date, product_id,
       |    COALESCE(em.view_count, 0) AS view_count,
       |    COALESCE(em.cart_count, 0) AS cart_count,
-      |    COALESCE(om.revenue, 0.0) AS revenue,
-      |    COALESCE(om.units_sold, 0) AS units_sold
+      |    COALESCE(om.purchase_count, 0) AS purchase_count,
+      |    COALESCE(om.total_revenue, 0.0) AS total_revenue
       |  FROM em FULL OUTER JOIN om USING (event_date, product_id)
       |  WHERE product_id IS NOT NULL),
-      |pf AS (
-      |  SELECT event_date, product_id,
-      |    CAST(SUM(CASE WHEN event_type = 'page_view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
-      |    CAST(SUM(CASE WHEN event_type = 'add_to_cart' THEN 1 ELSE 0 END) AS BIGINT) AS carts,
-      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
-      |  FROM ev WHERE product_id IS NOT NULL GROUP BY 1, 2),
       |pfx AS (
-      |  SELECT views, carts, purchases,
-      |    ROUND(CASE WHEN views > 0 THEN LEAST(CAST(100.0 AS DOUBLE),
-      |      CAST(purchases AS DOUBLE) * CAST(100.0 AS DOUBLE) / views) END, 2) AS view_to_purchase_pct
-      |  FROM pf),
+      |  SELECT view_count, cart_count, purchase_count,
+      |    LEAST(CAST(100.0 AS DOUBLE), CASE WHEN view_count > 0
+      |      THEN ROUND(CAST(purchase_count AS DOUBLE) * CAST(100.0 AS DOUBLE) / view_count, 2)
+      |      ELSE 0.0 END) AS overall_conversion_pct
+      |  FROM pm),
       |sev AS (
       |  SELECT CAST(user_id AS VARCHAR) AS session_id, ts AS event_ts,
       |    CAST(event_id AS VARCHAR) AS event_id, event_date, event_type,
@@ -186,53 +181,53 @@ object Medallion {
       |sagg AS (
       |  SELECT session_id,
       |    MIN(event_ts) AS events_start_ts, MAX(event_ts) AS events_end_ts,
-      |    COUNT(event_id) AS events_count,
+      |    COUNT(event_id) AS total_events,
       |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN amount_usd ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS session_revenue,
-      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS has_purchased
       |  FROM sev GROUP BY session_id),
       |sm AS (
-      |  SELECT sagg.session_id, attrs.customer_id,
-      |    COALESCE(attrs.session_start_ts, sagg.events_start_ts) AS session_start_ts,
+      |  SELECT sagg.session_id,
+      |    COALESCE(attrs.customer_id, 'UNKNOWN') AS customer_id,
+      |    COALESCE(sagg.events_start_ts, attrs.session_start_ts) AS session_start_ts,
       |    sagg.events_end_ts AS session_end_ts,
-      |    sagg.events_count, sagg.session_revenue, sagg.purchase_count,
-      |    CASE WHEN sagg.purchase_count > 0 THEN 1 ELSE 0 END AS has_purchase,
+      |    sagg.total_events, sagg.session_revenue, sagg.has_purchased,
       |    CAST(FLOOR(epoch(sagg.events_end_ts)) AS BIGINT)
-      |      - CAST(FLOOR(epoch(COALESCE(attrs.session_start_ts, sagg.events_start_ts))) AS BIGINT) AS session_duration_sec
+      |      - CAST(FLOOR(epoch(COALESCE(sagg.events_start_ts, attrs.session_start_ts))) AS BIGINT) AS session_duration_sec
       |  FROM sagg LEFT JOIN attrs USING (session_id)),
       |smf AS (SELECT * FROM sm
       |        WHERE session_duration_sec IS NOT NULL AND session_duration_sec >= 0),
       |cust AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS customer_id FROM events),
       |sa AS (
       |  SELECT customer_id,
-      |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_revenue,
-      |    CAST(SUM(has_purchase) AS BIGINT) AS total_purchases
-      |  FROM smf WHERE customer_id IS NOT NULL GROUP BY customer_id),
+      |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) AS customer_total_revenue,
+      |    CAST(SUM(has_purchased) AS BIGINT) AS total_orders
+      |  FROM smf GROUP BY customer_id),
       |c360 AS (
       |  SELECT cust.customer_id,
-      |    COALESCE(sa.lifetime_revenue, 0.0) AS lifetime_revenue,
-      |    COALESCE(sa.total_purchases, 0) AS total_purchases
+      |    COALESCE(sa.customer_total_revenue, 0.0) AS customer_total_revenue,
+      |    COALESCE(sa.total_orders, 0) AS total_orders
       |  FROM cust LEFT JOIN sa USING (customer_id))
       |SELECT relation, n_rows, total_money, total_units FROM (
       |  SELECT 'customer_360' AS relation, COUNT(*) AS n_rows,
-      |    CAST(SUM(CAST(lifetime_revenue AS DECIMAL(18,2))) AS DOUBLE) AS total_money,
-      |    CAST(SUM(total_purchases) AS BIGINT) AS total_units
+      |    CAST(SUM(CAST(customer_total_revenue AS DECIMAL(18,2))) AS DOUBLE) AS total_money,
+      |    CAST(SUM(total_orders) AS BIGINT) AS total_units
       |  FROM c360
       |  UNION ALL
       |  SELECT 'dq', CAST(4 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
       |  UNION ALL
       |  SELECT 'product_funnel', COUNT(*),
-      |    CAST(SUM(CAST(view_to_purchase_pct AS DECIMAL(18,2))) AS DOUBLE),
-      |    CAST(SUM(views + carts + purchases) AS BIGINT)
+      |    CAST(SUM(CAST(overall_conversion_pct AS DECIMAL(18,2))) AS DOUBLE),
+      |    CAST(SUM(view_count + cart_count + purchase_count) AS BIGINT)
       |  FROM pfx
       |  UNION ALL
       |  SELECT 'product_metrics', COUNT(*),
-      |    CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE),
-      |    CAST(SUM(view_count + cart_count + units_sold) AS BIGINT)
+      |    CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS DOUBLE),
+      |    CAST(SUM(view_count + cart_count + purchase_count) AS BIGINT)
       |  FROM pm
       |  UNION ALL
       |  SELECT 'session_metrics', COUNT(*),
       |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE),
-      |    CAST(SUM(events_count) AS BIGINT)
+      |    CAST(SUM(total_events) AS BIGINT)
       |  FROM smf) u
       |ORDER BY relation""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -245,19 +240,20 @@ object Medallion {
     // cost — see rawEvents). Released before return: gold frames are
     // disk-backed reads with no lineage to raw (CacheContractSpec).
     val raw = rawEvents(s, dir).persist()
-    val gold = Lakehouse(s, wh).runAll(bronzeSources(raw), AsOf, enforceDq = false)
+    val gold = Lakehouse(s, wh).runAll(bronzeSources(raw), AsOf,
+      loadTs = java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), enforceDq = false)
     val dq = DqChecks.runAll(gold)
     raw.unpersist(blocking = false)
     val dqRow = Seq(("dq", dq.count(_.passed).toLong, 0.0, dq.map(_.badCount).sum))
       .toDF("relation", "n_rows", "total_money", "total_units")
     fp("product_metrics", gold("product_metrics"),
-        col("revenue"), col("view_count") + col("cart_count") + col("units_sold"))
+        col("total_revenue"), col("view_count") + col("cart_count") + col("purchase_count"))
       .unionByName(fp("product_funnel", gold("product_funnel"),
-        col("view_to_purchase_pct"), col("views") + col("carts") + col("purchases")))
+        col("overall_conversion_pct"), col("view_count") + col("cart_count") + col("purchase_count")))
       .unionByName(fp("session_metrics", gold("session_metrics"),
-        col("session_revenue"), col("events_count")))
+        col("session_revenue"), col("total_events")))
       .unionByName(fp("customer_360", gold("customer_360"),
-        col("lifetime_revenue"), col("total_purchases")))
+        col("customer_total_revenue"), col("total_orders")))
       .unionByName(dqRow)
       .orderBy("relation")
   }

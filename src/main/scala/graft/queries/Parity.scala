@@ -548,60 +548,12 @@ object Parity {
       .limit(100)
   }
 
-  // ---------------------------------------------------------------------
-  // q20 — the production Gold.productFunnel model end-to-end over
-  // testdata: adapt the raw event stream to the reference event shape
-  // (props.k as product id; view→page_view, click→add_to_cart) and run
-  // the REAL gold code, oracle-checking the full silver→gold computation
-  // (conditional counts, capped/NULL-safe percentages, rounding) at SF
-  // scale — not just the operator shapes in isolation.
-  val q20 = Q(
-    "q20_gold_product_funnel_e2e",
-    """WITH ev AS (
-      |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
-      |    json_extract_string(props, '$.k') AS product_id,
-      |    CASE event_type WHEN 'view' THEN 'page_view'
-      |                    WHEN 'click' THEN 'add_to_cart'
-      |                    ELSE event_type END AS event_type
-      |  FROM events),
-      |agg AS (
-      |  SELECT event_date, product_id,
-      |    CAST(SUM(CASE WHEN event_type = 'page_view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
-      |    CAST(SUM(CASE WHEN event_type = 'add_to_cart' THEN 1 ELSE 0 END) AS BIGINT) AS carts,
-      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
-      |  FROM ev GROUP BY 1, 2)
-      |SELECT event_date, product_id, views, carts, purchases,
-      |  ROUND(CASE WHEN views > 0 THEN LEAST(CAST(100.0 AS DOUBLE), CAST(carts AS DOUBLE) * CAST(100.0 AS DOUBLE) / views) END, 2) AS view_to_cart_pct,
-      |  ROUND(CASE WHEN carts > 0 THEN LEAST(CAST(100.0 AS DOUBLE), CAST(purchases AS DOUBLE) * CAST(100.0 AS DOUBLE) / carts) END, 2) AS cart_to_purchase_pct,
-      |  ROUND(CASE WHEN views > 0 THEN LEAST(CAST(100.0 AS DOUBLE), CAST(purchases AS DOUBLE) * CAST(100.0 AS DOUBLE) / views) END, 2) AS view_to_purchase_pct
-      |FROM agg
-      |WHERE product_id IS NOT NULL
-      |ORDER BY event_date, product_id""".stripMargin) { (s, dir) =>
-    goldProductFunnelE2e(s, dir).orderBy("event_date", "product_id")
-  }
-
-  /** The production Gold.productFunnel over testdata-adapted events
-    * (shared by q20 and the q33 dashboard-on-gold query).
-    */
-  private def goldProductFunnelE2e(s: SparkSession, dir: String): DataFrame = {
-    val adapted = t(s, dir, "events").select(
-      date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
-      get_json_object(col("props"), "$.k").as("product_id"),
-      when(col("event_type") === "view", "page_view")
-        .when(col("event_type") === "click", "add_to_cart")
-        .otherwise(col("event_type")).as("event_type"))
-    graft.ecom.Gold.productFunnel(adapted)
-  }
-
-  // ---------------------------------------------------------------------
-  // q21 — the production Gold.productMetrics model end-to-end: all four
-  // silver inputs adapted deterministically from testdata events, then
-  // the REAL gold code (conditional counts ⟗ order rollup USING-join
-  // with zero-fill, broadcast dim + review joins), oracle-checked
-  // column-for-column.
-  // CTE chain shared by q21 and the q31/q33 dashboard-on-gold queries:
-  // adapted event stream -> the four silver inputs -> `pm` = the full
-  // product_metrics gold relation.
+  // CTE chain shared by q20/q21 and the q31/q33 dashboard-on-gold
+  // queries: adapted event stream -> the four silver inputs -> `pm` =
+  // the full product_metrics gold relation (reference column set:
+  // `03_gold_aggregate.py:93-108`). Declared BEFORE the queries that
+  // interpolate it — a forward val reference interpolates "null"
+  // silently (see the qs02 val-order incident, SURVEY §8 round 7).
   private val duckProductMetrics =
     """ev AS (
       |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
@@ -618,33 +570,69 @@ object Parity {
       |  FROM ev GROUP BY 1, 2),
       |om AS (
       |  SELECT event_date, product_id,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-      |    CAST(SUM(1) AS BIGINT) AS units_sold
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+      |    CAST(SUM(1) AS BIGINT) AS purchase_count
       |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
       |pa AS (
       |  SELECT DISTINCT product_id,
       |    'cat_' || CAST(CAST(product_id AS BIGINT) % 5 AS VARCHAR) AS category,
-      |    'product_' || product_id AS product_name,
-      |    CAST(product_id AS DOUBLE) AS price_usd
+      |    'product_' || product_id AS product_name
       |  FROM ev WHERE product_id IS NOT NULL),
       |rm AS (
       |  SELECT product_id, AVG(CAST(CAST(product_id AS BIGINT) % 5 + 1 AS BIGINT)) AS avg_rating,
       |    COUNT(event_id) AS review_count
       |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
       |pm AS (
-      |  SELECT event_date, product_id,
-      |    COALESCE(em.view_count, 0) AS view_count,
-      |    COALESCE(em.cart_count, 0) AS cart_count,
-      |    COALESCE(om.revenue, 0.0) AS revenue,
-      |    COALESCE(om.units_sold, 0) AS units_sold,
-      |    pa.category, pa.product_name, pa.price_usd,
+      |  SELECT event_date, product_id, pa.product_name, pa.category,
+      |    CAST(COALESCE(em.view_count, 0) AS INTEGER) AS view_count,
+      |    CAST(COALESCE(em.cart_count, 0) AS INTEGER) AS cart_count,
+      |    CAST(COALESCE(om.purchase_count, 0) AS INTEGER) AS purchase_count,
+      |    CAST(COALESCE(om.total_revenue, 0.0) AS DOUBLE) AS total_revenue,
       |    ROUND(COALESCE(rm.avg_rating, 0.0), 2) AS avg_rating,
-      |    CAST(COALESCE(rm.review_count, 0) AS BIGINT) AS review_count
+      |    CAST(COALESCE(rm.review_count, 0) AS INTEGER) AS review_count
       |  FROM em FULL OUTER JOIN om USING (event_date, product_id)
       |  LEFT JOIN pa USING (product_id)
       |  LEFT JOIN rm USING (product_id)
       |  WHERE product_id IS NOT NULL)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q20 — the production Gold.productFunnel model end-to-end over
+  // testdata: the funnel derives FROM the product_metrics gold relation
+  // (reference `03_gold_aggregate.py:120-152` — purchase_count is
+  // order-side units, name/category carry through, percentages emit 0.0
+  // on zero denominators and cap at 100), oracle-checking the full
+  // silver→gold computation at SF scale.
+  val q20 = Q(
+    "q20_gold_product_funnel_e2e",
+    s"""WITH $duckProductMetrics
+       |SELECT event_date, product_id, product_name, category,
+       |  view_count, cart_count, purchase_count,
+       |  LEAST(CAST(100.0 AS DOUBLE), CASE WHEN view_count > 0
+       |    THEN ROUND(CAST(cart_count AS DOUBLE) * CAST(100.0 AS DOUBLE) / view_count, 2)
+       |    ELSE 0.0 END) AS view_to_cart_pct,
+       |  LEAST(CAST(100.0 AS DOUBLE), CASE WHEN cart_count > 0
+       |    THEN ROUND(CAST(purchase_count AS DOUBLE) * CAST(100.0 AS DOUBLE) / cart_count, 2)
+       |    ELSE 0.0 END) AS cart_to_purchase_pct,
+       |  LEAST(CAST(100.0 AS DOUBLE), CASE WHEN view_count > 0
+       |    THEN ROUND(CAST(purchase_count AS DOUBLE) * CAST(100.0 AS DOUBLE) / view_count, 2)
+       |    ELSE 0.0 END) AS overall_conversion_pct
+       |FROM pm
+       |ORDER BY event_date, product_id""".stripMargin) { (s, dir) =>
+    goldProductFunnelE2e(s, dir).orderBy("event_date", "product_id")
+  }
+
+  /** The production Gold.productFunnel over the e2e product_metrics
+    * (shared by q20 and the q33 dashboard-on-gold query).
+    */
+  private def goldProductFunnelE2e(s: SparkSession, dir: String): DataFrame =
+    graft.ecom.Gold.productFunnel(goldProductMetricsE2e(s, dir))
+
+  // ---------------------------------------------------------------------
+  // q21 — the production Gold.productMetrics model end-to-end: all four
+  // silver inputs adapted deterministically from testdata events, then
+  // the REAL gold code (conditional counts ⟗ order rollup USING-join
+  // with zero-fill, broadcast dim + review joins, int-cast counts),
+  // oracle-checked column-for-column.
   val q21 = Q(
     "q21_gold_product_metrics_e2e",
     s"""WITH $duckProductMetrics
@@ -672,8 +660,7 @@ object Parity {
       .select(col("product_id")).distinct()
       .select(col("product_id"),
         concat(lit("cat_"), (col("product_id").cast(LongType) % 5).cast(StringType)).as("category"),
-        concat(lit("product_"), col("product_id")).as("product_name"),
-        col("product_id").cast(DoubleType).as("price_usd"))
+        concat(lit("product_"), col("product_id")).as("product_name"))
     val reviewsClean = raw.filter(col("event_type") === "signup")
       .select(col("event_id").as("review_id"), col("product_id"),
         (col("product_id").cast(LongType) % 5 + 1).as("rating"))
@@ -688,7 +675,7 @@ object Parity {
       col("user_id").cast(StringType).as("session_id"),
       col("ts").as("event_ts"),
       col("event_id").cast(StringType).as("event_id"),
-      date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+      to_date(col("ts")).as("event_date"),
       col("event_type"),
       col("value").as("amount_usd"))
     val attrs = t(s, dir, "events")
@@ -703,11 +690,15 @@ object Parity {
     (ev, attrs)
   }
 
+  // `sm` is the FINAL gold session_metrics relation (duration-filtered,
+  // reference column set `03_gold_aggregate.py:187-211`): has_purchased
+  // is the purchase-event COUNT, start-ts coalesce prefers the EVENTS
+  // min, customer/device/source/country fall back to 'UNKNOWN'.
   private val duckSessionMetrics =
     """ev AS (
       |  SELECT CAST(user_id AS VARCHAR) AS session_id, ts AS event_ts,
       |    CAST(event_id AS VARCHAR) AS event_id,
-      |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      |    CAST(ts AS DATE) AS event_date,
       |    event_type, value AS amount_usd
       |  FROM events),
       |attrs AS (
@@ -716,34 +707,40 @@ object Parity {
       |    MIN(ts) - INTERVAL 60 SECOND AS session_start_ts,
       |    'web' AS device, 'ads' AS source, 'US' AS country
       |  FROM events WHERE user_id % 2 = 0 GROUP BY user_id),
-      |agg AS (
+      |sagg AS (
       |  SELECT session_id,
       |    MIN(event_ts) AS events_start_ts, MAX(event_ts) AS events_end_ts,
-      |    COUNT(event_id) AS events_count, MIN(event_date) AS events_date,
+      |    COUNT(event_id) AS total_events, MIN(event_date) AS session_date,
       |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN amount_usd ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS session_revenue,
-      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS has_purchased
       |  FROM ev GROUP BY session_id),
-      |sm AS (
-      |  SELECT agg.session_id, attrs.customer_id,
-      |    COALESCE(attrs.session_start_ts, agg.events_start_ts) AS session_start_ts,
-      |    agg.events_end_ts AS session_end_ts,
-      |    agg.events_count, agg.session_revenue, agg.purchase_count,
-      |    CASE WHEN agg.purchase_count > 0 THEN 1 ELSE 0 END AS has_purchase,
-      |    attrs.device, attrs.source, attrs.country,
-      |    CAST(agg.events_date AS DATE) AS session_date,
-      |    CAST(FLOOR(epoch(agg.events_end_ts)) AS BIGINT)
-      |      - CAST(FLOOR(epoch(COALESCE(attrs.session_start_ts, agg.events_start_ts))) AS BIGINT) AS session_duration_sec
-      |  FROM agg LEFT JOIN attrs USING (session_id))""".stripMargin
+      |sm0 AS (
+      |  SELECT sagg.session_id,
+      |    COALESCE(attrs.customer_id, 'UNKNOWN') AS customer_id,
+      |    sagg.session_date,
+      |    COALESCE(sagg.events_start_ts, attrs.session_start_ts) AS session_start_ts,
+      |    sagg.events_end_ts AS session_end_ts,
+      |    CAST(FLOOR(epoch(sagg.events_end_ts)) AS BIGINT)
+      |      - CAST(FLOOR(epoch(COALESCE(sagg.events_start_ts, attrs.session_start_ts))) AS BIGINT) AS session_duration_sec,
+      |    sagg.total_events,
+      |    COALESCE(attrs.device, 'UNKNOWN') AS device,
+      |    COALESCE(attrs.source, 'UNKNOWN') AS source,
+      |    COALESCE(attrs.country, 'UNKNOWN') AS country,
+      |    sagg.session_revenue,
+      |    CAST(sagg.has_purchased AS INTEGER) AS has_purchased
+      |  FROM sagg LEFT JOIN attrs USING (session_id)),
+      |sm AS (SELECT * FROM sm0
+      |       WHERE session_duration_sec IS NOT NULL AND session_duration_sec >= 0)""".stripMargin
 
   // ---------------------------------------------------------------------
   // q22 — the production Gold.sessionMetrics model end-to-end: batch
-  // sessionization (min/max rollup), attribute left join with coalesce
-  // fallbacks, epoch-second duration — oracle-checked per column.
+  // sessionization (min/max rollup), attribute left join with UNKNOWN
+  // fallbacks, events-first start-ts coalesce, purchase-count
+  // has_purchased, epoch-second duration — oracle-checked per column.
   val q22 = Q(
     "q22_gold_session_metrics_e2e",
     s"""WITH $duckSessionMetrics
        |SELECT * FROM sm
-       |WHERE session_duration_sec IS NOT NULL AND session_duration_sec >= 0
        |ORDER BY session_id""".stripMargin) { (s, dir) =>
     goldSessionMetricsE2e(s, dir).orderBy("session_id")
   }
@@ -759,12 +756,14 @@ object Parity {
   // ---------------------------------------------------------------------
   // q23 — the production Gold.customer360 model end-to-end on top of the
   // q22 session metrics: demographics LEFT join, zero-fill, NULL-safe
-  // AOV, frozen as-of datediff. Odd users have sessions with no
-  // attributes (NULL customer_id -> excluded from the rollup), so their
-  // customer rows exercise the zero-fill path.
+  // AOV, frozen as-of datediff and scd_load_ts. Odd users' sessions
+  // carry the UNKNOWN customer fallback — that group matches no
+  // demographics row, so their customer rows exercise the zero-fill
+  // path (reference `:229`: no customer filter before the rollup).
   // CTE chain shared by q23 and the q34 dashboard-on-gold query:
   // demographics + session-metric rollup -> `c360` = the full
-  // customer_360 gold relation. Builds on duckSessionMetrics' `sm`.
+  // customer_360 gold relation (reference column set `:245-268`).
+  // Builds on duckSessionMetrics' `sm`.
   private val duckCustomer360 =
     """cust AS (
       |  SELECT DISTINCT 'c' || CAST(user_id AS VARCHAR) AS customer_id,
@@ -776,22 +775,24 @@ object Parity {
       |  FROM events),
       |sa AS (
       |  SELECT customer_id,
-      |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_revenue,
-      |    CAST(SUM(has_purchase) AS BIGINT) AS total_purchases,
+      |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) AS customer_total_revenue,
+      |    CAST(SUM(has_purchased) AS BIGINT) AS total_orders,
       |    COUNT(DISTINCT session_id) AS total_sessions,
       |    MAX(session_end_ts) AS last_active_ts,
       |    MIN(session_start_ts) AS first_active_ts
-      |  FROM sm WHERE customer_id IS NOT NULL GROUP BY customer_id),
+      |  FROM sm GROUP BY customer_id),
       |c360 AS (
       |  SELECT cust.customer_id, cust.name, cust.email, cust.country, cust.age,
       |    cust.signup_date, cust.marketing_opt_in,
-      |    COALESCE(sa.lifetime_revenue, 0.0) AS lifetime_revenue,
-      |    COALESCE(sa.total_purchases, 0) AS total_purchases,
-      |    COALESCE(sa.total_sessions, 0) AS total_sessions,
-      |    sa.last_active_ts, sa.first_active_ts,
+      |    COALESCE(sa.customer_total_revenue, 0.0) AS customer_total_revenue,
+      |    CAST(COALESCE(sa.total_orders, 0) AS INTEGER) AS total_orders,
+      |    CAST(COALESCE(sa.total_sessions, 0) AS INTEGER) AS total_sessions,
+      |    sa.first_active_ts, sa.last_active_ts,
+      |    ROUND(CASE WHEN COALESCE(sa.total_orders, 0) <> 0
+      |      THEN COALESCE(sa.customer_total_revenue, 0.0)
+      |        / CAST(COALESCE(sa.total_orders, 0) AS DOUBLE) END, 2) AS average_order_value,
       |    date_diff('day', CAST(cust.signup_date AS DATE), DATE '2025-01-01') AS days_since_signup,
-      |    ROUND(CASE WHEN COALESCE(sa.total_purchases, 0) > 0
-      |      THEN COALESCE(sa.lifetime_revenue, 0.0) / COALESCE(sa.total_purchases, 0) END, 2) AS avg_order_value
+      |    TIMESTAMP '2025-01-01 00:00:00' AS scd_load_ts
       |  FROM cust LEFT JOIN sa USING (customer_id))""".stripMargin
 
   val q23 = Q(
@@ -818,7 +819,8 @@ object Parity {
         date_add(lit("2023-01-01").cast(DateType), (col("user_id") % 365).cast(IntegerType)),
         "yyyy-MM-dd").as("signup_date"),
       (col("user_id") % 2 === 0).as("marketing_opt_in"))
-    graft.ecom.Gold.customer360(cust, sm, java.time.LocalDate.parse("2025-01-01"))
+    graft.ecom.Gold.customer360(cust, sm, java.time.LocalDate.parse("2025-01-01"),
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
   }
 
   // ---------------------------------------------------------------------
@@ -1081,36 +1083,42 @@ object Parity {
   val q31 = Q(
     "q31_dashboard_product_performance",
     s"""WITH $duckProductMetrics
-       |SELECT product_id, product_name, category,
-       |  ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue,
-       |  CAST(SUM(units_sold) AS BIGINT) AS total_units,
+       |SELECT category, product_name,
        |  CAST(SUM(view_count) AS BIGINT) AS total_views,
        |  CAST(SUM(cart_count) AS BIGINT) AS total_carts,
-       |  ROUND(CASE WHEN SUM(view_count) > 0
-       |    THEN LEAST(CAST(100.0 AS DOUBLE),
-       |      CAST(SUM(cart_count) AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(SUM(view_count) AS DOUBLE))
-       |    END, 2) AS view_to_cart_pct
+       |  CAST(SUM(purchase_count) AS BIGINT) AS total_purchases,
+       |  CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       |  CASE WHEN SUM(view_count) = 0 THEN 0.0
+       |    ELSE ROUND(CAST(SUM(cart_count) AS DOUBLE) * CAST(100.0 AS DOUBLE)
+       |      / CAST(SUM(view_count) AS DOUBLE), 2) END AS view_to_cart_rate,
+       |  CASE WHEN SUM(cart_count) = 0 THEN 0.0
+       |    ELSE ROUND(CAST(SUM(purchase_count) AS DOUBLE) * CAST(100.0 AS DOUBLE)
+       |      / CAST(SUM(cart_count) AS DOUBLE), 2) END AS cart_to_purchase_rate,
+       |  CASE WHEN SUM(view_count) = 0 THEN 0.0
+       |    ELSE ROUND(CAST(SUM(purchase_count) AS DOUBLE) * CAST(100.0 AS DOUBLE)
+       |      / CAST(SUM(view_count) AS DOUBLE), 2) END AS overall_conversion_rate
        |FROM pm
        |WHERE CAST(event_date AS DATE) BETWEEN DATE '$dashStart' AND DATE '$dashEnd'
-       |GROUP BY 1, 2, 3
-       |ORDER BY total_revenue DESC, product_id
+       |GROUP BY 1, 2
+       |ORDER BY total_revenue DESC, category, product_name
        |LIMIT 100""".stripMargin) { (s, dir) =>
     graft.ecom.Dashboards.productPerformance(datedPm(s, dir), dashStart, dashEnd)
   }
 
   val q32 = Q(
     "q32_dashboard_sales_overview",
-    s"""WITH $duckSessionMetrics,
-       |smf AS (SELECT * FROM sm
-       |        WHERE session_duration_sec IS NOT NULL AND session_duration_sec >= 0)
+    s"""WITH $duckSessionMetrics
        |SELECT session_date,
-       |  COUNT(DISTINCT session_id) AS sessions,
-       |  ROUND(CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
-       |  CAST(SUM(has_purchase) AS BIGINT) AS purchase_sessions,
-       |  ROUND(CASE WHEN SUM(has_purchase) > 0
-       |    THEN CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) / CAST(SUM(has_purchase) AS DOUBLE)
-       |    END, 2) AS avg_order_value
-       |FROM smf
+       |  COUNT(DISTINCT session_id) AS total_sessions,
+       |  CAST(SUM(has_purchased) AS BIGINT) AS total_orders,
+       |  ROUND(CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_revenue,
+       |  CASE WHEN SUM(has_purchased) = 0 THEN 0.0
+       |    ELSE ROUND(CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE)
+       |      / CAST(SUM(has_purchased) AS DOUBLE), 2) END AS daily_aov,
+       |  CASE WHEN COUNT(DISTINCT session_id) = 0 THEN 0.0
+       |    ELSE ROUND(CAST(SUM(has_purchased) AS DOUBLE) * CAST(100.0 AS DOUBLE)
+       |      / CAST(COUNT(DISTINCT session_id) AS DOUBLE), 2) END AS session_conversion_rate
+       |FROM sm
        |WHERE session_date BETWEEN DATE '$salesStart' AND DATE '$dashEnd'
        |GROUP BY session_date
        |ORDER BY session_date DESC""".stripMargin) { (s, dir) =>
@@ -1119,34 +1127,28 @@ object Parity {
 
   val q33 = Q(
     "q33_dashboard_site_funnel",
-    s"""WITH $duckProductMetrics,
-       |pf AS (
-       |  SELECT event_date, product_id,
-       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
-       |  FROM ev WHERE product_id IS NOT NULL GROUP BY 1, 2)
-       |SELECT funnel_stage, n FROM (
+    s"""WITH $duckProductMetrics
+       |SELECT funnel_stage, "count" FROM (
        |  SELECT '1. Product Views' AS funnel_stage,
-       |    COALESCE(CAST(SUM(view_count) AS BIGINT), 0) AS n
+       |    COALESCE(CAST(SUM(view_count) AS BIGINT), 0) AS "count"
        |  FROM pm WHERE CAST(event_date AS DATE) BETWEEN DATE '$dashStart' AND DATE '$dashEnd'
        |  UNION ALL
-       |  SELECT '2. Added to Cart',
+       |  SELECT '2. Add to Carts',
        |    COALESCE(CAST(SUM(cart_count) AS BIGINT), 0)
        |  FROM pm WHERE CAST(event_date AS DATE) BETWEEN DATE '$dashStart' AND DATE '$dashEnd'
        |  UNION ALL
        |  SELECT '3. Purchases',
-       |    COALESCE(CAST(SUM(purchases) AS BIGINT), 0)
-       |  FROM pf WHERE CAST(event_date AS DATE) BETWEEN DATE '$dashStart' AND DATE '$dashEnd') u
-       |ORDER BY n DESC, funnel_stage""".stripMargin) { (s, dir) =>
-    val pf = goldProductFunnelE2e(s, dir)
-      .withColumn("event_date", col("event_date").cast(DateType))
-    graft.ecom.Dashboards.siteWideFunnel(datedPm(s, dir), pf, dashStart, dashEnd)
+       |    COALESCE(CAST(SUM(purchase_count) AS BIGINT), 0)
+       |  FROM pm WHERE CAST(event_date AS DATE) BETWEEN DATE '$dashStart' AND DATE '$dashEnd') u
+       |ORDER BY "count" DESC, funnel_stage""".stripMargin) { (s, dir) =>
+    graft.ecom.Dashboards.siteWideFunnel(datedPm(s, dir), dashStart, dashEnd)
   }
 
-  // Wider range than q31–q33 so BOTH filter arms fire non-trivially: even
-  // users match on last_active_date (their sessions carry attributes,
-  // last activity ~Jan 30), odd users have NULL last_active_ts and match
-  // on their 2023 signup_date (2023-01-01 + user_id % 365 — the Jan 5
-  // start excludes the earliest signups, so the arm actually filters).
+  // Wider range than q31–q33 so the last-active window actually filters.
+  // Odd users' sessions roll up under the UNKNOWN customer (no
+  // demographics match), so those customers carry NULL last_active_ts
+  // and are EXCLUDED by the reference's BETWEEN — the dashboard returns
+  // only even users (the reference has no signup-date fallback arm).
   private val dashC360Start = java.time.LocalDate.parse("2023-01-05")
   private val dashC360End = java.time.LocalDate.parse("2024-01-31")
 
@@ -1154,21 +1156,19 @@ object Parity {
     "q34_dashboard_customer360_top",
     s"""WITH $duckSessionMetrics,
        |$duckCustomer360
-       |SELECT customer_id, name, email, country, age,
-       |  CAST(signup_date AS DATE) AS signup_date, marketing_opt_in,
-       |  lifetime_revenue, total_purchases, total_sessions,
-       |  last_active_ts, first_active_ts, days_since_signup, avg_order_value,
-       |  CAST(last_active_ts AS DATE) AS last_active_date
+       |SELECT customer_id, name, country, total_orders,
+       |  ROUND(customer_total_revenue, 2) AS lifetime_revenue,
+       |  average_order_value, days_since_signup,
+       |  CAST(last_active_ts AS DATE) AS last_active_date,
+       |  CASE WHEN customer_total_revenue >= 1000 THEN 'Platinum VIP'
+       |       WHEN customer_total_revenue >= 500 THEN 'Gold Member'
+       |       WHEN total_orders > 0 THEN 'Standard Customer'
+       |       ELSE 'Window Shopper' END AS customer_tier
        |FROM c360
        |WHERE CAST(last_active_ts AS DATE) BETWEEN DATE '$dashC360Start' AND DATE '$dashC360End'
-       |  OR (last_active_ts IS NULL
-       |      AND CAST(signup_date AS DATE) BETWEEN DATE '$dashC360Start' AND DATE '$dashC360End')
        |ORDER BY lifetime_revenue DESC, customer_id
        |LIMIT 1000""".stripMargin) { (s, dir) =>
-    val c360 = goldCustomer360E2e(s, dir)
-      .withColumn("signup_date", col("signup_date").cast(DateType))
-    graft.ecom.Dashboards.customer360Top(
-      graft.ecom.Dashboards.customer360WithDates(c360), dashC360Start, dashC360End)
+    graft.ecom.Dashboards.customer360Top(goldCustomer360E2e(s, dir), dashC360Start, dashC360End)
   }
 
   // ---------------------------------------------------------------------

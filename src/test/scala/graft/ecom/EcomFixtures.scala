@@ -41,13 +41,19 @@ object EcomFixtures {
       Seq("12", "100", "2025-01-05 10:10:00", "purchase",    "7",   "1", "1", "card", "0", "50.0"),
       Seq("13", "101", "2025-01-05 11:00:00", "add_to_cart", "8",   "2", "1", "",     "0", "0"), // quick add
       Seq("14", "101", "2025-01-05 11:01:00", "purchase",    "8",   "1", "1", "card", "0", "30.0"),
-      Seq("12", "100", "2025-01-05 10:10:00", "purchase",    "7",   "1", "1", "card", "0", "50.0") // dup event_id
+      Seq("12", "100", "2025-01-05 10:10:00", "purchase",    "7",   "1", "1", "card", "0", "50.0"), // dup event_id
+      // session 102: a MULTI-purchase session (has_purchased must COUNT,
+      // not binarize — reverting that reference fix flips these pins)
+      Seq("17", "102", "2025-01-07 09:00:00", "purchase",    "7",   "1", "1", "card", "0", "10.0"),
+      Seq("18", "102", "2025-01-07 09:05:00", "purchase",    "7",   "1", "1", "card", "0", "20.0"),
+      Seq("19", "102", "2025-01-07 09:10:00", "page_view",   "7",   "1", "0", "",     "0", "0")
     ), t1),
     "orders" -> raw(spark, "orders", Seq(
       Seq("500", "1", "2025-01-05 10:12:00", "card", "0", "50", "50", "JP", "desktop", "organic")
     ), t1),
     "order_items" -> raw(spark, "order_items", Seq(
       Seq("500", "7", "50", "1", "50"),
+      Seq("500", "8", "10", "2", "20"),  // 2 units vs 1 cart event -> funnel cap fires
       Seq("500", "9", "10", "0", "0"),   // quantity<=0 -> dropped
       Seq("999", "8", "30", "1", "30")   // orphan order -> order_date falls back to ingest date
     ), t1),
@@ -62,8 +68,14 @@ object EcomFixtures {
       Seq("301", "500", "7", "2", "meh", "2025-01-06 00:00:00")
     ), t1),
     "sessions" -> raw(spark, "sessions", Seq(
-      Seq("100", "1", "2025-01-05 09:59:00", "desktop", "organic", "JP")
-      // session 101 missing -> session_metrics coalesce fallbacks
+      // both start-ts present: events min (10:00) must win the coalesce
+      // over this table's 09:59 (reference `:192-197`)
+      Seq("100", "1", "2025-01-05 09:59:00", "desktop", "organic", "JP"),
+      // session 101 missing entirely -> customer/device/source/country
+      // all fall back to 'UNKNOWN'
+      // session 102 present but with NULL device/country -> partial
+      // UNKNOWN fallbacks on an attributed session
+      Seq("102", "1", "2025-01-07 08:59:00", null, "ads", null)
     ), t1))
 
   @volatile private var cachedGold: Map[String, DataFrame] = null

@@ -27,61 +27,98 @@ class EcomPipelineSpec extends SparkSuite {
       .select("customer_id", "name", "email").as[(String, String, String)].collect().toSeq
     // "1.0" and "1" collapse; latest _ingest_ts row wins; "junk" dropped; email lowercased+trimmed
     assert(customers == Seq(("1", "Ada Latest", "ada@x.com"), ("2", "Bob", "bob@x.com")))
-    assert(silver("events_clean").count() == 5)       // dup event dropped
-    assert(silver("order_items_clean").count() == 2)  // qty<=0 dropped
+    assert(silver("events_clean").count() == 8)       // dup event dropped
+    assert(silver("order_items_clean").count() == 3)  // qty<=0 dropped
     val orphanDate = silver("order_items_clean").filter(col("order_id") === "999")
       .select("order_date").as[java.sql.Date].head()
     assert(orphanDate.toString == "2025-01-01")       // ingest-date fallback
   }
 
-  test("gold product_metrics: full-outer zero-fill and dims") {
-    val pm = gold("product_metrics").orderBy("product_id")
-    val byId = pm.collect().map(r => r.getAs[String]("product_id") -> r).toMap
-    // product 7: views=1 carts=1 revenue=50 units=1, avg_rating=3.0, reviews=2
-    val p7 = byId("7")
-    assert(p7.getAs[Long]("view_count") == 1 && p7.getAs[Long]("cart_count") == 1)
-    assert(p7.getAs[Double]("revenue") == 50.0 && p7.getAs[Long]("units_sold") == 1)
-    assert(p7.getAs[Double]("avg_rating") == 3.0 && p7.getAs[Long]("review_count") == 2)
-    // product 8: cart+purchase events, order-side present via orphan item (ingest date)
-    assert(byId.contains("8"))
+  private def key(r: Row): (String, String) =
+    (r.getAs[java.sql.Date]("event_date").toString, r.getAs[String]("product_id"))
+
+  test("gold product_metrics: full-outer zero-fill, int counts, carried dims") {
+    val pm = gold("product_metrics")
+    val byKey = pm.collect().map(r => key(r) -> r).toMap
+    // product 7 on Jan 5: views=1 carts=1 purchase units=1 revenue=50,
+    // avg_rating=3.0, reviews=2, dims carried from products_clean
+    val p7 = byKey(("2025-01-05", "7"))
+    assert(p7.getAs[Int]("view_count") == 1 && p7.getAs[Int]("cart_count") == 1)
+    assert(p7.getAs[Double]("total_revenue") == 50.0 && p7.getAs[Int]("purchase_count") == 1)
+    assert(p7.getAs[Double]("avg_rating") == 3.0 && p7.getAs[Int]("review_count") == 2)
+    assert(p7.getAs[String]("product_name") == "Widget" && p7.getAs[String]("category") == "Electronics")
+    // product 7 on Jan 7: event-side only -> order measures zero-fill
+    val p7b = byKey(("2025-01-07", "7"))
+    assert(p7b.getAs[Int]("purchase_count") == 0 && p7b.getAs[Double]("total_revenue") == 0.0)
+    // product 8 orphan order-side row lands on the ingest-fallback date
+    val p8b = byKey(("2025-01-01", "8"))
+    assert(p8b.getAs[Int]("view_count") == 0 && p8b.getAs[Int]("purchase_count") == 1)
+    assert(p8b.getAs[Double]("avg_rating") == 0.0 && p8b.getAs[Int]("review_count") == 0)
     // product 9 appears on no side (qty<=0 dropped, no events) -> absent entirely
-    assert(!byId.contains("9"))
+    assert(!byKey.keys.exists(_._2 == "9"))
   }
 
-  test("gold product_funnel: quick-add cart exceeding views is capped at 100") {
+  test("gold product_funnel: derives from product_metrics, 0.0 on zero denominators, capped") {
     val pf = gold("product_funnel")
-    val p8 = pf.filter(col("product_id") === "8").head()
-    assert(p8.getAs[Long]("views") == 0 && p8.getAs[Long]("carts") == 1)
-    assert(p8.getAs[Any]("view_to_cart_pct") == null)          // 0 views -> NULL, not div/0
-    assert(p8.getAs[Double]("cart_to_purchase_pct") == 100.0)  // 1 purchase / 1 cart
-    val p7 = pf.filter(col("product_id") === "7").head()
+    val byKey = pf.collect().map(r => key(r) -> r).toMap
+    assert(pf.count() == gold("product_metrics").count(), "funnel rows == product_metrics rows")
+    // 2 purchased units vs 1 cart event -> raw 200% capped at 100
+    val p8 = byKey(("2025-01-05", "8"))
+    assert(p8.getAs[Int]("view_count") == 0 && p8.getAs[Int]("cart_count") == 1
+      && p8.getAs[Int]("purchase_count") == 2)
+    assert(p8.getAs[Double]("view_to_cart_pct") == 0.0)         // 0 views -> 0.0, not NULL
+    assert(p8.getAs[Double]("cart_to_purchase_pct") == 100.0)   // least() cap
+    assert(p8.getAs[Double]("overall_conversion_pct") == 0.0)
+    assert(p8.getAs[String]("product_name") == "Gadget")        // dims carried through
+    val p7 = byKey(("2025-01-05", "7"))
     assert(p7.getAs[Double]("view_to_cart_pct") == 100.0)
+    assert(p7.getAs[Double]("overall_conversion_pct") == 100.0)
   }
 
-  test("gold session_metrics: attribute fallbacks and duration") {
+  test("gold session_metrics: events-first start-ts, UNKNOWN fallbacks, purchase counts") {
     val sm = gold("session_metrics")
     val s100 = sm.filter(col("session_id") === "100").head()
     assert(s100.getAs[String]("customer_id") == "1")
-    // session table start (09:59) wins over first event (10:00)
-    assert(s100.getAs[Timestamp]("session_start_ts").toString.contains("09:59"))
-    assert(s100.getAs[Long]("session_duration_sec") == 11 * 60)
+    // the EVENTS min (10:00) wins the coalesce over the sessions-table
+    // start (09:59) — reference `:192-197`; reverting flips this pin
+    assert(s100.getAs[Timestamp]("session_start_ts").toString.contains("10:00"))
+    assert(s100.getAs[Long]("session_duration_sec") == 10 * 60)
     assert(s100.getAs[Double]("session_revenue") == 50.0)
+    assert(s100.getAs[Int]("has_purchased") == 1)
+    assert(s100.getAs[String]("device") == "desktop")
+    // no sessions row at all -> every attribute falls back to UNKNOWN
     val s101 = sm.filter(col("session_id") === "101").head()
-    assert(s101.getAs[String]("customer_id") == null) // no sessions row
+    assert(s101.getAs[String]("customer_id") == "UNKNOWN")
+    assert(s101.getAs[String]("device") == "UNKNOWN"
+      && s101.getAs[String]("source") == "UNKNOWN"
+      && s101.getAs[String]("country") == "UNKNOWN")
     assert(s101.getAs[Long]("session_duration_sec") == 60)
+    // attributed session with NULL device/country -> partial fallbacks,
+    // and has_purchased COUNTS the two purchase events (not 0/1)
+    val s102 = sm.filter(col("session_id") === "102").head()
+    assert(s102.getAs[String]("customer_id") == "1")
+    assert(s102.getAs[Int]("has_purchased") == 2)
+    assert(s102.getAs[String]("device") == "UNKNOWN" && s102.getAs[String]("source") == "ads"
+      && s102.getAs[String]("country") == "UNKNOWN")
+    assert(s102.getAs[Timestamp]("session_start_ts").toString.contains("09:00"))
+    assert(s102.getAs[Long]("session_duration_sec") == 10 * 60)
   }
 
-  test("gold customer_360: zero-fill, AOV null when no purchases, days_since_signup") {
+  test("gold customer_360: multi-purchase total_orders, AOV null when no orders") {
     val c360 = gold("customer_360")
     val ada = c360.filter(col("customer_id") === "1").head()
-    assert(ada.getAs[Double]("lifetime_revenue") == 50.0)
-    assert(ada.getAs[Long]("total_sessions") == 1)
-    assert(ada.getAs[Double]("avg_order_value") == 50.0)
+    assert(ada.getAs[Double]("customer_total_revenue") == 80.0)
+    // 1 purchase in session 100 + 2 in session 102: a binarized
+    // has_purchased would report 2 here — the reference counts 3
+    assert(ada.getAs[Int]("total_orders") == 3)
+    assert(ada.getAs[Int]("total_sessions") == 2)
+    assert(ada.getAs[Double]("average_order_value") == 26.67) // round(80/3, 2)
     assert(ada.getAs[Int]("days_since_signup") == 397) // 2024-01-01 -> 2025-02-01
     val bob = c360.filter(col("customer_id") === "2").head()
-    assert(bob.getAs[Double]("lifetime_revenue") == 0.0)
-    assert(bob.getAs[Long]("total_sessions") == 0)
-    assert(bob.getAs[Any]("avg_order_value") == null)
+    assert(bob.getAs[Double]("customer_total_revenue") == 0.0)
+    assert(bob.getAs[Int]("total_sessions") == 0 && bob.getAs[Int]("total_orders") == 0)
+    assert(bob.getAs[Any]("average_order_value") == null)
+    assert(bob.getAs[Timestamp]("scd_load_ts") != null)
   }
 
   test("DQ gate passes on the pipeline output and catches planted violations") {

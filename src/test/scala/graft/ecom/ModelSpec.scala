@@ -13,7 +13,7 @@ class ModelSpec extends SparkSuite {
     assert(customers.find(_.customer_id == "1").get.name == "Ada Latest")
 
     val events = Model.events(silver("events_clean")).collect()
-    assert(events.length == 5)
+    assert(events.length == 8)
     assert(events.forall(_.event_id.nonEmpty))
 
     assert(Model.orders(silver("orders_clean")).collect().head.total_usd.contains(50.0))
@@ -22,7 +22,8 @@ class ModelSpec extends SparkSuite {
     assert(Model.products(silver("products_clean")).collect().map(_.product_id).sorted.toSeq ==
       Seq("7", "8", "9"))
     assert(Model.reviews(silver("reviews_clean")).collect().length == 2)
-    assert(Model.sessions(silver("sessions_clean")).collect().map(_.session_id).toSeq == Seq("100"))
+    assert(Model.sessions(silver("sessions_clean")).collect().map(_.session_id).sorted.toSeq ==
+      Seq("100", "102"))
   }
 
   test("typed filters compose with the untyped pipeline") {

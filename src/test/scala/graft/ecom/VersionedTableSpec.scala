@@ -216,7 +216,7 @@ class VersionedTableSpec extends SparkSuite {
     val vt = lh.versioned("product_metrics") // date-partitioned gold model
 
     // day-1 publish
-    val day1 = Gold.aggregateAll(silver, asOf)("product_metrics")
+    val day1 = Gold.aggregateAll(silver, asOf, java.sql.Timestamp.valueOf("2025-01-10 00:00:00"))("product_metrics")
     vt.commitOverwrite(day1)
     val pinned = vt.read() // a dashboard session holding the snapshot
     val day1Rows = pinned.count()
@@ -229,7 +229,7 @@ class VersionedTableSpec extends SparkSuite {
       .withColumn("event_date", to_date(col("event_ts")))
     val silver2 = silver.updated("events_clean",
       silver("events_clean").unionByName(shifted))
-    vt.commitOverwrite(Gold.aggregateAll(silver2, asOf)("product_metrics"))
+    vt.commitOverwrite(Gold.aggregateAll(silver2, asOf, java.sql.Timestamp.valueOf("2025-01-10 00:00:00"))("product_metrics"))
 
     // the pinned dashboard still reads day 1; a fresh read sees day 2;
     // readAt(1) replays day 1 for an audit
