@@ -93,15 +93,21 @@ object Bench {
     val failed = results.collect { case (k, v, _) if v < 0 => k }
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-PASS wall totals (pass = one interleaved rep of every query):
+    // the spread across passes IS the host-weather band for this run, so
+    // a reader can tell "code got slower" from "a pass hit a storm"
+    // without re-running — the round-9 verdict's ask.
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val passTotals = samples.map(p => if (p.exists(_.isEmpty)) -1.0 else p.flatten.sum)
+    val runsJson = passTotals.map(ms).mkString("[", ",", "]")
     // full-precision detail first, for humans and local archives…
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_med":${jmap(_._3)},"reps":$reps,"failed":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_med":${jmap(_._3)},"reps":$reps,"runs":$runsJson,"failed":$errs,"sf":"$sfDir"}""")
     // …then the machine-readable line LAST, sized for the driver's
     // 2000-char stdout tail (r6's single full line was ~8 KB: the tail
     // cut its head and `parsed` came back null). Keys are each query's
     // unique prefix before the first '_' (q01, qd02, qt15, …) and
     // values are min-of-reps rounded to ms — ~1.3 KB for 86 queries,
     // leaving room for sbt's trailing "[success]" line inside the tail.
-    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val short = results.map { case (name, min, _) =>
       (name.takeWhile(_ != '_'), min)
     }
@@ -110,7 +116,7 @@ object Bench {
     val qsShort = short
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","keying":"name prefix before first _","queries":$qsShort,"reps":$reps,"failed":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","keying":"name prefix before first _","queries":$qsShort,"reps":$reps,"runs":$runsJson,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

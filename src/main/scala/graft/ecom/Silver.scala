@@ -42,11 +42,13 @@ object Silver {
     dedupByKey(projected, Seq("customer_id"), "email")
   }
 
-  /** events_clean (`02_silver_transform.py:82-104`), partitioned by
-    * event_date downstream.
+  /** The STATELESS half of events_clean (`02_silver_transform.py:82-99`):
+    * projection, casts, clean_id, PK filter — distributive over batches
+    * (f(a ∪ b) = f(a) ∪ f(b)), so it is legal as a [[VersionedPipe]]
+    * transform; only the dedup below needs the full relation.
     */
-  def events(raw: DataFrame): DataFrame = {
-    val projected = raw.select(
+  def eventsProjected(raw: DataFrame): DataFrame =
+    raw.select(
       Seq(
         cleanId(col("event_id")).as("event_id"),
         cleanId(col("session_id")).as("session_id"),
@@ -61,8 +63,18 @@ object Silver {
         col("amount_usd").cast(DoubleType).as("amount_usd")) ++ audit: _*)
       .withColumn("event_date", to_date(col("event_ts")))
       .filter(col("event_id").isNotNull)
+
+  /** Keep-latest dedup over the projected stream — idempotent, so
+    * deduping the union of incrementally-landed batches equals a full
+    * recompute (EcomPipelineSpec pins the equivalence).
+    */
+  def eventsDedup(projected: DataFrame): DataFrame =
     dedupByKey(projected, Seq("event_id"), "event_ts")
-  }
+
+  /** events_clean (`02_silver_transform.py:82-104`), partitioned by
+    * event_date downstream.
+    */
+  def events(raw: DataFrame): DataFrame = eventsDedup(eventsProjected(raw))
 
   /** orders_clean (`02_silver_transform.py:115-137`). */
   def orders(raw: DataFrame): DataFrame = {

@@ -60,10 +60,36 @@ object VersionedPipe {
     * already landed this window). Throws if the pending window rewrites
     * or removes source files (see class doc), or if `dst` records a
     * source version newer than `src` has (a vacuumed/reset source).
+    *
+    * Legacy-marker migration: pipes built before the per-app namespaces
+    * recorded their progress under the DEFAULT slot (legacy bare
+    * `batch:<id>` manifest lines parse there). If the destination has a
+    * default-slot marker but no '[[App]]' marker, a silent bootstrap
+    * would re-append the ENTIRE source history as duplicates — so the
+    * step REFUSES with a migration error unless `adoptLegacyMarker` is
+    * set, in which case the default-slot value is taken as the last
+    * processed source version and the step's own commit writes the
+    * properly-namespaced marker (migration and progress land in one
+    * atomic rename). Only set the flag when the default marker really
+    * was written by this pipe — a pre-namespacing streaming sink shares
+    * that slot and its batch ids mean something else.
     */
   def step(src: VersionedTable, dst: VersionedTable,
-      transform: DataFrame => DataFrame = identity): Option[Long] = {
-    val from = dst.currentBatchId(App).getOrElse(0L)
+      transform: DataFrame => DataFrame = identity,
+      adoptLegacyMarker: Boolean = false): Option[Long] = {
+    val from = dst.currentBatchId(App).orElse {
+      dst.currentBatchId(VersionedTable.DefaultApp).map { legacy =>
+        if (!adoptLegacyMarker)
+          throw new IllegalStateException(
+            s"destination has no '$App' progress marker but carries a " +
+              s"default-slot marker ($legacy) — likely a pipe built before " +
+              "per-app namespaces. Bootstrapping now would re-append the " +
+              "entire source as duplicates. If the default marker was " +
+              "written by this pipe, re-run with adoptLegacyMarker = true " +
+              "to migrate it; otherwise rebuild the destination.")
+        legacy
+      }
+    }.getOrElse(0L)
     val to = src.currentVersion().getOrElse(0L)
     require(from <= to,
       s"destination has processed source v$from but source is at v$to — " +

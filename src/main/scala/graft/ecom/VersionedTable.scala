@@ -463,7 +463,7 @@ final case class VersionedTable(
   def deleteMoR(predicate: Column): Long = {
     val (base, m) = baseSnapshot()
     val fc = freshFileCol(m)
-    val ic = graft.util.Names.fresh("_graft_pos", m.schema.fieldNames.toSeq :+ fc)
+    val ic = freshPosCol(m, fc)
     // alive (DV-applied) rows matching the predicate → their coordinates
     val pairs = snapshot(m, m.files, Some(fc), Some(ic))
       .filter(coalesce(predicate, lit(false)))
@@ -498,7 +498,7 @@ final case class VersionedTable(
     val (base, m) = baseSnapshot()
     if (m.dv.isEmpty) return base
     val fc = freshFileCol(m)
-    val ic = graft.util.Names.fresh("_graft_pos", m.schema.fieldNames.toSeq :+ fc)
+    val ic = freshPosCol(m, fc)
     // distinct file names in the sidecars: O(files) on the driver
     val dvd = dvEntries(m, fc, ic).select(col(fc)).distinct()
       .collect().map(_.getString(0)).toSet
@@ -948,6 +948,14 @@ final case class VersionedTable(
   private def freshFileCol(m: Manifest): String =
     graft.util.Names.fresh("_graft_file", m.schema.fieldNames.toSeq ++ m.colmap.values)
 
+  // like freshFileCol, the avoid-set must include PHYSICAL names
+  // (m.colmap.values): loadFiles stamps the position column on the
+  // pre-alias frame, so a column physically named _graft_pos (born with
+  // that name, later renamed) would be silently overwritten otherwise
+  private def freshPosCol(m: Manifest, fc: String): String =
+    graft.util.Names.fresh("_graft_pos",
+      (m.schema.fieldNames.toSeq ++ m.colmap.values) :+ fc)
+
   /** The manifest-relative names of every candidate file containing a
     * row where `hit` is true — ONE distributed scan, file names only on
     * the driver. The scan reads all columns `hit` needs plus the
@@ -1202,7 +1210,7 @@ final case class VersionedTable(
     else {
       val fc = fileCol.getOrElse(freshFileCol(m))
       val ic = posCol.getOrElse(
-        graft.util.Names.fresh("_graft_pos", m.schema.fieldNames.toSeq :+ fc))
+        freshPosCol(m, fc))
       val alive = loadFiles(m.schema, files, Some(fc), Some(ic), m.colmap)
         .join(dvEntries(m, fc, ic), Seq(fc, ic), "left_anti")
       val cols = m.schema.map(f => col(f.name)) ++

@@ -141,4 +141,19 @@ class VersionedColmapSpec extends SparkSuite {
     assert(vt.readRange("id", 10L, 20L).select("val").as[Long].collect().sorted.toSeq ==
       (11L to 20L).map(_ * 7), "range read post-rename: id=10's row is DV-deleted")
   }
+
+  test("a column physically named _graft_pos survives rename + MoR delete + purge") {
+    // born _graft_pos, renamed: files keep the physical name, so the
+    // scratch row-position column's avoid-set must cover colmap.values
+    // — a collision would overwrite the data column before the alias
+    // select, corrupting both reads and DV coordinates
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite(Seq((1L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("id", "_graft_pos"))
+    vt.renameColumn("_graft_pos", "pos")
+    vt.deleteMoR(col("id") === 2L)
+    assert(vt.read().select("pos").as[Long].collect().sorted.toSeq == Seq(100L, 300L))
+    vt.purgeDeletes()
+    assert(vt.read().select("pos").as[Long].collect().sorted.toSeq == Seq(100L, 300L))
+  }
 }

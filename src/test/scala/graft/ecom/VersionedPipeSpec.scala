@@ -97,6 +97,29 @@ class VersionedPipeSpec extends SparkSuite {
     intercept[IllegalArgumentException] { VersionedPipe.step(src2, dst) }
   }
 
+  test("a legacy default-slot marker refuses the step; adoptLegacyMarker migrates it") {
+    val src = fresh("graft-pipe-src6")
+    val dst = fresh("graft-pipe-dst6")
+    src.commitOverwrite(spark.range(0, 30).toDF("id"))
+    // a pre-namespacing pipe recorded its progress in the DEFAULT slot:
+    // simulate by landing the bootstrap window under DefaultApp
+    assert(dst.commitAppendBatch(src.readChangesBetween(0L, 1L), 1L).isDefined)
+    assert(dst.currentBatchId(VersionedTable.DefaultApp).contains(1L))
+    src.commitAppend(spark.range(30, 40).toDF("id"))
+    // default refuses: a silent bootstrap would duplicate all 30 rows
+    val ex = intercept[IllegalStateException] { VersionedPipe.step(src, dst) }
+    assert(ex.getMessage.contains("adoptLegacyMarker"), ex.getMessage)
+    assert(dst.read().count() == 30, "nothing delivered by the refused step")
+    // opt-in adoption: only the (v1, v2] delta flows, and the commit
+    // writes the namespaced marker — later steps need no flag
+    assert(VersionedPipe.step(src, dst, adoptLegacyMarker = true).isDefined)
+    assert(dst.read().as[Long].collect().sorted.toSeq == (0L until 40L))
+    assert(dst.currentBatchId(VersionedPipe.App).contains(2L))
+    src.commitAppend(spark.range(40, 45).toDF("id"))
+    assert(VersionedPipe.step(src, dst).isDefined)
+    assert(dst.read().count() == 45)
+  }
+
   test("readAsOf returns the newest version at or before the timestamp") {
     val vt = fresh("graft-asof")
     vt.commitOverwrite(spark.range(0, 10).toDF("id"))
