@@ -1044,6 +1044,11 @@ final case class VersionedTable(
     */
   private def publishAt(base: Long, man: Manifest, commitRel: String): Long = {
     var attempt = 0
+    // base is PINNED for the whole publish (a moved version throws), so
+    // its manifest is immutable here: resolve the delta-encoding base
+    // once, not once per CAS retry (each resolution can walk a
+    // checkpoint-interval of chain reads on an object store)
+    val prevForDelta = if (base >= 1) Some(base -> readManifest(base)) else None
     while (true) {
       val cur = currentVersion()
       if (!cur.contains(base))
@@ -1052,8 +1057,7 @@ final case class VersionedTable(
             s"${cur.fold("(empty)")(v => s"v$v")} — retry the operation " +
             s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, man, base + 1,
-        if (base >= 1) Some(base -> readManifest(base)) else None)
+      writeManifest(tmp, man, base + 1, prevForDelta)
       publishManifest(tmp, manifestPath(base + 1)) match {
         case Landed => return base + 1
         // someone landed base+1 under us: the next loop iteration sees
@@ -1260,9 +1264,15 @@ final case class VersionedTable(
       unreferencedGraceMs: Long = VersionedTable.DefaultVacuumGraceMs): Unit = {
     val vs = versions()
     if (vs.isEmpty) return
-    val old = vs.init.filter(v =>
+    // PREFIX by version order, stopping at the first young manifest:
+    // mtimes can be non-monotone across versions (clock steps,
+    // multi-host writers on shared storage), and a mid-history hole
+    // would orphan every later delta manifest whose chain crosses it —
+    // the retained horizon must stay contiguous for the checkpoint in
+    // vacuumVersions to terminate every retained chain.
+    val old = vs.init.takeWhile(v =>
       fs.getFileStatus(manifestPath(v)).getModificationTime < cutoffMs)
-    vacuumVersions(old, vs.filterNot(old.contains), unreferencedGraceMs)
+    vacuumVersions(old, vs.drop(old.size), unreferencedGraceMs)
   }
 
   /** An unreferenced dir younger than `graceMs` is NOT reclaimed: an
@@ -1275,25 +1285,33 @@ final case class VersionedTable(
     */
   private def vacuumVersions(dropped: Seq[Long], kept: Seq[Long],
       graceMs: Long): Unit = {
+    val keptManifests = kept.map(v => v -> readManifest(v))
     val referenced: Set[String] =
-      kept.flatMap { v => val m = readManifest(v); m.files ++ m.dv }
+      keptManifests.flatMap { case (_, m) => m.files ++ m.dv }
         .map(_.split('/').take(2).mkString("/")).toSet
     // delta-chain preservation: the retained versions resolve through
     // manifests BELOW them (a v2 delta's base is its predecessor).
-    // kept is always a contiguous suffix, so giving the OLDEST kept
+    // kept is always a contiguous suffix (vacuum keeps the newest n;
+    // vacuumOlderThan takes a prefix), so giving the OLDEST kept
     // version a self-contained `.ckpt` sidecar (which readManifest
     // prefers) terminates every retained chain at or above it — then
     // the dropped prefix's manifests can go.
     if (dropped.nonEmpty && kept.nonEmpty) {
       val k0 = kept.min
       if (!fs.exists(ckptPath(k0)) && !manifestIsFull(k0))
-        writeCheckpoint(k0, readManifest(k0))
+        writeCheckpoint(k0, keptManifests.find(_._1 == k0).get._2)
     }
     dropped.foreach { v =>
-      require(fs.delete(manifestPath(v), false), s"vacuum: could not delete manifest v$v")
+      // ckpt FIRST: a crash between the two deletes must leave the
+      // version either fully present or manifest-only — never a
+      // manifest-less orphan ckpt, which readManifest would prefer and
+      // silently resurrect while this same vacuum deletes its data
+      // files underneath it (and versions() would never list it again
+      // for cleanup)
       val ck = ckptPath(v)
       if (fs.exists(ck))
         require(fs.delete(ck, false), s"vacuum: could not delete checkpoint for v$v")
+      require(fs.delete(manifestPath(v), false), s"vacuum: could not delete manifest v$v")
     }
     val youngestKeptMs = System.currentTimeMillis() - graceMs
     val dataPath = new Path(s"$tableDir/data")
@@ -1636,15 +1654,22 @@ final case class VersionedTable(
   }
 
   /** Is the stored manifest for `version` self-contained (v1)? Reads
-    * only the header line's worth of bytes.
+    * only the header line's worth of bytes — looping, because a single
+    * InputStream.read may legally return fewer bytes than asked (object
+    * stores do), and a short read must not misclassify a full manifest.
     */
   private def manifestIsFull(version: Long): Boolean = {
     val in = fs.open(manifestPath(version))
     try {
-      val buf = new Array[Byte](20)
-      val n = in.read(buf)
-      n > 0 && new String(buf, 0, n, StandardCharsets.UTF_8)
-        .startsWith("graft-manifest-v1")
+      val header = "graft-manifest-v1"
+      val buf = new Array[Byte](header.length)
+      var off = 0
+      var n = 0
+      while (off < buf.length && n >= 0) {
+        n = in.read(buf, off, buf.length - off)
+        if (n > 0) off += n
+      }
+      off == buf.length && new String(buf, StandardCharsets.UTF_8) == header
     } finally in.close()
   }
 
@@ -1664,18 +1689,46 @@ final case class VersionedTable(
     }
   }
 
+  private final class MissingManifest(val missing: Long)
+    extends RuntimeException(s"manifest v$missing missing", null, false, false)
+
   /** Resolve a version to its full in-memory [[Manifest]]. A `.ckpt`
     * sidecar (written by vacuum) takes precedence — it is the resolved
     * content and short-circuits the chain walk; otherwise a v1 manifest
     * parses directly and a v2 delta applies its add/remove actions over
     * its recursively-resolved base (at most CheckpointInterval-1 deep).
+    *
+    * Race note: a reader's chain walk can interleave with a concurrent
+    * vacuum — the reader passes a version's ckpt-existence check before
+    * vacuum publishes the oldest-retained ckpt, then finds that
+    * version's base deleted. Vacuum writes the ckpt durably BEFORE
+    * deleting anything, so one retry from the top is guaranteed to
+    * resolve any RETAINED version (the re-walk now sees the ckpt); only
+    * genuinely vacuumed versions still fail, with the usual message.
     */
-  private def readManifest(version: Long): Manifest = {
+  private def readManifest(version: Long): Manifest =
+    try resolveManifest(version)
+    catch {
+      case _: MissingManifest =>
+        try resolveManifest(version)
+        catch {
+          case e: MissingManifest =>
+            throw new IllegalArgumentException(
+              s"version ${e.missing} of $tableDir does not exist " +
+                "(never committed, or vacuumed)")
+        }
+    }
+
+  private def resolveManifest(version: Long): Manifest = {
     val ck = ckptPath(version)
     val p = if (fs.exists(ck)) ck else manifestPath(version)
-    require(fs.exists(p),
-      s"version $version of $tableDir does not exist (never committed, or vacuumed)")
-    val in = fs.open(p)
+    if (!fs.exists(p)) throw new MissingManifest(version)
+    // the file can vanish between the exists check and the open (the
+    // same vacuum race) — classify that as missing too, so the
+    // top-level retry covers it
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => throw new MissingManifest(version) }
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -1687,7 +1740,9 @@ final case class VersionedTable(
         val baseV = lines.find(_.startsWith("base:"))
           .getOrElse(throw new IllegalStateException(s"delta manifest $p has no base line"))
           .stripPrefix("base:").toLong
-        val base = readManifest(baseV)
+        // recurse through resolveManifest (NOT readManifest) so a
+        // missing base propagates to the top-level retry intact
+        val base = resolveManifest(baseV)
         val d = parseManifestBody(lines, p, filePrefix = "addfile:")
         val rm = lines.filter(_.startsWith("rmfile:")).map(_.stripPrefix("rmfile:")).toSet
         val dvAdd = lines.filter(_.startsWith("adddv:")).map(_.stripPrefix("adddv:"))
