@@ -154,10 +154,23 @@ final case class VersionedTable(
     * manifest file's modification time; good enough for audit display,
     * never used for correctness).
     */
-  def history(): Seq[VersionInfo] = versions().map { v =>
-    val m = readManifest(v)
-    VersionInfo(v, m.op, m.txns.get(VersionedTable.DefaultApp), m.files.size,
-      fs.getFileStatus(manifestPath(v)).getModificationTime, m.dv.size)
+  def history(): Seq[VersionInfo] = {
+    // sequential resolution: each version's delta applies over the
+    // PREVIOUS version just resolved, so a V-version log costs O(V)
+    // manifest reads instead of O(V × chain) re-walks per row
+    var prev: Option[(Long, Manifest)] = None
+    versions().map { v =>
+      val m =
+        try parseStored(v) match {
+          case FullForm(fm) => fm
+          case f: DeltaForm if prev.exists(_._1 == f.base) => applyDelta(prev.get._2, f)
+          case f: DeltaForm => readManifest(v) // gap (vacuumed prefix): full resolve
+        }
+        catch { case _: MissingManifest => readManifest(v) }
+      prev = Some(v -> m)
+      VersionInfo(v, m.op, m.txns.get(VersionedTable.DefaultApp), m.files.size,
+        fs.getFileStatus(manifestPath(v)).getModificationTime, m.dv.size)
+    }
   }
 
   /** Commit `df` as a new version that REPLACES the table contents. */
@@ -1719,7 +1732,21 @@ final case class VersionedTable(
         }
     }
 
-  private def resolveManifest(version: Long): Manifest = {
+  // a parsed manifest file, pre-resolution: either self-contained or a
+  // delta awaiting its base
+  private sealed trait StoredForm
+  private final case class FullForm(m: Manifest) extends StoredForm
+  private final case class DeltaForm(base: Long, d: Manifest, rm: Set[String],
+      dvAdd: Seq[String], dvRm: Set[String]) extends StoredForm
+
+  private def applyDelta(base: Manifest, f: DeltaForm): Manifest =
+    f.d.copy(
+      files = base.files.filterNot(f.rm) ++ f.d.files,
+      stats = (base.stats -- f.rm) ++ f.d.stats,
+      blooms = (base.blooms -- f.rm) ++ f.d.blooms,
+      dv = base.dv.filterNot(f.dvRm) ++ f.dvAdd)
+
+  private def parseStored(version: Long): StoredForm = {
     val ck = ckptPath(version)
     val p = if (fs.exists(ck)) ck else manifestPath(version)
     if (!fs.exists(p)) throw new MissingManifest(version)
@@ -1735,26 +1762,27 @@ final case class VersionedTable(
     val lines = txt.split('\n').toSeq
     lines.headOption match {
       case Some("graft-manifest-v1") =>
-        parseManifestBody(lines, p, filePrefix = "file:")
+        FullForm(parseManifestBody(lines, p, filePrefix = "file:"))
       case Some("graft-manifest-v2") =>
         val baseV = lines.find(_.startsWith("base:"))
           .getOrElse(throw new IllegalStateException(s"delta manifest $p has no base line"))
           .stripPrefix("base:").toLong
-        // recurse through resolveManifest (NOT readManifest) so a
-        // missing base propagates to the top-level retry intact
-        val base = resolveManifest(baseV)
-        val d = parseManifestBody(lines, p, filePrefix = "addfile:")
-        val rm = lines.filter(_.startsWith("rmfile:")).map(_.stripPrefix("rmfile:")).toSet
-        val dvAdd = lines.filter(_.startsWith("adddv:")).map(_.stripPrefix("adddv:"))
-        val dvRm = lines.filter(_.startsWith("rmdv:")).map(_.stripPrefix("rmdv:")).toSet
-        d.copy(
-          files = base.files.filterNot(rm) ++ d.files,
-          stats = (base.stats -- rm) ++ d.stats,
-          blooms = (base.blooms -- rm) ++ d.blooms,
-          dv = base.dv.filterNot(dvRm) ++ dvAdd)
+        DeltaForm(baseV,
+          parseManifestBody(lines, p, filePrefix = "addfile:"),
+          lines.filter(_.startsWith("rmfile:")).map(_.stripPrefix("rmfile:")).toSet,
+          lines.filter(_.startsWith("adddv:")).map(_.stripPrefix("adddv:")),
+          lines.filter(_.startsWith("rmdv:")).map(_.stripPrefix("rmdv:")).toSet)
       case h => throw new IllegalStateException(s"unrecognized manifest header $h in $p")
     }
   }
+
+  private def resolveManifest(version: Long): Manifest =
+    parseStored(version) match {
+      case FullForm(m) => m
+      // recurse through resolveManifest (NOT readManifest) so a missing
+      // base propagates to the top-level retry intact
+      case f: DeltaForm => applyDelta(resolveManifest(f.base), f)
+    }
 
   /** Parse the shared body lines; `filePrefix` selects full (`file:`)
     * vs delta-add (`addfile:`) file lines — stats/bloom lines attach to
