@@ -54,6 +54,15 @@ object MediaOps {
     */
   final case class ImagePhash(media_id: Long, width: Int, height: Int, phash: Long)
 
+  /** One target cell of a box-resized thumbnail: integer pixel count
+    * plus the per-channel box averages (c0/c1/c2 = the BMP byte order
+    * within a pixel). Averages are ONE exactly-rounded division of
+    * integer sums, so both engines derive identical doubles.
+    */
+  final case class ThumbCell(
+      media_id: Long, width: Int, height: Int, cy: Int, cx: Int,
+      n_px: Long, c0: Double, c1: Double, c2: Double)
+
   /** Decoded-audio metadata + RMS loudness. */
   final case class DecodedAudio(
       media_id: Long,
@@ -442,6 +451,54 @@ object MediaOps {
   def decodePhashes(media: Dataset[MediaRow]): Dataset[ImagePhash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(it => it.flatMap(m => bmpPhash(m.media_id, m.payload)))
+  }
+
+  /** Box-resize a REAL BMP payload to a t×t color thumbnail — the
+    * image-preprocessing step a multimodal training pipeline runs before
+    * feature extraction (pHash's pooling is its grayscale special case).
+    * Same container walk as [[bmpPhash]] (bottom-up rows, 4-byte
+    * stride); logical pixel (x, y) lands in cell (y·t div h, x·t div w),
+    * so every cell is a contiguous box and the union tiles the image
+    * exactly. All sums are integers; the per-channel average is one
+    * exactly-rounded division — bit-identical cross-engine. Images
+    * narrower than t in either dimension return no cells (a box would
+    * be empty), mirroring [[bmpPhash]]'s sub-grid rule.
+    */
+  def bmpThumb(id: Long, bmp: Array[Byte], t: Int): Seq[ThumbCell] = {
+    val (dataOffset, width, height, rowSize) = Bmp.header(id, bmp)
+    if (width < t || height < t) Seq.empty
+    else {
+      val sum = Array.ofDim[Long](t, t, 3)
+      val cnt = Array.ofDim[Long](t, t)
+      var y = 0
+      while (y < height) {
+        // file rows run bottom-up; y is the LOGICAL (top-down) row
+        val base = dataOffset + (height - 1 - y) * rowSize
+        val i = y * t / height
+        var x = 0
+        while (x < width) {
+          val j = x * t / width
+          var c = 0
+          while (c < 3) { sum(i)(j)(c) += (bmp(base + 3 * x + c) & 0xff); c += 1 }
+          cnt(i)(j) += 1
+          x += 1
+        }
+        y += 1
+      }
+      for { i <- 0 until t; j <- 0 until t } yield ThumbCell(
+        id, width, height, i, j, cnt(i)(j),
+        sum(i)(j)(0).toDouble / cnt(i)(j),
+        sum(i)(j)(1).toDouble / cnt(i)(j),
+        sum(i)(j)(2).toDouble / cnt(i)(j))
+    }
+  }
+
+  /** t×t thumbnails for BMP payloads; sub-t×t images drop (see
+    * [[bmpThumb]]). One mapPartitions pass, t² rows per image.
+    */
+  def decodeThumbs(media: Dataset[MediaRow], t: Int): Dataset[ThumbCell] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.flatMap(m => bmpThumb(m.media_id, m.payload, t)))
   }
 
   /** Wrap each payload in a real BMP container (same ingest-side

@@ -478,6 +478,70 @@ object LlmMultimodal {
         MediaOps.wrapAsBmp(media(s, dir).filter(col("kind") === "image"))).toDF())
   }
 
+  // ---------------------------------------------------------------------
+  // qm12 — image RESIZE: box-average each real BMP down to a 4×4 color
+  // thumbnail (the preprocessing step before any vision-model feature
+  // extraction; pHash's 8×8 gray pooling is the same kernel
+  // specialized). One mapPartitions decode pass over the container
+  // (bottom-up rows, stride padding), 16 rows per image; per-channel
+  // averages are integer sums with ONE exactly-rounded division, so the
+  // oracle re-derives identical doubles from the raw document bytes +
+  // the public grid rule (build→parse is identity on pixel content,
+  // qm08's argument). Sub-4×4 images drop, like qm10's sub-8×8 rule.
+  // 100 TB shape: zero shuffles before the final sort — embarrassingly
+  // parallel decode, the same plan family as qm01/qm08.
+  private val ThumbT = 4
+
+  val qm12 = Q(
+    "qm12_image_resize",
+    s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |             CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |           FROM documents WHERE doc_id % 3 = 0),
+       |g0 AS (SELECT media_id, hx, n, GREATEST(1, (n+2)//3) AS npix FROM m),
+       |g1 AS (SELECT media_id, hx, n, npix,
+       |         GREATEST(1, CAST(FLOOR(SQRT(CAST(npix AS DOUBLE))) AS BIGINT)) AS w FROM g0),
+       |d AS (SELECT media_id, hx, n, w, (npix + w - 1)//w AS h FROM g1
+       |      WHERE w >= $ThumbT AND (npix + w - 1)//w >= $ThumbT),
+       |b AS (SELECT media_id, w, h,
+       |        list_transform(range(0, w*h*3),
+       |          i -> CASE WHEN i < n
+       |               THEN CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT)
+       |               ELSE 0 END) AS bytes
+       |      FROM d),
+       |c AS (SELECT media_id, w, h, ry.cy AS cy, rx.cx AS cx,
+       |        len(list_filter(range(0, w*h),
+       |          k -> ((k // w) * $ThumbT) // h = ry.cy
+       |           AND ((k % w) * $ThumbT) // w = rx.cx)) AS n_px,
+       |        list_sum(list_transform(range(0, w*h),
+       |          k -> CASE WHEN ((k // w) * $ThumbT) // h = ry.cy
+       |                     AND ((k % w) * $ThumbT) // w = rx.cx
+       |               THEN bytes[CAST(3*k+1 AS INT)] ELSE 0 END)) AS s0,
+       |        list_sum(list_transform(range(0, w*h),
+       |          k -> CASE WHEN ((k // w) * $ThumbT) // h = ry.cy
+       |                     AND ((k % w) * $ThumbT) // w = rx.cx
+       |               THEN bytes[CAST(3*k+2 AS INT)] ELSE 0 END)) AS s1,
+       |        list_sum(list_transform(range(0, w*h),
+       |          k -> CASE WHEN ((k // w) * $ThumbT) // h = ry.cy
+       |                     AND ((k % w) * $ThumbT) // w = rx.cx
+       |               THEN bytes[CAST(3*k+3 AS INT)] ELSE 0 END)) AS s2
+       |      FROM b, range(0, $ThumbT) ry(cy), range(0, $ThumbT) rx(cx))
+       |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(cy AS BIGINT) AS cy, CAST(cx AS BIGINT) AS cx,
+       |  CAST(n_px AS BIGINT) AS n_px,
+       |  CAST(s0 AS DOUBLE) / CAST(n_px AS DOUBLE) AS c0,
+       |  CAST(s1 AS DOUBLE) / CAST(n_px AS DOUBLE) AS c1,
+       |  CAST(s2 AS DOUBLE) / CAST(n_px AS DOUBLE) AS c2
+       |FROM c
+       |ORDER BY media_id, cy, cx""".stripMargin) { (s, dir) =>
+    MediaOps.decodeThumbs(
+        MediaOps.wrapAsBmp(media(s, dir).filter(col("kind") === "image")), ThumbT)
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("cy").cast("long").as("cy"), col("cx").cast("long").as("cx"),
+        col("n_px"), col("c0"), col("c1"), col("c2"))
+      .orderBy("media_id", "cy", "cx")
+  }
+
   val all: Seq[Q] =
-    Seq(qm01, qm02, qm03, qm04, qm05, qm06, qm07, qm08, qm09, qm10, qm11)
+    Seq(qm01, qm02, qm03, qm04, qm05, qm06, qm07, qm08, qm09, qm10, qm11, qm12)
 }

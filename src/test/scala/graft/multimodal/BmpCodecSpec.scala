@@ -78,4 +78,42 @@ class BmpCodecSpec extends SparkSuite {
         g.n_bytes == exp.n_bytes && g.features.toSeq == exp.features.toSeq)
     }
   }
+
+  test("bmpThumb: box resize by hand — identity at t=width, 2x2 boxes at t=2") {
+    // 48 payload bytes -> 16 pixels -> a 4x4 grid exactly
+    val payload = Array.tabulate(48)(i => (i * 5 + 3).toByte)
+    val bmp = Bmp.build(payload)
+    def px(k: Int, c: Int): Int = payload(3 * k + c) & 0xff
+
+    // t=4 on a 4x4 image: one pixel per cell, averages are exact bytes
+    val t4 = MediaOps.bmpThumb(9L, bmp, 4)
+    assert(t4.length == 16)
+    t4.foreach { cell =>
+      assert(cell.width == 4 && cell.height == 4 && cell.n_px == 1L)
+      val k = cell.cy * 4 + cell.cx
+      assert(cell.c0 == px(k, 0).toDouble && cell.c1 == px(k, 1).toDouble
+        && cell.c2 == px(k, 2).toDouble)
+    }
+
+    // t=2: each cell is a 2x2 pixel box
+    val t2 = MediaOps.bmpThumb(9L, bmp, 2).map(c => (c.cy, c.cx) -> c).toMap
+    assert(t2.size == 4)
+    val c00 = t2((0, 0))
+    assert(c00.n_px == 4L)
+    val ks = Seq(0, 1, 4, 5) // pixels of the top-left 2x2 box
+    assert(c00.c0 == ks.map(px(_, 0)).sum.toDouble / 4)
+    assert(c00.c2 == ks.map(px(_, 2)).sum.toDouble / 4)
+  }
+
+  test("bmpThumb: sub-target images drop; cells tile exactly on ragged dims") {
+    // 2x2 grid (12 bytes): narrower than t=4 -> no cells
+    assert(MediaOps.bmpThumb(1L, Bmp.build(Array.tabulate(12)(_.toByte)), 4).isEmpty)
+    // a 7x7-ish ragged grid: cell pixel counts must sum to width*height
+    // and every cell must be non-empty
+    val ragged = Bmp.build(Array.tabulate(150)(i => (i * 11).toByte)) // 50 px -> 7x8
+    val cells = MediaOps.bmpThumb(2L, ragged, 4)
+    assert(cells.length == 16)
+    assert(cells.map(_.n_px).sum == cells.head.width.toLong * cells.head.height)
+    assert(cells.forall(_.n_px >= 1L))
+  }
 }
