@@ -155,21 +155,39 @@ final case class VersionedTable(
     * never used for correctness).
     */
   def history(): Seq[VersionInfo] = {
-    // sequential resolution: each version's delta applies over the
-    // PREVIOUS version just resolved, so a V-version log costs O(V)
-    // manifest reads instead of O(V × chain) re-walks per row
+    // ONE directory listing supplies both the version set and every
+    // manifest's mtime (per-version getFileStatus round-trips would
+    // dominate the sequential resolution below on an object store)
+    val dir = new Path(logDir)
+    if (!fs.exists(dir)) return Seq.empty
+    val statuses = fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case ManifestRe(n) => Some(n.toLong -> st.getModificationTime)
+      case _ => None
+    }).sortBy(_._1)
+    resolveSequentially(statuses.map(_._1)).zip(statuses).map {
+      case ((v, m), (_, mtime)) =>
+        VersionInfo(v, m.op, m.txns.get(VersionedTable.DefaultApp), m.files.size,
+          mtime, m.dv.size)
+    }
+  }
+
+  /** Resolve an ASCENDING version run with one manifest read per
+    * version: each delta applies over the previously resolved manifest
+    * (its base is always the predecessor), falling back to the full
+    * chain resolver across gaps — O(V) reads instead of O(V × chain).
+    */
+  private def resolveSequentially(vs: Seq[Long]): Seq[(Long, Manifest)] = {
     var prev: Option[(Long, Manifest)] = None
-    versions().map { v =>
+    vs.map { v =>
       val m =
         try parseStored(v) match {
           case FullForm(fm) => fm
           case f: DeltaForm if prev.exists(_._1 == f.base) => applyDelta(prev.get._2, f)
-          case f: DeltaForm => readManifest(v) // gap (vacuumed prefix): full resolve
+          case _: DeltaForm => readManifest(v) // gap (vacuumed prefix): full resolve
         }
         catch { case _: MissingManifest => readManifest(v) }
       prev = Some(v -> m)
-      VersionInfo(v, m.op, m.txns.get(VersionedTable.DefaultApp), m.files.size,
-        fs.getFileStatus(manifestPath(v)).getModificationTime, m.dv.size)
+      v -> m
     }
   }
 
@@ -501,7 +519,7 @@ final case class VersionedTable(
     if (recorded.isEmpty) return base
     checkKnown(m, recorded)
     val dvFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
-    publishAt(base, m.copy(op = "delete", dv = m.dv ++ dvFiles), commitRel)
+    publishAt(base, m, m.copy(op = "delete", dv = m.dv ++ dvFiles), commitRel)
   }
 
   /** Delta's `REORG TABLE ... APPLY (PURGE)`: fold every ACTIVE
@@ -524,7 +542,7 @@ final case class VersionedTable(
       .collect().map(_.getString(0)).toSet
     val touched = m.files.filter(dvd)
     if (touched.isEmpty)
-      return publishAt(base, m.copy(op = "purge", dv = Seq.empty),
+      return publishAt(base, m, m.copy(op = "purge", dv = Seq.empty),
         "(none — purge dropped inert deletion vectors)")
     publishCow("purge", base, m, touched.toSet, snapshot(m, touched),
       dvOut = Some(Seq.empty))
@@ -642,14 +660,14 @@ final case class VersionedTable(
     require(!m.constraints.contains(name), s"constraint $name already exists")
     // Delta semantics: adding a constraint verifies every existing row
     enforceConstraints(Map(name -> sqlExpr), snapshot(m, m.files), "existing table data")
-    publishAt(base, m.copy(op = "addConstraint",
+    publishAt(base, m, m.copy(op = "addConstraint",
       constraints = m.constraints + (name -> sqlExpr)), "(none — metadata-only)")
   }
 
   def dropCheckConstraint(name: String): Long = {
     val (base, m) = baseSnapshot()
     require(m.constraints.contains(name), s"constraint $name does not exist")
-    publishAt(base, m.copy(op = "dropConstraint",
+    publishAt(base, m, m.copy(op = "dropConstraint",
       constraints = m.constraints - name), "(none — metadata-only)")
   }
 
@@ -699,14 +717,14 @@ final case class VersionedTable(
     }
     enforceConstraints(Map(s"generated $name" -> s"$name <=> ($sqlExpr)"),
       snapshot(m, m.files), "existing table data")
-    publishAt(base, m.copy(op = "addGeneratedColumn",
+    publishAt(base, m, m.copy(op = "addGeneratedColumn",
       generated = m.generated + (name -> sqlExpr)), "(none — metadata-only)")
   }
 
   def dropGeneratedColumn(name: String): Long = {
     val (base, m) = baseSnapshot()
     require(m.generated.contains(name), s"column $name is not generated")
-    publishAt(base, m.copy(op = "dropGeneratedColumn",
+    publishAt(base, m, m.copy(op = "dropGeneratedColumn",
       generated = m.generated - name), "(none — metadata-only)")
   }
 
@@ -753,7 +771,7 @@ final case class VersionedTable(
     val entry = to -> m.physical(from)
     val newColmap = (m.colmap - from) ++
       (if (entry._1 == entry._2) Map.empty else Map(entry))
-    publishAt(base, m.copy(op = "renameColumn", schema = newSchema,
+    publishAt(base, m, m.copy(op = "renameColumn", schema = newSchema,
       stats = remapKeys(m.stats, from, to), blooms = remapKeys(m.blooms, from, to),
       colmap = newColmap), "(none — metadata-only)")
   }
@@ -775,7 +793,7 @@ final case class VersionedTable(
     val newSchema = StructType(m.schema.fields.filterNot(_.name == name))
     requireConstraintsAnalyzable(m.constraints ++ m.genChecks,
       newSchema, s"drop column $name")
-    publishAt(base, m.copy(op = "dropColumn", schema = newSchema,
+    publishAt(base, m, m.copy(op = "dropColumn", schema = newSchema,
       stats = m.stats.map { case (f, s) => f -> (s - name) }.filter(_._2.nonEmpty),
       blooms = m.blooms.map { case (f, b) => f -> (b - name) }.filter(_._2.nonEmpty),
       colmap = m.colmap - name,
@@ -1026,7 +1044,7 @@ final case class VersionedTable(
     // address, so the sidecars drop for free instead of taxing every
     // future read until a manual purge.
     val dvCarried = if (m.files.forall(replaced)) Seq.empty[String] else m.dv
-    publishAt(base, m.copy(op = op,
+    publishAt(base, m, m.copy(op = op,
       files = carried ++ newFiles, stats = carriedStats ++ newStats,
       dv = dvOut.getOrElse(dvCarried), blooms = carriedBlooms ++ newBlooms), commitRel)
   }
@@ -1048,20 +1066,22 @@ final case class VersionedTable(
     // data replays from the target, but the batch marker (streaming /
     // change-feed checkpoint) stays the HEAD's: a replayed micro-batch
     // must remain a no-op after the restore
-    publishAt(base, target.copy(op = "restore", txns = baseM.txns),
+    publishAt(base, baseM, target.copy(op = "restore", txns = baseM.txns),
       commitRel = "(none — restore writes no files)")
   }
 
   /** Base-pinned CAS publish of an explicit file list (the shared tail
     * of the copy-on-write ops and restore).
     */
-  private def publishAt(base: Long, man: Manifest, commitRel: String): Long = {
+  private def publishAt(base: Long, baseM: Manifest, man: Manifest,
+      commitRel: String): Long = {
     var attempt = 0
-    // base is PINNED for the whole publish (a moved version throws), so
-    // its manifest is immutable here: resolve the delta-encoding base
-    // once, not once per CAS retry (each resolution can walk a
-    // checkpoint-interval of chain reads on an object store)
-    val prevForDelta = if (base >= 1) Some(base -> readManifest(base)) else None
+    // base is PINNED for the whole publish (a moved version throws) and
+    // every caller already resolved its manifest (baseSnapshot), so the
+    // delta-encoding base costs no reads here — and, unlike an eager
+    // re-read, cannot race a concurrent vacuum into the wrong error
+    // type before the staleness check below fires
+    val prevForDelta = Some(base -> baseM)
     while (true) {
       val cur = currentVersion()
       if (!cur.contains(base))
@@ -1298,7 +1318,9 @@ final case class VersionedTable(
     */
   private def vacuumVersions(dropped: Seq[Long], kept: Seq[Long],
       graceMs: Long): Unit = {
-    val keptManifests = kept.map(v => v -> readManifest(v))
+    // kept is a contiguous ascending suffix: resolve it sequentially
+    // (one read per version) rather than one full chain walk each
+    val keptManifests = resolveSequentially(kept)
     val referenced: Set[String] =
       keptManifests.flatMap { case (_, m) => m.files ++ m.dv }
         .map(_.split('/').take(2).mkString("/")).toSet
@@ -1719,18 +1741,26 @@ final case class VersionedTable(
     * resolve any RETAINED version (the re-walk now sees the ckpt); only
     * genuinely vacuumed versions still fail, with the usual message.
     */
-  private def readManifest(version: Long): Manifest =
-    try resolveManifest(version)
-    catch {
-      case _: MissingManifest =>
-        try resolveManifest(version)
-        catch {
-          case e: MissingManifest =>
+  private def readManifest(version: Long): Manifest = {
+    // retry while the missing-version frontier ADVANCES: each concurrent
+    // vacuum moves its checkpoint horizon strictly upward before
+    // deleting, so a retained version's re-walk makes progress per
+    // vacuum and terminates; a STALLED frontier means the version (or
+    // its chain) is genuinely gone, not racing
+    var lastMissing = -1L
+    while (true) {
+      try return resolveManifest(version)
+      catch {
+        case e: MissingManifest =>
+          if (e.missing <= lastMissing || e.missing >= version)
             throw new IllegalArgumentException(
               s"version ${e.missing} of $tableDir does not exist " +
                 "(never committed, or vacuumed)")
-        }
+          lastMissing = e.missing
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
 
   // a parsed manifest file, pre-resolution: either self-contained or a
   // delta awaiting its base

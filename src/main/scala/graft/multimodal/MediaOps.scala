@@ -392,30 +392,46 @@ object MediaOps {
     * image has no meaningful 64-cell structure, and pooling would hit
     * empty cells.
     */
-  def bmpPhash(id: Long, bmp: Array[Byte]): Option[ImagePhash] = {
+  /** ONE box-pooling walk shared by [[bmpPhash]] (gray, t=8) and
+    * [[bmpThumb]] (color, any t): per-cell CHANNEL sums + pixel counts
+    * over the container's bottom-up padded rows, logical pixel (x, y)
+    * in cell (y·t div h, x·t div w) — a hardening fix to the walk can
+    * never apply to one consumer and miss the other. None when the
+    * image is narrower than t in either dimension (a box would be
+    * empty).
+    */
+  private def boxSums(id: Long, bmp: Array[Byte],
+      t: Int): Option[(Int, Int, Array[Array[Array[Long]]], Array[Array[Long]])] = {
     val (dataOffset, width, height, rowSize) = Bmp.header(id, bmp)
-    if (width < 8 || height < 8) None
+    if (width < t || height < t) None
     else {
-      val cellSum = Array.ofDim[Long](8, 8)
-      val cellCnt = Array.ofDim[Long](8, 8)
+      val sum = Array.ofDim[Long](t, t, 3)
+      val cnt = Array.ofDim[Long](t, t)
       var y = 0
       while (y < height) {
         // file rows run bottom-up; y is the LOGICAL (top-down) row —
         // spatial position matters here, unlike parse's histogram
         val base = dataOffset + (height - 1 - y) * rowSize
-        val i = y * 8 / height
+        val i = y * t / height
         var x = 0
         while (x < width) {
-          val g = (bmp(base + 3 * x) & 0xff) + (bmp(base + 3 * x + 1) & 0xff) +
-            (bmp(base + 3 * x + 2) & 0xff)
-          val j = x * 8 / width
-          cellSum(i)(j) += g
-          cellCnt(i)(j) += 1
+          val j = x * t / width
+          var c = 0
+          while (c < 3) { sum(i)(j)(c) += (bmp(base + 3 * x + c) & 0xff); c += 1 }
+          cnt(i)(j) += 1
           x += 1
         }
         y += 1
       }
-      val cell = Array.tabulate(8, 8)((i, j) => cellSum(i)(j) * 256 / cellCnt(i)(j))
+      Some((width, height, sum, cnt))
+    }
+  }
+
+  def bmpPhash(id: Long, bmp: Array[Byte]): Option[ImagePhash] = boxSums(id, bmp, 8).map {
+    case (width, height, cellSum, cellCnt) =>
+      // integer gray = B+G+R: the sum of the three channel sums
+      val cell = Array.tabulate(8, 8)((i, j) =>
+        (cellSum(i)(j)(0) + cellSum(i)(j)(1) + cellSum(i)(j)(2)) * 256 / cellCnt(i)(j))
       // 63 AC coefficients, k = u*8 + v - 1 (DC (0,0) skipped)
       val ac = new Array[Long](63)
       var u = 0
@@ -441,8 +457,7 @@ object MediaOps {
       var hash = 0L
       var k = 0
       while (k < 63) { if (ac(k) > med) hash |= 1L << k; k += 1 }
-      Some(ImagePhash(id, width, height, hash))
-    }
+      ImagePhash(id, width, height, hash)
   }
 
   /** Perceptual hashes for BMP payloads; sub-8×8 images drop (see
@@ -464,34 +479,16 @@ object MediaOps {
     * narrower than t in either dimension return no cells (a box would
     * be empty), mirroring [[bmpPhash]]'s sub-grid rule.
     */
-  def bmpThumb(id: Long, bmp: Array[Byte], t: Int): Seq[ThumbCell] = {
-    val (dataOffset, width, height, rowSize) = Bmp.header(id, bmp)
-    if (width < t || height < t) Seq.empty
-    else {
-      val sum = Array.ofDim[Long](t, t, 3)
-      val cnt = Array.ofDim[Long](t, t)
-      var y = 0
-      while (y < height) {
-        // file rows run bottom-up; y is the LOGICAL (top-down) row
-        val base = dataOffset + (height - 1 - y) * rowSize
-        val i = y * t / height
-        var x = 0
-        while (x < width) {
-          val j = x * t / width
-          var c = 0
-          while (c < 3) { sum(i)(j)(c) += (bmp(base + 3 * x + c) & 0xff); c += 1 }
-          cnt(i)(j) += 1
-          x += 1
-        }
-        y += 1
-      }
-      for { i <- 0 until t; j <- 0 until t } yield ThumbCell(
-        id, width, height, i, j, cnt(i)(j),
-        sum(i)(j)(0).toDouble / cnt(i)(j),
-        sum(i)(j)(1).toDouble / cnt(i)(j),
-        sum(i)(j)(2).toDouble / cnt(i)(j))
+  def bmpThumb(id: Long, bmp: Array[Byte], t: Int): Seq[ThumbCell] =
+    boxSums(id, bmp, t) match {
+      case None => Seq.empty
+      case Some((width, height, sum, cnt)) =>
+        for { i <- 0 until t; j <- 0 until t } yield ThumbCell(
+          id, width, height, i, j, cnt(i)(j),
+          sum(i)(j)(0).toDouble / cnt(i)(j),
+          sum(i)(j)(1).toDouble / cnt(i)(j),
+          sum(i)(j)(2).toDouble / cnt(i)(j))
     }
-  }
 
   /** t×t thumbnails for BMP payloads; sub-t×t images drop (see
     * [[bmpThumb]]). One mapPartitions pass, t² rows per image.

@@ -389,7 +389,11 @@ object LlmMultimodal {
   // (build→parse is identity on pixel content, qm08's argument).
   private val dctLit: String = MediaOps.DctT
     .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-  private val phashCtes: String =
+  // Shared m/g0/g1/d/b CTE prefix: the public BMP grid rule + the
+  // zero-padded pixel-byte LIST (1-based, like every DuckDB list) from
+  // the raw document bytes. ONE source of truth for qm10/qm11/qm12 —
+  // `minDim` is the pooling target below which an image drops.
+  private def bmpGridCtes(minDim: Int): String =
     s"""m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
        |        CAST(octet_length(encode(text)) AS BIGINT) AS n
        |      FROM documents WHERE doc_id % 3 = 0),
@@ -397,12 +401,15 @@ object LlmMultimodal {
        |g1 AS (SELECT media_id, hx, n, npix,
        |         GREATEST(1, CAST(FLOOR(SQRT(CAST(npix AS DOUBLE))) AS BIGINT)) AS w FROM g0),
        |d AS (SELECT media_id, hx, n, w, (npix + w - 1)//w AS h FROM g1
-       |      WHERE w >= 8 AND (npix + w - 1)//w >= 8),
+       |      WHERE w >= $minDim AND (npix + w - 1)//w >= $minDim),
        |b AS (SELECT media_id, w, h,
        |        list_transform(range(1, w*h*3+1),
        |          i -> CASE WHEN i <= n THEN CAST(('0x' || substr(hx, CAST(2*i-1 AS INT), 2)) AS BIGINT)
        |                    ELSE 0 END) AS bytes
-       |      FROM d),
+       |      FROM d)""".stripMargin
+
+  private val phashCtes: String =
+    s"""${bmpGridCtes(8)},
        |cv AS (SELECT media_id, w, h,
        |         list_transform(range(0, 64), q ->
        |           (list_sum(list_transform(
@@ -494,20 +501,7 @@ object LlmMultimodal {
 
   val qm12 = Q(
     "qm12_image_resize",
-    s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-       |             CAST(octet_length(encode(text)) AS BIGINT) AS n
-       |           FROM documents WHERE doc_id % 3 = 0),
-       |g0 AS (SELECT media_id, hx, n, GREATEST(1, (n+2)//3) AS npix FROM m),
-       |g1 AS (SELECT media_id, hx, n, npix,
-       |         GREATEST(1, CAST(FLOOR(SQRT(CAST(npix AS DOUBLE))) AS BIGINT)) AS w FROM g0),
-       |d AS (SELECT media_id, hx, n, w, (npix + w - 1)//w AS h FROM g1
-       |      WHERE w >= $ThumbT AND (npix + w - 1)//w >= $ThumbT),
-       |b AS (SELECT media_id, w, h,
-       |        list_transform(range(0, w*h*3),
-       |          i -> CASE WHEN i < n
-       |               THEN CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS BIGINT)
-       |               ELSE 0 END) AS bytes
-       |      FROM d),
+    s"""WITH ${bmpGridCtes(ThumbT)},
        |c AS (SELECT media_id, w, h, ry.cy AS cy, rx.cx AS cx,
        |        len(list_filter(range(0, w*h),
        |          k -> ((k // w) * $ThumbT) // h = ry.cy
