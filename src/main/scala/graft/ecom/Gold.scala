@@ -86,10 +86,14 @@ object Gold {
   }
 
   // reference funnel percentage (`:137-152`): 0.0 on zero denominator,
-  // ROUND inside, LEAST cap outside — exactly that evaluation order
+  // ROUND inside, LEAST cap outside — exactly that evaluation order.
+  // Arithmetic order matters: the reference computes (num/den)*100
+  // (division FIRST), not num*100/den — the two IEEE sequences can
+  // differ in the last ulp, which flips the 2-dp ROUND exactly at
+  // .005 boundaries, so we mirror division-first (oracle twins too).
   private def funnelPct(num: Column, den: Column): Column =
     least(lit(100.0),
-      when(den > 0, round(num.cast(DoubleType) * lit(100.0) / den, 2)).otherwise(lit(0.0)))
+      when(den > 0, round(num.cast(DoubleType) / den * lit(100.0), 2)).otherwise(lit(0.0)))
 
   /** product_funnel (`03_gold_aggregate.py:120-155`): derived FROM the
     * product_metrics gold model — purchase_count is order-side units,

@@ -168,7 +168,7 @@ object Medallion {
       |pfx AS (
       |  SELECT view_count, cart_count, purchase_count,
       |    LEAST(CAST(100.0 AS DOUBLE), CASE WHEN view_count > 0
-      |      THEN ROUND(CAST(purchase_count AS DOUBLE) * CAST(100.0 AS DOUBLE) / view_count, 2)
+      |      THEN ROUND((CAST(purchase_count AS DOUBLE) / view_count) * CAST(100.0 AS DOUBLE), 2)
       |      ELSE 0.0 END) AS overall_conversion_pct
       |  FROM pm),
       |sev AS (

@@ -608,13 +608,13 @@ object Parity {
        |SELECT event_date, product_id, product_name, category,
        |  view_count, cart_count, purchase_count,
        |  LEAST(CAST(100.0 AS DOUBLE), CASE WHEN view_count > 0
-       |    THEN ROUND(CAST(cart_count AS DOUBLE) * CAST(100.0 AS DOUBLE) / view_count, 2)
+       |    THEN ROUND((CAST(cart_count AS DOUBLE) / view_count) * CAST(100.0 AS DOUBLE), 2)
        |    ELSE 0.0 END) AS view_to_cart_pct,
        |  LEAST(CAST(100.0 AS DOUBLE), CASE WHEN cart_count > 0
-       |    THEN ROUND(CAST(purchase_count AS DOUBLE) * CAST(100.0 AS DOUBLE) / cart_count, 2)
+       |    THEN ROUND((CAST(purchase_count AS DOUBLE) / cart_count) * CAST(100.0 AS DOUBLE), 2)
        |    ELSE 0.0 END) AS cart_to_purchase_pct,
        |  LEAST(CAST(100.0 AS DOUBLE), CASE WHEN view_count > 0
-       |    THEN ROUND(CAST(purchase_count AS DOUBLE) * CAST(100.0 AS DOUBLE) / view_count, 2)
+       |    THEN ROUND((CAST(purchase_count AS DOUBLE) / view_count) * CAST(100.0 AS DOUBLE), 2)
        |    ELSE 0.0 END) AS overall_conversion_pct
        |FROM pm
        |ORDER BY event_date, product_id""".stripMargin) { (s, dir) =>
