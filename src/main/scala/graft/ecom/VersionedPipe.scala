@@ -70,15 +70,28 @@ object VersionedPipe {
     * set, in which case the default-slot value is taken as the last
     * processed source version and the step's own commit writes the
     * properly-namespaced marker (migration and progress land in one
-    * atomic rename). Only set the flag when the default marker really
-    * was written by this pipe — a pre-namespacing streaming sink shares
-    * that slot and its batch ids mean something else.
+    * atomic rename). NEVER set the flag for a destination whose
+    * default-slot marker was written by a streaming SINK (not this
+    * pipe): sink batch ids are unrelated to source versions, so
+    * adopting one would silently skip an arbitrary source prefix. For
+    * that case — a destination legitimately co-written by a DefaultApp
+    * sink that this pipe has never stepped — pass `bootstrapFromZero`
+    * instead: it ignores the default-slot marker and bootstraps the
+    * pipe from the full current source snapshot (from = v0), which is
+    * correct for a fresh pipe regardless of what else writes to `dst`.
+    * The two flags are mutually exclusive.
     */
   def step(src: VersionedTable, dst: VersionedTable,
       transform: DataFrame => DataFrame = identity,
-      adoptLegacyMarker: Boolean = false): Option[Long] = {
+      adoptLegacyMarker: Boolean = false,
+      bootstrapFromZero: Boolean = false): Option[Long] = {
+    require(!(adoptLegacyMarker && bootstrapFromZero),
+      "adoptLegacyMarker and bootstrapFromZero are mutually exclusive: " +
+        "adopt when the default-slot marker IS this pipe's old progress; " +
+        "bootstrap when it belongs to another writer (e.g. a streaming sink)")
     val from = dst.currentBatchId(App).orElse {
-      dst.currentBatchId(VersionedTable.DefaultApp).map { legacy =>
+      if (bootstrapFromZero) None
+      else dst.currentBatchId(VersionedTable.DefaultApp).map { legacy =>
         if (!adoptLegacyMarker)
           throw new IllegalStateException(
             s"destination has no '$App' progress marker but carries a " +
@@ -86,7 +99,10 @@ object VersionedPipe {
               "per-app namespaces. Bootstrapping now would re-append the " +
               "entire source as duplicates. If the default marker was " +
               "written by this pipe, re-run with adoptLegacyMarker = true " +
-              "to migrate it; otherwise rebuild the destination.")
+              "to migrate it; if it belongs to another writer (e.g. a " +
+              "streaming sink) and this pipe has genuinely never stepped, " +
+              "re-run with bootstrapFromZero = true; otherwise rebuild " +
+              "the destination.")
         legacy
       }
     }.getOrElse(0L)

@@ -1303,9 +1303,30 @@ final case class VersionedTable(
     // would orphan every later delta manifest whose chain crosses it —
     // the retained horizon must stay contiguous for the checkpoint in
     // vacuumVersions to terminate every retained chain.
-    val old = vs.init.takeWhile(v =>
+    // a concurrent vacuum can delete a manifest between our versions()
+    // listing and the per-version stat — re-list once against the new
+    // log state; a second vanish in a row still means "racing vacuum",
+    // so classify it instead of surfacing a raw FileNotFoundException
+    def old(run: Seq[Long]): Seq[Long] = run.init.takeWhile(v =>
       fs.getFileStatus(manifestPath(v)).getModificationTime < cutoffMs)
-    vacuumVersions(old, vs.drop(old.size), unreferencedGraceMs)
+    try {
+      val o = old(vs)
+      vacuumVersions(o, vs.drop(o.size), unreferencedGraceMs)
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        val vs2 = versions()
+        if (vs2.isEmpty) return
+        try {
+          val o = old(vs2)
+          vacuumVersions(o, vs2.drop(o.size), unreferencedGraceMs)
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            throw new java.util.ConcurrentModificationException(
+              s"vacuumOlderThan: manifests of $tableDir keep vanishing " +
+                "under the listing — a concurrent vacuum is reclaiming " +
+                "this log; retry the operation")
+        }
+    }
   }
 
   /** An unreferenced dir younger than `graceMs` is NOT reclaimed: an
@@ -1333,10 +1354,31 @@ final case class VersionedTable(
     // the dropped prefix's manifests can go.
     if (dropped.nonEmpty && kept.nonEmpty) {
       val k0 = kept.min
-      if (!fs.exists(ckptPath(k0)) && !manifestIsFull(k0))
-        writeCheckpoint(k0, keptManifests.find(_._1 == k0).get._2)
+      val needsCkpt =
+        try !fs.exists(ckptPath(k0)) && !manifestIsFull(k0)
+        catch {
+          // manifestIsFull's open can hit a manifest a RACING vacuum
+          // (different retention) just deleted — classify instead of
+          // surfacing the raw stream error; nothing was deleted yet
+          case _: java.io.FileNotFoundException =>
+            throw new java.util.ConcurrentModificationException(
+              s"vacuum: manifest v$k0 of $tableDir vanished mid-probe — " +
+                "a concurrent vacuum is reclaiming this log; retry the operation")
+        }
+      if (needsCkpt) writeCheckpoint(k0, keptManifests.find(_._1 == k0).get._2)
     }
-    dropped.foreach { v =>
+    // a concurrent vacuum may delete the same file between our delete
+    // (returns false) and the recheck — converge instead of failing
+    def deleteTolerant(p: Path, what: String): Unit =
+      if (!fs.delete(p, false) && fs.exists(p))
+        throw new IllegalStateException(s"vacuum: could not delete $what")
+    // DESCENDING version order: a crash partway then leaves every
+    // still-listed version's delta chain intact (a dropped delta's base
+    // is always BELOW it, and nothing below is deleted before it), so
+    // history()/readManifest over the survivors keep working until the
+    // next vacuum finishes the job. Ascending deletion would leave
+    // later dropped deltas base-less while versions() still lists them.
+    dropped.sorted(Ordering[Long].reverse).foreach { v =>
       // ckpt FIRST: a crash between the two deletes must leave the
       // version either fully present or manifest-only — never a
       // manifest-less orphan ckpt, which readManifest would prefer and
@@ -1344,9 +1386,8 @@ final case class VersionedTable(
       // files underneath it (and versions() would never list it again
       // for cleanup)
       val ck = ckptPath(v)
-      if (fs.exists(ck))
-        require(fs.delete(ck, false), s"vacuum: could not delete checkpoint for v$v")
-      require(fs.delete(manifestPath(v), false), s"vacuum: could not delete manifest v$v")
+      if (fs.exists(ck)) deleteTolerant(ck, s"checkpoint for v$v")
+      deleteTolerant(manifestPath(v), s"manifest v$v")
     }
     val youngestKeptMs = System.currentTimeMillis() - graceMs
     val dataPath = new Path(s"$tableDir/data")

@@ -120,6 +120,31 @@ class VersionedPipeSpec extends SparkSuite {
     assert(dst.read().count() == 45)
   }
 
+  test("bootstrapFromZero starts a fresh pipe on a sink-co-written destination") {
+    val src = fresh("graft-pipe-src7")
+    val dst = fresh("graft-pipe-dst7")
+    src.commitOverwrite(spark.range(0, 20).toDF("id"))
+    // a streaming SINK wrote dst under the DEFAULT app: its batch id (7)
+    // is a micro-batch counter, unrelated to source versions — adopting
+    // it would silently skip the whole source prefix
+    assert(dst.commitAppendBatch(spark.range(100, 105).toDF("id"), batchId = 7L).isDefined)
+    intercept[IllegalStateException] { VersionedPipe.step(src, dst) }
+    // the flag pair is mutually exclusive by construction
+    intercept[IllegalArgumentException] {
+      VersionedPipe.step(src, dst, adoptLegacyMarker = true, bootstrapFromZero = true)
+    }
+    // bootstrapFromZero: the FULL source snapshot flows, sink rows stay
+    assert(VersionedPipe.step(src, dst, bootstrapFromZero = true).isDefined)
+    assert(dst.read().count() == 25)
+    assert(dst.currentBatchId(VersionedPipe.App).contains(1L))
+    // the sink's own marker namespace is untouched
+    assert(dst.currentBatchId(VersionedTable.DefaultApp).contains(7L))
+    // later steps are ordinary increments, no flag
+    src.commitAppend(spark.range(20, 30).toDF("id"))
+    assert(VersionedPipe.step(src, dst).isDefined)
+    assert(dst.read().count() == 35)
+  }
+
   test("readAsOf returns the newest version at or before the timestamp") {
     val vt = fresh("graft-asof")
     vt.commitOverwrite(spark.range(0, 10).toDF("id"))
