@@ -14,6 +14,7 @@ object Bench {
       // this main must measure the same plans Verify checks even when
       // launched outside sbt's forked -Dspark.sql.session.timeZone=UTC.
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,6 +27,7 @@ object Repro {
       // Explicit UTC so the NTZ->TIMESTAMP relabel in Tables.load stays
       // value-identical when launched outside sbt's forked JVM options.
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -17,6 +17,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config(graft.util.Tables.nanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -963,15 +963,18 @@ final case class VersionedTable(
     * (never load-bearing for correctness; use [[readAt]] to pin an
     * exact version).
     */
-  def readAsOf(tsMillis: Long): DataFrame = {
-    // filter, not takeWhile: manifest mtimes are not guaranteed
-    // monotonic (clock steps), and one out-of-order mtime must not hide
-    // every later qualifying version
-    val at = history().filter(_.modifiedMs <= tsMillis).lastOption.getOrElse(
+  def readAsOf(tsMillis: Long): DataFrame = readAt(versionAsOf(tsMillis))
+
+  /** Resolve `TIMESTAMP AS OF` to a version number: the newest version
+    * whose manifest landed at or before `tsMillis`. Filter, not
+    * takeWhile: manifest mtimes are not guaranteed monotonic (clock
+    * steps), and one out-of-order mtime must not hide every later
+    * qualifying version.
+    */
+  def versionAsOf(tsMillis: Long): Long =
+    history().filter(_.modifiedMs <= tsMillis).lastOption.getOrElse(
       throw new IllegalArgumentException(
-        s"$tableDir has no version committed at or before $tsMillis"))
-    readAt(at.version)
-  }
+        s"$tableDir has no version committed at or before $tsMillis")).version
 
   /** Current version + manifest for a copy-on-write op. */
   private def baseSnapshot(): (Long, Manifest) = {
@@ -1112,6 +1115,25 @@ final case class VersionedTable(
     */
   def read(): DataFrame = readAt(currentVersion().getOrElse(
     throw new IllegalArgumentException(s"$tableDir has no committed version")))
+
+  /** Read-only descriptor of one snapshot for the SQL/catalog layer
+    * (`graft.sql`): the file list plus exactly the per-file metadata a
+    * planner needs for manifest-level data skipping. `plainScan` marks
+    * snapshots a SINGLE uniform parquet scan reproduces exactly — no
+    * deletion vectors to anti-join, no column mapping to re-alias, no
+    * partition directories to recover (additive schema evolution is
+    * fine: the parquet reader null-fills columns a file predates). The
+    * catalog's relation rule takes the stats-skipping fast path for
+    * those and falls back to the composed [[readAt]] plan otherwise.
+    */
+  def snapshotMeta(version: Long): VersionedTable.SnapshotMeta = {
+    val m = readManifest(version)
+    VersionedTable.SnapshotMeta(
+      version, m.schema, m.files,
+      plainScan = m.dv.isEmpty && m.colmap.isEmpty &&
+        m.files.forall(_.split('/').length == 3),
+      m.stats, m.blooms)
+  }
 
   /** Time-travel read: the table exactly as of `version`. Byte-identical
     * to what [[read]] returned then — data files are immutable and only
@@ -1937,6 +1959,19 @@ object VersionedTable {
     * a writer between its data write and its manifest publish.
     */
   val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
+
+  /** One snapshot's read-relevant metadata, exposed to `graft.sql`'s
+    * catalog integration (see [[VersionedTable.snapshotMeta]]). Files
+    * are tableDir-relative; stats are per-file per-column [min, max];
+    * blooms are per-file per-column (probe count, filter bits).
+    */
+  final case class SnapshotMeta(
+      version: Long,
+      schema: StructType,
+      files: Seq[String],
+      plainScan: Boolean,
+      stats: Map[String, Map[String, (Long, Long)]],
+      blooms: Map[String, Map[String, (Int, Array[Long])]])
 
   /** One [[VersionedTable.history]] row — the DESCRIBE HISTORY shape. */
   final case class VersionInfo(

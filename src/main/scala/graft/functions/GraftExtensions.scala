@@ -85,5 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.rangeJoin.binSec — inert by default; see
     // graft.plans.RangeJoinRewrite).
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // Catalog tier: convert DSv2 relations over graft.sql.GraftCatalog
+    // tables into the library's V1 snapshot plans (Delta's
+    // DeltaAnalysis shape — names resolve via the catalog, reads run
+    // through VersionedTable; see graft.sql.GraftRelationRule).
+    ext.injectResolutionRule(session => graft.sql.GraftRelationRule(session))
   }
 }

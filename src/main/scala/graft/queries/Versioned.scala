@@ -346,5 +346,76 @@ object Versioned {
       .orderBy("flag")
   }
 
-  val all: Seq[Q] = Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09)
+  // catalog instances are cached per session WITH their warehouse, so
+  // each invocation (verify run, bench rep) registers a fresh name
+  private val q10Counter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** The SQL face of the format (graft.sql.GraftCatalog — the
+    * reference's `ecom_catalog.gold.*` addressing on Databricks,
+    * `03_gold_aggregate.py:28-30`): a versioned table is built with the
+    * library API, then read back PURELY via SQL against the registered
+    * catalog — current snapshot by name, a stats-skipping WHERE, and
+    * `VERSION AS OF 1` time travel — with zero Graft API in the query.
+    * The DuckDB twin re-derives each snapshot relationally from the raw
+    * table, so a hash match proves name resolution, the relation rule's
+    * plan conversion, manifest file skipping, and SQL time travel all
+    * return exactly the rows the format committed.
+    */
+  val qv10 = Q(
+    "qv10_sql_catalog_time_travel",
+    """WITH agg AS (
+      |  SELECT 'head' AS snap,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'rng',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(o_custkey) AS BIGINT),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+      |  UNION ALL
+      |  SELECT 'v1',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(o_custkey) AS BIGINT),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT snap, n_rows, sum_cust, total_price FROM agg
+      |ORDER BY snap""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv10-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g10c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val orders = load(s, dir, "orders")
+    val vt = VersionedTable(s, s"$wh/db/orders_v",
+      statsColumns = Seq("o_orderkey"))
+    // v1 = even order keys; v2 appends the odd ones (head = everything)
+    vt.commitOverwrite(orders.filter(col("o_orderkey") % 2 === 0).repartition(4))
+    vt.commitAppend(orders.filter(col("o_orderkey") % 2 === 1).repartition(4))
+    s.sql(
+      s"""SELECT snap, n_rows, sum_cust, total_price FROM (
+         |  SELECT 'head' AS snap,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |  FROM $cat.db.orders_v
+         |  UNION ALL
+         |  SELECT 'rng',
+         |    CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(o_custkey) AS BIGINT),
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |  FROM $cat.db.orders_v WHERE o_orderkey BETWEEN 1000 AND 5000
+         |  UNION ALL
+         |  SELECT 'v1',
+         |    CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(o_custkey) AS BIGINT),
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |  FROM $cat.db.orders_v VERSION AS OF 1)
+         |ORDER BY snap""".stripMargin)
+  }
+
+  val all: Seq[Q] =
+    Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10)
 }

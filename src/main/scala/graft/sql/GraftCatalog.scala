@@ -1,0 +1,193 @@
+package graft.sql
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ecom.VersionedTable
+
+/** A path-based [[TableCatalog]] over the versioned (ACID) table format
+  * — the piece that makes every table the library writes addressable
+  * from plain SQL by NAME, the way the reference's Databricks tables
+  * are (`ecom_catalog.gold.*` in `analysis/dashboard_queries`,
+  * `03_gold_aggregate.py:28-30`):
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sql.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  * SELECT * FROM graft.gold.product_metrics
+  * SELECT * FROM graft.gold.product_metrics VERSION AS OF 3
+  * SELECT * FROM graft.gold.product_metrics TIMESTAMP AS OF '2024-03-01'
+  * INSERT INTO graft.gold.product_metrics SELECT ...
+  * CREATE TABLE graft.gold.t (id BIGINT, v STRING)
+  * }}}
+  *
+  * Layout mirrors a Hive-style warehouse: namespace `gold` is directory
+  * `warehouse/gold`, table `t` is `warehouse/gold/t` — any directory
+  * carrying a `_graft_log` is a table, so tables written through the
+  * library API (Lakehouse/VersionedTable) are visible with NO separate
+  * registration step, and catalog-created tables are ordinary versioned
+  * tables the library can open. The catalog holds no state of its own:
+  * the manifest log IS the metadata (the path Delta takes), so a
+  * 1000-executor cluster needs no metastore round-trips beyond the
+  * manifest reads the format already does.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(new Path(warehouse))((p, s) => new Path(p, s))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+  private def isTable(p: Path): Boolean =
+    fs.exists(new Path(p, "_graft_log"))
+
+  private def open(ident: Identifier): VersionedTable =
+    VersionedTable(spark, tablePath(ident).toString)
+  private def qualified(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  // ---- tables ---------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(isTable).map(d => Identifier.of(namespace, d.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftSqlTable(qualified(ident), open(ident), pinnedVersion = None)
+  }
+
+  /** `VERSION AS OF n` — Spark routes the SQL clause here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"${qualified(ident)}: VERSION AS OF takes a numeric version, got '$version'")
+    }
+    val vt = open(ident)
+    require(vt.versions().contains(v),
+      s"version $v of ${qualified(ident)} does not exist (never committed, or vacuumed)")
+    GraftSqlTable(qualified(ident), vt, pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val vt = open(ident)
+    GraftSqlTable(qualified(ident), vt,
+      pinnedVersion = Some(vt.versionAsOf(timestamp / 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"${qualified(ident)}: PARTITIONED BY is not supported through the SQL " +
+        "catalog — write partitioned versioned tables with " +
+        "graft.ecom.Lakehouse's partitioned sink")
+    if (!fs.exists(nsPath(ident.namespace)))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val vt = open(ident)
+    // v1 is an empty commit carrying the schema — the same "schema
+    // round-trips through an empty table" contract the library pins
+    vt.commitOverwrite(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    GraftSqlTable(qualified(ident), vt, pinnedVersion = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"ALTER TABLE is not supported on ${qualified(ident)} — the schema " +
+        "evolves additively on append (VersionedTable's schema contract)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    isTable(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    if (!fs.exists(nsPath(to.namespace)))
+      throw new NoSuchNamespaceException(to.namespace)
+    if (!fs.rename(tablePath(from), tablePath(to)))
+      throw new IllegalStateException(
+        s"could not rename ${qualified(from)} to ${qualified(to)}")
+  }
+
+  // ---- namespaces -----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable).map(d => Array(d.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      fs.listStatus(nsPath(namespace)).filter(_.isDirectory).map(_.getPath)
+        .filterNot(isTable).map(d => namespace :+ d.getName)
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    fs.exists(p) && !isTable(p)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && fs.listStatus(nsPath(namespace)).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(nsPath(namespace), true)
+  }
+}

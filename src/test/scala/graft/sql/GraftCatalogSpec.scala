@@ -1,0 +1,161 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+import graft.ecom.VersionedTable
+
+/** The SQL face of the versioned format: a GraftCatalog-registered
+  * warehouse makes every versioned table addressable by NAME from plain
+  * SQL — SELECT, time travel (`VERSION AS OF` / `TIMESTAMP AS OF` /
+  * read options), INSERT INTO/OVERWRITE through the same CAS commits,
+  * DDL — and WHERE clauses trigger manifest stats/bloom file skipping
+  * with no Graft-specific API in the query.
+  */
+class GraftCatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  // eager: every test needs the catalog registered before its first SQL
+  private val warehouse: String = {
+    val dir = Files.createTempDirectory("graft-warehouse").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", dir)
+    new java.io.File(s"$dir/bronze").mkdirs()
+    dir
+  }
+
+  private def scanFiles(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.map(_.metrics("numFiles").value).sum
+  }
+
+  test("library-written tables are queryable by name with no registration step") {
+    val vt = VersionedTable(spark, s"$warehouse/bronze/items")
+    vt.commitOverwrite((1L to 40L).toDF("id"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.bronze.items")
+      .as[Long].head() == 40L)
+    assert(spark.sql("SELECT sum(id) AS s FROM graft.bronze.items WHERE id <= 10")
+      .as[Long].head() == 55L)
+    // SHOW TABLES sees it too
+    val shown = spark.sql("SHOW TABLES IN graft.bronze")
+      .select("tableName").as[String].collect().toSet
+    assert(shown.contains("items"))
+  }
+
+  test("CREATE TABLE / INSERT INTO / INSERT OVERWRITE are atomic versioned commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sqlddl")
+    spark.sql("CREATE TABLE graft.sqlddl.t (id BIGINT, v STRING)")
+    val vt = VersionedTable(spark, s"$warehouse/sqlddl/t")
+    assert(vt.currentVersion().contains(1L), "CREATE commits an empty v1")
+    assert(spark.table("graft.sqlddl.t").schema.fieldNames.toSeq == Seq("id", "v"))
+
+    spark.sql("INSERT INTO graft.sqlddl.t VALUES (1, 'a'), (2, 'b')")
+    assert(vt.currentVersion().contains(2L))
+    spark.sql("INSERT INTO graft.sqlddl.t VALUES (3, 'c')")
+    assert(spark.sql("SELECT id FROM graft.sqlddl.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+
+    spark.sql("INSERT OVERWRITE graft.sqlddl.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT id, v FROM graft.sqlddl.t")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    // history is intact: the pre-overwrite state is still below
+    assert(vt.readAt(3L).count() == 3)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF / read options time-travel") {
+    val vt = VersionedTable(spark, s"$warehouse/bronze/tt")
+    vt.commitOverwrite((1L to 5L).toDF("id"))
+    val t1 = vt.history().last.modifiedMs
+    Thread.sleep(50)
+    vt.commitAppend((6L to 9L).toDF("id"))
+
+    assert(spark.sql("SELECT count(*) AS n FROM graft.bronze.tt").as[Long].head() == 9L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.bronze.tt VERSION AS OF 1")
+      .as[Long].head() == 5L)
+    val ts = new java.sql.Timestamp(t1).toString
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.bronze.tt TIMESTAMP AS OF '$ts'")
+      .as[Long].head() == 5L)
+    // DataFrame read options — the Delta-style entry
+    assert(spark.read.option("versionAsOf", "1").table("graft.bronze.tt").count() == 5L)
+    assert(spark.read.option("timestampAsOf", ts).table("graft.bronze.tt").count() == 5L)
+    // a nonexistent version is refused with the library's message
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.bronze.tt VERSION AS OF 99").collect()
+    }
+    assert(ex.getMessage.contains("99"))
+  }
+
+  test("WHERE clauses skip files via manifest min/max stats from plain SQL") {
+    val vt = VersionedTable(spark, s"$warehouse/bronze/skipstats",
+      statsColumns = Seq("id"))
+    // three commits = three files with disjoint id ranges
+    vt.commitOverwrite((1L to 100L).toDF("id").repartition(1))
+    vt.commitAppend((101L to 200L).toDF("id").repartition(1))
+    vt.commitAppend((201L to 300L).toDF("id").repartition(1))
+
+    val all = spark.sql("SELECT * FROM graft.bronze.skipstats")
+    assert(scanFiles(all) == 3)
+    val pruned = spark.sql("SELECT * FROM graft.bronze.skipstats WHERE id >= 250")
+    assert(pruned.as[Long].collect().sorted.toSeq == (250L to 300L))
+    assert(scanFiles(pruned) == 1, "min/max stats must prune 2 of 3 files")
+    val mid = spark.sql(
+      "SELECT * FROM graft.bronze.skipstats WHERE id BETWEEN 150 AND 160")
+    assert(mid.count() == 11)
+    assert(scanFiles(mid) == 1)
+  }
+
+  test("equality WHERE clauses skip files via manifest blooms from plain SQL") {
+    val vt = VersionedTable(spark, s"$warehouse/bronze/skipbloom",
+      bloomColumns = Seq("k"))
+    vt.commitOverwrite(Seq.tabulate(50)(i => s"a$i").toDF("k").repartition(1))
+    vt.commitAppend(Seq.tabulate(50)(i => s"b$i").toDF("k").repartition(1))
+    vt.commitAppend(Seq.tabulate(50)(i => s"c$i").toDF("k").repartition(1))
+
+    val hit = spark.sql("SELECT * FROM graft.bronze.skipbloom WHERE k = 'b17'")
+    assert(hit.as[String].collect().toSeq == Seq("b17"))
+    assert(scanFiles(hit) <= 2, "bloom must prune non-candidate files")
+    val miss = spark.sql("SELECT * FROM graft.bronze.skipbloom WHERE k = 'nope'")
+    assert(miss.count() == 0)
+    assert(scanFiles(miss) <= 1, "absent key: blooms prune ~all files")
+  }
+
+  test("DV (merge-on-read) snapshots read correctly by name via the fallback plan") {
+    val vt = VersionedTable(spark, s"$warehouse/bronze/mor")
+    vt.commitOverwrite((1L to 30L).toDF("id"))
+    vt.deleteMoR(col("id") % 3L === 0L)
+    val viaSql = spark.sql("SELECT id FROM graft.bronze.mor ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(viaSql == (1L to 30L).filterNot(_ % 3 == 0))
+    // time travel below the delete still sees every row
+    assert(spark.sql("SELECT count(*) AS n FROM graft.bronze.mor VERSION AS OF 1")
+      .as[Long].head() == 30L)
+  }
+
+  test("format(\"graft\") reads a table by path, with version options") {
+    val dir = Files.createTempDirectory("graft-ds-path").toString
+    val vt = VersionedTable(spark, dir)
+    vt.commitOverwrite((1L to 7L).toDF("id"))
+    vt.commitAppend((8L to 11L).toDF("id"))
+    assert(spark.read.format("graft").load(dir).count() == 11)
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(dir).count() == 7)
+  }
+
+  test("DROP TABLE removes the table; rename moves it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tmp")
+    spark.sql("CREATE TABLE graft.tmp.victim (id BIGINT)")
+    spark.sql("INSERT INTO graft.tmp.victim VALUES (1)")
+    assert(spark.sql("SHOW TABLES IN graft.tmp").count() == 1)
+    // the RENAME TO target is catalog-relative (Spark does not strip a
+    // leading catalog name from it)
+    spark.sql("ALTER TABLE graft.tmp.victim RENAME TO tmp.renamed")
+    assert(spark.table("graft.tmp.renamed").count() == 1)
+    spark.sql("DROP TABLE graft.tmp.renamed")
+    assert(spark.sql("SHOW TABLES IN graft.tmp").count() == 0)
+  }
+}
