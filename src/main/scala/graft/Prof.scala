@@ -25,6 +25,7 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config(graft.util.Tables.nanosAsLongKey, "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

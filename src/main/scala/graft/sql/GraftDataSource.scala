@@ -2,10 +2,11 @@ package graft.sql
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -23,7 +24,8 @@ import graft.ecom.VersionedTable
   * spark.read.format("graft").option("timestampAsOf", "2024-03-01 00:00:00").load("/data/t")
   * }}}
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -44,4 +46,28 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     open(new CaseInsensitiveStringMap(properties))
+
+  // ---- streaming source: spark.readStream.format("graft").load(dir) ---
+
+  private def streamVt(parameters: Map[String, String]): VersionedTable = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "readStream.format(\"graft\") requires a path"))
+    VersionedTable(SparkSession.active, path)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "the graft streaming source derives its schema from the table's " +
+        "manifest — do not pass a user schema")
+    val vt = streamVt(parameters)
+    (shortName(), new graft.streaming.GraftStreamSource(vt.spark, vt).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val vt = streamVt(parameters)
+    new graft.streaming.GraftStreamSource(vt.spark, vt)
+  }
 }

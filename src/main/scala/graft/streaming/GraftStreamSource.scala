@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+import graft.ecom.VersionedTable
+
+/** Structured Streaming SOURCE over a versioned table's manifest log —
+  * the Delta streaming-source shape (DeltaSource is also a V1 `Source`):
+  * stream offsets ARE table versions, each micro-batch is
+  * `readChangesBetween(lastVersion, newVersion)` (file-level changes
+  * only — cost scales with the appended data, never the table), and the
+  * engine's offset checkpoint plus the versioned sink's txn markers
+  * give exactly-once end to end for a silver→gold hop that runs as a
+  * stream:
+  *
+  * {{{
+  * spark.readStream.format("graft").load(srcDir)
+  *   .transform(Silver.eventsProjected)
+  *   .writeStream.foreachBatch(EventStreams.versionedAppend(dst))...
+  * }}}
+  *
+  * Contract mirrors [[graft.ecom.VersionedPipe]]: the pending window
+  * must be append-only in effect — a rewriting op (delete/update/merge/
+  * optimize/restore that drops files) throws rather than re-delivering
+  * rewritten survivors as duplicate inserts. The schema is frozen at
+  * stream start (Delta's rule); restart the stream to pick up an
+  * additively evolved schema.
+  */
+final class GraftStreamSource(
+    spark: SparkSession,
+    vt: VersionedTable) extends Source {
+
+  override val schema: StructType = {
+    val v = vt.currentVersion().getOrElse(throw new IllegalArgumentException(
+      s"${vt.tableDir} has no committed version — commit v1 before streaming from it"))
+    vt.snapshotMeta(v).schema
+  }
+
+  private def ver(o: OffsetV1): Long = o.json.toLong
+
+  override def getOffset: Option[OffsetV1] =
+    vt.currentVersion().map(LongOffset.apply)
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(ver).getOrElse(0L) // bootstrap: the full snapshot
+    val to = ver(end)
+    val removed = vt.filesRemovedBetween(from, to)
+    require(removed.isEmpty,
+      s"stream window (v$from, v$to] of ${vt.tableDir} rewrites or removes " +
+        s"${removed.size} file(s) — an incremental batch would re-deliver " +
+        "rewritten rows; restart the stream from a fresh checkpoint (full " +
+        "re-read) instead")
+    // the engine requires isStreaming=true on the returned plan; the
+    // batch relation is re-tagged through the private[sql] bridge
+    org.apache.spark.sql.graft.shims.streamingDataFrame(
+      spark, vt.readChangesBetween(from, to))
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftStreamSource[${vt.tableDir}]"
+}

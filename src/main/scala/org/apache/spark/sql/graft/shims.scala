@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-tag a batch DataFrame's rows as a STREAMING frame — the shape a
+    * V1 streaming `Source.getBatch` must return (the engine asserts
+    * `isStreaming` on the plan; FileStreamSource and DeltaSource use
+    * the same `internalCreateDataFrame(_, _, isStreaming = true)`
+    * bridge, which is `private[sql]`).
+    */
+  def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
 }

@@ -28,6 +28,35 @@ class LakehouseIoSpec extends SparkSuite {
     assert(inferred.count() == 2)
   }
 
+  test("readCsvQuarantine captures malformed rows; splitQuarantine separates them") {
+    val dir = Files.createTempDirectory("graft-csv-bad")
+    val csv = dir.resolve("products.csv")
+    // row 3 carries two EXTRA fields, row 5 is a bare fragment — the
+    // token-count corruption classes a dirty 100 TB ingest actually has
+    Files.writeString(csv,
+      """product_id,category,name,price_usd,cost_usd,margin_usd
+        |7,Electronics,Widget,50,30,20
+        |8,Toys,Gadget,30,10,20,EXTRA,FIELDS
+        |9,Home,Lamp,25,5,20
+        |garbage-line""".stripMargin)
+    val bronze = Bronze.readCsvQuarantine(spark, "products", csv.toString).cache()
+    try {
+      assert(bronze.count() == 4, "every line lands in bronze — lossless")
+      assert(bronze.columns.contains(Bronze.CorruptCol))
+      val (clean, bad) = Bronze.splitQuarantine(bronze)
+      assert(clean.count() == 2)
+      assert(!clean.columns.contains(Bronze.CorruptCol))
+      assert(clean.select("product_id").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().sorted.toSeq == Seq("7", "9"))
+      // the quarantined rows carry their RAW lines for reprocessing
+      val rawLines = bad.select(Bronze.CorruptCol)
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect().sorted.toSeq
+      assert(rawLines == Seq("8,Toys,Gadget,30,10,20,EXTRA,FIELDS", "garbage-line"))
+      // quarantined rows are stamped like every other bronze row
+      assert(bad.columns.contains("_ingest_ts") && bad.columns.contains("_source_file"))
+    } finally bronze.unpersist()
+  }
+
   test("partitioned sink lays out date directories and prunes on read") {
     val dir = Files.createTempDirectory("graft-wh").toString
     val lh = Lakehouse(spark, dir)

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+import graft.ecom.VersionedTable
+
+/** The versioned change feed as a STREAMING source: offsets are table
+  * versions, each micro-batch is the file-level delta, and with the
+  * versioned sink on the other end the silver→gold hop runs as a
+  * stream with exactly-once semantics end to end — batch/stream parity
+  * over appends, replay no-op, rewrite refusal.
+  */
+class GraftStreamSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(name).toString
+
+  test("table-to-table stream: bootstrap, per-append batches, replay no-op — batch/stream parity") {
+    val dir = fresh("graft-stream-src")
+    val src = VersionedTable(spark, s"$dir/src")
+    val dst = VersionedTable(spark, s"$dir/dst")
+    val ckpt = s"$dir/ckpt"
+    src.commitOverwrite((1L to 50L).toDF("id"))
+
+    def run(): Unit = {
+      val q = Sinks.versionedAppend(
+        spark.readStream.format("graft").load(src.tableDir)
+          .filter(col("id") % 2L === 0L), // the stateless silver transform
+        dst, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    // bootstrap: the full v1 snapshot flows as one batch
+    run()
+    assert(dst.read().as[Long].collect().sorted.toSeq == (2L to 50L by 2))
+    val v1 = dst.versions().size
+
+    // two more source commits; a resumed stream delivers ONLY the delta
+    src.commitAppend((51L to 70L).toDF("id"))
+    src.commitAppend((71L to 80L).toDF("id"))
+    run()
+    assert(dst.read().as[Long].collect().sorted.toSeq == (2L to 80L by 2),
+      "stream result equals the batch transform of the whole table — parity")
+
+    // no new source commits: a replayed run commits NOTHING
+    val versionsBefore = dst.versions()
+    run()
+    assert(dst.versions() == versionsBefore, "replay must be a no-op")
+  }
+
+  test("a rewriting op in the pending window refuses rather than re-delivering") {
+    val dir = fresh("graft-stream-rw")
+    val src = VersionedTable(spark, s"$dir/src")
+    val dst = VersionedTable(spark, s"$dir/dst")
+    src.commitOverwrite((1L to 30L).toDF("id"))
+    val q1 = Sinks.versionedAppend(
+      spark.readStream.format("graft").load(src.tableDir), dst, s"$dir/ckpt")
+    q1.processAllAvailable(); q1.stop()
+    assert(dst.read().count() == 30)
+
+    src.commitAppend((31L to 40L).toDF("id"))
+    src.delete(col("id") < 5L) // copy-on-write rewrite in the pending window
+    val q2 = Sinks.versionedAppend(
+      spark.readStream.format("graft").load(src.tableDir), dst, s"$dir/ckpt")
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    assert(ex.getMessage.contains("rewrites or removes"),
+      s"must refuse the rewrite window: ${ex.getMessage}")
+    assert(dst.read().count() == 30, "nothing half-delivered")
+  }
+
+  test("schema comes from the manifest; user schemas are refused") {
+    val dir = fresh("graft-stream-schema")
+    val src = VersionedTable(spark, s"$dir/src")
+    src.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    val stream = spark.readStream.format("graft").load(src.tableDir)
+    assert(stream.schema.fieldNames.toSeq == Seq("id", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft")
+        .schema("id LONG").load(src.tableDir).schema
+    }
+    assert(ex.getMessage.contains("manifest"))
+  }
+}
