@@ -90,5 +90,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DeltaAnalysis shape — names resolve via the catalog, reads run
     // through VersionedTable; see graft.sql.GraftRelationRule).
     ext.injectResolutionRule(session => graft.sql.GraftRelationRule(session))
+    // DESCRIBE HISTORY as a table-valued function (Delta's
+    // `DESCRIBE HISTORY` surface): SELECT * FROM graft_history('/dir').
+    // The path must be a literal; the O(V) manifest walk runs on the
+    // driver at resolution — the same cost DESCRIBE HISTORY pays.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_history"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1 && args.head.foldable,
+          "graft_history(path) takes exactly one literal table path")
+        val path = args.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => String.valueOf(other)
+        }
+        val vt = graft.ecom.VersionedTable(
+          org.apache.spark.sql.SparkSession.active, path)
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        import org.apache.spark.sql.types._
+        val out = Seq(
+          AttributeReference("version", LongType, nullable = false)(),
+          AttributeReference("operation", StringType, nullable = false)(),
+          AttributeReference("batch_id", LongType, nullable = true)(),
+          AttributeReference("num_files", IntegerType, nullable = false)(),
+          AttributeReference("commit_ts", TimestampType, nullable = false)(),
+          AttributeReference("num_dv_files", IntegerType, nullable = false)())
+        LocalRelation.fromExternalRows(out, vt.history().map(v =>
+          org.apache.spark.sql.Row(v.version, v.op, v.batch.orNull,
+            v.numFiles, new java.sql.Timestamp(v.modifiedMs), v.numDvFiles)))
+      }))
   }
 }

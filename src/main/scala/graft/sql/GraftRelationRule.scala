@@ -25,16 +25,28 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 case class GraftRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // a relation that is the TARGET of a write command (INSERT INTO /
-    // INSERT OVERWRITE) must stay a DSv2 relation — Spark's V1-fallback
-    // write path needs the table there; only READ occurrences convert.
-    // Identity set: the same table read and written in one statement
-    // (INSERT INTO t SELECT ... FROM t) converts the read side only.
+    // a relation that is the TARGET of a write or row-level command
+    // (INSERT INTO / INSERT OVERWRITE / DELETE FROM / UPDATE / MERGE)
+    // must stay a DSv2 relation — Spark's V1-fallback write path and
+    // DataSourceV2Strategy's DeleteFromTable planning need the table
+    // there; only READ occurrences convert. Identity set: the same
+    // table read and written in one statement (INSERT INTO t SELECT
+    // ... FROM t) converts the read side only.
     val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def markTarget(t: LogicalPlan): Unit = t.foreach {
+      case r: DataSourceV2Relation => writeTargets.add(r)
+      case _ => ()
+    }
     plan.foreach {
       case c: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
-        writeTargets.add(c.table)
+        markTarget(c.table)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        markTarget(d.table)
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        markTarget(u.table)
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        markTarget(m.targetTable)
       case _ => ()
     }
     plan.resolveOperatorsUp {

@@ -4,14 +4,16 @@ import java.util.{Set => JSet}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TruncatableTable}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -42,7 +44,8 @@ import graft.ecom.VersionedTable
 final case class GraftSqlTable(
     qualifiedName: String,
     vt: VersionedTable,
-    pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+    pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete with TruncatableTable {
 
   /** The version a read of this handle resolves (head if not pinned). */
   def resolvedVersion: Long = pinnedVersion.getOrElse(
@@ -60,11 +63,26 @@ final case class GraftSqlTable(
   override def properties(): java.util.Map[String, String] =
     Map("location" -> vt.tableDir, "provider" -> "graft").asJava
 
+  /** Schema-only scan: SELECT paths never reach here (the relation
+    * rule replaces them during analysis), but DELETE FROM planning
+    * builds a scan it pattern-matches WITHOUT executing — so building
+    * must succeed, and only an actual batch read (extensions missing)
+    * raises the instructive error.
+    */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      s"reading $qualifiedName requires graft's session extensions — start the " +
-        "session with spark.sql.extensions=graft.functions.GraftExtensions " +
-        "(GraftRelationRule converts this table to its snapshot plan)")
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = schema()
+          override def description(): String = qualifiedName
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              s"reading $qualifiedName requires graft's session extensions — " +
+                "start the session with spark.sql.extensions=" +
+                "graft.functions.GraftExtensions (GraftRelationRule converts " +
+                "this table to its snapshot plan)")
+        }
+    }
 
   /** The snapshot's logical plan, V1-style. Plain snapshots get ONE
     * parquet relation over a [[GraftFileIndex]] (manifest stats/bloom
@@ -82,6 +100,64 @@ final case class GraftSqlTable(
           dataSchema = meta.schema, bucketSpec = None,
           fileFormat = new ParquetFileFormat, options = Map.empty)(spark))
     } else vt.readAt(version).queryExecution.analyzed
+  }
+
+  // ---- DELETE FROM / TRUNCATE TABLE -----------------------------------
+
+  /** Translate a V1 data-source filter back to a Column for the
+    * library's copy-on-write delete. None = shape we cannot express —
+    * `canDeleteWhere` then refuses and Spark reports the unsupported
+    * predicate instead of deleting the wrong rows.
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(not)
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+
+  private def refuseTimeTravelWrite(op: String): Unit =
+    pinnedVersion.foreach(v => throw new IllegalArgumentException(
+      s"cannot $op $qualifiedName VERSION AS OF $v — time travel is read-only"))
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => toColumn(f).isDefined)
+
+  /** `DELETE FROM t WHERE ...` — the library's copy-on-write delete:
+    * one atomic version, untouched files carried forward, history
+    * intact (the pre-delete snapshot stays one VERSION AS OF away).
+    */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    refuseTimeTravelWrite("DELETE FROM")
+    val pred = filters.foldLeft(lit(true))((acc, f) => acc && toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE FROM $qualifiedName: unsupported predicate $f")))
+    vt.delete(pred): Unit
+  }
+
+  /** `TRUNCATE TABLE t` — an empty overwrite commit: schema survives,
+    * history survives (truncation is as undoable as any other version).
+    */
+  override def truncateTable(): Boolean = {
+    refuseTimeTravelWrite("TRUNCATE")
+    val spark = vt.spark
+    vt.commitOverwrite(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema()))
+    true
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -146,6 +146,51 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.read.format("graft").option("versionAsOf", "1").load(dir).count() == 7)
   }
 
+  test("DELETE FROM and TRUNCATE TABLE are versioned copy-on-write commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
+    spark.sql("CREATE TABLE graft.dml.d (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.dml.d SELECT id, CAST(id AS STRING) FROM range(20)")
+    val vt = VersionedTable(spark, s"$warehouse/dml/d")
+
+    spark.sql("DELETE FROM graft.dml.d WHERE id >= 10 AND v IS NOT NULL")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dml.d")
+      .collect().head.getLong(0) == 10L)
+    // the pre-delete snapshot is still one VERSION AS OF away
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dml.d VERSION AS OF 2")
+      .collect().head.getLong(0) == 20L)
+
+    spark.sql("TRUNCATE TABLE graft.dml.d")
+    assert(spark.table("graft.dml.d").count() == 0)
+    assert(spark.table("graft.dml.d").schema.fieldNames.toSeq == Seq("id", "v"),
+      "truncate keeps the schema")
+    // truncation is a version like any other — undoable
+    assert(vt.readAt(vt.currentVersion().get - 1).count() == 10)
+  }
+
+  test("CTAS and df.writeTo(...).append() land as versioned commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    spark.sql(
+      "CREATE TABLE graft.ctas.t AS SELECT id, id * 2 AS dbl FROM range(10)")
+    assert(spark.table("graft.ctas.t").count() == 10)
+    assert(spark.table("graft.ctas.t").schema.fieldNames.toSeq == Seq("id", "dbl"))
+    spark.range(10, 15).selectExpr("id", "id * 2 AS dbl")
+      .writeTo("graft.ctas.t").append()
+    assert(spark.sql("SELECT sum(id) AS s FROM graft.ctas.t")
+      .collect().head.getLong(0) == (0L until 15L).sum)
+  }
+
+  test("graft_history TVF: DESCRIBE HISTORY from plain SQL") {
+    val dir = Files.createTempDirectory("graft-tvf-hist").toString
+    val vt = VersionedTable(spark, dir)
+    vt.commitOverwrite((1L to 5L).toDF("id"))
+    vt.commitAppend((6L to 8L).toDF("id"))
+    vt.delete(col("id") === 1L)
+    val h = spark.sql(s"SELECT version, operation FROM graft_history('$dir') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(h.map(_._1) == Seq(1L, 2L, 3L))
+    assert(h.map(_._2) == Seq("overwrite", "append", "delete"))
+  }
+
   test("DROP TABLE removes the table; rename moves it") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tmp")
     spark.sql("CREATE TABLE graft.tmp.victim (id BIGINT)")
