@@ -125,6 +125,28 @@ class GraftCatalogSpec extends SparkSuite {
     assert(scanFiles(miss) <= 1, "absent key: blooms prune ~all files")
   }
 
+  test("catalog reads keep parquet pushdown and column pruning through the conversion") {
+    val vt = VersionedTable(spark, s"$warehouse/bronze/widecols")
+    vt.commitOverwrite(spark.range(100).selectExpr(
+      "id", "CAST(id AS STRING) AS a", "id * 2 AS b", "id * 3 AS c"))
+    val df = spark.sql("SELECT a FROM graft.bronze.widecols WHERE id >= 90")
+    df.collect()
+    val top = df.queryExecution.executedPlan match {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        ad.executedPlan
+      case p => p
+    }
+    val scan = top.collectFirst { case f: FileSourceScanExec => f }.getOrElse(
+      fail("no parquet scan in the catalog read"))
+    // the filter reaches the parquet reader (row-group skipping at scale)
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(id,90)"),
+      s"filter not pushed: ${scan.metadata("PushedFilters")}")
+    // the projection needs 2 of 4 columns; the rest must not be read
+    val readCols = scan.schema.fieldNames.toSet
+    assert(readCols == Set("id", "a"),
+      s"column pruning lost through the conversion: read $readCols")
+  }
+
   test("DV (merge-on-read) snapshots read correctly by name via the fallback plan") {
     val vt = VersionedTable(spark, s"$warehouse/bronze/mor")
     vt.commitOverwrite((1L to 30L).toDF("id"))
