@@ -90,6 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DeltaAnalysis shape — names resolve via the catalog, reads run
     // through VersionedTable; see graft.sql.GraftRelationRule).
     ext.injectResolutionRule(session => graft.sql.GraftRelationRule(session))
+    // SQL UPDATE / MERGE INTO for catalog tables — converts the
+    // resolved commands into eager copy-on-write library ops
+    // (graft.sql.GraftDmlRule; canonical upsert only, refuses the rest).
+    ext.injectResolutionRule(session => graft.sql.GraftDmlRule(session))
     // DESCRIBE HISTORY as a table-valued function (Delta's
     // `DESCRIBE HISTORY` surface): SELECT * FROM graft_history('/dir').
     // The path must be a literal; the O(V) manifest walk runs on the

@@ -22,4 +22,13 @@ object shims {
   def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** Wrap an already-analyzed logical plan as a DataFrame (the
+    * `private[sql]` Dataset.ofRows) — the SQL MERGE rule hands the
+    * statement's resolved source plan to the library merge this way.
+    */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

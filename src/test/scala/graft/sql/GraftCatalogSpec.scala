@@ -189,6 +189,52 @@ class GraftCatalogSpec extends SparkSuite {
     assert(vt.readAt(vt.currentVersion().get - 1).count() == 10)
   }
 
+  test("UPDATE and canonical MERGE INTO run as copy-on-write versioned commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml2")
+    spark.sql("CREATE TABLE graft.dml2.m (id BIGINT, v STRING, n BIGINT)")
+    spark.sql(
+      "INSERT INTO graft.dml2.m SELECT id, CAST(id AS STRING), id * 10 FROM range(10)")
+    val vt = VersionedTable(spark, s"$warehouse/dml2/m")
+
+    // UPDATE with an expression referencing existing columns
+    spark.sql("UPDATE graft.dml2.m SET n = n + 1, v = concat(v, '!') WHERE id >= 8")
+    val updated = spark.sql(
+      "SELECT v, n FROM graft.dml2.m WHERE id = 9").collect().head
+    assert(updated.getString(0) == "9!" && updated.getLong(1) == 91L)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.dml2.m WHERE v LIKE '%!'")
+      .collect().head.getLong(0) == 2L)
+    // pre-update state one VERSION AS OF away
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.dml2.m VERSION AS OF 2 WHERE v LIKE '%!'")
+      .collect().head.getLong(0) == 0L)
+
+    // canonical upsert: 8,9 replace; 10,11 insert
+    spark.sql(
+      """MERGE INTO graft.dml2.m t
+        |USING (SELECT id, CAST(id AS STRING) AS v, id * 100 AS n
+        |       FROM range(8, 12)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.dml2.m").count() == 12)
+    assert(spark.sql("SELECT n FROM graft.dml2.m WHERE id = 9")
+      .collect().head.getLong(0) == 900L)
+    assert(spark.sql("SELECT n FROM graft.dml2.m WHERE id = 11")
+      .collect().head.getLong(0) == 1100L)
+    assert(spark.sql("SELECT n FROM graft.dml2.m WHERE id = 3")
+      .collect().head.getLong(0) == 30L, "unmatched table rows survive")
+    assert(vt.history().last.op == "merge")
+
+    // richer clauses refuse with a pointer to the library API
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.dml2.m t USING (SELECT 1L AS id) s
+          |ON t.id = s.id WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(ex.getMessage.contains("canonical upsert")
+      || ex.getMessage.contains("unsupported"), ex.getMessage)
+  }
+
   test("CTAS and df.writeTo(...).append() land as versioned commits") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
     spark.sql(
