@@ -416,6 +416,94 @@ object Versioned {
          |ORDER BY snap""".stripMargin)
   }
 
+  /** The COMPLETE SQL DML lifecycle inside the oracle gate — CTAS,
+    * DELETE, UPDATE, canonical MERGE, INSERT, then a pure-SQL read of
+    * the head AND the pre-DML snapshot (`VERSION AS OF`). Every
+    * mutation is a plain SQL statement against the registered catalog
+    * (zero Graft API between CREATE and the final SELECT), and the
+    * DuckDB twin replays the five mutations relationally — a hash match
+    * pins the row-level semantics of the whole SQL write surface, not
+    * just each operator in isolation.
+    */
+  val qv11 = Q(
+    "qv11_sql_dml_lifecycle",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey <= 2000),
+      |after_delete AS (
+      |  SELECT * FROM base WHERE o_orderkey NOT BETWEEN 500 AND 900),
+      |after_update AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_custkey <= 50 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM after_delete),
+      |merge_src AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice
+      |  FROM base WHERE o_orderkey <= 300
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+      |  FROM base WHERE o_orderkey BETWEEN 100 AND 200),
+      |after_merge AS (
+      |  SELECT u.* FROM after_update u
+      |  WHERE NOT EXISTS (SELECT 1 FROM merge_src s WHERE s.o_orderkey = u.o_orderkey)
+      |  UNION ALL SELECT * FROM merge_src),
+      |after_insert AS (
+      |  SELECT * FROM after_merge
+      |  UNION ALL
+      |  SELECT o_orderkey + 2000000, o_custkey, o_totalprice
+      |  FROM base WHERE o_orderkey BETWEEN 10 AND 50),
+      |agg AS (
+      |  SELECT 'head' AS snap, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |  FROM after_insert
+      |  UNION ALL
+      |  SELECT 'pre_dml', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(o_custkey) AS BIGINT),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM base)
+      |SELECT snap, n_rows, sum_cust, total_price FROM agg
+      |ORDER BY snap""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv11-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g11c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // register the raw table once; every mutation below is plain SQL
+    load(s, dir, "orders").createOrReplaceTempView(s"qv11_orders_$cat")
+    val src = s"qv11_orders_$cat"
+    s.sql(s"""CREATE TABLE $cat.db.o AS
+             |SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM $src WHERE o_orderkey <= 2000""".stripMargin) // v1 empty + v2 rows
+    s.sql(s"DELETE FROM $cat.db.o WHERE o_orderkey BETWEEN 500 AND 900")
+    s.sql(s"UPDATE $cat.db.o SET o_totalprice = o_totalprice * 2 WHERE o_custkey <= 50")
+    s.sql(s"""MERGE INTO $cat.db.o t
+             |USING (
+             |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice
+             |  FROM $src WHERE o_orderkey <= 300
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+             |  FROM $src WHERE o_orderkey BETWEEN 100 AND 200) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.db.o
+             |SELECT o_orderkey + 2000000, o_custkey, o_totalprice
+             |FROM $src WHERE o_orderkey BETWEEN 10 AND 50""".stripMargin)
+    s.sql(
+      s"""SELECT snap, n_rows, sum_cust, total_price FROM (
+         |  SELECT 'head' AS snap, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |  FROM $cat.db.o
+         |  UNION ALL
+         |  SELECT 'pre_dml', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(o_custkey) AS BIGINT),
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |  FROM $cat.db.o VERSION AS OF 2)
+         |ORDER BY snap""".stripMargin)
+  }
+
   val all: Seq[Q] =
-    Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10)
+    Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11)
 }
