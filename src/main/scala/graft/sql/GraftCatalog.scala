@@ -74,9 +74,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ---- tables ---------------------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val p = nsPath(namespace)
-    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
-    fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+    // a TABLE dir is not a namespace — listing "inside" one is the
+    // same error as a missing namespace, not an empty listing
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath(namespace)).filter(_.isDirectory).map(_.getPath)
       .filter(isTable).map(d => Identifier.of(namespace, d.getName))
   }
 

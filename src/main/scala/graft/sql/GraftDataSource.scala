@@ -36,8 +36,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "format(\"graft\") requires a path: spark.read.format(\"graft\").load(dir)"))
-    GraftSqlTable(path, VersionedTable(SparkSession.active, path),
-      pinnedVersion = None)
+    val vt = VersionedTable(SparkSession.active, path)
+    // pin the version HERE (not only in the relation rule) so the
+    // table handle's schema is the requested snapshot's schema — an
+    // additively evolved table read at an old version must present the
+    // OLD column set, exactly as the catalog's loadTable overloads do
+    val pinned = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf"))
+        .map(s => vt.versionAsOf(java.sql.Timestamp.valueOf(s).getTime)))
+    GraftSqlTable(path, vt, pinnedVersion = pinned)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -54,7 +54,14 @@ final case class GraftSqlTable(
 
   override def name(): String = qualifiedName
 
-  override def schema(): StructType = vt.snapshotMeta(resolvedVersion).schema
+  // resolved once per handle: the analyzer calls schema() repeatedly,
+  // and each snapshotMeta is a manifest read; a handle is short-lived
+  // (one statement), so caching cannot serve a stale snapshot to a
+  // later statement — each loadTable returns a fresh handle
+  private lazy val resolvedSchema: StructType =
+    vt.snapshotMeta(resolvedVersion).schema
+
+  override def schema(): StructType = resolvedSchema
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

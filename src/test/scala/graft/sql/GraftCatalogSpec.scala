@@ -168,6 +168,19 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.read.format("graft").option("versionAsOf", "1").load(dir).count() == 7)
   }
 
+  test("path reads at an old version present the OLD schema under evolution") {
+    val dir = Files.createTempDirectory("graft-ds-evolve").toString
+    val vt = VersionedTable(spark, dir)
+    vt.commitOverwrite(Seq((1L, "a")).toDF("id", "v"))
+    vt.commitAppend(Seq((2L, "b", 7L)).toDF("id", "v", "extra"))
+    assert(spark.read.format("graft").load(dir).columns.toSeq ==
+      Seq("id", "v", "extra"))
+    val old = spark.read.format("graft").option("versionAsOf", "1").load(dir)
+    assert(old.columns.toSeq == Seq("id", "v"),
+      "time-travel reads must present the snapshot's own schema")
+    assert(old.count() == 1)
+  }
+
   test("DELETE FROM and TRUNCATE TABLE are versioned copy-on-write commits") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml")
     spark.sql("CREATE TABLE graft.dml.d (id BIGINT, v STRING)")
