@@ -6,10 +6,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ecom.VersionedTable
@@ -41,7 +44,8 @@ import graft.ecom.VersionedTable
   * 1000-executor cluster needs no metastore round-trips beyond the
   * manifest reads the format already does.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -144,6 +148,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(tablePath(from), tablePath(to)))
       throw new IllegalStateException(
         s"could not rename ${qualified(from)} to ${qualified(to)}")
+  }
+
+  // ---- maintenance procedures (Iceberg's CALL shape) ------------------
+  //   CALL graft.system.vacuum(table => 'ns.t', keep_versions => 3)
+  //   CALL graft.system.optimize(table => 'ns.t')
+  //   CALL graft.system.zorder(table => 'ns.t', columns => 'a,b')
+  //   CALL graft.system.restore(table => 'ns.t', version => 4)
+  // The SQL face of the table-maintenance surface: at 100 TB these run
+  // from a scheduler exactly like Delta's OPTIMIZE/VACUUM SQL.
+
+  /** One self-binding maintenance procedure (no overloads, so bind is
+    * identity; `call` mutates and streams back no rows).
+    */
+  private final class Proc(pname: String, desc: String,
+      params: Array[ProcedureParameter])(body: InternalRow => Unit)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      body(input)
+      java.util.Collections.emptyIterator[Scan]()
+    }
+  }
+
+  private def tableArg(input: InternalRow): VersionedTable = {
+    val name = input.getUTF8String(0).toString
+    val parts = name.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    open(ident)
+  }
+
+  private def in(name: String, t: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, t).build()
+  private def inDefault(name: String, t: org.apache.spark.sql.types.DataType,
+      default: String) =
+    ProcedureParameter.in(name, t).defaultValue(default).build()
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("vacuum", "optimize", "zorder", "restore")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace.mkString(".")}")
+    ident.name match {
+      case "vacuum" => new Proc("vacuum",
+        "drop all but the newest keep_versions versions + unreferenced files",
+        Array(in("table", StringType), inDefault("keep_versions", IntegerType, "1")))(
+        input => tableArg(input).vacuum(keepVersions = input.getInt(1)))
+      case "optimize" => new Proc("optimize",
+        "bin-pack small files into target-size files",
+        Array(in("table", StringType)))(
+        input => { tableArg(input).optimize(): Unit })
+      case "zorder" => new Proc("zorder",
+        "rewrite the table z-order-clustered on the given comma-separated columns",
+        Array(in("table", StringType), in("columns", StringType)))(
+        input => {
+          val cols = input.getUTF8String(1).toString.split(',').map(_.trim).toSeq
+          tableArg(input).optimizeZOrder(cols): Unit
+        })
+      case "restore" => new Proc("restore",
+        "make the head a zero-copy replay of the given version",
+        Array(in("table", StringType), in("version", LongType)))(
+        input => { tableArg(input).restore(input.getLong(1)): Unit })
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure $other — known: vacuum, optimize, zorder, restore")
+    }
   }
 
   // ---- namespaces -----------------------------------------------------

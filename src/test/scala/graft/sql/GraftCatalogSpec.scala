@@ -260,6 +260,33 @@ class GraftCatalogSpec extends SparkSuite {
       .collect().head.getLong(0) == (0L until 15L).sum)
   }
 
+  test("CALL graft.system.* maintenance procedures: vacuum, optimize, zorder, restore") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+    spark.sql("CREATE TABLE graft.maint.t (id BIGINT)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.maint.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val vt = VersionedTable(spark, s"$warehouse/maint/t")
+    assert(vt.versions().size == 5)
+
+    // optimize bin-packs (one more version, same rows)
+    spark.sql("CALL graft.system.optimize(table => 'maint.t')")
+    assert(spark.table("graft.maint.t").count() == 40)
+
+    // restore to the pre-optimize head (zero-copy replay)
+    val preOpt = vt.versions().takeRight(2).head
+    spark.sql(s"CALL graft.system.restore(table => 'maint.t', version => $preOpt)")
+    assert(spark.table("graft.maint.t").count() == 40)
+
+    // zorder rewrite keeps rows
+    spark.sql("CALL graft.system.zorder(table => 'maint.t', columns => 'id')")
+    assert(spark.table("graft.maint.t").count() == 40)
+
+    // vacuum with default keep_versions=1 prunes history to the head
+    spark.sql("CALL graft.system.vacuum(table => 'maint.t')")
+    assert(vt.versions().size == 1)
+    assert(spark.table("graft.maint.t").count() == 40)
+  }
+
   test("graft_history TVF: DESCRIBE HISTORY from plain SQL") {
     val dir = Files.createTempDirectory("graft-tvf-hist").toString
     val vt = VersionedTable(spark, dir)
