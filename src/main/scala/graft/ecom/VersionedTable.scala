@@ -1130,7 +1130,10 @@ final case class VersionedTable(
     val m = readManifest(version)
     VersionedTable.SnapshotMeta(
       version, m.schema, m.files,
-      plainScan = m.dv.isEmpty && m.colmap.isEmpty &&
+      // droppedPhys too: a raw scan of files that still CARRY a dropped
+      // physical column is only safe while no live column can collide
+      // with it — the composed readAt path owns that bookkeeping
+      plainScan = m.dv.isEmpty && m.colmap.isEmpty && m.droppedPhys.isEmpty &&
         m.files.forall(_.split('/').length == 3),
       m.stats, m.blooms)
   }

@@ -47,6 +47,10 @@ final class GraftStreamSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(ver).getOrElse(0L) // bootstrap: the full snapshot
     val to = ver(end)
+    require(from <= to,
+      s"checkpoint records v$from of ${vt.tableDir} but the table is at " +
+        s"v$to — was the source reset or replaced? Restart the stream " +
+        "from a fresh checkpoint (full re-read)")
     val removed = vt.filesRemovedBetween(from, to)
     require(removed.isEmpty,
       s"stream window (v$from, v$to] of ${vt.tableDir} rewrites or removes " +

@@ -159,6 +159,15 @@ class GraftCatalogSpec extends SparkSuite {
       .as[Long].head() == 30L)
   }
 
+  test("dropped-column snapshots read by name via the fallback plan (no stale-column leak)") {
+    val vt = VersionedTable(spark, s"$warehouse/bronze/droppedcol")
+    vt.commitOverwrite(Seq((1L, "a", 9L)).toDF("id", "v", "junk"))
+    vt.dropColumn("junk")
+    assert(spark.table("graft.bronze.droppedcol").columns.toSeq == Seq("id", "v"))
+    val row = spark.sql("SELECT id, v FROM graft.bronze.droppedcol").collect().head
+    assert(row.getLong(0) == 1L && row.getString(1) == "a")
+  }
+
   test("format(\"graft\") reads a table by path, with version options") {
     val dir = Files.createTempDirectory("graft-ds-path").toString
     val vt = VersionedTable(spark, dir)
