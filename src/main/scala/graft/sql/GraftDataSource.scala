@@ -2,11 +2,12 @@ package graft.sql
 
 import java.util.{Map => JMap}
 
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -25,7 +26,7 @@ import graft.ecom.VersionedTable
   * }}}
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -76,5 +77,32 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String]): Source = {
     val vt = streamVt(parameters)
     new graft.streaming.GraftStreamSource(vt.spark, vt)
+  }
+
+  // ---- streaming sink: .writeStream.format("graft").start(dir) --------
+  // DeltaSink's V1 shape: each micro-batch is ONE atomic versioned
+  // commit via commitAppendBatch, whose per-app batch marker makes a
+  // foreachBatch-style replay (crash between commit and checkpoint
+  // advance) a no-op — exactly-once without any user code. With the
+  // source above, a table-to-table hop is pure readStream→writeStream.
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"the graft streaming sink is append-only (versioned commits); got $outputMode")
+    require(partitionColumns.isEmpty,
+      "partitionBy is not supported by the graft streaming sink — " +
+        "write partitioned versioned tables with Lakehouse's partitioned sink")
+    val vt = streamVt(parameters)
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the incoming frame is streaming-internal (batch actions on it
+        // re-plan and fail); re-tag its rows as a batch frame first
+        val batch = org.apache.spark.sql.graft.shims.batchDataFrame(vt.spark, data)
+        vt.commitAppendBatch(batch, batchId): Unit
+      }
+      override def toString: String = s"GraftSink[${vt.tableDir}]"
+    }
   }
 }

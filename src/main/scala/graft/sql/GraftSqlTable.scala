@@ -57,9 +57,16 @@ final case class GraftSqlTable(
   // resolved once per handle: the analyzer calls schema() repeatedly,
   // and each snapshotMeta is a manifest read; a handle is short-lived
   // (one statement), so caching cannot serve a stale snapshot to a
-  // later statement — each loadTable returns a fresh handle
+  // later statement — each loadTable returns a fresh handle.
+  // A never-committed table presents an EMPTY schema instead of
+  // throwing: DataStreamWriter infers the schema of a sink DESTINATION
+  // before falling back to the V1 sink (which will create the table on
+  // first batch); reads still fail clearly at resolvedVersion.
   private lazy val resolvedSchema: StructType =
-    vt.snapshotMeta(resolvedVersion).schema
+    pinnedVersion.orElse(vt.currentVersion()) match {
+      case Some(v) => vt.snapshotMeta(v).schema
+      case None => StructType(Nil)
+    }
 
   override def schema(): StructType = resolvedSchema
 

@@ -23,6 +23,16 @@ object shims {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
 
+  /** The inverse re-tag: a streaming micro-batch frame (the one a V1
+    * `Sink.addBatch` receives, backed by an IncrementalExecution that
+    * refuses batch actions) as an ordinary BATCH frame over the same
+    * rows — FileStreamSink/DeltaSink's discipline for writing a batch
+    * from inside a sink.
+    */
+  def batchDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+
   /** Wrap an already-analyzed logical plan as a DataFrame (the
     * `private[sql]` Dataset.ofRows) — the SQL MERGE rule hands the
     * statement's resolved source plan to the library merge this way.

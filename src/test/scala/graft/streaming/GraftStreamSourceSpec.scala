@@ -51,6 +51,34 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(dst.versions() == versionsBefore, "replay must be a no-op")
   }
 
+  test("pure readStream→writeStream table-to-table hop, no foreachBatch — exactly once") {
+    val dir = fresh("graft-stream-sink")
+    val src = VersionedTable(spark, s"$dir/src")
+    val dst = VersionedTable(spark, s"$dir/dst")
+    src.commitOverwrite((1L to 40L).toDF("id"))
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src.tableDir)
+        .filter(col("id") % 2L === 0L)
+        .writeStream.format("graft")
+        .option("path", dst.tableDir)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(dst.read().as[Long].collect().sorted.toSeq == (2L to 40L by 2))
+    // delta-only on resume; replay with nothing new commits nothing
+    src.commitAppend((41L to 50L).toDF("id"))
+    run()
+    assert(dst.read().as[Long].collect().sorted.toSeq == (2L to 50L by 2))
+    val before = dst.versions()
+    run()
+    assert(dst.versions() == before, "replay must be a no-op")
+    // the sink's exactly-once marker is the standard DefaultApp slot
+    assert(dst.currentBatchId().isDefined)
+  }
+
   test("a rewriting op in the pending window refuses rather than re-delivering") {
     val dir = fresh("graft-stream-rw")
     val src = VersionedTable(spark, s"$dir/src")
