@@ -130,10 +130,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftSqlTable(qualified(ident), vt, pinnedVersion = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE is not supported on ${qualified(ident)} — the schema " +
-        "evolves additively on append (VersionedTable's schema contract)")
+  /** Schema DDL routed to the library's column ops: ADD COLUMN is an
+    * additive-evolution empty append (old rows null-fill, the schema
+    * contract's normal path), RENAME/DROP COLUMN are the column-mapping
+    * metadata-only commits (physical names never change, so no data
+    * rewrites — Delta's column-mapping semantics). Anything else
+    * refuses rather than approximating.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val vt = open(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"${qualified(ident)}: nested ADD COLUMN is not supported")
+        val cur = vt.snapshotMeta(vt.currentVersion().getOrElse(
+          throw new IllegalArgumentException(
+            s"${qualified(ident)} has no committed version"))).schema
+        val evolved = cur.add(add.fieldNames()(0), add.dataType, nullable = true)
+        vt.commitAppend(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"${qualified(ident)}: nested RENAME COLUMN is not supported")
+        vt.renameColumn(ren.fieldNames()(0), ren.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"${qualified(ident)}: nested DROP COLUMN is not supported")
+        vt.dropColumn(del.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${qualified(ident)}: unsupported change $other — " +
+          "supported: ADD COLUMN, RENAME COLUMN, DROP COLUMN")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

@@ -296,6 +296,29 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.table("graft.maint.t").count() == 40)
   }
 
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN route through the column-mapping ops") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
+    spark.sql("CREATE TABLE graft.ddl.c (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.ddl.c VALUES (1, 'a'), (2, 'b')")
+
+    spark.sql("ALTER TABLE graft.ddl.c ADD COLUMN extra BIGINT")
+    assert(spark.table("graft.ddl.c").schema.fieldNames.toSeq ==
+      Seq("id", "v", "extra"))
+    // old rows null-fill the added column
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ddl.c WHERE extra IS NULL")
+      .collect().head.getLong(0) == 2L)
+
+    spark.sql("ALTER TABLE graft.ddl.c RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM graft.ddl.c ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+
+    spark.sql("ALTER TABLE graft.ddl.c DROP COLUMN extra")
+    assert(spark.table("graft.ddl.c").schema.fieldNames.toSeq == Seq("id", "label"))
+    // DDL commits are versions: pre-DDL schema is time-travelable
+    val vt = VersionedTable(spark, s"$warehouse/ddl/c")
+    assert(vt.readAt(2L).schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
   test("graft_history TVF: DESCRIBE HISTORY from plain SQL") {
     val dir = Files.createTempDirectory("graft-tvf-hist").toString
     val vt = VersionedTable(spark, dir)
