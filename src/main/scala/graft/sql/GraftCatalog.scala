@@ -144,6 +144,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"${qualified(ident)}: nested ADD COLUMN is not supported")
+        // refuse rather than approximate: an added column null-fills
+        // existing rows, so NOT NULL cannot be honored; column order is
+        // append-only under additive evolution, so FIRST/AFTER cannot be
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ${qualified(ident)}: ADD COLUMN " +
+              s"${add.fieldNames()(0)} NOT NULL is not supported — existing " +
+              "rows null-fill the new column; add it nullable, backfill, " +
+              "then declare a CHECK constraint")
+        if (add.position() != null)
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ${qualified(ident)}: ADD COLUMN with FIRST/AFTER " +
+              "is not supported — additive evolution appends columns")
         val cur = vt.snapshotMeta(vt.currentVersion().getOrElse(
           throw new IllegalArgumentException(
             s"${qualified(ident)} has no committed version"))).schema

@@ -41,10 +41,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     // pin the version HERE (not only in the relation rule) so the
     // table handle's schema is the requested snapshot's schema — an
     // additively evolved table read at an old version must present the
-    // OLD column set, exactly as the catalog's loadTable overloads do
-    val pinned = Option(options.get("versionAsOf")).map(_.toLong)
-      .orElse(Option(options.get("timestampAsOf"))
-        .map(s => vt.versionAsOf(java.sql.Timestamp.valueOf(s).getTime)))
+    // OLD column set, exactly as the catalog's loadTable overloads do.
+    // Specifying both travel options is refused rather than silently
+    // picking one (the same contract the catalog path gets from Spark).
+    val optV = Option(options.get("versionAsOf"))
+    val optTs = Option(options.get("timestampAsOf"))
+    if (optV.isDefined && optTs.isDefined)
+      throw new IllegalArgumentException(
+        s"format(\"graft\").load($path): cannot specify both versionAsOf " +
+          "and timestampAsOf — pick one")
+    val pinned = optV.map { s =>
+      try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$path: versionAsOf must be numeric, got '$s'")
+      }
+    }.orElse(optTs.map(s =>
+      vt.versionAsOf(GraftTimeTravel.parseMillis(SparkSession.active, s, path))))
     GraftSqlTable(path, vt, pinnedVersion = pinned)
   }
 
@@ -95,14 +107,28 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       "partitionBy is not supported by the graft streaming sink — " +
         "write partitioned versioned tables with Lakehouse's partitioned sink")
     val vt = streamVt(parameters)
+    // The replay marker must be namespaced PER QUERY (Delta's txn appId
+    // discipline): two distinct streams writing the same table both
+    // start at batchId 0, and a shared marker would classify the second
+    // stream's batch 0 as a replay — silent data loss. The checkpoint
+    // location is the query's stable identity across restarts (replays
+    // only ever come from the same checkpoint), so it is the default
+    // namespace; an explicit 'app' option overrides; a checkpoint-less
+    // query has no cross-restart replay to dedup, so a sink-instance
+    // UUID keeps it isolated from every other writer.
+    def opt(k: String): Option[String] = parameters.get(k)
+      .orElse(parameters.collectFirst { case (p, v) if p.equalsIgnoreCase(k) => v })
+    val app = opt("app")
+      .orElse(opt("checkpointLocation").map(cp => s"sink:$cp"))
+      .getOrElse(s"sink:${java.util.UUID.randomUUID()}")
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // the incoming frame is streaming-internal (batch actions on it
         // re-plan and fail); re-tag its rows as a batch frame first
         val batch = org.apache.spark.sql.graft.shims.batchDataFrame(vt.spark, data)
-        vt.commitAppendBatch(batch, batchId): Unit
+        vt.commitAppendBatch(batch, batchId, app): Unit
       }
-      override def toString: String = s"GraftSink[${vt.tableDir}]"
+      override def toString: String = s"GraftSink[${vt.tableDir}, app=$app]"
     }
   }
 }

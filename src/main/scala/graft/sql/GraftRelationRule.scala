@@ -65,7 +65,8 @@ case class GraftRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // pinned+option is the normal single-spec case, not a conflict
         // (conflicting double-specs are refused upstream by Spark)
         lazy val optTs = Option(r.options.get("timestampAsOf"))
-          .map(s => t.vt.versionAsOf(java.sql.Timestamp.valueOf(s).getTime))
+          .map(s => t.vt.versionAsOf(
+            GraftTimeTravel.parseMillis(spark, s, t.name())))
         val version = t.pinnedVersion.orElse(optV).orElse(optTs)
           .getOrElse(t.resolvedVersion)
         val converted = t.v1Plan(spark, version)

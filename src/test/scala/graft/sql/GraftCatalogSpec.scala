@@ -78,12 +78,39 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graft.bronze.tt").as[Long].head() == 9L)
     assert(spark.sql("SELECT count(*) AS n FROM graft.bronze.tt VERSION AS OF 1")
       .as[Long].head() == 5L)
-    val ts = new java.sql.Timestamp(t1).toString
+    // format t1 in the SESSION timezone (UTC here) — the contract is
+    // that the literal resolves in the session zone on every host
+    val ts = java.time.Instant.ofEpochMilli(t1)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
     assert(spark.sql(s"SELECT count(*) AS n FROM graft.bronze.tt TIMESTAMP AS OF '$ts'")
       .as[Long].head() == 5L)
     // DataFrame read options — the Delta-style entry
     assert(spark.read.option("versionAsOf", "1").table("graft.bronze.tt").count() == 5L)
     assert(spark.read.option("timestampAsOf", ts).table("graft.bronze.tt").count() == 5L)
+    // host-independence: the SAME option string must pin the SAME
+    // version on a JVM whose default zone is NOT the session zone
+    // (Timestamp.valueOf would shift it by the zone offset)
+    val jvmZone = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Australia/Eucla"))
+      assert(spark.read.option("timestampAsOf", ts).table("graft.bronze.tt").count() == 5L,
+        "timestampAsOf must resolve in the session timezone, not the JVM default")
+      assert(spark.read.format("graft").option("timestampAsOf", ts)
+        .load(vt.tableDir).count() == 5L,
+        "the path-read entry must agree with the catalog entry")
+    } finally java.util.TimeZone.setDefault(jvmZone)
+    // double-spec on the path read is refused, not silently resolved
+    val both = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("versionAsOf", "1").option("timestampAsOf", ts)
+        .load(vt.tableDir)
+    }
+    assert(both.getMessage.contains("both"))
+    val nonNum = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "latest").load(vt.tableDir)
+    }
+    assert(nonNum.getMessage.contains("must be numeric"))
     // a nonexistent version is refused with the library's message
     val ex = intercept[Exception] {
       spark.sql("SELECT * FROM graft.bronze.tt VERSION AS OF 99").collect()
@@ -317,6 +344,20 @@ class GraftCatalogSpec extends SparkSuite {
     // DDL commits are versions: pre-DDL schema is time-travelable
     val vt = VersionedTable(spark, s"$warehouse/ddl/c")
     assert(vt.readAt(2L).schema.fieldNames.toSeq == Seq("id", "v"))
+
+    // unsupported ADD COLUMN shapes refuse rather than approximate:
+    // NOT NULL cannot hold (old rows null-fill), FIRST/AFTER cannot
+    // hold (additive evolution appends) — no silent nullable column
+    val nn = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddl.c ADD COLUMN req BIGINT NOT NULL")
+    }
+    assert(nn.getMessage.contains("NOT NULL"), nn.getMessage)
+    val pos = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddl.c ADD COLUMN lead BIGINT FIRST")
+    }
+    assert(pos.getMessage.contains("FIRST/AFTER"), pos.getMessage)
+    assert(spark.table("graft.ddl.c").schema.fieldNames.toSeq == Seq("id", "label"),
+      "a refused ALTER must not half-apply")
   }
 
   test("graft_history TVF: DESCRIBE HISTORY from plain SQL") {

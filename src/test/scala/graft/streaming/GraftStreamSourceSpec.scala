@@ -75,8 +75,53 @@ class GraftStreamSourceSpec extends SparkSuite {
     val before = dst.versions()
     run()
     assert(dst.versions() == before, "replay must be a no-op")
-    // the sink's exactly-once marker is the standard DefaultApp slot
-    assert(dst.currentBatchId().isDefined)
+    // the sink's exactly-once marker is namespaced PER QUERY by its
+    // checkpoint location (Delta's txn appId discipline) — NOT the
+    // shared DefaultApp slot, which a second query would clobber
+    assert(dst.currentBatchId(s"sink:$dir/ckpt").isDefined)
+    assert(dst.currentBatchId().isEmpty,
+      "the V1 sink must not squat on the shared DefaultApp marker")
+  }
+
+  test("two distinct queries into ONE table: neither drops the other's batch 0") {
+    val dir = fresh("graft-sink-two-queries")
+    val srcA = VersionedTable(spark, s"$dir/srcA")
+    val srcB = VersionedTable(spark, s"$dir/srcB")
+    val dst = VersionedTable(spark, s"$dir/dst")
+    srcA.commitOverwrite((1L to 10L).toDF("id"))
+    srcB.commitOverwrite((101L to 110L).toDF("id"))
+
+    // both queries' first micro-batch is batchId 0; with a shared txn
+    // marker the second would be skipped as a replay — silent data loss
+    def hop(src: VersionedTable, ckpt: String): Unit = {
+      val q = spark.readStream.format("graft").load(src.tableDir)
+        .writeStream.format("graft")
+        .option("path", dst.tableDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    hop(srcA, s"$dir/ckptA")
+    hop(srcB, s"$dir/ckptB")
+    assert(dst.read().as[Long].collect().sorted.toSeq ==
+      ((1L to 10L) ++ (101L to 110L)),
+      "both queries' batch 0 must land — per-query txn namespaces")
+
+    // and each query's OWN replay is still a no-op
+    val before = dst.versions()
+    hop(srcA, s"$dir/ckptA")
+    hop(srcB, s"$dir/ckptB")
+    assert(dst.versions() == before, "per-query replay stays exactly-once")
+
+    // an explicit app option overrides the checkpoint-derived namespace
+    val q3 = spark.readStream.format("graft").load(srcA.tableDir)
+      .writeStream.format("graft")
+      .option("path", dst.tableDir)
+      .option("app", "my-writer")
+      .option("checkpointLocation", s"$dir/ckptC")
+      .start()
+    q3.processAllAvailable(); q3.stop()
+    assert(dst.currentBatchId("my-writer").isDefined)
   }
 
   test("a rewriting op in the pending window refuses rather than re-delivering") {
