@@ -6,8 +6,8 @@ import java.util.UUID
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, max, min, not, regexp_extract, sum, when}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, max, min, not, regexp_extract, struct, sum, when}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
 
 /** Minimal versioned parquet+manifest table format — the observable
@@ -135,6 +135,10 @@ final case class VersionedTable(
   private type FileStats = Map[String, Map[String, (Long, Long)]]
   // per-file per-column bloom: (probe count k, filter bits)
   private type FileBlooms = Map[String, Map[String, (Int, Array[Long])]]
+  // per-file (length bytes, modification time ms) — recorded at commit
+  // time like Delta's AddFile size/modificationTime, so planning never
+  // needs a per-file filesystem stat
+  private type FileSizes = Map[String, (Long, Long)]
 
   /** All retained versions, ascending. */
   def versions(): Seq[Long] = {
@@ -318,7 +322,8 @@ final case class VersionedTable(
       else entryM.fold(Map.empty[String, String])(_.colmap)
     // 1. write the data files into a commit dir no manifest references —
     //    invisible to every reader until the manifest rename publishes it
-    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(withGen, entryColmap)
+    val (commitRel, newFiles, newStats, newBlooms, newSizes) =
+      writeDataFiles(withGen, entryColmap)
     // CHECK-constraint + generated-equality enforcement on what LANDED,
     // read back through the merged schema (an omitted evolving column
     // null-fills, exactly as readers will see it); a violation aborts
@@ -381,6 +386,8 @@ final case class VersionedTable(
       val carriedM = if (replace) None else prevM
       val carried = carriedM.fold(Seq.empty[String])(_.files)
       val carriedStats = carriedM.fold(Map.empty: FileStats)(_.stats)
+      val carriedSizes = carriedM.fold(Map.empty: FileSizes)(_.sizes)
+      val carriedRef = carriedM.flatMap(_.statsRef)
       // appends keep prior deletion vectors active (deleted rows stay
       // deleted; new files are untouched by old positions); overwrite
       // replaces the content wholesale, so DVs reset with it
@@ -408,7 +415,8 @@ final case class VersionedTable(
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
       writeManifest(tmp, Manifest(schema, op, txnsOut, carried ++ newFiles,
         carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms, cons,
-        colmap, dropped, gen), next, prev.flatMap(v => prevM.map(v -> _)))
+        colmap, dropped, gen, carriedSizes ++ newSizes, carriedRef),
+        next, prev.flatMap(v => prevM.map(v -> _)))
       publishManifest(tmp, manifestPath(next)) match {
         case Landed => return next
         // a lost CAS is NOT a fault: another writer landed (global
@@ -518,7 +526,7 @@ final case class VersionedTable(
       .select(col("f")).distinct().collect().map(_.getString(0)).toSeq.sorted
     if (recorded.isEmpty) return base
     checkKnown(m, recorded)
-    val dvFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
+    val dvFiles = listDataFiles(commitAbs).map(t => s"$commitRel/${t._1}")
     publishAt(base, m, m.copy(op = "delete", dv = m.dv ++ dvFiles), commitRel)
   }
 
@@ -636,6 +644,145 @@ final case class VersionedTable(
         .select(m.schema.map(f => col(f.name)): _*)
         .unionByName(src)
     publishCow("merge", base, m, touched.toSet, rewritten)
+  }
+
+  /** The FULL Delta merge clause matrix (`MERGE INTO` with conditional,
+    * multiple, and delete clauses), generalizing the canonical upsert
+    * [[merge]]:
+    *
+    *  - `matched`: ordered `WHEN MATCHED [AND cond] THEN UPDATE/DELETE`
+    *    clauses — the first whose condition holds wins; none holding
+    *    keeps the target row;
+    *  - `notMatched`: ordered `WHEN NOT MATCHED [AND cond] THEN INSERT`
+    *    clauses — first hold inserts; none holding drops the source row;
+    *  - `notMatchedBySource`: `WHEN NOT MATCHED BY SOURCE [AND cond]
+    *    THEN UPDATE/DELETE` over target rows with no source match.
+    *
+    * Conditions and assignment expressions are `Column`s over two
+    * struct columns named `t` (the target row) and `s` (the source
+    * row): `col("t.qty") + col("s.qty")`. Assignment values cast to the
+    * target column's declared type; columns an UPDATE leaves unset keep
+    * `t`'s value, columns an INSERT leaves unset become NULL.
+    *
+    * Copy-on-write file math mirrors [[merge]]: only files holding a
+    * matched key rewrite (every file, when `notMatchedBySource` clauses
+    * force a whole-target pass; none, for insert-only merges — the
+    * classification anti-join is read-only). A source row matching ANY
+    * target row matches one in a touched file — that is what made the
+    * file touched — so joining the touched files alone classifies every
+    * source row. Same key-uniqueness, null-key, and conflict contracts
+    * as [[merge]].
+    */
+  def mergeClauses(source: DataFrame, keys: Seq[String],
+      matched: Seq[VersionedTable.MergeWhen],
+      notMatched: Seq[VersionedTable.MergeWhen],
+      notMatchedBySource: Seq[VersionedTable.MergeWhen] = Nil): Long = {
+    import VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "merge needs at least one WHEN clause")
+    matched.foreach(w => require(!w.action.isInstanceOf[MergeInsert],
+      "WHEN MATCHED takes UPDATE or DELETE, not INSERT"))
+    notMatched.foreach(w => require(w.action.isInstanceOf[MergeInsert],
+      "WHEN NOT MATCHED takes INSERT only"))
+    notMatchedBySource.foreach(w => require(!w.action.isInstanceOf[MergeInsert],
+      "WHEN NOT MATCHED BY SOURCE takes UPDATE or DELETE, not INSERT"))
+    val (base, m) = baseSnapshot()
+    keys.foreach { k =>
+      require(m.schema.fieldNames.contains(k), s"merge key $k not in table schema")
+      require(source.columns.contains(k), s"merge key $k not in source")
+      val tt = m.schema(k).dataType
+      val st = source.schema(k).dataType
+      require(st.catalogString == tt.catalogString,
+        s"merge key $k is ${st.simpleString} in the source but the table " +
+          s"declares ${tt.simpleString} — cast the source explicitly")
+    }
+    // key-uniqueness over non-null source keys, as [[merge]]: a dup key
+    // would pick a nondeterministic winner per target row
+    val dups = source.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+    require(dups == 0, s"merge source has duplicate keys on (${keys.mkString(", ")})")
+
+    val touched: Seq[String] =
+      if (notMatchedBySource.nonEmpty) m.files
+      else if (matched.isEmpty) Seq.empty
+      else {
+        val fileC = freshFileCol(m)
+        val got = snapshot(m, m.files, Some(fileC))
+          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select(col(fileC)).distinct().collect().map(_.getString(0)).toSeq.sorted
+        checkKnown(m, got)
+        got
+      }
+    // rows the rewrite may emit (touched files) vs rows present ONLY to
+    // classify source rows (insert-only: whole table, read-only)
+    val rewriteFiles = if (notMatchedBySource.nonEmpty || matched.nonEmpty) touched else Seq.empty
+    val classifyFiles = if (rewriteFiles.nonEmpty) rewriteFiles else m.files
+
+    val avoid = m.schema.fieldNames.toSeq ++ source.columns ++ m.colmap.values
+    val kCols = keys.map(k => k -> graft.util.Names.fresh(s"_graft_mk_$k", avoid)).toMap
+    val tpC = graft.util.Names.fresh("_graft_tp", avoid)
+    val spC = graft.util.Names.fresh("_graft_sp", avoid)
+    val rwC = graft.util.Names.fresh("_graft_rw", avoid)
+    val nullRow = lit(null).cast(m.schema)
+    def norm(set: Map[String, Column], what: String): Map[String, Column] =
+      set.map { case (k, v) =>
+        val f = m.schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"merge $what assigns unknown column $k"))
+        f.name -> v.cast(f.dataType)
+      }
+    def updateRow(set: Map[String, Column]): Column = {
+      val n = norm(set, "UPDATE")
+      struct(m.schema.map(f =>
+        n.getOrElse(f.name, col("t").getField(f.name)).as(f.name)): _*)
+    }
+    def insertRow(values: Map[String, Column]): Column = {
+      val n = norm(values, "INSERT")
+      struct(m.schema.map(f =>
+        n.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)): _*)
+    }
+    // ordered clause chain: first condition that holds wins; an
+    // unconditional clause makes everything after it unreachable
+    def chain(clauses: Seq[MergeWhen], default: Column): Column =
+      clauses.foldRight(default) { (w, rest) =>
+        val row = w.action match {
+          case MergeUpdate(set) => updateRow(set)
+          case MergeDelete => nullRow
+          case MergeInsert(values) => insertRow(values)
+        }
+        w.condition.fold(row)(c => when(c, row).otherwise(rest))
+      }
+
+    val sDf = source.select(
+      keys.map(k => col(k).as(kCols(k))) ++ Seq(
+        struct(source.columns.map(col).toSeq: _*).as("s"),
+        lit(true).as(spC)): _*)
+    val joined =
+      if (classifyFiles.isEmpty)
+        sDf.withColumn("t", nullRow).withColumn(tpC, lit(false))
+          .withColumn(rwC, lit(false))
+      else {
+        val tDf = snapshot(m, classifyFiles).select(
+          keys.map(k => col(k).as(kCols(k))) ++ Seq(
+            struct(m.schema.map(f => col(f.name)): _*).as("t"),
+            lit(true).as(tpC),
+            lit(rewriteFiles.nonEmpty).as(rwC)): _*)
+        tDf.join(sDf, keys.map(kCols).toSeq, "full_outer")
+      }
+    val tp = coalesce(col(tpC), lit(false))
+    val sp = coalesce(col(spC), lit(false))
+    val rw = coalesce(col(rwC), lit(false))
+    // non-rewritable target rows (insert-only classification pass) must
+    // NOT re-emit: their file carries forward untouched
+    val result =
+      when(tp && sp, when(rw, chain(matched, col("t"))).otherwise(nullRow))
+        .when(!tp && sp, chain(notMatched, nullRow))
+        .otherwise(when(rw, chain(notMatchedBySource, col("t"))).otherwise(nullRow))
+    val rewritten = joined.select(result.as("_graft_r"))
+      .filter(col("_graft_r").isNotNull)
+      .select(m.schema.map(f => col("_graft_r").getField(f.name).as(f.name)): _*)
+    publishCow("merge", base, m, rewriteFiles.toSet, rewritten)
   }
 
   /** Delta's `ALTER TABLE ... ADD CONSTRAINT name CHECK (sqlExpr)`:
@@ -868,8 +1015,8 @@ final case class VersionedTable(
     * streaming sink's per-trigger commits and point-write slivers get
     * compacted without breaking snapshot isolation or time travel
     * (readers pinned to old versions keep their files until [[vacuum]]).
-    * File sizes come from O(small-file-count) filesystem metadata calls,
-    * the planning cost Delta pays reading its log. Partitioned tables
+    * File sizes come from the manifest (recorded at commit time, like
+    * Delta's AddFile), so planning costs no filesystem metadata calls. Partitioned tables
     * re-cluster rewritten rows by the partition column so each date dir
     * gets one well-sized file. No-op (current version, no commit) when
     * fewer than two files qualify. Conflicts like [[delete]]: another
@@ -896,7 +1043,11 @@ final case class VersionedTable(
   private def optimizeImpl(targetFileBytes: Long, smallFileBytes: Long,
       zorderBy: Seq[String]): Long = {
     val (base, m) = baseSnapshot()
-    val sized = m.files.map(f => f -> fs.getFileStatus(new Path(s"$tableDir/$f")).getLen)
+    // manifest-recorded sizes plan with zero filesystem stats; only
+    // files from pre-size manifests pay a (batched-by-dir) listing
+    val sized = m.files.map(f =>
+      f -> m.sizes.get(f).map(_._1).getOrElse(
+        fs.getFileStatus(new Path(s"$tableDir/$f")).getLen))
     val small = sized.filter(_._2 < smallFileBytes)
     if (small.size < 2) return base
     val numOut = math.max(1L, (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
@@ -1022,15 +1173,24 @@ final case class VersionedTable(
 
   /** Publish a copy-on-write result: `rewritten` replaces the rows of
     * `replaced` files; every other file carries forward with its stats.
-    * The CAS expects the table still at `base` — another writer landing
-    * first means our file math is stale, so we throw (Delta's
-    * write-conflict behavior) instead of silently dropping their commit.
-    * A transient rename refusal WITH the version unmoved retries.
+    *
+    * Concurrency is Delta's WriteSerializable conflict detection, not a
+    * table-level CAS: another writer landing first triggers a REBASE —
+    * our replacement re-applies on top of the winner's manifest —
+    * provided the concurrent commits are compatible: blind appends, or
+    * rewrites whose removed files are DISJOINT from ours. Anything that
+    * touched one of OUR replaced files, changed deletion vectors,
+    * schema, column mapping, or constraints conflicts and throws
+    * `ConcurrentModificationException` (the caller's file math is
+    * genuinely stale). So two COW writers on disjoint partitions both
+    * land; overlapping ones still serialize through a loud retry. A
+    * transient rename refusal WITH the version unmoved retries quietly.
     */
   private def publishCow(op: String, base: Long, m: Manifest,
       replaced: Set[String], rewritten: DataFrame,
       dvOut: Option[Seq[String]] = None): Long = {
-    val (commitRel, newFiles, newStats, newBlooms) = writeDataFiles(rewritten, m.colmap)
+    val (commitRel, newFiles, newStats, newBlooms, newSizes) =
+      writeDataFiles(rewritten, m.colmap)
     // update/merge can introduce violating rows; delete/optimize/purge/
     // restore only rearrange rows that already passed
     val rowChecks = m.constraints ++ m.genChecks
@@ -1047,9 +1207,43 @@ final case class VersionedTable(
     // address, so the sidecars drop for free instead of taxing every
     // future read until a manual purge.
     val dvCarried = if (m.files.forall(replaced)) Seq.empty[String] else m.dv
+    val carriedSizes = m.sizes.filter { case (f, _) => !replaced(f) }
+    // WriteSerializable rebase: rebuild the manifest from the WINNER's
+    // (curM), not our stale base — their appends/disjoint rewrites and
+    // streaming txn markers all survive; only our replaced files swap
+    // for our rewrite. Incompatible concurrency throws.
+    def rebase(curV: Long, curM: Manifest): Manifest = {
+      def conflict(why: String): Nothing =
+        throw new java.util.ConcurrentModificationException(
+          s"$op computed against v$base of $tableDir conflicts with the " +
+            s"concurrent commit(s) through v$curV: $why — retry the operation " +
+            s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
+      if (curM.schema != m.schema) conflict("the schema changed")
+      if (curM.colmap != m.colmap || curM.droppedPhys != m.droppedPhys)
+        conflict("the column mapping changed")
+      if (curM.constraints != m.constraints || curM.generated != m.generated)
+        conflict("constraints/generated columns changed")
+      // a new DV could address a file we rewrote WITHOUT it — rows we
+      // would silently resurrect; a dropped DV means a purge/restore
+      // rearranged history under us
+      if (curM.dv != m.dv) conflict("deletion vectors changed")
+      val curSet = curM.files.toSet
+      val gone = replaced.filterNot(curSet)
+      if (gone.nonEmpty)
+        conflict(s"${gone.size} of our rewritten file(s) were concurrently " +
+          s"rewritten or removed (first: ${gone.head})")
+      curM.copy(op = op,
+        files = curM.files.filterNot(replaced) ++ newFiles,
+        stats = curM.stats.filter { case (f, _) => !replaced(f) } ++ newStats,
+        blooms = curM.blooms.filter { case (f, _) => !replaced(f) } ++ newBlooms,
+        sizes = curM.sizes.filter { case (f, _) => !replaced(f) } ++ newSizes,
+        dv = dvOut.getOrElse(
+          if (curM.files.forall(replaced)) Seq.empty[String] else curM.dv))
+    }
     publishAt(base, m, m.copy(op = op,
       files = carried ++ newFiles, stats = carriedStats ++ newStats,
-      dv = dvOut.getOrElse(dvCarried), blooms = carriedBlooms ++ newBlooms), commitRel)
+      dv = dvOut.getOrElse(dvCarried), blooms = carriedBlooms ++ newBlooms,
+      sizes = carriedSizes ++ newSizes), commitRel, rebase = Some(rebase))
   }
 
   /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): make the
@@ -1077,33 +1271,53 @@ final case class VersionedTable(
     * of the copy-on-write ops and restore).
     */
   private def publishAt(base: Long, baseM: Manifest, man: Manifest,
-      commitRel: String): Long = {
+      commitRel: String,
+      rebase: Option[(Long, Manifest) => Manifest] = None): Long = {
     var attempt = 0
-    // base is PINNED for the whole publish (a moved version throws) and
-    // every caller already resolved its manifest (baseSnapshot), so the
-    // delta-encoding base costs no reads here — and, unlike an eager
-    // re-read, cannot race a concurrent vacuum into the wrong error
-    // type before the staleness check below fires
-    val prevForDelta = Some(base -> baseM)
+    var rebases = 0
+    // the publish base starts PINNED at the caller's snapshot; a moved
+    // version either throws (no rebase hook — the caller's math is
+    // stale by definition) or re-derives the manifest on the new head
+    // via the hook, which itself throws on genuine conflicts. Every
+    // caller already resolved its base manifest (baseSnapshot), so the
+    // delta-encoding base costs no reads on the happy path — and,
+    // unlike an eager re-read, cannot race a concurrent vacuum into the
+    // wrong error type before the staleness check below fires.
+    var b = base
+    var bm = baseM
+    var mn = man
     while (true) {
       val cur = currentVersion()
-      if (!cur.contains(base))
-        throw new java.util.ConcurrentModificationException(
-          s"${man.op} computed against v$base but the table is now at " +
-            s"${cur.fold("(empty)")(v => s"v$v")} — retry the operation " +
-            s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
-      val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, man, base + 1, prevForDelta)
-      publishManifest(tmp, manifestPath(base + 1)) match {
-        case Landed => return base + 1
-        // someone landed base+1 under us: the next loop iteration sees
-        // the moved version and raises the conflict
-        case Lost => ()
-        case Refused =>
-          attempt += 1
-          require(attempt < 20,
-            s"could not publish ${man.op} after $attempt attempts — v$base is still live; " +
-              s"uncommitted files left invisible at $commitRel (vacuum reclaims them)")
+      if (!cur.contains(b)) {
+        def stale: Nothing =
+          throw new java.util.ConcurrentModificationException(
+            s"${man.op} computed against v$b but the table is now at " +
+              s"${cur.fold("(empty)")(v => s"v$v")} — retry the operation " +
+              s"(uncommitted files at $commitRel are invisible; vacuum reclaims them)")
+        val curV = cur.getOrElse(stale)
+        if (rebase.isEmpty || curV < b) stale
+        rebases += 1
+        require(rebases <= 50,
+          s"${man.op} rebased $rebases times without landing — writer storm " +
+            s"on $tableDir; uncommitted files at $commitRel (vacuum reclaims them)")
+        val curM = readManifest(curV)
+        mn = rebase.get(curV, curM) // throws on a genuine conflict
+        b = curV
+        bm = curM
+      } else {
+        val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
+        writeManifest(tmp, mn, b + 1, Some(b -> bm))
+        publishManifest(tmp, manifestPath(b + 1)) match {
+          case Landed => return b + 1
+          // someone landed b+1 under us: the next loop iteration sees
+          // the moved version and rebases or raises the conflict
+          case Lost => ()
+          case Refused =>
+            attempt += 1
+            require(attempt < 20,
+              s"could not publish ${man.op} after $attempt attempts — v$b is still live; " +
+                s"uncommitted files left invisible at $commitRel (vacuum reclaims them)")
+        }
       }
     }
     -1L // unreachable
@@ -1135,7 +1349,7 @@ final case class VersionedTable(
       // with it — the composed readAt path owns that bookkeeping
       plainScan = m.dv.isEmpty && m.colmap.isEmpty && m.droppedPhys.isEmpty &&
         m.files.forall(_.split('/').length == 3),
-      m.stats, m.blooms)
+      m.stats, m.blooms, m.sizes, m.statsRef.map(r => s"$tableDir/$r"))
   }
 
   /** Time-travel read: the table exactly as of `version`. Byte-identical
@@ -1368,7 +1582,7 @@ final case class VersionedTable(
     // (one read per version) rather than one full chain walk each
     val keptManifests = resolveSequentially(kept)
     val referenced: Set[String] =
-      keptManifests.flatMap { case (_, m) => m.files ++ m.dv }
+      keptManifests.flatMap { case (_, m) => m.files ++ m.dv ++ m.statsRef.toSeq }
         .map(_.split('/').take(2).mkString("/")).toSet
     // delta-chain preservation: the retained versions resolve through
     // manifests BELOW them (a v2 delta's base is its predecessor).
@@ -1481,7 +1695,8 @@ final case class VersionedTable(
     * Nothing is visible until a manifest referencing the files lands.
     */
   private def writeDataFiles(df: DataFrame,
-      colmap: Map[String, String] = Map.empty): (String, Seq[String], FileStats, FileBlooms) = {
+      colmap: Map[String, String] = Map.empty)
+      : (String, Seq[String], FileStats, FileBlooms, FileSizes) = {
     val commitRel = s"data/c-${UUID.randomUUID()}"
     val commitAbs = s"$tableDir/$commitRel"
     // column mapping: batches arrive with LOGICAL names; files store
@@ -1491,20 +1706,26 @@ final case class VersionedTable(
       else df.select(df.columns.map(c => col(c).as(colmap.getOrElse(c, c))).toSeq: _*)
     val w = phys.write.format(format).mode(SaveMode.ErrorIfExists)
     partitionCol.fold(w)(w.partitionBy(_)).save(commitAbs)
-    val newFiles = listDataFiles(commitAbs).map(f => s"$commitRel/$f")
-    if (newFiles.isEmpty) (commitRel, newFiles, Map.empty: FileStats, Map.empty: FileBlooms)
+    val listed = listDataFiles(commitAbs)
+    val newFiles = listed.map(t => s"$commitRel/${t._1}")
+    val newSizes: FileSizes =
+      listed.map(t => s"$commitRel/${t._1}" -> (t._2, t._3)).toMap
+    if (newFiles.isEmpty)
+      (commitRel, newFiles, Map.empty: FileStats, Map.empty: FileBlooms, newSizes)
     else {
       val (stats, blooms) = collectFileMeta(commitRel, commitAbs, phys.schema)
-      (commitRel, newFiles, stats, blooms)
+      (commitRel, newFiles, stats, blooms, newSizes)
     }
   }
 
-  /** Data files under `dir`, as paths relative to `dir`. Skips Spark's
-    * `_SUCCESS` markers and hidden files.
+  /** Data files under `dir`, as (dir-relative path, length, mtime).
+    * Skips Spark's `_SUCCESS` markers and hidden files. Sizes come for
+    * free from the listing — the one walk the write already pays — so
+    * commits can record them manifest-side (no later per-file stats).
     */
-  private def listDataFiles(dir: String): Seq[String] = {
+  private def listDataFiles(dir: String): Seq[(String, Long, Long)] = {
     val base = new Path(dir).toUri.getPath
-    val buf = ArrayBuffer.empty[String]
+    val buf = ArrayBuffer.empty[(String, Long, Long)]
     // manual listStatus recursion, NOT fs.listFiles: listFiles wraps each
     // entry in a LocatedFileStatus, which loads permissions eagerly and
     // (on RawLocalFileSystem under a custom scheme) dies in `new
@@ -1515,11 +1736,11 @@ final case class VersionedTable(
       else if (!name.startsWith("_") && !name.startsWith(".")) {
         val f = st.getPath.toUri.getPath
         require(f.startsWith(base + "/"), s"listed file $f escapes commit dir $base")
-        buf += f.drop(base.length + 1)
+        buf += ((f.drop(base.length + 1), st.getLen, st.getModificationTime))
       }
     }
     walk(new Path(dir))
-    buf.toSeq.sorted
+    buf.toSeq.sortBy(_._1)
   }
 
   /** Per-file [min, max] of each stats column for the files just
@@ -1609,7 +1830,14 @@ final case class VersionedTable(
   // CheckpointInterval commits.
 
   private def fileLines(sb: StringBuilder, f: String, m: Manifest, addPrefix: String): Unit = {
-    sb.append(addPrefix).append(f).append('\n')
+    // path \t length \t mtime — size metadata rides the file line so a
+    // reader plans with ZERO filesystem stats (Delta's AddFile shape);
+    // pre-size manifests wrote the bare path and fall back to a listing
+    sb.append(addPrefix).append(f)
+    m.sizes.get(f).foreach { case (len, mt) =>
+      sb.append('\t').append(len).append('\t').append(mt)
+    }
+    sb.append('\n')
     // stats ride next to their file line: col \t min \t max \t path
     // (path LAST — it is the only field that could ever be exotic)
     m.stats.get(f).toSeq.flatMap(_.toSeq).sortBy(_._1).foreach { case (c, (mn, mx)) =>
@@ -1650,6 +1878,9 @@ final case class VersionedTable(
     m.generated.toSeq.sortBy(_._1).foreach { case (n, e) =>
       sb.append("gencol:").append(n).append('\t').append(e).append('\n')
     }
+    // the stats sidecar reference is small metadata both forms carry in
+    // full — a delta self-describes which sidecar covers its base files
+    m.statsRef.foreach(r => sb.append("statsref:").append(r).append('\n'))
   }
 
   private def writeFullManifest(at: Path, m: Manifest): Unit = {
@@ -1693,7 +1924,8 @@ final case class VersionedTable(
       (pm.dv.filterNot(dvRms) ++ dvAdds) == m.dv &&
       m.files.forall(f =>
         addSet.contains(f) ||
-          (m.stats.get(f) == pm.stats.get(f) && bloomEq(m.blooms.get(f), pm.blooms.get(f))))
+          (m.stats.get(f) == pm.stats.get(f) && bloomEq(m.blooms.get(f), pm.blooms.get(f)) &&
+            m.sizes.get(f) == pm.sizes.get(f)))
   }
 
   private def writeDeltaManifest(at: Path, m: Manifest,
@@ -1723,8 +1955,92 @@ final case class VersionedTable(
       case Some((bv, pm))
           if next % VersionedTable.CheckpointInterval != 0 && deltaEncodable(pm, m) =>
         writeDeltaManifest(at, m, bv, pm)
-      case _ => writeFullManifest(at, m)
+      case _ => writeFullManifest(at, spillOrInline(m))
     }
+
+  // ---- stats sidecar: per-file skipping metadata as PARQUET -----------
+  //
+  // A LARGE table's per-file stats and bloom bits are the heavy part of
+  // its metadata (a bloom is KBs per file per column; 10⁵ files would
+  // put hundreds of MB in every full manifest AND on the driver at every
+  // plan). Above [[statsSidecarThreshold]] files, a full manifest spills
+  // them to a parquet sidecar under data/ (`statsref:` line) — Delta's
+  // checkpoint-parquet role — and the SQL planner prunes it as a
+  // DISTRIBUTED scan ([[graft.sql.GraftFileIndex]]), so the driver never
+  // materializes per-file stats for the bulk of the table. Delta
+  // manifests between checkpoints carry their added files' metadata
+  // inline (small); those in-memory entries override the sidecar.
+  // Sidecars live in data/s-<uuid>/ so vacuum's referenced-dir
+  // reclamation covers them exactly like commit dirs.
+
+  /** Files at or above this count spill stats/blooms to a parquet
+    * sidecar on full-manifest writes. Tunable per session
+    * (`spark.graft.statsSidecarThreshold`) — specs pin the distributed
+    * path with a tiny threshold.
+    */
+  private def sidecarThreshold: Int =
+    spark.conf.getOption("spark.graft.statsSidecarThreshold")
+      .map(_.toInt).getOrElse(4096)
+
+  private def spillOrInline(m: Manifest): Manifest =
+    if (m.files.size >= sidecarThreshold &&
+        (m.stats.nonEmpty || m.blooms.nonEmpty || m.statsRef.isDefined))
+      spillToSidecar(m)
+    else if (m.statsRef.isDefined) inlineSidecar(m)
+    else m
+
+  private def sidecarDs(rel: String): Dataset[VersionedTable.SidecarRow] =
+    spark.read.schema(VersionedTable.sidecarSchema).parquet(s"$tableDir/$rel")
+      .as(VersionedTable.sidecarEncoder)
+
+  /** Move every file's skipping metadata into a fresh sidecar: rows for
+    * in-memory entries (the delta tail — or everything, at the first
+    * threshold crossing) plus the still-live rows of the previous
+    * sidecar, carried DISTRIBUTEDLY (the old sidecar is never collected
+    * to the driver).
+    */
+  private def spillToSidecar(m: Manifest): Manifest = {
+    val memCovered = m.stats.keySet ++ m.blooms.keySet
+    val memRows = memCovered.toSeq.sorted.map { f =>
+      VersionedTable.SidecarRow(f,
+        m.stats.getOrElse(f, Map.empty).toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          VersionedTable.SidecarStat(c, mn, mx) },
+        m.blooms.getOrElse(f, Map.empty).toSeq.sortBy(_._1).map { case (c, (k, bits)) =>
+          VersionedTable.SidecarBloom(c, k, graft.util.BloomSketch.toBytes(bits)) })
+    }
+    val rel = s"data/s-${UUID.randomUUID()}"
+    val mem = spark.createDataset(memRows)(VersionedTable.sidecarEncoder)
+    val out = m.statsRef match {
+      case Some(old) =>
+        // rows for files REMOVED since the old sidecar (COW, optimize)
+        // drop here; rows superseded by in-memory entries drop too
+        val live = m.files.filterNot(memCovered).toSet
+        val liveB = spark.sparkContext.broadcast(live)
+        sidecarDs(old).filter(r => liveB.value.contains(r.file)).union(mem)
+      case None => mem
+    }
+    out.repartition(math.max(1, m.files.size / 16384))
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/$rel")
+    m.copy(stats = Map.empty, blooms = Map.empty, statsRef = Some(rel))
+  }
+
+  /** A table that shrank back below the threshold folds its sidecar
+    * back into inline manifest lines (rare; one bounded collect).
+    */
+  private def inlineSidecar(m: Manifest): Manifest = {
+    val memCovered = m.stats.keySet ++ m.blooms.keySet
+    val live = m.files.filterNot(memCovered).toSet
+    val liveB = spark.sparkContext.broadcast(live)
+    val rows = sidecarDs(m.statsRef.get).filter(r => liveB.value.contains(r.file)).collect()
+    val st: FileStats = rows.iterator.map(r =>
+      r.file -> r.stats.map(s => s.col -> (s.mn, s.mx)).toMap)
+      .filter(_._2.nonEmpty).toMap
+    val bl: FileBlooms = rows.iterator.map(r =>
+      r.file -> r.blooms.map(b =>
+        b.col -> (b.k, graft.util.BloomSketch.fromBytes(b.bits))).toMap)
+      .filter(_._2.nonEmpty).toMap
+    m.copy(stats = m.stats ++ st, blooms = m.blooms ++ bl, statsRef = None)
+  }
 
   /** A parsed manifest. Unknown line prefixes are ignored for forward
     * compatibility (and a missing op line reads as "write": pre-op
@@ -1741,7 +2057,13 @@ final case class VersionedTable(
       constraints: Map[String, String],
       colmap: Map[String, String],
       droppedPhys: Seq[String],
-      generated: Map[String, String]) {
+      generated: Map[String, String],
+      // (length, mtime) per file — absent only for pre-size manifests
+      sizes: Map[String, (Long, Long)] = Map.empty,
+      // tableDir-relative parquet sidecar holding per-file stats/bloom
+      // rows for the bulk of a LARGE table (Delta's checkpoint-parquet
+      // role); files whose metadata is in `stats`/`blooms` override it
+      statsRef: Option[String] = None) {
     /** The on-disk column name for logical `name` (identity unless a
       * rename moved the logical name; physical names never change).
       */
@@ -1840,7 +2162,9 @@ final case class VersionedTable(
       files = base.files.filterNot(f.rm) ++ f.d.files,
       stats = (base.stats -- f.rm) ++ f.d.stats,
       blooms = (base.blooms -- f.rm) ++ f.d.blooms,
+      sizes = (base.sizes -- f.rm) ++ f.d.sizes,
       dv = base.dv.filterNot(f.dvRm) ++ f.dvAdd)
+      // statsRef stays f.d's own — metaLines carries it in both forms
 
   private def parseStored(version: Long): StoredForm = {
     val ck = ckptPath(version)
@@ -1896,7 +2220,14 @@ final case class VersionedTable(
       if (parts.length == 2) parts(0) -> parts(1).toLong
       else VersionedTable.DefaultApp -> parts(0).toLong // legacy bare id
     }.toMap
-    val files = lines.filter(_.startsWith(filePrefix)).map(_.stripPrefix(filePrefix))
+    val fileEntries = lines.filter(_.startsWith(filePrefix)).map { l =>
+      val body = l.stripPrefix(filePrefix)
+      val parts = body.split('\t')
+      if (parts.length >= 3) (parts(0), Some((parts(1).toLong, parts(2).toLong)))
+      else (body, None) // legacy bare-path line: no recorded size
+    }
+    val files = fileEntries.map(_._1)
+    val sizes = fileEntries.collect { case (f, Some(s)) => f -> s }.toMap
     val stats = lines.filter(_.startsWith("stats:"))
       .map { l =>
         val parts = l.stripPrefix("stats:").split('\t')
@@ -1934,12 +2265,28 @@ final case class VersionedTable(
         require(parts.length == 2, s"malformed gencol line in $p: $l")
         parts(0) -> parts(1)
       }.toMap
+    val statsRef = lines.find(_.startsWith("statsref:")).map(_.stripPrefix("statsref:"))
     Manifest(schema, op, txns, files, stats, dv, blooms, constraints,
-      colmap, droppedPhys, generated)
+      colmap, droppedPhys, generated, sizes, statsRef)
   }
 }
 
 object VersionedTable {
+
+  /** Clause actions for [[VersionedTable.mergeClauses]]. Assignment
+    * maps are target-column name -> expression over the `t`/`s` row
+    * structs; values cast to the column's declared type.
+    */
+  sealed trait MergeAction
+  final case class MergeUpdate(set: Map[String, Column]) extends MergeAction
+  case object MergeDelete extends MergeAction
+  final case class MergeInsert(values: Map[String, Column]) extends MergeAction
+
+  /** One `WHEN` clause of [[VersionedTable.mergeClauses]]: fires when
+    * `condition` (a Column over the `t`/`s` row structs) holds; `None`
+    * is unconditional. First firing clause wins.
+    */
+  final case class MergeWhen(condition: Option[Column], action: MergeAction)
   /** The default writer namespace for [[commitAppendBatch]] markers —
     * independent exactly-once writers (a second stream, a
     * [[VersionedPipe]]) pass their own app name so replay detection
@@ -1974,7 +2321,27 @@ object VersionedTable {
       files: Seq[String],
       plainScan: Boolean,
       stats: Map[String, Map[String, (Long, Long)]],
-      blooms: Map[String, Map[String, (Int, Array[Long])]])
+      blooms: Map[String, Map[String, (Int, Array[Long])]],
+      // per-file (length, mtime) recorded at commit time — planners
+      // build FileStatuses from these with zero filesystem stats
+      sizes: Map[String, (Long, Long)] = Map.empty,
+      // ABSOLUTE path of the parquet stats sidecar covering the files
+      // that have no entry in `stats`/`blooms` (large tables only) —
+      // the planner prunes it distributedly instead of holding per-file
+      // metadata on the driver
+      statsSidecar: Option[String] = None)
+
+  /** One stats-sidecar row: everything the planner can skip `file` on.
+    * Public schema — [[graft.sql.GraftFileIndex]] scans it as a Dataset
+    * in executors.
+    */
+  final case class SidecarStat(col: String, mn: Long, mx: Long)
+  final case class SidecarBloom(col: String, k: Int, bits: Array[Byte])
+  final case class SidecarRow(file: String, stats: Seq[SidecarStat],
+      blooms: Seq[SidecarBloom])
+  val sidecarEncoder: org.apache.spark.sql.Encoder[SidecarRow] =
+    Encoders.product[SidecarRow]
+  val sidecarSchema: StructType = sidecarEncoder.schema
 
   /** One [[VersionedTable.history]] row — the DESCRIBE HISTORY shape. */
   final case class VersionInfo(

@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 
@@ -20,13 +20,22 @@ import graft.util.BloomSketch
   * Skipping only ever REMOVES IO, never rows: a file with no recorded
   * stats/bloom for a column is conservatively kept, unsupported
   * predicate shapes keep everything, and Spark re-applies the exact
-  * predicate on the scanned rows regardless.
+  * predicate on the scanned rows regardless ([[StatsPrune]]).
   *
-  * At 100 TB: the file list is O(files) driver-side metadata — the cost
-  * Delta pays in its log replay — while every pruned file is a parquet
-  * scan task that never launches. FileStatuses are resolved once at
-  * construction (the snapshot is immutable), so repeated queries replan
-  * without re-stat'ing.
+  * At 100 TB, planning cost is bounded two ways:
+  *
+  *  - '''Zero filesystem stats''': FileStatuses come from the
+  *    manifest's recorded (length, mtime) — Delta's AddFile shape — so
+  *    planning issues no per-file namenode/object-store round trips.
+  *    Only files from pre-size manifests fall back to a listing,
+  *    batched per directory.
+  *  - '''Distributed stats pruning''': a large snapshot's per-file
+  *    stats/blooms live in a parquet sidecar
+  *    ([[VersionedTable.SnapshotMeta.statsSidecar]]), and `listFiles`
+  *    evaluates the compiled checks over it as a SPARK JOB — the driver
+  *    holds file names, never the per-file metadata (bloom bits are the
+  *    heavy part). Only the delta tail since the last checkpoint prunes
+  *    driver-side from the in-memory maps.
   */
 final class GraftFileIndex(
     spark: SparkSession,
@@ -36,81 +45,83 @@ final class GraftFileIndex(
   private val root = new Path(vt.tableDir)
   private val fs =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  // rel-path → status, resolved once (immutable snapshot)
-  private val statuses: Seq[(String, FileStatus)] =
-    meta.files.map(rel => rel -> fs.getFileStatus(new Path(s"${vt.tableDir}/$rel")))
+  private val blockSize: Long = fs.getDefaultBlockSize(root)
+
+  // (rel, length, mtime) — manifest-recorded; legacy pre-size files
+  // resolve with ONE listStatus per parent dir, not one RPC per file
+  private val sized: Seq[(String, Long, Long)] = {
+    val missing = meta.files.filterNot(meta.sizes.contains)
+    val listed: Map[String, (Long, Long)] =
+      if (missing.isEmpty) Map.empty
+      else missing.groupBy(f => f.take(f.lastIndexOf('/')))
+        .iterator.flatMap { case (dir, inDir) =>
+          val names = inDir.map(f => f.drop(f.lastIndexOf('/') + 1)).toSet
+          fs.listStatus(new Path(s"${vt.tableDir}/$dir")).toSeq
+            .filter(st => names(st.getPath.getName))
+            .map(st => s"$dir/${st.getPath.getName}" ->
+              (st.getLen, st.getModificationTime))
+        }.toMap
+    meta.files.map { f =>
+      val (len, mt) = meta.sizes.getOrElse(f, listed.getOrElse(f,
+        throw new IllegalStateException(
+          s"data file $f of ${vt.tableDir} is missing from both the " +
+            "manifest sizes and the directory listing")))
+      (f, len, mt)
+    }
+  }
+
+  private def status(t: (String, Long, Long)): FileStatus =
+    new FileStatus(t._2, false, 1, blockSize, t._3,
+      new Path(s"${vt.tableDir}/${t._1}"))
 
   override def rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = StructType(Nil)
   override def inputFiles: Array[String] =
-    statuses.map(_._2.getPath.toString).toArray
+    sized.map(t => s"${vt.tableDir}/${t._1}").toArray
   override def refresh(): Unit = ()
-  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+  override def sizeInBytes: Long = sized.map(_._2).sum
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val probes = bloomProbes(dataFilters)
-    val keep = statuses.collect {
-      case (rel, st) if dataFilters.forall(f => mightMatch(rel, f, probes)) => st
-    }
-    Seq(PartitionDirectory(InternalRow.empty, keep.toArray))
-  }
-
-  /** Can `rel` contain a row matching `f`? Conservative: only the
-    * comparison shapes the manifest can refute prune anything.
-    */
-  private def mightMatch(rel: String, f: Expression,
-      probes: Map[(String, Any), (Long, Long)]): Boolean = f match {
-    case And(l, r) => mightMatch(rel, l, probes) && mightMatch(rel, r, probes)
-    case EqualTo(a: Attribute, Literal(v, _)) => keepEq(rel, a.name, v, probes)
-    case EqualTo(Literal(v, _), a: Attribute) => keepEq(rel, a.name, v, probes)
-    case GreaterThan(a: Attribute, Literal(v, _)) => range(rel, a.name, v)(_._2 > _)
-    case GreaterThan(Literal(v, _), a: Attribute) => range(rel, a.name, v)(_._1 < _)
-    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => range(rel, a.name, v)(_._2 >= _)
-    case GreaterThanOrEqual(Literal(v, _), a: Attribute) => range(rel, a.name, v)(_._1 <= _)
-    case LessThan(a: Attribute, Literal(v, _)) => range(rel, a.name, v)(_._1 < _)
-    case LessThan(Literal(v, _), a: Attribute) => range(rel, a.name, v)(_._2 > _)
-    case LessThanOrEqual(a: Attribute, Literal(v, _)) => range(rel, a.name, v)(_._1 <= _)
-    case LessThanOrEqual(Literal(v, _), a: Attribute) => range(rel, a.name, v)(_._2 >= _)
-    case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => keepEq(rel, a.name, v, probes) }
-    case InSet(a: Attribute, vs) => vs.exists(v => keepEq(rel, a.name, v, probes))
-    case _ => true
-  }
-
-  private def keepEq(rel: String, column: String, v: Any,
-      probes: Map[(String, Any), (Long, Long)]): Boolean = {
-    if (v == null) return true // x = NULL never matches; let Spark emit empty
-    val bloomKeep = meta.blooms.get(rel).flatMap(byName(_, column)) match {
-      case Some((k, bits)) => probes.get((column, v)) match {
-        case Some((h1, h2)) => BloomSketch.mightContain(bits, k, h1, h2)
-        case None => true
+    val checks = StatsPrune.compile(dataFilters, bloomProbes(dataFilters))
+    val keep: Seq[(String, Long, Long)] =
+      if (checks.isEmpty) { GraftFileIndex.lastPruneMode = "none"; sized }
+      else meta.statsSidecar match {
+        case None =>
+          GraftFileIndex.lastPruneMode = "driver"
+          sized.filter(t => StatsPrune.eval(checks, statsOf(t._1), bloomOf(t._1)))
+        case Some(sidecar) =>
+          GraftFileIndex.lastPruneMode = "sidecar-distributed"
+          // delta tail (metadata in the manifest maps) prunes on the
+          // driver; the covered bulk prunes as a distributed scan of
+          // the sidecar. Collecting the PRUNED names (with the live-set
+          // restriction pushed into executors) keeps the driver at
+          // O(file names) — it never sees stats or bloom bits.
+          val (mem, ref) = sized.partition(t =>
+            meta.stats.contains(t._1) || meta.blooms.contains(t._1))
+          val memKeep =
+            mem.filter(t => StatsPrune.eval(checks, statsOf(t._1), bloomOf(t._1)))
+          val refKeep = if (ref.isEmpty) ref else {
+            val liveB = spark.sparkContext.broadcast(ref.map(_._1).toSet)
+            val prunedOut = spark.read
+              .schema(VersionedTable.sidecarSchema).parquet(sidecar)
+              .as(VersionedTable.sidecarEncoder)
+              .filter(r => liveB.value.contains(r.file) &&
+                !StatsPrune.evalRow(checks, r))
+              .map(_.file)(org.apache.spark.sql.Encoders.STRING)
+              .collect().toSet
+            ref.filterNot(t => prunedOut(t._1))
+          }
+          memKeep ++ refKeep
       }
-      case None => true
-    }
-    bloomKeep && range(rel, column, v)((mm, x) => mm._1 <= x && x <= mm._2)
+    Seq(PartitionDirectory(InternalRow.empty, keep.map(status).toArray))
   }
 
-  /** Min/max refutation for integral-typed literals; anything else is
-    * conservatively kept (the manifest stores Long stats only).
-    */
-  private def range(rel: String, column: String, v: Any)(
-      keep: ((Long, Long), Long) => Boolean): Boolean =
-    asLong(v) match {
-      case Some(x) => meta.stats.get(rel).flatMap(byName(_, column)) match {
-        case Some(mm) => keep(mm, x)
-        case None => true
-      }
-      case None => true
-    }
+  private def statsOf(rel: String)(column: String): Option[(Long, Long)] =
+    meta.stats.get(rel).flatMap(byName(_, column))
 
-  private def asLong(v: Any): Option[Long] = v match {
-    case x: Long => Some(x)
-    case x: Int => Some(x.toLong)
-    case x: Short => Some(x.toLong)
-    case x: Byte => Some(x.toLong)
-    case _ => None
-  }
+  private def bloomOf(rel: String)(column: String): Option[(Int, Array[Long])] =
+    meta.blooms.get(rel).flatMap(byName(_, column))
 
   // Spark resolves column names case-insensitively; manifest lookups must too
   private def byName[T](m: Map[String, T], column: String): Option[T] =
@@ -118,27 +129,21 @@ final class GraftFileIndex(
       case (k, t) if k.equalsIgnoreCase(column) => t
     })
 
-  /** Pre-compute the xxhash64 pair for every equality literal that has
-    * a bloom on ANY file — one driver-local 1-row job per distinct
-    * (column, literal), through the same codepath the commit hashed the
-    * data with ([[BloomSketch.hashCols]]), so build and probe agree by
-    * construction (the [[VersionedTable.readPoint]] discipline).
+  /** Pre-compute the xxhash64 pair for every equality literal that
+    * could meet a bloom — one driver-local 1-row job per query, through
+    * the same codepath the commit hashed the data with
+    * ([[BloomSketch.hashCols]]), so build and probe agree by
+    * construction (the [[VersionedTable.readPoint]] discipline). With a
+    * sidecar the driver cannot see which columns carry blooms, so every
+    * equality literal is hashed — the job is one local row either way.
     */
   private def bloomProbes(
       dataFilters: Seq[Expression]): Map[(String, Any), (Long, Long)] = {
-    def eqs(f: Expression): Seq[(String, Any, Expression)] = f match {
-      case And(l, r) => eqs(l) ++ eqs(r)
-      case EqualTo(a: Attribute, l @ Literal(v, _)) => Seq((a.name, v, l))
-      case EqualTo(l @ Literal(v, _), a: Attribute) => Seq((a.name, v, l))
-      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.map { case l @ Literal(v, _) => (a.name, v, l) }
-      case _ => Seq.empty
-    }
     val bloomed: Set[String] =
       meta.blooms.valuesIterator.flatMap(_.keysIterator).map(_.toLowerCase).toSet
-    val wanted = dataFilters.flatMap(eqs)
-      .filter { case (c, v, _) => v != null && bloomed(c.toLowerCase) }
-      .distinctBy { case (c, v, _) => (c, v) }
+    val wanted = StatsPrune.eqLiterals(dataFilters)
+      .filter { case (c, _, _) =>
+        meta.statsSidecar.isDefined || bloomed(c.toLowerCase) }
     if (wanted.isEmpty) Map.empty
     else {
       // ONE 1-row local job hashes every probe literal at once
@@ -153,4 +158,12 @@ final class GraftFileIndex(
       }.toMap
     }
   }
+}
+
+object GraftFileIndex {
+  /** Which prune path the most recent `listFiles` took — "none",
+    * "driver", or "sidecar-distributed". Diagnostic only; specs pin
+    * that large snapshots plan through the distributed path.
+    */
+  @volatile var lastPruneMode: String = "none"
 }

@@ -297,35 +297,95 @@ class VersionedCowSpec extends SparkSuite {
     intercept[IllegalArgumentException] { vt.readChangesBetween(3L, 1L) }
   }
 
-  test("a competing commit between a COW scan and its publish raises a conflict") {
+  /** Park a gated COW op between its snapshot scan and its publish, run
+    * `interleave` through a healthy handle, release, and return the
+    * gated op's outcome.
+    */
+  private def gatedCow[T](local: String, cow: VersionedTable => T)(
+      interleave: => Unit): scala.util.Try[T] = {
     spark.sparkContext.hadoopConfiguration
       .setClass("fs.gatedman.impl", classOf[GatedManifestFs], classOf[FileSystem])
-    val local = freshDir()
-    val healthy = VersionedTable(spark, local)
-    healthy.commitOverwrite(spark.range(0, 100).toDF("id"))
     val gated = VersionedTable(spark, s"gatedman:$local")
-
     GatedManifestFs.arrived = new CountDownLatch(1)
     GatedManifestFs.proceed = new CountDownLatch(1)
     GatedManifestFs.armed.set(true)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val cow = Future(gated.delete(col("id") < 10L))
-    // the delete has scanned v1 and is parked at its manifest rename…
-    assert(GatedManifestFs.arrived.await(60, TimeUnit.SECONDS), "delete never reached publish")
-    // …when an append lands v2 through the healthy handle
-    healthy.commitAppend(spark.range(100, 110).toDF("id"))
-    GatedManifestFs.proceed.countDown()
-    val ex = intercept[java.util.ConcurrentModificationException] {
-      Await.result(cow, 120.seconds)
+    val fut = Future(cow(gated))
+    assert(GatedManifestFs.arrived.await(60, TimeUnit.SECONDS),
+      "the COW op never reached its publish")
+    try interleave
+    finally GatedManifestFs.proceed.countDown()
+    scala.util.Try(Await.result(fut, 120.seconds))
+  }
+
+  test("a concurrent blind append REBASES under a COW delete: both commits land") {
+    val local = freshDir()
+    val healthy = VersionedTable(spark, local)
+    healthy.commitOverwrite(spark.range(0, 100).toDF("id"))
+    val res = gatedCow(local, _.delete(col("id") < 10L)) {
+      healthy.commitAppend(spark.range(100, 110).toDF("id"))
     }
-    assert(ex.getMessage.contains("v1"), s"conflict must name the stale base: ${ex.getMessage}")
-    // NEITHER write was lost: the append's rows are all present, the
-    // delete (correctly) did not apply
-    assert(healthy.read().as[Long].collect().sorted.toSeq == (0L until 110L))
-    // and the retried delete applies cleanly on the new base
-    healthy.delete(col("id") < 10L)
+    // WriteSerializable: the delete re-applies on top of the append's
+    // manifest — NEITHER write is lost and no retry is needed
+    assert(res.isSuccess, s"the delete must rebase over a blind append: $res")
+    assert(res.get == 3L, "append v2, rebased delete v3")
     assert(healthy.read().as[Long].collect().sorted.toSeq == (10L until 110L))
+    assert(healthy.history().map(_.op).takeRight(2) == Seq("append", "delete"))
+  }
+
+  test("two COW deletes on DISJOINT files both land; same-file deletes conflict") {
+    val local = freshDir()
+    val vt = rangedTable(local) // 4 range-disjoint files, 0..3999
+    // disjoint: gated delete touches the low file, concurrent the high
+    val res = gatedCow(local, _.delete(col("id") < 500L)) {
+      vt.delete(col("id") >= 3500L)
+    }
+    assert(res.isSuccess, s"disjoint-file COW writers must both commit: $res")
+    assert(vt.read().select("id").as[Long].collect().sorted.toSeq == (500L until 3500L))
+    assert(vt.history().map(_.op).takeRight(2) == Seq("delete", "delete"))
+
+    // overlapping: both rewrite the file holding id ~1000 — the loser's
+    // rewrite is built from a file the winner already replaced
+    val res2 = gatedCow(local, _.update(col("id") === 1000L, Map("v" -> lit(-1L)))) {
+      vt.delete(col("id") === 1001L)
+    }
+    val ex = intercept[java.util.ConcurrentModificationException](res2.get)
+    assert(ex.getMessage.contains("concurrently rewritten"),
+      s"overlapping rewrites must conflict loudly: ${ex.getMessage}")
+    // the winner's delete held; the loser's update did not half-apply
+    val now = vt.read()
+    assert(now.filter(col("id") === 1001L).count() == 0)
+    assert(now.filter(col("v") === -1L).count() == 0)
+    // and the loser retries cleanly on the new head
+    vt.update(col("id") === 1000L, Map("v" -> lit(-1L)))
+    assert(vt.read().filter(col("v") === -1L).count() == 1)
+  }
+
+  test("a concurrent overwrite still conflicts with a COW delete (wholesale replace)") {
+    val local = freshDir()
+    val healthy = VersionedTable(spark, local)
+    healthy.commitOverwrite(spark.range(0, 100).toDF("id"))
+    val res = gatedCow(local, _.delete(col("id") < 10L)) {
+      healthy.commitOverwrite(spark.range(500, 600).toDF("id"))
+    }
+    val ex = intercept[java.util.ConcurrentModificationException](res.get)
+    assert(ex.getMessage.contains("rewritten or removed"), ex.getMessage)
+    // the overwrite's content is intact — the stale delete dropped nothing
+    assert(healthy.read().as[Long].collect().sorted.toSeq == (500L until 600L))
+  }
+
+  test("a concurrent MoR delete (DV change) conflicts with a COW rewrite") {
+    val local = freshDir()
+    val vt = rangedTable(local)
+    val res = gatedCow(local, _.delete(col("id") < 500L)) {
+      vt.deleteMoR(col("id") === 200L)
+    }
+    val ex = intercept[java.util.ConcurrentModificationException](res.get)
+    assert(ex.getMessage.contains("deletion vectors"), ex.getMessage)
+    // the MoR delete held; the COW retry then applies on the new head
+    vt.delete(col("id") < 500L)
+    assert(vt.read().select("id").as[Long].collect().sorted.toSeq == (500L until 4000L))
   }
 }
