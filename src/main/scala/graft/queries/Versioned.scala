@@ -504,6 +504,109 @@ object Versioned {
          |ORDER BY snap""".stripMargin)
   }
 
+  /** The FULL SQL `MERGE INTO` clause matrix inside the oracle gate:
+    * conditional WHEN MATCHED DELETE + UPDATE with expressions over
+    * both rows, a conditional explicit-column INSERT, then a second
+    * merge exercising WHEN NOT MATCHED BY SOURCE delete/update — all
+    * as plain SQL against the registered catalog, with the DuckDB twin
+    * replaying both merges relationally (left joins + anti-joins). A
+    * hash match pins first-clause-wins ordering, per-clause conditions,
+    * and the not-by-source pass in one shot.
+    */
+  val qv12 = Q(
+    "qv12_sql_merge_matrix",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey <= 2000),
+      |src1 AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 5 AS o_totalprice
+      |  FROM orders WHERE o_orderkey BETWEEN 1500 AND 2500),
+      |m1 AS (
+      |  SELECT t.o_orderkey, t.o_custkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND t.o_custkey % 7 <> 0
+      |              AND s.o_custkey % 3 = 0
+      |         THEN s.o_totalprice + 10 ELSE t.o_totalprice END AS o_totalprice
+      |  FROM base t LEFT JOIN src1 s ON t.o_orderkey = s.o_orderkey
+      |  WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_custkey % 7 = 0)),
+      |i1 AS (
+      |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+      |  FROM src1 s LEFT JOIN base t ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.o_orderkey IS NULL AND s.o_custkey % 2 = 0),
+      |after1 AS (SELECT * FROM m1 UNION ALL SELECT * FROM i1),
+      |after2 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey <= 1000 THEN o_custkey + 1000000
+      |         ELSE o_custkey END AS o_custkey,
+      |    CASE WHEN o_orderkey <= 1000 THEN o_totalprice
+      |         ELSE CAST(0 AS DOUBLE) END AS o_totalprice
+      |  FROM after1 WHERE o_orderkey <= 2200),
+      |agg AS (
+      |  SELECT 'head' AS snap, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |  FROM after2
+      |  UNION ALL
+      |  SELECT 'mid', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(o_custkey) AS BIGINT),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM after1
+      |  UNION ALL
+      |  SELECT 'pre', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(o_custkey) AS BIGINT),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  FROM base)
+      |SELECT snap, n_rows, sum_cust, total_price FROM agg
+      |ORDER BY snap""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv12-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g12c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    load(s, dir, "orders").createOrReplaceTempView(s"qv12_orders_$cat")
+    val src = s"qv12_orders_$cat"
+    s.sql(s"""CREATE TABLE $cat.db.t AS
+             |SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM $src WHERE o_orderkey <= 2000""".stripMargin) // v1 empty + v2 rows
+    // merge 1: conditional DELETE beats conditional UPDATE (clause
+    // order), survivors may insert under their own condition
+    s.sql(s"""MERGE INTO $cat.db.t t
+             |USING (
+             |  SELECT o_orderkey, o_custkey, o_totalprice + 5 AS o_totalprice
+             |  FROM $src WHERE o_orderkey BETWEEN 1500 AND 2500) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND t.o_custkey % 7 = 0 THEN DELETE
+             |WHEN MATCHED AND s.o_custkey % 3 = 0
+             |  THEN UPDATE SET o_totalprice = s.o_totalprice + 10
+             |WHEN NOT MATCHED AND s.o_custkey % 2 = 0
+             |  THEN INSERT (o_orderkey, o_custkey, o_totalprice)
+             |       VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice)""".stripMargin)
+    // merge 2: NOT MATCHED BY SOURCE delete/update matrix
+    s.sql(s"""MERGE INTO $cat.db.t t
+             |USING (SELECT o_orderkey FROM $src WHERE o_orderkey <= 1000) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET o_custkey = t.o_custkey + 1000000
+             |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey > 2200 THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE
+             |  THEN UPDATE SET o_totalprice = CAST(0 AS DOUBLE)""".stripMargin)
+    s.sql(
+      s"""SELECT snap, n_rows, sum_cust, total_price FROM (
+         |  SELECT 'head' AS snap, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |  FROM $cat.db.t
+         |  UNION ALL
+         |  SELECT 'mid', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(o_custkey) AS BIGINT),
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |  FROM $cat.db.t VERSION AS OF 3
+         |  UNION ALL
+         |  SELECT 'pre', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(o_custkey) AS BIGINT),
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |  FROM $cat.db.t VERSION AS OF 2)
+         |ORDER BY snap""".stripMargin)
+  }
+
   val all: Seq[Q] =
-    Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11)
+    Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12)
 }

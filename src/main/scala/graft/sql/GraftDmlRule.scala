@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -20,12 +20,15 @@ import graft.ecom.VersionedTable
   * The Delta architecture again: Spark resolves names and expressions,
   * the library owns the rewrite semantics, nothing is implemented twice.
   *
-  * MERGE supports the canonical UPSERT shape the library defines —
-  * `ON` a conjunction of same-name target/source key equalities,
-  * `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *`
-  * (star-expanded or spelled out column-for-column) — and REFUSES
-  * anything else with a message naming the library API, rather than
-  * approximating richer clause semantics.
+  * MERGE supports the FULL Delta clause matrix over an `ON` conjunction
+  * of same-name target/source key equalities: the canonical upsert
+  * (`UPDATE SET *` + `INSERT *`) routes through the library's
+  * [[VersionedTable.merge]]; conditional, multiple, DELETE, and
+  * NOT MATCHED BY SOURCE clauses translate to
+  * [[VersionedTable.mergeClauses]] with every clause expression
+  * re-expressed over the library's `t`/`s` row structs. Only
+  * non-equi-key ON conditions refuse (with a message naming the
+  * library API) rather than approximating.
   */
 case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -66,10 +69,10 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val targetOut = table.outputSet
       val sourceOut = source.outputSet
       def refuse(why: String): Nothing = throw new UnsupportedOperationException(
-        s"MERGE INTO ${t.name()}: $why — this catalog supports the canonical " +
-          "upsert (ON same-name key equalities, WHEN MATCHED THEN UPDATE SET *, " +
-          "WHEN NOT MATCHED THEN INSERT *); richer clauses are the library API " +
-          "(VersionedTable.update/delete/merge)")
+        s"MERGE INTO ${t.name()}: $why — this catalog supports ON as a " +
+          "conjunction of same-name key equalities plus the full WHEN clause " +
+          "matrix; other ON shapes are the library API " +
+          "(VersionedTable.update/delete/mergeClauses)")
       def keysOf(e: Expression): Seq[String] = e match {
         case And(l, r) => keysOf(l) ++ keysOf(r)
         case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -89,18 +92,63 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         pairs.forall { case (k, v) => k == v } &&
           pairs.map(_._1).toSet == t.schema().fieldNames.map(_.toLowerCase).toSet
       }
-      matched match {
-        case Seq(UpdateStarAction(None)) => ()
-        case Seq(UpdateAction(None, assigns, _)) if wholeRow(assigns) => ()
-        case other => refuse(s"unsupported WHEN MATCHED clause(s): $other")
+      // the canonical upsert routes through the library's merge() (the
+      // schema-equality shape, pinned by qv11); EVERY other clause
+      // combination translates to mergeClauses' matrix
+      val canonical = bySource.isEmpty && (matched match {
+        case Seq(UpdateStarAction(None)) => true
+        case Seq(UpdateAction(None, assigns, _)) if wholeRow(assigns) => true
+        case _ => false
+      }) && (notMatched match {
+        case Seq(InsertStarAction(None)) => true
+        case Seq(InsertAction(None, assigns)) if wholeRow(assigns) => true
+        case _ => false
+      })
+      if (canonical) GraftMergeCommand(t, source, keysOf(cond).distinct)
+      else {
+        // re-express a resolved clause expression over the t/s row
+        // structs mergeClauses evaluates against
+        def overTs(e: Expression, what: String): Column = {
+          require(e.deterministic, s"$what must be deterministic")
+          require(e.find(_.isInstanceOf[SubqueryExpression]).isEmpty,
+            s"$what must not contain a subquery")
+          shims.column(e.transform {
+            case a: AttributeReference if targetOut.contains(a) =>
+              UnresolvedAttribute(Seq("t", a.name))
+            case a: AttributeReference if sourceOut.contains(a) =>
+              UnresolvedAttribute(Seq("s", a.name))
+          })
+        }
+        def assignsOf(assigns: Seq[Assignment], what: String): Map[String, Column] =
+          assigns.map {
+            case Assignment(k: Attribute, v) => k.name -> overTs(v, s"$what ${k.name}")
+            case Assignment(k, _) => refuse(
+              s"$what: only plain column assignments are supported, got $k")
+          }.toMap
+        def starSet: Map[String, Column] =
+          t.schema().fieldNames.toSeq
+            .map(n => n -> shims.column(UnresolvedAttribute(Seq("s", n)))).toMap
+        def whens(actions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+            group: String): Seq[VersionedTable.MergeWhen] = actions.map {
+          case UpdateStarAction(c) => VersionedTable.MergeWhen(
+            c.map(overTs(_, s"$group AND")), VersionedTable.MergeUpdate(starSet))
+          case UpdateAction(c, assigns, _) => VersionedTable.MergeWhen(
+            c.map(overTs(_, s"$group AND")),
+            VersionedTable.MergeUpdate(assignsOf(assigns, s"$group UPDATE SET")))
+          case DeleteAction(c) => VersionedTable.MergeWhen(
+            c.map(overTs(_, s"$group AND")), VersionedTable.MergeDelete)
+          case InsertStarAction(c) => VersionedTable.MergeWhen(
+            c.map(overTs(_, s"$group AND")), VersionedTable.MergeInsert(starSet))
+          case InsertAction(c, assigns) => VersionedTable.MergeWhen(
+            c.map(overTs(_, s"$group AND")),
+            VersionedTable.MergeInsert(assignsOf(assigns, s"$group INSERT")))
+          case other => refuse(s"unsupported $group clause: $other")
+        }
+        GraftMergeMatrixCommand(t, source, keysOf(cond).distinct,
+          whens(matched, "WHEN MATCHED"),
+          whens(notMatched, "WHEN NOT MATCHED"),
+          whens(bySource, "WHEN NOT MATCHED BY SOURCE"))
       }
-      notMatched match {
-        case Seq(InsertStarAction(None)) => ()
-        case Seq(InsertAction(None, assigns)) if wholeRow(assigns) => ()
-        case other => refuse(s"unsupported WHEN NOT MATCHED clause(s): $other")
-      }
-      if (bySource.nonEmpty) refuse("WHEN NOT MATCHED BY SOURCE is unsupported")
-      GraftMergeCommand(t, source, keysOf(cond).distinct)
   }
 }
 
@@ -128,6 +176,26 @@ case class GraftMergeCommand(t: GraftSqlTable, source: LogicalPlan,
       .select(t.schema().fieldNames.toIndexedSeq
         .map(n => org.apache.spark.sql.functions.col(n)): _*)
     t.vt.merge(src, keys)
+    Seq.empty
+  }
+}
+
+/** Eager full-clause-matrix `MERGE INTO` — conditional/multiple
+  * WHEN MATCHED (UPDATE/DELETE), conditional NOT MATCHED inserts, and
+  * NOT MATCHED BY SOURCE, running [[VersionedTable.mergeClauses]]. The
+  * source keeps ALL its columns (clause expressions reference them
+  * through the `s` row struct).
+  */
+case class GraftMergeMatrixCommand(t: GraftSqlTable, source: LogicalPlan,
+    keys: Seq[String],
+    matched: Seq[VersionedTable.MergeWhen],
+    notMatched: Seq[VersionedTable.MergeWhen],
+    bySource: Seq[VersionedTable.MergeWhen]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    t.pinnedVersion.foreach(v => throw new IllegalArgumentException(
+      s"cannot MERGE INTO ${t.name()} VERSION AS OF $v — time travel is read-only"))
+    t.vt.mergeClauses(shims.dataFrame(spark, source), keys,
+      matched, notMatched, bySource)
     Seq.empty
   }
 }

@@ -274,14 +274,66 @@ class GraftCatalogSpec extends SparkSuite {
       .collect().head.getLong(0) == 30L, "unmatched table rows survive")
     assert(vt.history().last.op == "merge")
 
-    // richer clauses refuse with a pointer to the library API
+    // a non-equi-key ON shape still refuses with a pointer to the API
     val ex = intercept[Exception] {
       spark.sql(
-        """MERGE INTO graft.dml2.m t USING (SELECT 1L AS id) s
-          |ON t.id = s.id WHEN MATCHED THEN DELETE""".stripMargin)
+        """MERGE INTO graft.dml2.m t USING (SELECT 1L AS lo, 5L AS hi) s
+          |ON t.id BETWEEN s.lo AND s.hi WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(ex.getMessage.contains("canonical upsert")
-      || ex.getMessage.contains("unsupported"), ex.getMessage)
+    assert(ex.getMessage.contains("ON") || ex.getMessage.contains("unsupported"),
+      ex.getMessage)
+  }
+
+  test("MERGE INTO supports the full clause matrix from SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dml3")
+    spark.sql("CREATE TABLE graft.dml3.mx (id BIGINT, qty BIGINT, tag STRING)")
+    spark.sql(
+      "INSERT INTO graft.dml3.mx SELECT id, id % 10, 'old' FROM range(20)")
+
+    // conditional matched DELETE + UPDATE with expressions over t AND s;
+    // conditional NOT MATCHED insert with an explicit column list
+    spark.sql(
+      """MERGE INTO graft.dml3.mx t
+        |USING (SELECT id, id * 100 AS boost FROM range(15, 25)) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.qty >= 8 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET qty = t.qty + s.boost, tag = 'merged'
+        |WHEN NOT MATCHED AND s.id < 23 THEN INSERT (id, qty) VALUES (s.id, s.boost)
+        |""".stripMargin)
+    val rows = spark.sql(
+      "SELECT id, qty, tag FROM graft.dml3.mx ORDER BY id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "" else r.getString(2)))
+    val byId = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    // 18,19 matched with qty 8,9 -> deleted
+    assert(!byId.contains(18L) && !byId.contains(19L))
+    // 15..17 matched with qty 5..7 -> qty + id*100, tag merged
+    assert(byId(15L) == (1505L, "merged") && byId(17L) == (1707L, "merged"))
+    // 20..22 insert with explicit columns (tag unset -> NULL -> "")
+    assert(byId(20L) == (2000L, "") && byId(22L) == (2200L, ""))
+    // 23,24 fail the insert condition -> dropped
+    assert(!byId.contains(23L) && !byId.contains(24L))
+    // untouched rows keep
+    assert(byId(0L) == (0L, "old") && byId(14L) == (4L, "old"))
+    assert(rows.map(_._1).toSeq == ((0L until 18L) ++ (20L to 22L)))
+
+    // NOT MATCHED BY SOURCE: delete stale rows, tag the rest
+    spark.sql(
+      """MERGE INTO graft.dml3.mx t
+        |USING (SELECT id FROM range(0, 10)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET tag = 'live'
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 20 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'
+        |""".stripMargin)
+    val after = spark.sql("SELECT id, tag FROM graft.dml3.mx ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(after.map(_._1).toSeq == (0L until 18L))
+    assert(after.filter(_._2 == "live").map(_._1).toSeq == (0L until 10L))
+    assert(after.filter(_._2 == "stale").map(_._1).toSeq == (10L until 18L))
+    // every matrix merge is one atomic version
+    val vt = VersionedTable(spark, s"$warehouse/dml3/mx")
+    assert(vt.history().map(_.op).takeRight(2) == Seq("merge", "merge"))
   }
 
   test("CTAS and df.writeTo(...).append() land as versioned commits") {
