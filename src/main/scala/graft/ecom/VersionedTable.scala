@@ -230,7 +230,10 @@ final case class VersionedTable(
       app: String = VersionedTable.DefaultApp): Option[Long] = {
     require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n'),
       s"app name must be non-empty and tab/newline-free: '$app'")
-    if (currentBatchId(app).contains(batchId)) None
+    // monotone, like Delta's SetTransaction check: any batch at or
+    // below the recorded high-water mark already committed (foreachBatch
+    // ids only grow; a crash can replay a strict prefix tail)
+    if (currentBatchId(app).exists(_ >= batchId)) None
     else Some(commit(df, replace = false, txn = Some((app, batchId))))
   }
 
@@ -605,7 +608,8 @@ final case class VersionedTable(
     * table rows never match and survive; null-keyed source rows insert.
     * Same conflict contract as [[delete]].
     */
-  def merge(source: DataFrame, keys: Seq[String]): Long = {
+  def merge(source: DataFrame, keys: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val (base, m) = baseSnapshot()
     val tableCols = m.schema.fieldNames.toSeq
@@ -643,7 +647,25 @@ final case class VersionedTable(
       else snapshot(m, touched).join(src.select(keys.map(col): _*), keys, "left_anti")
         .select(m.schema.map(f => col(f.name)): _*)
         .unionByName(src)
-    publishCow("merge", base, m, touched.toSet, rewritten)
+    publishCow("merge", base, m, touched.toSet, rewritten, txn = txn)
+  }
+
+  /** Exactly-once streaming upsert commit (the merge twin of
+    * [[commitAppendBatch]]): records `(app, batchId)` in the manifest
+    * txn slot, so a foreachBatch REPLAY of an already-committed
+    * micro-batch is a no-op instead of a second merge. The CDC sink
+    * ([[graft.streaming.Sinks.versionedUpsert]]) builds on this.
+    */
+  def commitMergeBatch(source: DataFrame, keys: Seq[String], batchId: Long,
+      app: String = VersionedTable.DefaultApp): Option[Long] = {
+    require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n'),
+      s"app name must be non-empty and tab/newline-free: '$app'")
+    if (currentBatchId(app).exists(_ >= batchId)) None // monotone, as commitAppendBatch
+    // first batch into a table with no version yet: the (key-unique)
+    // batch IS the table — an append-commit carrying the txn marker
+    else if (currentVersion().isEmpty)
+      Some(commit(source, replace = false, txn = Some((app, batchId))))
+    else Some(merge(source, keys, txn = Some((app, batchId))))
   }
 
   /** The FULL Delta merge clause matrix (`MERGE INTO` with conditional,
@@ -1188,7 +1210,8 @@ final case class VersionedTable(
     */
   private def publishCow(op: String, base: Long, m: Manifest,
       replaced: Set[String], rewritten: DataFrame,
-      dvOut: Option[Seq[String]] = None): Long = {
+      dvOut: Option[Seq[String]] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val (commitRel, newFiles, newStats, newBlooms, newSizes) =
       writeDataFiles(rewritten, m.colmap)
     // update/merge can introduce violating rows; delete/optimize/purge/
@@ -1233,6 +1256,7 @@ final case class VersionedTable(
         conflict(s"${gone.size} of our rewritten file(s) were concurrently " +
           s"rewritten or removed (first: ${gone.head})")
       curM.copy(op = op,
+        txns = txn.fold(curM.txns)(curM.txns + _),
         files = curM.files.filterNot(replaced) ++ newFiles,
         stats = curM.stats.filter { case (f, _) => !replaced(f) } ++ newStats,
         blooms = curM.blooms.filter { case (f, _) => !replaced(f) } ++ newBlooms,
@@ -1241,6 +1265,7 @@ final case class VersionedTable(
           if (curM.files.forall(replaced)) Seq.empty[String] else curM.dv))
     }
     publishAt(base, m, m.copy(op = op,
+      txns = txn.fold(m.txns)(m.txns + _),
       files = carried ++ newFiles, stats = carriedStats ++ newStats,
       dv = dvOut.getOrElse(dvCarried), blooms = carriedBlooms ++ newBlooms,
       sizes = carriedSizes ++ newSizes), commitRel, rebase = Some(rebase))

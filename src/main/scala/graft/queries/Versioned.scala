@@ -607,6 +607,60 @@ object Versioned {
          |ORDER BY snap""".stripMargin)
   }
 
+  /** Batch replay of the STREAMING CDC upsert sink (qd23's discipline
+    * for [[graft.streaming.Sinks.versionedUpsert]]): the events table
+    * splits into three ordered event_id waves, each reduced latest-wins
+    * and merged exactly-once via `commitMergeBatch` — including a
+    * DELIBERATE replay of wave 1, which must be a marker-detected no-op
+    * (its result is inside the hash: a double-applied wave would merge
+    * stale rows back over wave 2/3 updates). Because waves are ordered
+    * by event_id, the final table state is each user's globally-latest
+    * event — which is exactly what the DuckDB twin computes with one
+    * window, pinning the whole sink semantics row-for-row.
+    */
+  val qv13 = Q(
+    "qv13_stream_upsert_replay",
+    """WITH cdc AS (
+      |  SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+      |  FROM events WHERE user_id IS NOT NULL),
+      |ranked AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM cdc)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  value AS last_value
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val cdc = load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast(DoubleType).as("value"))
+    // three ordered waves by event_id range (one bounded scalar agg)
+    val maxId = cdc.agg(max(col("event_id"))).head().getLong(0)
+    val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+    val waves = Seq(
+      cdc.filter(col("event_id") <= t1),
+      cdc.filter(col("event_id") > t1 && col("event_id") <= t2),
+      cdc.filter(col("event_id") > t2))
+    val vt = VersionedTable(s,
+      Files.createTempDirectory("graft-qv13-").toString)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val landed = vt.commitMergeBatch(
+        graft.streaming.Sinks.latestWins(w, Seq("user_id"), col("event_id")),
+        Seq("user_id"), batchId = i.toLong)
+      require(landed.isDefined, s"wave $i must land")
+    }
+    // the crash-replay: wave 1 again under its original batch id
+    require(vt.commitMergeBatch(
+      graft.streaming.Sinks.latestWins(waves(1), Seq("user_id"), col("event_id")),
+      Seq("user_id"), batchId = 1L).isEmpty,
+      "a replayed wave must be a txn-marker no-op")
+    vt.read()
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] =
-    Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12)
+    Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12,
+      qv13)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared streaming sinks. */
@@ -58,6 +58,43 @@ object Sinks {
     df.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         table.commitAppendBatch(batch, batchId, app): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Latest-wins reduction of one CDC micro-batch: keep, per non-null
+    * key tuple, the row with the greatest `seqCol` (ties broken
+    * arbitrarily — feed a total order: commit LSN, kafka offset, event
+    * id). Null-keyed rows are EXEMPT from the reduction — a window
+    * would pool all null keys into one group and silently keep one of
+    * N, while merge semantics (and the sink below) insert each of them.
+    */
+  def latestWins(batch: DataFrame, keys: Seq[String], seqCol: Column): DataFrame = {
+    val keyed = keys.map(k => col(k).isNotNull).reduce(_ && _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(seqCol.desc)
+    val rn = graft.util.Names.fresh("_graft_rn", batch.columns.toSeq)
+    batch.filter(keyed)
+      .withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
+      .unionByName(batch.filter(!keyed))
+  }
+
+  /** Exactly-once streaming UPSERT into a [[graft.ecom.VersionedTable]]
+    * (the CDC sink: foreachBatch MERGE, latest-wins): each micro-batch
+    * reduces to one row per key ([[latestWins]]) and merges as ONE
+    * atomic version via `commitMergeBatch`, whose per-app batch marker
+    * makes a replayed trigger a no-op. Composed with the change-feed
+    * source this closes the loop: stream table-to-table with
+    * row-level updates, not just appends.
+    */
+  def versionedUpsert(df: DataFrame, table: graft.ecom.VersionedTable,
+      keys: Seq[String], seqCol: Column, checkpointDir: String,
+      app: String = graft.ecom.VersionedTable.DefaultApp)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        table.commitMergeBatch(latestWins(batch, keys, seqCol), keys,
+          batchId, app): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .start()
