@@ -59,6 +59,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  // advertises ALTER TABLE ADD/DROP CONSTRAINT routing (alterTable
+  // receives TableChange.AddConstraint/DropConstraint; only CHECK lands)
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
   private def spark: SparkSession = SparkSession.active
   private def fs =
     new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -130,6 +140,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftSqlTable(qualified(ident), vt, pinnedVersion = None)
   }
 
+  /** `CREATE TABLE ... (x GENERATED ALWAYS AS (expr))` — the Column[]
+    * entry (the StructType overload above cannot see generation
+    * expressions). The table lands with the plain schema, then each
+    * generation expression becomes the library's versioned
+    * generated-column metadata op, so later writers get the same
+    * populate-or-verify semantics qv09 pins. Identity columns and
+    * DEFAULT values refuse rather than approximating.
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    columns.foreach { c =>
+      if (c.identityColumnSpec() != null) throw new UnsupportedOperationException(
+        s"${qualified(ident)}: IDENTITY columns are not supported — use a " +
+          "generated column over a deterministic expression, or assign ids " +
+          "in the writing pipeline")
+      if (c.defaultValue() != null) throw new UnsupportedOperationException(
+        s"${qualified(ident)}: column DEFAULT values are not supported")
+    }
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val table = createTable(ident, schema, partitions, properties)
+    val gens = columns.toSeq
+      .filter(c => c.generationExpression() != null && c.generationExpression().nonEmpty)
+    if (gens.isEmpty) table
+    else {
+      val vt = open(ident)
+      gens.foreach(c => vt.addGeneratedColumn(c.name(), c.generationExpression()))
+      loadTable(ident)
+    }
+  }
+
   /** Schema DDL routed to the library's column ops: ADD COLUMN is an
     * additive-evolution empty append (old rows null-fill, the schema
     * contract's normal path), RENAME/DROP COLUMN are the column-mapping
@@ -171,9 +213,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames.length == 1,
           s"${qualified(ident)}: nested DROP COLUMN is not supported")
         vt.dropColumn(del.fieldNames()(0))
+      // ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>) — routed to
+      // the library's versioned constraint metadata op: existing rows
+      // validate immediately, later writers enforce per commit (qv09's
+      // machinery). Non-CHECK constraint classes (PK/FK/UNIQUE) refuse:
+      // this engine will not record what it cannot enforce.
+      case add: TableChange.AddConstraint =>
+        add.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            vt.addCheckConstraint(c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"ALTER TABLE ${qualified(ident)}: only CHECK constraints are " +
+              s"supported (got ${other.getClass.getSimpleName}) — PRIMARY " +
+              "KEY/FOREIGN KEY/UNIQUE are not enforced by this engine and " +
+              "are refused rather than recorded as unenforced metadata")
+        }
+      case drop: TableChange.DropConstraint =>
+        try vt.dropCheckConstraint(drop.name())
+        catch {
+          case _: IllegalArgumentException if drop.ifExists() => ()
+        }
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${qualified(ident)}: unsupported change $other — " +
-          "supported: ADD COLUMN, RENAME COLUMN, DROP COLUMN")
+          "supported: ADD COLUMN, RENAME COLUMN, DROP COLUMN, " +
+          "ADD/DROP CONSTRAINT (CHECK)")
     }
     loadTable(ident)
   }

@@ -52,6 +52,19 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    // ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>): Spark's own
+    // exec path runs a validation scan through the DSv2 relation, which
+    // this catalog deliberately cannot serve (reads convert to the V1
+    // snapshot plan) — and the library op validates every existing row
+    // itself (Delta semantics). So the command converts WHOLESALE to an
+    // eager call of VersionedTable.addCheckConstraint.
+    case a @ org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint(child, chk)
+        if a.resolved && graftTarget(child).isDefined =>
+      val t = graftTarget(child).get
+      require(chk.userProvidedName != null && chk.userProvidedName.nonEmpty,
+        s"ADD CONSTRAINT on ${t.name()} requires an explicit constraint name")
+      GraftAddConstraintCommand(t, chk.userProvidedName, chk.condition)
+
     case u @ UpdateTable(table, assignments, condition)
         if u.resolved && graftTarget(table).isDefined =>
       val t = graftTarget(table).get
@@ -176,6 +189,20 @@ case class GraftMergeCommand(t: GraftSqlTable, source: LogicalPlan,
       .select(t.schema().fieldNames.toIndexedSeq
         .map(n => org.apache.spark.sql.functions.col(n)): _*)
     t.vt.merge(src, keys)
+    Seq.empty
+  }
+}
+
+/** Eager `ALTER TABLE ADD CONSTRAINT ... CHECK` — the library op
+  * validates every existing row, then publishes the metadata-only
+  * version (qv09's enforcement machinery covers later writes).
+  */
+case class GraftAddConstraintCommand(t: GraftSqlTable, name: String,
+    sqlExpr: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    t.pinnedVersion.foreach(v => throw new IllegalArgumentException(
+      s"cannot ALTER ${t.name()} VERSION AS OF $v — time travel is read-only"))
+    t.vt.addCheckConstraint(name, sqlExpr)
     Seq.empty
   }
 }

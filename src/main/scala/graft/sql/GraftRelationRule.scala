@@ -47,6 +47,15 @@ case class GraftRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
         markTarget(u.table)
       case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
         markTarget(m.targetTable)
+      // ALTER TABLE commands (incl. ADD/DROP CONSTRAINT) carry the
+      // resolved table as a child; ResolveSessionCatalog pattern-matches
+      // the DSv2 relation there — a converted V1 relation (with no
+      // catalogTable) trips it. The library op validates existing rows
+      // itself, so no read conversion is needed here either.
+      case a: org.apache.spark.sql.catalyst.plans.logical.AlterTableCommand =>
+        markTarget(a.table)
+      case c: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        markTarget(c.child)
       case _ => ()
     }
     plan.resolveOperatorsUp {

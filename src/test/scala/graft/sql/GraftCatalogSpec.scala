@@ -412,6 +412,71 @@ class GraftCatalogSpec extends SparkSuite {
       "a refused ALTER must not half-apply")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT CHECK routes to the versioned constraint ops") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cons")
+    spark.sql("CREATE TABLE graft.cons.t (id BIGINT, qty BIGINT)")
+    spark.sql("INSERT INTO graft.cons.t VALUES (1, 5), (2, 7)")
+
+    spark.sql("ALTER TABLE graft.cons.t ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    val vt = VersionedTable(spark, s"$warehouse/cons/t")
+    assert(vt.checkConstraints() == Map("qty_pos" -> "qty > 0"))
+    assert(vt.history().last.op == "addConstraint", "a versioned metadata commit")
+
+    // enforcement: a violating INSERT aborts and lands nothing
+    val bad = intercept[Exception] {
+      spark.sql("INSERT INTO graft.cons.t VALUES (3, -1)")
+    }
+    assert(bad.getMessage.contains("qty_pos"), bad.getMessage)
+    assert(spark.table("graft.cons.t").count() == 2)
+    spark.sql("INSERT INTO graft.cons.t VALUES (3, 1)")
+    assert(spark.table("graft.cons.t").count() == 3)
+
+    // adding a constraint EXISTING rows violate is refused up front
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cons.t ADD CONSTRAINT qty_big CHECK (qty > 100)")
+    }
+    assert(ex.getMessage.contains("qty_big"), ex.getMessage)
+    assert(vt.checkConstraints().keySet == Set("qty_pos"), "nothing half-lands")
+
+    // DROP CONSTRAINT; IF EXISTS tolerates the unknown name
+    spark.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT qty_pos")
+    assert(vt.checkConstraints().isEmpty)
+    spark.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT IF EXISTS nope")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cons.t DROP CONSTRAINT nope")
+    }
+    // with the constraint gone, the once-violating row inserts
+    spark.sql("INSERT INTO graft.cons.t VALUES (4, -5)")
+    assert(spark.table("graft.cons.t").count() == 4)
+
+    // PRIMARY KEY is refused loudly, never recorded unenforced
+    val pk = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cons.t ADD CONSTRAINT pk PRIMARY KEY (id)")
+    }
+    assert(pk.getMessage.contains("CHECK") || pk.getMessage.contains("not enforced"),
+      pk.getMessage)
+  }
+
+  test("CREATE TABLE with GENERATED ALWAYS AS lands the library's generated column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.gen")
+    spark.sql(
+      "CREATE TABLE graft.gen.g (a BIGINT, b BIGINT GENERATED ALWAYS AS (a + 1))")
+    val vt = VersionedTable(spark, s"$warehouse/gen/g")
+    assert(vt.generatedColumns() == Map("b" -> "a + 1"))
+    // a writer omitting b gets it populated; a writer lying about b aborts
+    vt.commitAppend(spark.range(3).toDF("a"))
+    assert(spark.sql("SELECT b FROM graft.gen.g ORDER BY a")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO graft.gen.g VALUES (10, 99)")
+    }
+    assert(ex.getMessage.toLowerCase.contains("generated")
+      || ex.getMessage.contains("b"), ex.getMessage)
+    // honest write passes
+    spark.sql("INSERT INTO graft.gen.g VALUES (10, 11)")
+    assert(spark.table("graft.gen.g").count() == 4)
+  }
+
   test("graft_history TVF: DESCRIBE HISTORY from plain SQL") {
     val dir = Files.createTempDirectory("graft-tvf-hist").toString
     val vt = VersionedTable(spark, dir)
