@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "runMain graft.ScaleSoak /root/testdata/sf0.1 SOAK.json"
   * (SPARK_GRAFT_CPUS and GRAFT_SOAK_DIR env knobs; synthesis is skipped
   * if the target dir carries a _SOAK_READY marker.)
+  *
+  * GRAFT_SOAK_DECADES=2 chains the synthesis (sf0.1 to sf1 to sf10, a
+  * 100x total ramp: the key-shift/token-suffix/rotation transforms
+  * compose) and reports each query's PER-DECADE factor — the check that
+  * the scaling curve holds another order of magnitude, not just the
+  * first.
   */
 object ScaleSoak {
 
@@ -56,8 +62,15 @@ object ScaleSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sf1 = sys.env.getOrElse("GRAFT_SOAK_DIR", "/tmp/graft_sf1")
-    synthesize(spark, src, sf1)
+    val base = sys.env.getOrElse("GRAFT_SOAK_DIR", "/tmp/graft_sf1")
+    val decades = sys.env.getOrElse("GRAFT_SOAK_DECADES", "1").toInt
+    require(decades >= 1 && decades <= 3, s"decades must be 1..3, got $decades")
+    val dirs: Seq[String] =
+      src +: (1 to decades).map(d => if (d == 1) base else s"${base}_d$d")
+    dirs.sliding(2).zipWithIndex.foreach {
+      case (Seq(a, b), i) => synthesize(spark, a, b, tag = s"d${i + 1}")
+      case _ => ()
+    }
 
     def time(name: String, dir: String): (Double, Long) = {
       spark.catalog.clearCache()
@@ -67,28 +80,49 @@ object ScaleSoak {
     }
 
     val results = names.map { name =>
-      // one warmup (codegen+JIT) at the small scale, then min-of-2 at
-      // each scale — the Prof discipline against host noise
+      // one warmup (codegen+JIT) at the small scale, then min-of-2 per
+      // scale (single shot at the largest — it dominates wall-clock) —
+      // the Prof discipline against host noise
       time(name, src)
-      val small = (1 to 2).map(_ => time(name, src)).minBy(_._1)
-      val big = (1 to 2).map(_ => time(name, sf1)).minBy(_._1)
-      val factor = big._1 / small._1
-      println(f"SOAK $name%-28s sf0.1=${small._1}%7.2fs sf1=${big._1}%7.2fs " +
-        f"factor=$factor%5.2f rows ${small._2}%d -> ${big._2}%d")
-      (name, small, big, factor)
+      val samples = dirs.zipWithIndex.map { case (d, i) =>
+        val reps = if (i == dirs.size - 1 && decades > 1) 1 else 2
+        (1 to reps).map(_ => time(name, d)).minBy(_._1)
+      }
+      val factors = samples.sliding(2).collect { case Seq(a, b) => b._1 / a._1 }.toSeq
+      println(f"SOAK $name%-28s " +
+        samples.map(s => f"${s._1}%7.2fs").mkString(" ") +
+        "  factors " + factors.map(f => f"$f%5.2f").mkString(" ") +
+        "  rows " + samples.map(_._2).mkString(" -> "))
+      (name, samples, factors)
     }
 
-    val json = results.map { case (n, s, b, f) =>
-      f"""    "$n": {"sf01_sec": ${s._1}%.3f, "sf1_sec": ${b._1}%.3f, "factor": $f%.3f, "sf01_rows": ${s._2}, "sf1_rows": ${b._2}}"""
-    }.mkString("{\n  \"copies\": " + Copies + ",\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
+    val json = results.map { case (n, samples, factors) =>
+      val secs = samples.map(s => f"${s._1}%.3f").mkString("[", ", ", "]")
+      val rows = samples.map(_._2).mkString("[", ", ", "]")
+      val fs = factors.map(f => f"$f%.3f").mkString("[", ", ", "]")
+      s"""    "$n": {"secs": $secs, "rows": $rows, "decade_factors": $fs}"""
+    }.mkString("{\n  \"copies_per_decade\": " + Copies +
+      ",\n  \"decades\": " + decades + ",\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     println(s"SOAK written to $outPath")
     spark.stop()
   }
 
-  /** Build the 10× dataset (idempotent via marker file). */
-  def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
+  /** Build the 10× dataset (idempotent via marker file). `tag` makes
+    * the per-copy transforms COMPOSITION-SAFE across chained decades:
+    * without it, decade paths (copy a, copy 0) and (copy 0, copy a)
+    * produce byte-identical text (copy 0 is a passthrough), and cyclic
+    * embedding rotations compose additively (100 copy-pairs collapse
+    * onto ≤19 distinct rotations) — both inject ACCIDENTAL exact
+    * duplicates that explode pair queries super-linearly at 100×. The
+    * tag rides in the token suffix, and embeddings decorrelate by a
+    * (tag, copy)-seeded ±1 sign flip (an orthogonal diagonal, so
+    * within-copy geometry is exactly preserved and flips COMPOSE into
+    * fresh flips instead of colliding like rotations).
+    */
+  def synthesize(spark: SparkSession, src: String, dst: String,
+      tag: String = "d1"): Unit = {
     val marker = java.nio.file.Paths.get(dst, "_SOAK_READY")
     if (java.nio.file.Files.exists(marker)) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
@@ -145,17 +179,22 @@ object ScaleSoak {
       val shifted = d.withColumn("doc_id", col("doc_id") + lit(c * dStride))
       if (c == 0) shifted
       else shifted
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_c" + c))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1_" + tag + "c" + c))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }))
 
     val emb = raw("embeddings"); val vStride = stride(emb, "vec_id")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    def signs(c: Int): Array[Float] = {
+      val rnd = new scala.util.Random((tag + "#" + c).hashCode)
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    }
     write("embeddings", copies(emb)((d, c) => {
       val shifted = d.withColumn("vec_id", col("vec_id") + lit(c * vStride))
       if (c == 0) shifted
       else shifted.withColumn("embedding",
-        concat(slice(col("embedding"), c + 1, 100000),
-          slice(col("embedding"), 1, c)))
+        zip_with(col("embedding"), typedlit(signs(c).toSeq), (x, s) => x * s))
     }))
 
     java.nio.file.Files.write(marker, Array.emptyByteArray)

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions.{col, lit}
   * order, `README.md:26-33`). Bronze → Silver → Gold → DQ gate, with
   * date-partitioned parquet writes mirroring the reference's Delta
   * layout (`overwriteSchema` is Delta-only; parquet overwrite replaces
-  * the schema anyway — SURVEY §1.4). The writer format is a knob so a
-  * Delta/Iceberg jar can slot in unchanged.
+  * the schema anyway — SURVEY §1.4). The writer format is a knob
+  * resolved through [[FormatAdapter]], which carries each format's
+  * option contract — so dropping the delta-spark jars on the classpath
+  * and passing format="delta" slots Delta in unchanged (see the
+  * adapter's doc for the exact session config).
   *
   * Scale: partition columns match the reference (event/order/session
   * date) so every dashboard BETWEEN predicate partition-prunes; at
@@ -20,6 +23,9 @@ final case class Lakehouse(
     spark: SparkSession,
     warehouseDir: String,
     format: String = "parquet") {
+
+  /** Per-format option contract (see [[FormatAdapter]]). */
+  val adapter: FormatAdapter = FormatAdapter.forName(format)
 
   /** Partition column per table (reference: `02_silver_transform.py:104,
     * 137,174`; `03_gold_aggregate.py:110,155,211`).
@@ -46,6 +52,7 @@ final case class Lakehouse(
       case None => df
     }
     val w = out.write.format(format).mode(SaveMode.Overwrite)
+      .options(adapter.overwriteOptions)
     partitioning.get(name).fold(w)(w.partitionBy(_)).save(s"$warehouseDir/$name")
   }
 
@@ -56,8 +63,13 @@ final case class Lakehouse(
     * same per-table partition column as [[write]]. A table must pick ONE
     * sink style: [[write]]'s overwrite deletes the version log.
     */
-  def versioned(name: String): VersionedTable =
+  def versioned(name: String): VersionedTable = {
+    require(!adapter.ownsTransactions,
+      s"format '$format' carries its own transaction log — use the format's " +
+        "native time travel (versionAsOf read options) instead of wrapping " +
+        "graft's manifest log around it")
     VersionedTable(spark, s"$warehouseDir/$name", format, partitioning.get(name))
+  }
 
   /** Bucketed sink: hash-clusters rows into `nBuckets` files per
     * partition on `bucketCols` and records the layout in the catalog
@@ -79,6 +91,7 @@ final case class Lakehouse(
     require(bucketCols.nonEmpty, s"writeBucketed($name): bucketCols must be non-empty")
     df.write.format(format)
       .mode(SaveMode.Overwrite)
+      .options(adapter.overwriteOptions)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", s"$warehouseDir/$name")
@@ -117,6 +130,7 @@ final case class Lakehouse(
       throw new IllegalArgumentException(s"$name has no partition column registered"))
     df.write.format(format)
       .mode(SaveMode.Overwrite)
+      .options(adapter.overwriteOptions)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .save(s"$warehouseDir/$name")
@@ -157,7 +171,8 @@ final case class Lakehouse(
       s"$name is a versioned table — compact it with VersionedTable.optimize, " +
         "never the path-level compactor (it would flatten the version history)")
     val tmp = s"$warehouseDir/.$name.compact.tmp"
-    val current = spark.read.format(format).option("mergeSchema", "true").load(target)
+    val current = spark.read.format(format)
+      .options(adapter.mergeReadOptions).load(target)
     partitioning.get(name) match {
       case Some(partCol) =>
         // clustering by the partition column gives each task at most a
