@@ -7,8 +7,8 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, max, min, not, regexp_extract, struct, sum, when}
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.functions.{array, coalesce, col, explode, expr, input_file_name, lit, max, min, not, regexp_extract, struct, sum, when}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Minimal versioned parquet+manifest table format — the observable
   * Delta-Lake semantics the reference claims (`README.md:10` "ACID
@@ -354,8 +354,9 @@ final case class VersionedTable(
     // it as a write conflict, exactly as Delta's protocol does.
     def metaOf(om: Option[Manifest]) = om.fold(
       (Map.empty[String, String], Map.empty[String, String],
-        Map.empty[String, String], Seq.empty[String]))(mm =>
-      (mm.constraints, mm.generated, mm.colmap, mm.droppedPhys))
+        Map.empty[String, String], Seq.empty[String],
+        Map.empty[String, String]))(mm =>
+      (mm.constraints, mm.generated, mm.colmap, mm.droppedPhys, mm.props))
     val entryMeta = metaOf(entryM)
     // 2. CAS publish loop: losing a race surfaces as rename->false (the
     //    destination version already exists); re-read the log and retry
@@ -415,10 +416,12 @@ final case class VersionedTable(
       // maintenance commit), and this commit's own marker lands in its
       // app's slot
       val txnsOut = prevM.fold(Map.empty[String, Long])(_.txns) ++ txn.toMap
+      // table properties are metadata like constraints: survive overwrite
+      val propsOut = prevM.fold(Map.empty[String, String])(_.props)
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
       writeManifest(tmp, Manifest(schema, op, txnsOut, carried ++ newFiles,
         carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms, cons,
-        colmap, dropped, gen, carriedSizes ++ newSizes, carriedRef),
+        colmap, dropped, gen, carriedSizes ++ newSizes, carriedRef, propsOut),
         next, prev.flatMap(v => prevM.map(v -> _)))
       publishManifest(tmp, manifestPath(next)) match {
         case Landed => return next
@@ -489,7 +492,15 @@ final case class VersionedTable(
     if (touched.isEmpty) return base
     val survivors = snapshot(m, touched)
       .filter(not(coalesce(predicate, lit(false))))
-    publishCow("delete", base, m, touched.toSet, survivors)
+    // change data feed: the deleted rows ARE the second scan's
+    // complement — one extra pass over the touched files only, paid
+    // only while the table property opts in (Delta's CDC write cost)
+    val cdcFiles =
+      if (!cdcEnabled(m)) Seq.empty
+      else writeCdcFiles(snapshot(m, touched)
+        .filter(coalesce(predicate, lit(false)))
+        .withColumn(VersionedTable.CdcTypeCol, lit("delete")))
+    publishCow("delete", base, m, touched.toSet, survivors, cdcFiles = cdcFiles)
   }
 
   /** DELETE, merge-on-read (Delta's deletion vectors): instead of
@@ -530,7 +541,15 @@ final case class VersionedTable(
     if (recorded.isEmpty) return base
     checkKnown(m, recorded)
     val dvFiles = listDataFiles(commitAbs).map(t => s"$commitRel/${t._1}")
-    publishAt(base, m, m.copy(op = "delete", dv = m.dv ++ dvFiles), commitRel)
+    // change data feed: the soon-to-be-masked rows, re-read from the
+    // recorded files only (a MoR delete has no rewrite scan to reuse)
+    val cdcFiles =
+      if (!cdcEnabled(m)) Seq.empty
+      else writeCdcFiles(snapshot(m, recorded)
+        .filter(coalesce(predicate, lit(false)))
+        .withColumn(VersionedTable.CdcTypeCol, lit("delete")))
+    publishAt(base, m, m.copy(op = "delete", dv = m.dv ++ dvFiles), commitRel,
+      cdcFiles = cdcFiles)
   }
 
   /** Delta's `REORG TABLE ... APPLY (PURGE)`: fold every ACTIVE
@@ -594,7 +613,30 @@ final case class VersionedTable(
         d.withColumn(g, when(col(hitC), expr(e).cast(t)).otherwise(col(g)))
       }
       .select(m.schema.map(f => col(f.name)): _*)
-    publishCow("update", base, m, touched.toSet, rewritten)
+    // change data feed: pre-images are the hit rows as-is; post-images
+    // apply the same assignments + generated-column recomputation the
+    // rewrite applies (unconditionally here — every CDC row is a hit)
+    val cdcFiles =
+      if (!cdcEnabled(m)) Seq.empty
+      else {
+        val pre = snapshot(m, touched).filter(hit)
+        val assigned = pre.select(m.schema.map { f =>
+          set.get(f.name) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        val post = gens.foldLeft(assigned) { case (d, (g, e)) =>
+            val t = m.schema.fields.find(_.name == g).get.dataType
+            d.withColumn(g, expr(e).cast(t))
+          }
+          .select(m.schema.map(f => col(f.name)): _*)
+        writeCdcFiles(
+          pre.withColumn(VersionedTable.CdcTypeCol, lit("update_preimage"))
+            .unionByName(post.withColumn(VersionedTable.CdcTypeCol,
+              lit("update_postimage"))))
+      }
+    publishCow("update", base, m, touched.toSet, rewritten, cdcFiles = cdcFiles)
   }
 
   /** MERGE (upsert): source rows whose `keys` match a table row REPLACE
@@ -647,7 +689,29 @@ final case class VersionedTable(
       else snapshot(m, touched).join(src.select(keys.map(col): _*), keys, "left_anti")
         .select(m.schema.map(f => col(f.name)): _*)
         .unionByName(src)
-    publishCow("merge", base, m, touched.toSet, rewritten, txn = txn)
+    // change data feed: matched table rows -> update_preimage (each —
+    // the upsert replaces EVERY table row of a matched key with the one
+    // source row), matched source rows -> update_postimage, unmatched
+    // source rows -> insert. Joins touch only the touched files, the
+    // same bound as the rewrite itself.
+    val ct = VersionedTable.CdcTypeCol
+    val cdcFiles =
+      if (!cdcEnabled(m)) Seq.empty
+      else if (touched.isEmpty) writeCdcFiles(src.withColumn(ct, lit("insert")))
+      else {
+        val tch = snapshot(m, touched)
+        val srcKeys = src.select(keys.map(col): _*)
+        val tKeys = tch.select(keys.map(col): _*)
+        val pre = tch.join(srcKeys, keys, "left_semi")
+          .withColumn(ct, lit("update_preimage"))
+        val post = src.join(tKeys, keys, "left_semi")
+          .withColumn(ct, lit("update_postimage"))
+        val ins = src.join(tKeys, keys, "left_anti")
+          .withColumn(ct, lit("insert"))
+        writeCdcFiles(pre.unionByName(post).unionByName(ins))
+      }
+    publishCow("merge", base, m, touched.toSet, rewritten, txn = txn,
+      cdcFiles = cdcFiles)
   }
 
   /** Exactly-once streaming upsert commit (the merge twin of
@@ -804,7 +868,45 @@ final case class VersionedTable(
     val rewritten = joined.select(result.as("_graft_r"))
       .filter(col("_graft_r").isNotNull)
       .select(m.schema.map(f => col("_graft_r").getField(f.name).as(f.name)): _*)
-    publishCow("merge", base, m, rewriteFiles.toSet, rewritten)
+    // change data feed: a second clause chain over the SAME joined
+    // frame, yielding per-row change ARRAYS (update -> pre+post image,
+    // delete -> one, insert -> one, no clause firing -> none), exploded
+    // into sidecar rows. Mirrors `result`'s guards exactly — including
+    // rw, so classification-only rows in an insert-only merge emit
+    // nothing for target rows that stay in carried-forward files.
+    val cdcFiles =
+      if (!cdcEnabled(m)) Seq.empty
+      else {
+        val ct = VersionedTable.CdcTypeCol
+        // all-nullable element fields: struct-over-getField is nullable,
+        // and a cast may not tighten nullability
+        val changeT = ArrayType(StructType(
+          m.schema.fields.map(f => StructField(f.name, f.dataType)) :+
+            StructField(ct, StringType)), containsNull = false)
+        val none = array().cast(changeT)
+        def tag(row: Column, kind: String): Column =
+          struct(m.schema.map(f => row.getField(f.name).as(f.name)) :+
+            lit(kind).as(ct): _*)
+        def cdcChain(clauses: Seq[MergeWhen]): Column =
+          clauses.foldRight(none) { (w, rest) =>
+            val changes = (w.action match {
+              case MergeUpdate(set) => array(tag(col("t"), "update_preimage"),
+                tag(updateRow(set), "update_postimage"))
+              case MergeDelete => array(tag(col("t"), "delete"))
+              case MergeInsert(values) => array(tag(insertRow(values), "insert"))
+            }).cast(changeT)
+            w.condition.fold(changes)(c => when(c, changes).otherwise(rest))
+          }
+        val cdcExpr =
+          when(tp && sp, when(rw, cdcChain(matched)).otherwise(none))
+            .when(!tp && sp, cdcChain(notMatched))
+            .otherwise(when(rw, cdcChain(notMatchedBySource)).otherwise(none))
+        val cdcRows = joined.select(explode(cdcExpr).as("_graft_c"))
+          .select(m.schema.map(f => col("_graft_c").getField(f.name).as(f.name)) :+
+            col("_graft_c").getField(ct).as(ct): _*)
+        writeCdcFiles(cdcRows)
+      }
+    publishCow("merge", base, m, rewriteFiles.toSet, rewritten, cdcFiles = cdcFiles)
   }
 
   /** Delta's `ALTER TABLE ... ADD CONSTRAINT name CHECK (sqlExpr)`:
@@ -843,6 +945,50 @@ final case class VersionedTable(
   /** The active CHECK constraints: name -> boolean SQL expression. */
   def checkConstraints(): Map[String, String] =
     currentVersion().fold(Map.empty[String, String])(v => readManifest(v).constraints)
+
+  // ---- table properties (Delta's TBLPROPERTIES) -----------------------
+
+  /** The table's persistent properties at the head version. */
+  def tableProperties(): Map[String, String] =
+    currentVersion().fold(Map.empty[String, String])(v => readManifest(v).props)
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES (key = value)`: a metadata-only
+    * commit. Properties are table metadata like constraints — carried
+    * by every commit, surviving overwrite, replayed under restore
+    * (restore replays the TARGET's properties, exactly as it replays
+    * the target's schema). Known keys are validated here:
+    * [[VersionedTable.CdcEnabledProp]] must be true/false, and enabling
+    * it refuses a schema that already carries the reserved change-feed
+    * column names.
+    */
+  def setTableProperty(key: String, value: String): Long = {
+    require(key.nonEmpty && !key.exists(c => c == '\t' || c == '\n'),
+      s"property key must be non-empty and tab/newline-free: '$key'")
+    require(!value.exists(c => c == '\t' || c == '\n'),
+      s"property value must be tab/newline-free: '$value'")
+    val (base, m) = baseSnapshot()
+    if (key == VersionedTable.CdcEnabledProp) {
+      require(value == "true" || value == "false",
+        s"$key must be 'true' or 'false', got '$value'")
+      if (value == "true") {
+        val clash = m.schema.fieldNames.filter(VersionedTable.CdcReservedCols)
+        require(clash.isEmpty,
+          s"cannot enable the change data feed: column(s) ${clash.mkString(", ")} " +
+            "collide with the reserved change-feed output columns")
+      }
+    }
+    if (m.props.get(key).contains(value)) return base // no empty commits
+    publishAt(base, m, m.copy(op = "setProperty",
+      props = m.props + (key -> value)), "(none — metadata-only)")
+  }
+
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES (key)` — no-op if absent. */
+  def unsetTableProperty(key: String): Long = {
+    val (base, m) = baseSnapshot()
+    if (!m.props.contains(key)) return base
+    publishAt(base, m, m.copy(op = "unsetProperty",
+      props = m.props - key), "(none — metadata-only)")
+  }
 
   /** Delta's generated columns: declare that `name` is derived from
     * `sqlExpr` over the other columns. From this version on, a batch
@@ -1130,6 +1276,152 @@ final case class VersionedTable(
     readManifest(fromVersion).files.filterNot(toF)
   }
 
+  // ---- row-level change data feed (Delta's CDF) -----------------------
+
+  private def cdcEnabled(m: Manifest): Boolean =
+    m.props.get(VersionedTable.CdcEnabledProp).contains("true")
+
+  /** Write `changes` (table-schema rows + `_change_type`, logical
+    * names) as a commit's CDC sidecar; returns manifest-relative file
+    * names. Always parquet (a metadata sidecar, like the DV files, not
+    * table data); invisible until a manifest referencing it lands, and
+    * an aborted publish leaves it for vacuum's orphan sweep.
+    */
+  private def writeCdcFiles(changes: DataFrame): Seq[String] = {
+    val rel = s"data/cdc-${UUID.randomUUID()}"
+    changes.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/$rel")
+    listDataFiles(s"$tableDir/$rel").map(t => s"$rel/${t._1}")
+  }
+
+  /** Delta's `readChangeFeed`: every row-level change in versions
+    * `[startingVersion, endingVersion]` (both inclusive; `endingVersion
+    * < 0` means the head), as table-schema rows plus `_change_type`
+    * (insert / delete / update_preimage / update_postimage),
+    * `_commit_version`, and `_commit_timestamp` (the manifest mtime —
+    * audit-grade, like [[history]]).
+    *
+    * Row-level ops serve their write-time CDC sidecars (recorded while
+    * [[VersionedTable.CdcEnabledProp]] is true — a DML version without
+    * one refuses, as Delta does for pre-enablement commits). Appends,
+    * overwrites and restores reconstruct from the manifest file diff at
+    * read time with no write-time cost: added files are inserts,
+    * removed files (read through the PREDECESSOR's snapshot) are
+    * deletes. Data-preserving ops (optimize, purge, metadata commits)
+    * emit nothing. The whole window must share one column mapping and
+    * additive-only schema evolution — a rename/drop/narrowing inside it
+    * refuses rather than mislabeling history.
+    */
+  def changeFeed(startingVersion: Long, endingVersion: Long = -1L): DataFrame = {
+    val head = currentVersion().getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no committed version"))
+    val end = if (endingVersion < 0L) head else endingVersion
+    require(startingVersion >= 1 && startingVersion <= end && end <= head,
+      s"changeFeed: bad window [v$startingVersion, v$end] (head is v$head)")
+    // one listing supplies every commit timestamp, as history() does
+    val mtimes: Map[Long, Long] =
+      fs.listStatus(new Path(logDir)).toSeq.flatMap(st => st.getPath.getName match {
+        case ManifestRe(n) => Some(n.toLong -> st.getModificationTime)
+        case _ => None
+      }).toMap
+    // resolve only the WINDOW eagerly: a DML version serves its sidecar
+    // without touching its predecessor, so a feed starting just past
+    // the vacuum horizon works; the predecessor manifest is fetched
+    // lazily, only when a file-diff reconstruction actually needs it
+    val resolved = resolveSequentially(startingVersion to end)
+    val byV = resolved.toMap
+    val endM = byV(end)
+    var prevFetched: Option[Manifest] = None
+    def prevOf(v: Long): Option[Manifest] =
+      if (v == 1) None
+      else byV.get(v - 1).orElse {
+        if (prevFetched.isEmpty) {
+          val pm = readManifest(v - 1)
+          require(pm.colmap == endM.colmap && pm.droppedPhys == endM.droppedPhys,
+            s"changeFeed: the column mapping changed at v$v — split the read " +
+              "at the RENAME/DROP COLUMN commit")
+          val lost = pm.schema.fieldNames.filterNot(endM.schema.fieldNames.toSet)
+          require(lost.isEmpty,
+            s"changeFeed: v${v - 1} carries column(s) ${lost.mkString(", ")} " +
+              s"absent from v$end's schema (non-additive overwrite) — split " +
+              "the read at the overwrite")
+          prevFetched = Some(pm)
+        }
+        prevFetched
+      }
+    val clash = endM.schema.fieldNames.filter(VersionedTable.CdcReservedCols)
+    require(clash.isEmpty,
+      s"changeFeed: column(s) ${clash.mkString(", ")} collide with the " +
+        "reserved change-feed output columns")
+    // one column mapping + additive-only evolution across the window:
+    // every version's rows must present faithfully through the END
+    // schema, or the feed would mislabel or silently drop history
+    resolved.foreach { case (v, mm) =>
+      require(mm.colmap == endM.colmap && mm.droppedPhys == endM.droppedPhys,
+        s"changeFeed: the column mapping changed inside [v$startingVersion, " +
+          s"v$end] (at or before v$v) — split the read at the RENAME/DROP " +
+          "COLUMN commit")
+      val lost = mm.schema.fieldNames.filterNot(endM.schema.fieldNames.toSet)
+      require(lost.isEmpty,
+        s"changeFeed: v$v carries column(s) ${lost.mkString(", ")} absent " +
+          s"from v$end's schema (non-additive overwrite inside the window) — " +
+          "split the read at the overwrite")
+    }
+    val ct = VersionedTable.CdcTypeCol
+    def stamped(df: DataFrame, v: Long): DataFrame = df
+      .withColumn(VersionedTable.CdcVersionCol, lit(v))
+      .withColumn(VersionedTable.CdcTimestampCol,
+        lit(new java.sql.Timestamp(mtimes(v))))
+    val frames: Seq[DataFrame] = (startingVersion to end).flatMap { v =>
+      val m = byV(v)
+      lazy val pm = prevOf(v)
+      lazy val pmFiles = pm.fold(Set.empty[String])(_.files.toSet)
+      lazy val added = m.files.filterNot(pmFiles)
+      lazy val removed = pm.fold(Seq.empty[String])(_.files.filterNot(m.files.toSet))
+      if (m.cdc.nonEmpty) {
+        val sch = StructType(m.schema.fields :+
+          StructField(ct, StringType, nullable = false))
+        Seq(stamped(spark.read.schema(sch)
+          .parquet(m.cdc.map(c => s"$tableDir/$c"): _*), v))
+      } else m.op match {
+        case "append" =>
+          if (added.isEmpty) Nil
+          else Seq(stamped(snapshot(m, added).withColumn(ct, lit("insert")), v))
+        case "overwrite" | "restore" =>
+          val dels =
+            if (removed.isEmpty) Nil
+            else Seq(stamped(
+              snapshot(pm.get, removed).withColumn(ct, lit("delete")), v))
+          val ins =
+            if (added.isEmpty) Nil
+            else Seq(stamped(snapshot(m, added).withColumn(ct, lit("insert")), v))
+          dels ++ ins
+        case "delete" | "update" | "merge" =>
+          throw new IllegalArgumentException(
+            s"changeFeed: change data was not recorded for v$v of $tableDir " +
+              s"(op '${m.op}' committed before ${VersionedTable.CdcEnabledProp} " +
+              "was enabled) — start the feed after the enabling commit")
+        case "optimize" | "purge" | "addConstraint" | "dropConstraint" |
+            "addGeneratedColumn" | "dropGeneratedColumn" | "setProperty" |
+            "unsetProperty" | "renameColumn" | "dropColumn" => Nil
+        case other =>
+          throw new IllegalArgumentException(
+            s"changeFeed: cannot reconstruct changes for op '$other' at v$v")
+      }
+    }
+    val outCols = (endM.schema.fieldNames.toSeq :+ ct :+
+      VersionedTable.CdcVersionCol :+ VersionedTable.CdcTimestampCol).map(col)
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map(_.select(outCols: _*))
+      .getOrElse {
+        val sch = StructType(endM.schema.fields ++ Seq(
+          StructField(ct, StringType, nullable = false),
+          StructField(VersionedTable.CdcVersionCol, LongType, nullable = false),
+          StructField(VersionedTable.CdcTimestampCol,
+            org.apache.spark.sql.types.TimestampType, nullable = false)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+      }
+  }
+
   /** Time travel by wall clock (Delta's `TIMESTAMP AS OF`): the newest
     * version whose manifest landed at or before `tsMillis`. Commit
     * times come from manifest file modification time — audit-grade
@@ -1211,7 +1503,8 @@ final case class VersionedTable(
   private def publishCow(op: String, base: Long, m: Manifest,
       replaced: Set[String], rewritten: DataFrame,
       dvOut: Option[Seq[String]] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      cdcFiles: Seq[String] = Seq.empty): Long = {
     val (commitRel, newFiles, newStats, newBlooms, newSizes) =
       writeDataFiles(rewritten, m.colmap)
     // update/merge can introduce violating rows; delete/optimize/purge/
@@ -1246,6 +1539,11 @@ final case class VersionedTable(
         conflict("the column mapping changed")
       if (curM.constraints != m.constraints || curM.generated != m.generated)
         conflict("constraints/generated columns changed")
+      // a property change can alter this op's own obligations (enabling
+      // the change feed mid-flight would make this commit's missing CDC
+      // sidecar silent data loss for feed consumers) — conflict, like
+      // the other metadata
+      if (curM.props != m.props) conflict("table properties changed")
       // a new DV could address a file we rewrote WITHOUT it — rows we
       // would silently resurrect; a dropped DV means a purge/restore
       // rearranged history under us
@@ -1268,7 +1566,8 @@ final case class VersionedTable(
       txns = txn.fold(m.txns)(m.txns + _),
       files = carried ++ newFiles, stats = carriedStats ++ newStats,
       dv = dvOut.getOrElse(dvCarried), blooms = carriedBlooms ++ newBlooms,
-      sizes = carriedSizes ++ newSizes), commitRel, rebase = Some(rebase))
+      sizes = carriedSizes ++ newSizes), commitRel, rebase = Some(rebase),
+      cdcFiles = cdcFiles)
   }
 
   /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): make the
@@ -1297,7 +1596,8 @@ final case class VersionedTable(
     */
   private def publishAt(base: Long, baseM: Manifest, man: Manifest,
       commitRel: String,
-      rebase: Option[(Long, Manifest) => Manifest] = None): Long = {
+      rebase: Option[(Long, Manifest) => Manifest] = None,
+      cdcFiles: Seq[String] = Seq.empty): Long = {
     var attempt = 0
     var rebases = 0
     // the publish base starts PINNED at the caller's snapshot; a moved
@@ -1310,7 +1610,10 @@ final case class VersionedTable(
     // wrong error type before the staleness check below fires.
     var b = base
     var bm = baseM
-    var mn = man
+    // cdc is PER-COMMIT metadata: force it here (the one publish point)
+    // so a base/restored manifest's sidecar list can never leak into a
+    // new version that did not record those changes
+    var mn = man.copy(cdc = cdcFiles)
     while (true) {
       val cur = currentVersion()
       if (!cur.contains(b)) {
@@ -1326,7 +1629,7 @@ final case class VersionedTable(
           s"${man.op} rebased $rebases times without landing — writer storm " +
             s"on $tableDir; uncommitted files at $commitRel (vacuum reclaims them)")
         val curM = readManifest(curV)
-        mn = rebase.get(curV, curM) // throws on a genuine conflict
+        mn = rebase.get(curV, curM).copy(cdc = cdcFiles) // throws on a genuine conflict
         b = curV
         bm = curM
       } else {
@@ -1607,7 +1910,7 @@ final case class VersionedTable(
     // (one read per version) rather than one full chain walk each
     val keptManifests = resolveSequentially(kept)
     val referenced: Set[String] =
-      keptManifests.flatMap { case (_, m) => m.files ++ m.dv ++ m.statsRef.toSeq }
+      keptManifests.flatMap { case (_, m) => m.files ++ m.dv ++ m.cdc ++ m.statsRef.toSeq }
         .map(_.split('/').take(2).mkString("/")).toSet
     // delta-chain preservation: the retained versions resolve through
     // manifests BELOW them (a v2 delta's base is its predecessor).
@@ -1906,6 +2209,13 @@ final case class VersionedTable(
     // the stats sidecar reference is small metadata both forms carry in
     // full — a delta self-describes which sidecar covers its base files
     m.statsRef.foreach(r => sb.append("statsref:").append(r).append('\n'))
+    // table properties: key \t value (both validated tab/newline-free)
+    m.props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append("prop:").append(k).append('\t').append(v).append('\n')
+    }
+    // THIS commit's change-data sidecar files — per-commit metadata
+    // (like op:), so both full and delta forms carry their own
+    m.cdc.foreach(c => sb.append("cdcfile:").append(c).append('\n'))
   }
 
   private def writeFullManifest(at: Path, m: Manifest): Unit = {
@@ -2088,7 +2398,14 @@ final case class VersionedTable(
       // tableDir-relative parquet sidecar holding per-file stats/bloom
       // rows for the bulk of a LARGE table (Delta's checkpoint-parquet
       // role); files whose metadata is in `stats`/`blooms` override it
-      statsRef: Option[String] = None) {
+      statsRef: Option[String] = None,
+      // table properties (Delta's TBLPROPERTIES): carried by every
+      // commit, survive overwrite, conflict-checked like constraints
+      props: Map[String, String] = Map.empty,
+      // THIS version's change-data sidecar files (tableDir-relative
+      // parquet of table-schema rows + _change_type) — per-commit, NOT
+      // carried forward: publishAt resets it on every publish
+      cdc: Seq[String] = Seq.empty) {
     /** The on-disk column name for logical `name` (identity unless a
       * rename moved the logical name; physical names never change).
       */
@@ -2291,8 +2608,15 @@ final case class VersionedTable(
         parts(0) -> parts(1)
       }.toMap
     val statsRef = lines.find(_.startsWith("statsref:")).map(_.stripPrefix("statsref:"))
+    val props = lines.filter(_.startsWith("prop:"))
+      .map { l =>
+        val parts = l.stripPrefix("prop:").split('\t')
+        require(parts.length == 2, s"malformed prop line in $p: $l")
+        parts(0) -> parts(1)
+      }.toMap
+    val cdc = lines.filter(_.startsWith("cdcfile:")).map(_.stripPrefix("cdcfile:"))
     Manifest(schema, op, txns, files, stats, dv, blooms, constraints,
-      colmap, droppedPhys, generated, sizes, statsRef)
+      colmap, droppedPhys, generated, sizes, statsRef, props, cdc)
   }
 }
 
@@ -2334,6 +2658,24 @@ object VersionedTable {
     * a writer between its data write and its manifest publish.
     */
   val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
+
+  /** Table property enabling the row-level change data feed (Delta's
+    * `delta.enableChangeDataFeed`): while "true", every row-level op
+    * (delete / deleteMoR / update / merge / mergeClauses) records its
+    * changed rows in a per-commit CDC parquet sidecar, and
+    * [[VersionedTable.changeFeed]] serves them with `_change_type` /
+    * `_commit_version` / `_commit_timestamp` columns. Appends,
+    * overwrites and restores reconstruct from the file diff at read
+    * time (no sidecar needed); data-preserving ops (optimize, purge,
+    * metadata commits) emit nothing.
+    */
+  val CdcEnabledProp: String = "graft.enableChangeDataFeed"
+
+  /** The change-feed output columns Delta reserves, in output order. */
+  val CdcTypeCol: String = "_change_type"
+  val CdcVersionCol: String = "_commit_version"
+  val CdcTimestampCol: String = "_commit_timestamp"
+  val CdcReservedCols: Set[String] = Set(CdcTypeCol, CdcVersionCol, CdcTimestampCol)
 
   /** One snapshot's read-relevant metadata, exposed to `graft.sql`'s
     * catalog integration (see [[VersionedTable.snapshotMeta]]). Files
