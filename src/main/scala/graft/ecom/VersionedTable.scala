@@ -7,7 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{array, coalesce, col, explode, expr, input_file_name, lit, max, min, not, regexp_extract, struct, sum, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, explode, expr, input_file_name, lit, max, min, not, regexp_extract, struct, sum, when}
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Minimal versioned parquet+manifest table format — the observable
@@ -1371,18 +1371,42 @@ final case class VersionedTable(
       .withColumn(VersionedTable.CdcVersionCol, lit(v))
       .withColumn(VersionedTable.CdcTimestampCol,
         lit(new java.sql.Timestamp(mtimes(v))))
-    val frames: Seq[DataFrame] = (startingVersion to end).flatMap { v =>
+    // ALL DML sidecars in the window read as ONE scan — a CDC-heavy
+    // window of thousands of versions must not become a thousand-way
+    // union of single-file relations (plan size O(versions), analysis
+    // cost worse). Version + timestamp stamp on via a broadcast join
+    // against the tiny (sidecar file → version) map; the join key is
+    // the tableDir-relative path recovered from _metadata.file_path
+    // (deterministic — loadFiles' discipline — so query filters keep
+    // pushing into the one scan). Old sidecars null-fill columns added
+    // later in the window through the explicit end-version read schema.
+    val dmlVersions = (startingVersion to end).filter(v => byV(v).cdc.nonEmpty)
+    val sidecarFrame: Option[DataFrame] =
+      if (dmlVersions.isEmpty) None
+      else {
+        val sch = StructType(
+          endM.schema.fields.map(f => StructField(f.name, f.dataType)) :+
+            StructField(ct, StringType))
+        val fileToV = dmlVersions.flatMap(v => byV(v).cdc.map(c =>
+          (c, v, new java.sql.Timestamp(mtimes(v)))))
+        val vMap = spark.createDataFrame(fileToV).toDF("_graft_cdc_file",
+          VersionedTable.CdcVersionCol, VersionedTable.CdcTimestampCol)
+        Some(spark.read.schema(sch)
+          .parquet(fileToV.map(t => s"$tableDir/${t._1}"): _*)
+          .withColumn("_graft_cdc_file", regexp_extract(
+            col("_metadata.file_path"), "^.*/(data/cdc-[^/]+/[^/]+)$", 1))
+          .join(broadcast(vMap), Seq("_graft_cdc_file"))
+          .drop("_graft_cdc_file"))
+      }
+    val frames: Seq[DataFrame] = sidecarFrame.toSeq ++
+        (startingVersion to end).flatMap { v =>
       val m = byV(v)
       lazy val pm = prevOf(v)
       lazy val pmFiles = pm.fold(Set.empty[String])(_.files.toSet)
       lazy val added = m.files.filterNot(pmFiles)
       lazy val removed = pm.fold(Seq.empty[String])(_.files.filterNot(m.files.toSet))
-      if (m.cdc.nonEmpty) {
-        val sch = StructType(m.schema.fields :+
-          StructField(ct, StringType, nullable = false))
-        Seq(stamped(spark.read.schema(sch)
-          .parquet(m.cdc.map(c => s"$tableDir/$c"): _*), v))
-      } else m.op match {
+      if (m.cdc.nonEmpty) Nil // served by the batched sidecar scan above
+      else m.op match {
         case "append" =>
           if (added.isEmpty) Nil
           else Seq(stamped(snapshot(m, added).withColumn(ct, lit("insert")), v))
@@ -1410,7 +1434,15 @@ final case class VersionedTable(
     }
     val outCols = (endM.schema.fieldNames.toSeq :+ ct :+
       VersionedTable.CdcVersionCol :+ VersionedTable.CdcTimestampCol).map(col)
-    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+    // balanced pairwise union: a long window's fold must not build a
+    // left-deep tree whose analysis cost grows quadratically in versions
+    def unionAll(fs: Seq[DataFrame]): DataFrame =
+      if (fs.lengthCompare(1) == 0) fs.head
+      else unionAll(fs.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b, allowMissingColumns = true)
+        case Seq(a) => a
+      }.toSeq)
+    (if (frames.isEmpty) None else Some(unionAll(frames)))
       .map(_.select(outCols: _*))
       .getOrElse {
         val sch = StructType(endM.schema.fields ++ Seq(

@@ -124,5 +124,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.Row(v.version, v.op, v.batch.orNull,
             v.numFiles, new java.sql.Timestamp(v.modifiedMs), v.numDvFiles)))
       }))
+    // Row-level change data feed as a table-valued function (Delta's
+    // `table_changes`): SELECT * FROM graft_table_changes(target, start
+    // [, end]). `target` is a table path, or a catalog-qualified name
+    // ('cat.ns.t') registered on a graft catalog. The returned plan is
+    // the library's DISTRIBUTED changeFeed read — sidecar/file-diff
+    // parquet scans, nothing driver-materialized.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_table_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_table_changes(pathOrName, startingVersion[, endingVersion])")
+        require(args.forall(_.foldable),
+          "graft_table_changes takes literal arguments")
+        val target = args.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => String.valueOf(other)
+        }
+        def litLongAt(i: Int, what: String): Long = args(i).eval() match {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_table_changes: $what must be integral, got $other")
+        }
+        val start = litLongAt(1, "startingVersion")
+        val end = if (args.length == 3) litLongAt(2, "endingVersion") else -1L
+        val spark = org.apache.spark.sql.SparkSession.active
+        val vt =
+          if (target.contains("/")) graft.ecom.VersionedTable(spark, target)
+          else {
+            val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(target)
+            require(parts.length >= 3,
+              s"graft_table_changes: '$target' is neither a path nor a " +
+                "catalog-qualified name (expected 'cat.ns.t' or '/dir')")
+            import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+            val cat = spark.sessionState.catalogManager.catalog(parts.head) match {
+              case tc: TableCatalog => tc
+              case other => throw new IllegalArgumentException(
+                s"graft_table_changes: catalog '${parts.head}' is not a " +
+                  s"table catalog (${other.getClass.getName})")
+            }
+            cat.loadTable(
+              Identifier.of(parts.tail.init.toArray, parts.last)) match {
+              case g: graft.sql.GraftSqlTable => g.vt
+              case other => throw new IllegalArgumentException(
+                s"graft_table_changes: '$target' is not a graft versioned " +
+                  s"table (${other.getClass.getName})")
+            }
+          }
+        vt.changeFeed(start, end).queryExecution.analyzed
+      }))
   }
 }

@@ -660,7 +660,98 @@ object Versioned {
       .orderBy("user_id")
   }
 
+  /** The row-level CHANGE DATA FEED inside the oracle gate: a table
+    * created with `TBLPROPERTIES('graft.enableChangeDataFeed'='true')`
+    * takes a scripted INSERT → DELETE → UPDATE → MERGE lifecycle (all
+    * plain SQL), then `graft_table_changes` reads every change row —
+    * insert / delete / update_preimage / update_postimage, stamped with
+    * its commit version — and aggregates per (type, version). The DuckDB
+    * twin re-derives each version's change set relationally, so a hash
+    * match pins the FEED's row-level contents (which rows changed, how,
+    * and when), not just the table's end state (qv11 already pins that).
+    */
+  val qv14 = Q(
+    "qv14_change_data_feed",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey <= 2000),
+      |after_delete AS (
+      |  SELECT * FROM base WHERE o_orderkey NOT BETWEEN 500 AND 900),
+      |after_update AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_custkey <= 50 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM after_delete),
+      |merge_src AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice
+      |  FROM base WHERE o_orderkey <= 300
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+      |  FROM base WHERE o_orderkey BETWEEN 100 AND 200),
+      |changes AS (
+      |  SELECT 'insert' AS change_type, 3 AS commit_version, * FROM base
+      |  UNION ALL
+      |  SELECT 'delete', 4, * FROM base WHERE o_orderkey BETWEEN 500 AND 900
+      |  UNION ALL
+      |  SELECT 'update_preimage', 5, * FROM after_delete WHERE o_custkey <= 50
+      |  UNION ALL
+      |  SELECT 'update_postimage', 5, o_orderkey, o_custkey, o_totalprice * 2
+      |  FROM after_delete WHERE o_custkey <= 50
+      |  UNION ALL
+      |  SELECT 'update_preimage', 6, u.* FROM after_update u
+      |  WHERE EXISTS (SELECT 1 FROM merge_src s WHERE s.o_orderkey = u.o_orderkey)
+      |  UNION ALL
+      |  SELECT 'update_postimage', 6, s.* FROM merge_src s
+      |  WHERE EXISTS (SELECT 1 FROM after_update u WHERE u.o_orderkey = s.o_orderkey)
+      |  UNION ALL
+      |  SELECT 'insert', 6, s.* FROM merge_src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM after_update u WHERE u.o_orderkey = s.o_orderkey))
+      |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM changes GROUP BY change_type, commit_version
+      |ORDER BY commit_version, change_type""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv14-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g14c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    load(s, dir, "orders").createOrReplaceTempView(s"qv14_orders_$cat")
+    val src = s"qv14_orders_$cat"
+    // CTAS with the CDC property: v1 empty schema + v2 setProperty + v3
+    // rows — the property lands BEFORE any data, so the whole history
+    // feeds. The version numbering is part of the pinned contract below.
+    s.sql(s"""CREATE TABLE $cat.db.c
+             |TBLPROPERTIES ('graft.enableChangeDataFeed' = 'true') AS
+             |SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM $src WHERE o_orderkey <= 2000""".stripMargin)
+    s.sql(s"DELETE FROM $cat.db.c WHERE o_orderkey BETWEEN 500 AND 900")
+    s.sql(s"UPDATE $cat.db.c SET o_totalprice = o_totalprice * 2 WHERE o_custkey <= 50")
+    s.sql(s"""MERGE INTO $cat.db.c t
+             |USING (
+             |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice
+             |  FROM $src WHERE o_orderkey <= 300
+             |  UNION ALL
+             |  SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+             |  FROM $src WHERE o_orderkey BETWEEN 100 AND 200) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(VersionedTable(s, s"$wh/db/c").currentVersion().contains(6L),
+      "qv14's scripted lifecycle must land versions 1..6 — the feed " +
+        "window below and the oracle's version literals depend on it")
+    s.sql(
+      s"""SELECT _change_type AS change_type, _commit_version AS commit_version,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |FROM graft_table_changes('$cat.db.c', 3)
+         |GROUP BY change_type, commit_version
+         |ORDER BY commit_version, change_type""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12,
-      qv13)
+      qv13, qv14)
 }

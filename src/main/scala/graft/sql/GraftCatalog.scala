@@ -137,6 +137,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // round-trips through an empty table" contract the library pins
     vt.commitOverwrite(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    // TBLPROPERTIES land as versioned metadata commits after the schema
+    // commit; Spark's catalog-managed keys (provider/location/owner/...)
+    // are not table properties and are filtered, not stored
+    properties.asScala.toSeq.sortBy(_._1)
+      .filterNot { case (k, _) =>
+        GraftCatalog.ReservedProps(k) || k.startsWith("option.") }
+      .foreach { case (k, v) => vt.setTableProperty(k, v) }
     GraftSqlTable(qualified(ident), vt, pinnedVersion = None)
   }
 
@@ -233,10 +240,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         catch {
           case _: IllegalArgumentException if drop.ifExists() => ()
         }
+      // ALTER TABLE ... SET/UNSET TBLPROPERTIES — versioned metadata
+      // commits (the library validates known keys, e.g. the change-feed
+      // toggle). The catalog-managed reserved keys are not properties.
+      case set: TableChange.SetProperty =>
+        if (GraftCatalog.ReservedProps(set.property()))
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ${qualified(ident)}: '${set.property()}' is " +
+              "catalog-managed and cannot be set as a table property")
+        vt.setTableProperty(set.property(), set.value())
+      case rm: TableChange.RemoveProperty =>
+        if (GraftCatalog.ReservedProps(rm.property()))
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE ${qualified(ident)}: '${rm.property()}' is " +
+              "catalog-managed and cannot be unset")
+        vt.unsetTableProperty(rm.property())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${qualified(ident)}: unsupported change $other — " +
           "supported: ADD COLUMN, RENAME COLUMN, DROP COLUMN, " +
-          "ADD/DROP CONSTRAINT (CHECK)")
+          "ADD/DROP CONSTRAINT (CHECK), SET/UNSET TBLPROPERTIES")
     }
     loadTable(ident)
   }
@@ -374,4 +396,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
     fs.delete(nsPath(namespace), true)
   }
+}
+
+object GraftCatalog {
+  /** Catalog-managed keys Spark passes through `properties` maps that
+    * are NOT user table properties: stored nowhere, refused on ALTER.
+    */
+  val ReservedProps: Set[String] = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_COMMENT)
 }

@@ -50,12 +50,33 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException(
         s"format(\"graft\").load($path): cannot specify both versionAsOf " +
           "and timestampAsOf — pick one")
-    val pinned = optV.map { s =>
+    def numeric(name: String, s: String): Long =
       try s.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"$path: versionAsOf must be numeric, got '$s'")
+          s"$path: $name must be numeric, got '$s'")
       }
-    }.orElse(optTs.map(s =>
+    // Delta's readChangeFeed read: option("readChangeFeed", "true") +
+    // startingVersion [+ endingVersion] serves row-level changes
+    // (VersionedTable.changeFeed) instead of a snapshot
+    if (Option(options.get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))) {
+      require(optV.isEmpty && optTs.isEmpty,
+        s"$path: readChangeFeed cannot combine with versionAsOf/timestampAsOf " +
+          "— the feed window is [startingVersion, endingVersion]")
+      Seq("startingTimestamp", "endingTimestamp").foreach(k =>
+        if (options.get(k) != null) throw new UnsupportedOperationException(
+          s"$path: $k is not supported — bound the change feed with " +
+            "startingVersion/endingVersion (graft_history maps timestamps " +
+            "to versions)"))
+      // default = the whole history (v1 on) — also what DataStreamReader's
+      // schema-inference pass hits before createSource applies its own
+      val start = Option(options.get("startingVersion"))
+        .map(numeric("startingVersion", _)).getOrElse(1L)
+      val end = Option(options.get("endingVersion"))
+        .map(numeric("endingVersion", _)).getOrElse(-1L)
+      return GraftSqlTable(path, vt, pinnedVersion = None,
+        cdfWindow = Some((start, end)))
+    }
+    val pinned = optV.map(numeric("versionAsOf", _)).orElse(optTs.map(s =>
       vt.versionAsOf(GraftTimeTravel.parseMillis(SparkSession.active, s, path))))
     GraftSqlTable(path, vt, pinnedVersion = pinned)
   }
@@ -75,21 +96,40 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     VersionedTable(SparkSession.active, path)
   }
 
+  // parameters arrive with caller casing; options are case-insensitive
+  private def streamOpt(parameters: Map[String, String], k: String): Option[String] =
+    parameters.get(k).orElse(
+      parameters.collectFirst { case (p, v) if p.equalsIgnoreCase(k) => v })
+
+  /** Append-only source by default; with `readChangeFeed=true`, the
+    * row-level CDC source ([[graft.streaming.GraftCdcStreamSource]]) —
+    * optional `startingVersion` (default 1 = the whole history).
+    */
+  private def buildSource(parameters: Map[String, String]): Source = {
+    val vt = streamVt(parameters)
+    if (streamOpt(parameters, "readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
+      val start = streamOpt(parameters, "startingVersion").map { s =>
+        try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"${vt.tableDir}: startingVersion must be numeric, got '$s'")
+        }
+      }.getOrElse(1L)
+      new graft.streaming.GraftCdcStreamSource(vt.spark, vt, start)
+    } else new graft.streaming.GraftStreamSource(vt.spark, vt)
+  }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "the graft streaming source derives its schema from the table's " +
         "manifest — do not pass a user schema")
-    val vt = streamVt(parameters)
-    (shortName(), new graft.streaming.GraftStreamSource(vt.spark, vt).schema)
+    (shortName(), buildSource(parameters).schema)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source = {
-    val vt = streamVt(parameters)
-    new graft.streaming.GraftStreamSource(vt.spark, vt)
-  }
+      parameters: Map[String, String]): Source =
+    buildSource(parameters)
 
   // ---- streaming sink: .writeStream.format("graft").start(dir) --------
   // DeltaSink's V1 shape: each micro-batch is ONE atomic versioned

@@ -62,6 +62,19 @@ case class GraftRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftSqlTable] && !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[GraftSqlTable]
+        // a readChangeFeed option can only be honored when the HANDLE was
+        // built with the feed schema (the path entry, GraftDataSource).
+        // On a catalog .table() read the handle was loaded name-only, its
+        // output is the table schema, and silently serving table-schema
+        // rows labeled as a feed (or feed rows missing _change_type)
+        // would be worse than refusing with the working alternatives.
+        if (t.cdfWindow.isEmpty &&
+            Option(r.options.get("readChangeFeed")).exists(_.equalsIgnoreCase("true")))
+          throw new IllegalArgumentException(
+            s"${t.name()}: readChangeFeed is not available on catalog table " +
+              "reads — use SELECT * FROM graft_table_changes('<cat.ns.t>', " +
+              "start[, end]) or spark.read.format(\"graft\")" +
+              ".option(\"readChangeFeed\", \"true\").load(path)")
         val optV = Option(r.options.get("versionAsOf")).map { s =>
           try s.toLong catch {
             case _: NumberFormatException => throw new IllegalArgumentException(
@@ -76,9 +89,16 @@ case class GraftRelationRule(spark: SparkSession) extends Rule[LogicalPlan] {
         lazy val optTs = Option(r.options.get("timestampAsOf"))
           .map(s => t.vt.versionAsOf(
             GraftTimeTravel.parseMillis(spark, s, t.name())))
-        val version = t.pinnedVersion.orElse(optV).orElse(optTs)
-          .getOrElse(t.resolvedVersion)
-        val converted = t.v1Plan(spark, version)
+        val converted = t.cdfWindow match {
+          // a feed handle converts to the library's changeFeed plan —
+          // the handle's schema is already the feed schema, so the
+          // id-grafting Project below lines up column-for-column
+          case Some((s, e)) => t.vt.changeFeed(s, e).queryExecution.analyzed
+          case None =>
+            val version = t.pinnedVersion.orElse(optV).orElse(optTs)
+              .getOrElse(t.resolvedVersion)
+            t.v1Plan(spark, version)
+        }
         // graft the converted plan under the relation's original output
         // ids; name resolution is case-insensitive, like the analyzer's
         val res = spark.sessionState.conf.resolver

@@ -44,7 +44,14 @@ import graft.ecom.VersionedTable
 final case class GraftSqlTable(
     qualifiedName: String,
     vt: VersionedTable,
-    pinnedVersion: Option[Long]) extends Table with SupportsRead with SupportsWrite
+    pinnedVersion: Option[Long],
+    // a change-data-feed read window [start, end] (end < 0 = head):
+    // the handle presents the FEED schema (table columns +
+    // _change_type/_commit_version/_commit_timestamp) and
+    // GraftRelationRule converts reads to VersionedTable.changeFeed;
+    // writes through a feed handle refuse (a feed is a read surface)
+    cdfWindow: Option[(Long, Long)] = None)
+    extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with TruncatableTable {
 
   /** The version a read of this handle resolves (head if not pinned). */
@@ -62,11 +69,27 @@ final case class GraftSqlTable(
   // throwing: DataStreamWriter infers the schema of a sink DESTINATION
   // before falling back to the V1 sink (which will create the table on
   // first batch); reads still fail clearly at resolvedVersion.
-  private lazy val resolvedSchema: StructType =
-    pinnedVersion.orElse(vt.currentVersion()) match {
-      case Some(v) => vt.snapshotMeta(v).schema
-      case None => StructType(Nil)
-    }
+  private lazy val resolvedSchema: StructType = cdfWindow match {
+    case Some((_, end)) =>
+      // the feed presents the END version's schema (changeFeed validates
+      // the window's evolution is additive) plus the three change columns
+      val endV =
+        if (end >= 0) end
+        else vt.currentVersion().getOrElse(throw new IllegalArgumentException(
+          s"$qualifiedName (${vt.tableDir}) has no committed version"))
+      StructType(vt.snapshotMeta(endV).schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(
+          VersionedTable.CdcTypeCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          VersionedTable.CdcVersionCol, org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          VersionedTable.CdcTimestampCol, org.apache.spark.sql.types.TimestampType)))
+    case None =>
+      pinnedVersion.orElse(vt.currentVersion()) match {
+        case Some(v) => vt.snapshotMeta(v).schema
+        case None => StructType(Nil)
+      }
+  }
 
   override def schema(): StructType = resolvedSchema
 
@@ -74,8 +97,11 @@ final case class GraftSqlTable(
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  // user TBLPROPERTIES first so the reserved keys below always win —
+  // SHOW TBLPROPERTIES surfaces the versioned table's own metadata
   override def properties(): java.util.Map[String, String] =
-    Map("location" -> vt.tableDir, "provider" -> "graft").asJava
+    (vt.tableProperties() ++
+      Map("location" -> vt.tableDir, "provider" -> "graft")).asJava
 
   /** Schema-only scan: SELECT paths never reach here (the relation
     * rule replaces them during analysis), but DELETE FROM planning
@@ -144,9 +170,13 @@ final case class GraftSqlTable(
     case _ => None
   }
 
-  private def refuseTimeTravelWrite(op: String): Unit =
+  private def refuseTimeTravelWrite(op: String): Unit = {
     pinnedVersion.foreach(v => throw new IllegalArgumentException(
       s"cannot $op $qualifiedName VERSION AS OF $v — time travel is read-only"))
+    cdfWindow.foreach(_ => throw new IllegalArgumentException(
+      s"cannot $op $qualifiedName through a change-data-feed read handle — " +
+        "the feed is a read surface; write through the table itself"))
+  }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => toColumn(f).isDefined)
@@ -175,8 +205,7 @@ final case class GraftSqlTable(
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    pinnedVersion.foreach(v => throw new IllegalArgumentException(
-      s"cannot write to $qualifiedName VERSION AS OF $v — time travel is read-only"))
+    refuseTimeTravelWrite("write to")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }

@@ -67,3 +67,66 @@ final class GraftStreamSource(
   override def stop(): Unit = ()
   override def toString: String = s"GraftStreamSource[${vt.tableDir}]"
 }
+
+/** Structured Streaming over the ROW-LEVEL change data feed (Delta's
+  * `readStream.option("readChangeFeed", "true")`): offsets are still
+  * table versions, but each micro-batch is
+  * `changeFeed(last + 1, new)` — inserts, deletes and update pre/post
+  * images with their commit versions — so a downstream consumer can
+  * MATERIALIZE the table's evolution (CDC replication, incremental
+  * view maintenance), not just ingest appends. Unlike the append-only
+  * source above, rewriting ops are the POINT: delete/update/merge
+  * versions serve their write-time sidecars; a pre-enablement DML
+  * version refuses through [[VersionedTable.changeFeed]]'s contract
+  * (set `startingVersion` past the enabling commit).
+  *
+  * The feed schema is frozen at stream start (Delta's rule): batches
+  * select exactly the frozen columns, so an additive evolution
+  * mid-stream keeps flowing (new columns invisible until restart) and
+  * a rename/drop refuses inside changeFeed rather than mislabeling.
+  */
+final class GraftCdcStreamSource(
+    spark: SparkSession,
+    vt: VersionedTable,
+    startingVersion: Long) extends Source {
+
+  require(startingVersion >= 1,
+    s"${vt.tableDir}: startingVersion must be >= 1, got $startingVersion")
+
+  override val schema: StructType = {
+    val v = vt.currentVersion().getOrElse(throw new IllegalArgumentException(
+      s"${vt.tableDir} has no committed version — commit v1 before streaming from it"))
+    StructType(vt.snapshotMeta(v).schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        VersionedTable.CdcTypeCol, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        VersionedTable.CdcVersionCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        VersionedTable.CdcTimestampCol, org.apache.spark.sql.types.TimestampType)))
+  }
+
+  private def ver(o: OffsetV1): Long = o.json.toLong
+
+  // below startingVersion there is nothing to serve yet — report no
+  // offset rather than handing getBatch an inverted window
+  override def getOffset: Option[OffsetV1] =
+    vt.currentVersion().filter(_ >= startingVersion).map(LongOffset.apply)
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion - 1L)
+    val to = ver(end)
+    require(from <= to,
+      s"checkpoint records v$from of ${vt.tableDir} but the table is at " +
+        s"v$to — was the source reset or replaced? Restart the stream " +
+        "from a fresh checkpoint (full re-read)")
+    val batch = vt.changeFeed(from + 1L, to)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    org.apache.spark.sql.graft.shims.streamingDataFrame(spark, batch)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"GraftCdcStreamSource[${vt.tableDir}, starting=$startingVersion]"
+}

@@ -237,6 +237,42 @@ class ChangeFeedSpec extends SparkSuite {
     intercept[IllegalArgumentException](feed(vt, 1).count())
   }
 
+  test("a DML-heavy window reads ALL sidecars as ONE scan (plan size O(1), not O(versions))") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitAppend(rows(40))
+    vt.setTableProperty("graft.enableChangeDataFeed", "true")
+    (0 until 12).foreach(i => vt.update(col("id") === i.toLong,
+      Map("amt" -> (col("amt") + 1L))))
+    val f = feed(vt, 3) // twelve DML versions
+    // correctness first: every update's pre+post pair, right versions
+    val got = asSet(f)
+    assert(got.size == 24 && got.count(_._4 == "update_preimage") == 12)
+    assert(got.filter(_._1 == 5L).map(_._5) == Set(8L))
+    // plan shape: one parquet scan serves all twelve sidecar versions
+    // (the per-version alternative is a 12-way union of 1-file scans —
+    // O(versions) plan size, the thing that breaks 1000-version windows)
+    f.collect()
+    // AQE double-unwrap: final plan at the top, then descend query stages
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.flatMap {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: allNodes(q.plan)
+      case n => Seq(n)
+    }
+    val top = f.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = allNodes(top).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected ONE batched sidecar scan, got " +
+      s"${scans.size}:\n${f.queryExecution.executedPlan}")
+    assert(scans.head.metrics("numFiles").value >= 12L,
+      "the one scan must cover every version's sidecar files")
+  }
+
   test("update recomputes generated columns in the post-image") {
     val vt = VersionedTable(spark, freshDir())
     vt.commitAppend(spark.range(3).select(col("id"), (col("id") * 2).as("dbl")))
