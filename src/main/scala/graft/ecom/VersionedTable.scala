@@ -762,7 +762,8 @@ final case class VersionedTable(
   def mergeClauses(source: DataFrame, keys: Seq[String],
       matched: Seq[VersionedTable.MergeWhen],
       notMatched: Seq[VersionedTable.MergeWhen],
-      notMatchedBySource: Seq[VersionedTable.MergeWhen] = Nil): Long = {
+      notMatchedBySource: Seq[VersionedTable.MergeWhen] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     import VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
     require(keys.nonEmpty, "merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
@@ -906,7 +907,8 @@ final case class VersionedTable(
             col("_graft_c").getField(ct).as(ct): _*)
         writeCdcFiles(cdcRows)
       }
-    publishCow("merge", base, m, rewriteFiles.toSet, rewritten, cdcFiles = cdcFiles)
+    publishCow("merge", base, m, rewriteFiles.toSet, rewritten, txn = txn,
+      cdcFiles = cdcFiles)
   }
 
   /** Delta's `ALTER TABLE ... ADD CONSTRAINT name CHECK (sqlExpr)`:

@@ -751,7 +751,70 @@ object Versioned {
          |ORDER BY commit_version, change_type""".stripMargin)
   }
 
+  /** Incremental view maintenance over the change data feed
+    * ([[graft.ops.IncrementalAgg]]): gold = COUNT/SUM per group over a
+    * CDC-enabled silver, bootstrapped once, then maintained through a
+    * delete + update + merge storm by ONE incremental refresh that
+    * reads only the feed window. The DuckDB twin computes the aggregate
+    * over the relationally-replayed FINAL silver state — a hash match
+    * proves the incrementally-maintained gold equals the full
+    * recompute, row for row (including groups whose counts moved and
+    * sums accumulated in DECIMAL — exact, order-independent).
+    */
+  val qv15 = Q(
+    "qv15_incremental_agg",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey % 100 AS grp,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey <= 4000),
+      |after_delete AS (
+      |  SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+      |after_update AS (
+      |  SELECT o_orderkey, grp,
+      |    CASE WHEN grp < 10 THEN CAST(price + 5 AS DECIMAL(18,2))
+      |         ELSE price END AS price
+      |  FROM after_delete),
+      |merge_src AS (
+      |  SELECT o_orderkey, grp, CAST(price + 1 AS DECIMAL(18,2)) AS price
+      |  FROM base WHERE o_orderkey <= 200
+      |  UNION ALL
+      |  SELECT o_orderkey + 500000, grp, price
+      |  FROM base WHERE o_orderkey BETWEEN 300 AND 500),
+      |final AS (
+      |  SELECT u.* FROM after_update u
+      |  WHERE NOT EXISTS (SELECT 1 FROM merge_src s WHERE s.o_orderkey = u.o_orderkey)
+      |  UNION ALL SELECT * FROM merge_src)
+      |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(price) AS DOUBLE) AS total
+      |FROM final GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+    val tmp = Files.createTempDirectory("graft-qv15-").toString
+    val silver = VersionedTable(s, s"$tmp/silver")
+    val gold = VersionedTable(s, s"$tmp/gold")
+    val base = load(s, dir, "orders").filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"), (col("o_custkey") % 100).as("grp"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    silver.commitAppend(base)                                        // v1
+    silver.setTableProperty("graft.enableChangeDataFeed", "true")    // v2
+    def refresh(): Unit = require(graft.ops.IncrementalAgg.refresh(
+      gold, silver, Seq("grp"), "n", Map("total" -> col("price"))).isDefined,
+      "qv15 refresh must land")
+    refresh() // bootstrap: full snapshot, marker at v2
+    silver.delete(col("o_orderkey") % 7 === 0)                       // v3
+    silver.update(col("grp") < 10, Map("price" -> (col("price") + 5))) // v4
+    silver.merge(                                                    // v5
+      base.filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"), col("grp"),
+          (col("price") + 1).cast(DecimalType(18, 2)).as("price"))
+        .unionByName(base.filter(col("o_orderkey").between(300, 500))
+          .select((col("o_orderkey") + 500000).as("o_orderkey"),
+            col("grp"), col("price"))),
+      Seq("o_orderkey"))
+    refresh() // ONE incremental pass over the [v3, v5] feed window
+    gold.read()
+      .select(col("grp"), col("n"), col("total").cast(DoubleType).as("total"))
+      .orderBy("grp")
+  }
+
   val all: Seq[Q] =
     Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12,
-      qv13, qv14)
+      qv13, qv14, qv15)
 }
