@@ -100,6 +100,40 @@ class IncrementalAggSpec extends SparkSuite {
     assert(!goldState(gold).exists(_._1 == 1L), "migrated-away group vanishes")
   }
 
+  test("continuous maintenance: the CDC stream drives refresh per trigger") {
+    val dir = fresh()
+    val silver = VersionedTable(spark, s"$dir/silver")
+    val gold = VersionedTable(spark, s"$dir/gold")
+    silver.commitAppend(rows(0 until 30))
+    silver.setTableProperty("graft.enableChangeDataFeed", "true")
+
+    // the stream is the SCHEDULER; refresh stays the one maintenance
+    // entry (its own marker keeps exactly-once even if a trigger
+    // replays, and a batch carrying several versions applies as one)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .load(silver.tableDir)
+        .writeStream.foreachBatch { (_: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+          doRefresh(gold, silver): Unit
+        }
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(goldState(gold) == recompute(silver))
+    silver.delete(col("grp") === 2L)
+    silver.update(col("id") < 3L, Map("amt" -> (col("amt") + 7L)))
+    run()
+    assert(goldState(gold) == recompute(silver))
+    assert(!goldState(gold).exists(_._1 == 2L))
+    // replayed trigger: marker blocks a double-apply
+    val before = gold.versions()
+    run()
+    assert(gold.versions() == before)
+  }
+
   test("incremental refresh reads the window, not the table (many-version source)") {
     val dir = fresh()
     val silver = VersionedTable(spark, s"$dir/silver")
