@@ -729,7 +729,11 @@ final case class VersionedTable(
     // batch IS the table — an append-commit carrying the txn marker
     else if (currentVersion().isEmpty)
       Some(commit(source, replace = false, txn = Some((app, batchId))))
-    else Some(merge(source, keys, txn = Some((app, batchId))))
+    else try Some(merge(source, keys, txn = Some((app, batchId)))) catch {
+      // a racing twin landed OUR batch mid-flight: exactly-once means
+      // reporting "not landed by us", same as the pre-check replay path
+      case _: VersionedTable.ReplayLandedException => None
+    }
   }
 
   /** The FULL Delta merge clause matrix (`MERGE INTO` with conditional,
@@ -1578,6 +1582,21 @@ final case class VersionedTable(
       // sidecar silent data loss for feed consumers) — conflict, like
       // the other metadata
       if (curM.props != m.props) conflict("table properties changed")
+      // exactly-once under RACING twins, as the append-commit path: our
+      // app's marker moving means another writer committed a batch for
+      // this app while we were in flight. Same id -> OUR logical batch
+      // already landed (typed signal, not a rebase — rebasing would
+      // double-apply it; racing insert-only merges have no file overlap
+      // to conflict on); different id -> our window math is stale.
+      txn.foreach { case (app, id) =>
+        val cur = curM.txns.get(app)
+        if (cur != m.txns.get(app)) {
+          if (cur.contains(id))
+            throw new VersionedTable.ReplayLandedException(curV, app, id)
+          conflict(s"transaction marker for app '$app' advanced to " +
+            s"${cur.fold("(none)")(_.toString)} while committing batch $id")
+        }
+      }
       // a new DV could address a file we rewrote WITHOUT it — rows we
       // would silently resurrect; a dropped DV means a purge/restore
       // rearranged history under us
@@ -2676,6 +2695,20 @@ object VersionedTable {
     * cannot be clobbered across writers (Delta's transaction appId).
     */
   val DefaultApp: String = "default"
+
+  /** A txn-marked copy-on-write commit lost the publish race to its
+    * TWIN: the same `(app, batchId)` marker landed concurrently, so the
+    * logical batch is already in the table at `version`. Thrown from
+    * the rebase (never from a clean publish); exactly-once callers
+    * ([[VersionedTable.commitMergeBatch]],
+    * `graft.ops.IncrementalAgg.refresh`) catch it and report
+    * "not landed by us" — without this, the WriteSerializable rebase
+    * would let two racing insert-only merge twins BOTH land (no file
+    * overlap to conflict on) and double-apply the batch.
+    */
+  final class ReplayLandedException(val version: Long, app: String, id: Long)
+    extends RuntimeException(
+      s"batch $id for app '$app' already landed concurrently (v$version)")
 
   /** Every this-many versions the manifest is written FULL even when a
     * delta would be smaller, bounding a reader's delta-chain walk (and

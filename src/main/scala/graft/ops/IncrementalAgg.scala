@@ -99,7 +99,7 @@ object IncrementalAgg {
       def add(c: String): Column =
         coalesce(t(c), lit(0)) + coalesce(s(c), lit(0))
       val measureCols = countCol +: sums.keys.toSeq.sorted
-      Some(gold.mergeClauses(d, keys,
+      try Some(gold.mergeClauses(d, keys,
         matched = Seq(
           // the group's last row left: the group leaves gold with it
           MergeWhen(Some(t(countCol) + s(countCol) === 0L), MergeDelete),
@@ -107,7 +107,10 @@ object IncrementalAgg {
             measureCols.map(c => c -> add(c)).toMap))),
         notMatched = Seq(MergeWhen(None, MergeInsert(
           (keys.map(k => k -> s(k)) ++ measureCols.map(c => c -> s(c))).toMap))),
-        txn = Some((app, head))))
+        txn = Some((app, head)))) catch {
+        // a racing refresh applied this window first — already current
+        case _: VersionedTable.ReplayLandedException => None
+      }
     }
   }
 }

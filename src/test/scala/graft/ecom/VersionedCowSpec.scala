@@ -363,6 +363,35 @@ class VersionedCowSpec extends SparkSuite {
     assert(vt.read().filter(col("v") === -1L).count() == 1)
   }
 
+  test("racing txn-marked merge twins: exactly one lands (no double-apply via rebase)") {
+    val local = freshDir()
+    val healthy = VersionedTable(spark, local)
+    healthy.commitOverwrite(spark.range(0, 10).toDF("id").withColumn("v", col("id")))
+    val src = spark.range(100, 105).toDF("id").withColumn("v", lit(-5L))
+    // insert-only twins touch NO common file, so the WriteSerializable
+    // rebase would happily land both — only the txn-marker guard stands
+    // between a crash-replayed scheduler pair and a double-applied batch
+    val res = gatedCow(local, _.commitMergeBatch(src, Seq("id"), 7L, "twin")) {
+      assert(healthy.commitMergeBatch(src, Seq("id"), 7L, "twin").isDefined)
+    }
+    assert(res.isSuccess && res.get.isEmpty,
+      s"the losing twin must report not-landed-by-us: $res")
+    assert(healthy.read().filter(col("id") >= 100L).count() == 5L, "no double-apply")
+    assert(healthy.currentBatchId("twin").contains(7L))
+    assert(healthy.history().count(_.op == "merge") == 1)
+
+    // a DIFFERENT batch id landing mid-flight = stale window math: loud
+    val res2 = gatedCow(local, _.commitMergeBatch(
+      spark.range(200, 205).toDF("id").withColumn("v", lit(1L)),
+      Seq("id"), 8L, "twin")) {
+      assert(healthy.commitMergeBatch(
+        spark.range(300, 305).toDF("id").withColumn("v", lit(2L)),
+        Seq("id"), 9L, "twin").isDefined)
+    }
+    val ex = intercept[java.util.ConcurrentModificationException](res2.get)
+    assert(ex.getMessage.contains("transaction marker"), ex.getMessage)
+  }
+
   test("a concurrent overwrite still conflicts with a COW delete (wholesale replace)") {
     val local = freshDir()
     val healthy = VersionedTable(spark, local)
