@@ -273,6 +273,41 @@ class ChangeFeedSpec extends SparkSuite {
       "the one scan must cover every version's sidecar files")
   }
 
+  test("feed consumers prune columns and push filters into the sidecar scan") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitAppend(rows(32))
+    vt.setTableProperty("graft.enableChangeDataFeed", "true")
+    vt.delete(col("id") < 8)
+    vt.update(col("id") === 20, Map("amt" -> lit(-1L)))
+    // a consumer selecting two columns with a selective predicate
+    val q = vt.changeFeed(3, 4)
+      .filter(col("amt") === -1L)
+      .select(col("id"), col(CT))
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((20L, "update_postimage")))
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.flatMap {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        s +: allNodes(s.plan)
+      case n => Seq(n)
+    }
+    val top = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = allNodes(top).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    // pruned: the scan must not read grp (unused) — id, amt, ct only
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("id", "amt", CT),
+      s"sidecar scan read schema must prune to the consumer's needs: $readCols")
+    // pushed: the amt predicate reaches the parquet reader
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("EqualTo(amt,-1)")),
+      s"filter must push into the sidecar scan: ${scan.metadata.get("PushedFilters")}")
+  }
+
   test("update recomputes generated columns in the post-image") {
     val vt = VersionedTable(spark, freshDir())
     vt.commitAppend(spark.range(3).select(col("id"), (col("id") * 2).as("dbl")))
