@@ -174,6 +174,39 @@ class GraftCatalogSpec extends SparkSuite {
       s"column pruning lost through the conversion: read $readCols")
   }
 
+  test("manifest-recorded sizes drive broadcast planning for catalog joins") {
+    val dim = VersionedTable(spark, s"$warehouse/bronze/sizedim")
+    dim.commitOverwrite(spark.range(50).selectExpr("id", "concat('n', id) AS name"))
+    val fact = VersionedTable(spark, s"$warehouse/bronze/sizefact")
+    fact.commitOverwrite(spark.range(300000).selectExpr("id % 50 AS k", "id AS v"))
+    val q = spark.sql(
+      """SELECT d.name, CAST(SUM(f.v) AS BIGINT) AS s
+        |FROM graft.bronze.sizefact f JOIN graft.bronze.sizedim d ON f.k = d.id
+        |GROUP BY d.name""".stripMargin)
+    q.collect()
+    val top = q.queryExecution.executedPlan match {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        ad.executedPlan
+      case p => p
+    }
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.flatMap {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        s +: allNodes(s.plan)
+      case n => Seq(n)
+    }
+    // the 50-row dim must broadcast — its size estimate comes from the
+    // MANIFEST-recorded file lengths (GraftFileIndex.sizeInBytes), so a
+    // correct plan here proves planning never stats the filesystem and
+    // the fact side never sort-merge joins
+    assert(allNodes(top).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"dim join must broadcast from manifest sizes:\n$top")
+    assert(!allNodes(top).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the fact table must not sort-merge against a 50-row dim")
+  }
+
   test("DV (merge-on-read) snapshots read correctly by name via the fallback plan") {
     val vt = VersionedTable(spark, s"$warehouse/bronze/mor")
     vt.commitOverwrite((1L to 30L).toDF("id"))
