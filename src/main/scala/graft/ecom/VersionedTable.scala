@@ -407,7 +407,13 @@ final case class VersionedTable(
       // generated-column rules are table metadata like constraints:
       // they survive an overwrite
       val gen = prevM.fold(Map.empty[String, String])(_.generated)
-      val schema = carriedM.fold(withGen.schema)(m => mergeAppendSchema(m.schema, withGen.schema))
+      // nested nullability normalizes LOOSE before the schema enters the
+      // manifest: file relations always present array elements / map
+      // values / struct fields as nullable on read-back, so recording a
+      // batch's tight flags (collect_list's containsNull=false) would
+      // pin a schema no reader can cast to
+      val schema = VersionedTable.looseNested(
+        carriedM.fold(withGen.schema)(m => mergeAppendSchema(m.schema, withGen.schema)))
       val op = if (replace) "overwrite" else "append"
       // transaction markers are the exactly-once checkpoints for the
       // streaming sink and VersionedPipe, one slot per writer app: a
@@ -1849,10 +1855,20 @@ final case class VersionedTable(
       val have = unioned.columns.toSet
       val cols = schema.map { f =>
         // column mapping: files store PHYSICAL names (stable across
-        // renames); the select aliases them back to the logical schema
+        // renames); the select aliases them back to the logical schema.
+        // The cast exists to undo partition-dir type inference — skip it
+        // when the read type already matches modulo nullability: Cast
+        // refuses nested-nullability TIGHTENING (array<string> with
+        // containsNull=true, which file relations always present, will
+        // not cast to a manifest's containsNull=false), and a no-op cast
+        // helps nothing
         val phys = colmap.getOrElse(f.name, f.name)
-        (if (have(phys)) col(phys).cast(f.dataType)
-         else lit(null).cast(f.dataType)).as(f.name)
+        (if (have(phys)) {
+          val c = col(phys)
+          if (unioned.schema(phys).dataType.catalogString ==
+              f.dataType.catalogString) c
+          else c.cast(f.dataType)
+        } else lit(null).cast(f.dataType)).as(f.name)
       } ++ fileCol.map(col).toSeq ++ posCol.map(col).toSeq
       unioned.select(cols: _*)
     }
@@ -2695,6 +2711,25 @@ object VersionedTable {
     * cannot be clobbered across writers (Delta's transaction appId).
     */
   val DefaultApp: String = "default"
+
+  /** Loosen NESTED nullability (array elements, map values, inner
+    * struct fields) to what file relations present on read-back —
+    * always nullable. Top-level field flags are left alone (atomic
+    * casts ignore them; the schema print keeps the writer's intent).
+    */
+  private[ecom] def looseNested(schema: StructType): StructType = {
+    def loose(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = loose(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = loose(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType => m.copy(
+        keyType = loose(m.keyType), valueType = loose(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+    StructType(schema.fields.map(f => f.copy(dataType = loose(f.dataType))))
+  }
 
   /** A txn-marked copy-on-write commit lost the publish race to its
     * TWIN: the same `(app, batchId)` marker landed concurrently, so the

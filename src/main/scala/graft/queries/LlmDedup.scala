@@ -360,8 +360,8 @@ object LlmDedup {
   // DuckDB CTE prefix computing the shingle sets, MinHash signatures and
   // LSH band keys for every doc — the shared front end of qd04 (self-
   // join), qd09/qd12 (clustering) and qd13 (incremental new-vs-index).
-  private def duckBandedCtes: String =
-    s"""tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+  private def duckBandedCtes(src: String = "documents"): String =
+    s"""tok AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src),
        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
        |         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
        |         ELSE [] END) AS s FROM tok),
@@ -376,7 +376,7 @@ object LlmDedup {
 
   val qd04 = Q(
     "qd04_minhash_lsh_pairs",
-    s"""WITH $duckBandedCtes,
+    s"""WITH ${duckBandedCtes()},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -598,7 +598,7 @@ object LlmDedup {
   // DuckDB CTE prefix computing qd04's verified pairs and their connected
   // components as `comp (doc_id, cluster_id)` — shared by qd09 and qd12.
   private def duckClusterCtes: String =
-    s"""$duckBandedCtes,
+    s"""${duckBandedCtes()},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -768,7 +768,7 @@ object LlmDedup {
   // candidate join.
   val qd13 = Q(
     "qd13_incremental_dedup",
-    s"""WITH $duckBandedCtes,
+    s"""WITH ${duckBandedCtes()},
        |cand AS (SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS dup_of
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.band_key = b.band_key
@@ -1219,7 +1219,7 @@ object LlmDedup {
   // verify pass already carries.
   val qd21 = Q(
     "qd21_minhash_calibration",
-    s"""WITH $duckBandedCtes,
+    s"""WITH ${duckBandedCtes()},
        |sg AS (SELECT doc_id, s, list_transform(range(0, 16), j ->
        |         list_min(list_transform(h, x -> (x*(389*(j+1)+1) + 211*(j+1)+7) % $ModBig))) AS sig16
        |       FROM hs),
@@ -1387,7 +1387,58 @@ object LlmDedup {
     readClusterIndex(s, art)
   }
 
+  // ---------------------------------------------------------------------
+  // qd25 — the MAINTAINED signature index (graft.ops.IncrementalMap over
+  // the change data feed): the corpus lives in a CDC-enabled versioned
+  // table, its MinHash signature index bootstraps once and then follows
+  // a delete / text-update / new-docs storm through ONE incremental
+  // refresh — deletes are the right-to-be-forgotten path (a forgotten
+  // doc's signatures leave the index in the same exactly-once commit).
+  // The near-dup pairs are then answered FROM THE INDEX, and the oracle
+  // re-derives them from the relationally-replayed FINAL corpus — a
+  // hash match proves maintained == rebuilt, end to end. (qd13 is the
+  // batch-vs-static-index join; this is the index's LIFECYCLE.)
+  val qd25 = Q(
+    "qd25_maintained_sig_index",
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |ad AS (SELECT * FROM base WHERE doc_id % 5 <> 3),
+       |au AS (SELECT doc_id,
+       |         CASE WHEN doc_id % 7 = 0 THEN text || ' zz7' ELSE text END AS text
+       |       FROM ad),
+       |docs_final AS (SELECT * FROM au UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 11 = 0),
+       |${duckBandedCtes("docs_final")},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |jac AS (SELECT doc_a, doc_b,
+       |        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_cat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+       |      FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+       |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qd25-").toString
+    val src = graft.ecom.VersionedTable(s, s"$tmp/docs")
+    val idx = graft.ecom.VersionedTable(s, s"$tmp/idx")
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    src.commitAppend(base)
+    src.setTableProperty("graft.enableChangeDataFeed", "true")
+    def refresh(): Unit = require(graft.ops.IncrementalMap.refresh(
+      idx, src, Seq("doc_id"), lshSignatures).isDefined, "qd25 refresh must land")
+    refresh() // bootstrap
+    src.delete(col("doc_id") % 5 === 3)
+    src.update(col("doc_id") % 7 === 0,
+      Map("text" -> concat(col("text"), lit(" zz7"))))
+    // new docs are copies of the ORIGINAL base (so an updated original
+    // and its copy become near- rather than exact dups)
+    src.commitAppend(base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    refresh() // ONE pass over the delete+update+append window
+    lshVerifiedPairs(idx.read().select("doc_id", "sh", "sig"))
+  }
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
-      qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20, qd21, qd22, qd23, qd24)
+      qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20, qd21, qd22, qd23, qd24,
+      qd25)
 }
