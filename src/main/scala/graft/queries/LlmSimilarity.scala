@@ -860,8 +860,59 @@ object LlmSimilarity {
     readIvfTopK(s, art)
   }
 
+  // ---------------------------------------------------------------------
+  // qs11 — the MAINTAINED IVF index: the vector corpus is a CDC-enabled
+  // versioned table, the inverted lists a graft.ops.IncrementalMap view
+  // over it (transform = nearest-centroid assignment against centroids
+  // FROZEN at build — production IVF maintenance: re-center rarely,
+  // reassign incrementally). The storm deletes vectors (forget), FLIPS
+  // embeddings (cell reassignment, exact under float negation), and
+  // appends exact copies (which must surface as cos=1 neighbors); one
+  // refresh applies it all, probes read ONLY the maintained lists. The
+  // oracle reuses qs03's pipeline verbatim — centroid chain from the
+  // BUILD corpus, probe/serve over the relationally replayed final
+  // state — so a hash match pins maintained == rebuilt-on-final-state.
+  val qs11 = Q("qs11_maintained_ivf", Qs03Sql.sqlOver("ef",
+    """
+      |ef AS (
+      |  SELECT vec_id, embedding, emb FROM e
+      |  WHERE NOT (vec_id % 9 = 5 AND vec_id >= 20)
+      |    AND NOT (vec_id % 11 = 7 AND vec_id >= 20)
+      |  UNION ALL
+      |  SELECT vec_id, list_transform(embedding, x -> -x),
+      |         list_transform(emb, x -> -x)
+      |  FROM e WHERE vec_id % 11 = 7 AND vec_id >= 20
+      |    AND NOT (vec_id % 9 = 5 AND vec_id >= 20)
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding, emb FROM e WHERE vec_id % 13 = 2),""".stripMargin)) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qs11-").toString
+    val src = graft.ecom.VersionedTable(s, s"$tmp/emb")
+    val lists = graft.ecom.VersionedTable(s, s"$tmp/lists")
+    val base = emb(s, dir)
+    src.commitAppend(base)
+    src.setTableProperty("graft.enableChangeDataFeed", "true")
+    // centroids freeze at build time, from the BOOTSTRAP corpus
+    val centroids = ivfCentroids(src.read())
+    val assignT: DataFrame => DataFrame = d => d.select(col("vec_id"),
+      col("embedding"), ivfBestCell(col("embedding"), centroids).as("cell"))
+    def refresh(): Unit = require(graft.ops.IncrementalMap.refresh(
+      lists, src, Seq("vec_id"), assignT).isDefined, "qs11 refresh must land")
+    refresh() // bootstrap the inverted lists
+    src.delete(col("vec_id") % 9 === 5 && col("vec_id") >= 20)
+    src.update(col("vec_id") % 11 === 7 && col("vec_id") >= 20,
+      Map("embedding" -> transform(col("embedding"), x => -x)))
+    src.commitAppend(base.filter(col("vec_id") % 13 === 2)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    refresh() // ONE pass over the delete+flip+append window
+    val l = lists.read()
+    val queries = l.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    ivfRank(l.select(col("vec_id"), col("embedding"), col("cell")),
+      queries, centroids, nprobe = 4, topk = 5)
+  }
+
   val all: Seq[Q] =
-    Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07, qs08, qs09, qs10)
+    Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07, qs08, qs09, qs10, qs11)
 }
 
 /** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its
@@ -883,8 +934,11 @@ private object Qs03Sql {
   private def assign(e: String, cu: String): String =
     s"(SELECT c.cell FROM $cu c ORDER BY ${dot(s"$e.emb", "c.ucent")} DESC, c.cell LIMIT 1)"
 
-  val sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),
+  // centroid chain (c0..cu2) always derives from `e` (the BUILD corpus);
+  // `src` is the corpus probed/served — qs03/qs10 probe the build corpus
+  // itself, qs11 probes the maintained final state (extraCtes replays it)
+  def sqlOver(src: String, extraCtes: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),$extraCtes
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, emb AS cent
        |       FROM e ORDER BY vec_id LIMIT $K),
        |cu0 AS (SELECT cell, ${unitVec("cent")} AS ucent FROM c0),
@@ -900,11 +954,11 @@ private object Qs03Sql {
        |m2 AS (SELECT cell, list(m ORDER BY pos) AS cent FROM m2pos GROUP BY cell),
        |c2 AS (SELECT c1.cell, COALESCE(m2.cent, c1.cent) AS cent FROM c1 LEFT JOIN m2 ON c1.cell = m2.cell),
        |cu2 AS (SELECT cell, ${unitVec("cent")} AS ucent FROM c2),
-       |corpus AS (SELECT e.vec_id, e.embedding, ${assign("e", "cu2")} AS cell FROM e),
+       |corpus AS (SELECT $src.vec_id, $src.embedding, ${assign(src, "cu2")} AS cell FROM $src),
        |probes AS (SELECT query_id, qe, cell FROM (
        |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${dot("q.emb", "c.ucent")} DESC, c.cell) AS pr
-       |    FROM e q, cu2 c WHERE q.vec_id < 8) t WHERE pr <= $NPROBE),
+       |    FROM $src q, cu2 c WHERE q.vec_id < 8) t WHERE pr <= $NPROBE),
        |scored AS (SELECT p.query_id, co.vec_id AS neighbor_id, ${cosine("p.qe", "co.embedding")} AS cos_sim
        |           FROM corpus co JOIN probes p ON co.cell = p.cell
        |           WHERE co.vec_id <> p.query_id)
@@ -914,6 +968,8 @@ private object Qs03Sql {
        |  FROM scored) ranked
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  val sql: String = sqlOver("e", "")
 }
 
 /** DuckDB twin of qs08's PQ pipeline — codebook slicing, first-min-wins
