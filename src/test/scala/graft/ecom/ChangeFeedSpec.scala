@@ -308,6 +308,23 @@ class ChangeFeedSpec extends SparkSuite {
       s"filter must push into the sidecar scan: ${scan.metadata.get("PushedFilters")}")
   }
 
+  test("vacuum reclaims ORPHANED CDC sidecars (a crash between sidecar write and publish)") {
+    val dir = freshDir()
+    val vt = VersionedTable(spark, dir)
+    vt.commitAppend(rows(6))
+    vt.setTableProperty("graft.enableChangeDataFeed", "true")
+    vt.delete(col("id") === 1) // v3: a real, referenced sidecar
+    // simulate the crash: a sidecar dir no manifest references
+    val orphan = new java.io.File(s"$dir/data/cdc-orphaned-by-a-crash")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(orphan.toPath.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    vt.vacuum(keepVersions = 3, unreferencedGraceMs = 0L)
+    assert(!orphan.exists(), "the unreferenced sidecar dir must be swept")
+    // the referenced sidecar survived: the feed still serves v3
+    assert(asSet(feed(vt, 3, 3)) == Set((1L, 1L, 10L, "delete", 3L)))
+  }
+
   test("update recomputes generated columns in the post-image") {
     val vt = VersionedTable(spark, freshDir())
     vt.commitAppend(spark.range(3).select(col("id"), (col("id") * 2).as("dbl")))
