@@ -174,5 +174,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         vt.changeFeed(start, end).queryExecution.analyzed
       }))
+    // DESCRIBE DETAIL as a table-valued function (Delta's shape):
+    // SELECT * FROM graft_detail('/dir') — one row of table metadata,
+    // every number from the MANIFEST (zero data-file filesystem calls).
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_detail"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_detail"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1 && args.head.foldable,
+          "graft_detail(path) takes exactly one literal table path")
+        val path = args.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => String.valueOf(other)
+        }
+        val vt = graft.ecom.VersionedTable(
+          org.apache.spark.sql.SparkSession.active, path)
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        import org.apache.spark.sql.types._
+        val out = Seq(
+          AttributeReference("format", StringType, nullable = false)(),
+          AttributeReference("location", StringType, nullable = false)(),
+          AttributeReference("version", LongType, nullable = false)(),
+          AttributeReference("num_files", IntegerType, nullable = false)(),
+          AttributeReference("size_bytes", LongType, nullable = false)(),
+          AttributeReference("num_constraints", IntegerType, nullable = false)(),
+          AttributeReference("properties",
+            MapType(StringType, StringType), nullable = false)())
+        val v = vt.currentVersion().getOrElse(throw new IllegalArgumentException(
+          s"$path has no committed version"))
+        val meta = vt.snapshotMeta(v)
+        LocalRelation.fromExternalRows(out, Seq(org.apache.spark.sql.Row(
+          "graft", vt.tableDir, v, meta.files.size,
+          meta.sizes.values.map(_._1).sum, vt.checkConstraints().size,
+          vt.tableProperties())))
+      }))
   }
 }

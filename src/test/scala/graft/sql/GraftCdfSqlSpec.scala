@@ -109,6 +109,22 @@ class GraftCdfSqlSpec extends SparkSuite {
       .getMessage.contains("neither a path nor a catalog-qualified name"))
   }
 
+  test("graft_detail TVF: one manifest-sourced metadata row (DESCRIBE DETAIL)") {
+    val dir = Files.createTempDirectory("graft-detail").toString
+    val vt = VersionedTable(spark, dir)
+    vt.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("id", "amt"))
+    vt.setTableProperty("graft.enableChangeDataFeed", "true")
+    vt.addCheckConstraint("pos", "amt >= 0")
+    val row = spark.sql(s"SELECT * FROM graft_detail('$dir')").collect().head
+    assert(row.getAs[String]("format") == "graft")
+    assert(row.getAs[Long]("version") == 3L)
+    assert(row.getAs[Int]("num_files") >= 1)
+    assert(row.getAs[Long]("size_bytes") > 0L, "sizes come from the manifest")
+    assert(row.getAs[Int]("num_constraints") == 1)
+    assert(row.getAs[Map[String, String]]("properties") ==
+      Map("graft.enableChangeDataFeed" -> "true"))
+  }
+
   test("path read: readChangeFeed options serve the feed; misuse matrix refuses") {
     val dir = Files.createTempDirectory("graft-cdf-path").toString
     val vt = VersionedTable(spark, dir)
