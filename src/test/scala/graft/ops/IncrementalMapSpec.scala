@@ -60,6 +60,46 @@ class IncrementalMapSpec extends SparkSuite {
     assert(dst.versions() == before)
   }
 
+  test("CDC chains compose: src -> maintained view -> incremental aggregate, all incremental") {
+    val dir = fresh()
+    val src = VersionedTable(spark, s"$dir/src")
+    val mid = VersionedTable(spark, s"$dir/mid")   // row-wise view, CDC-enabled itself
+    val gold = VersionedTable(spark, s"$dir/gold") // aggregate over the VIEW's feed
+    src.commitAppend((0 until 40).map(i =>
+      (i.toLong, i.toLong % 4L, i.toLong)).toDF("id", "grp", "v"))
+    src.setTableProperty("graft.enableChangeDataFeed", "true")
+    // hop 1: per-row derivation (v squared), filtered (odd ids drop)
+    val f = (d: DataFrame) => d.filter(col("id") % 2L === 0L)
+      .select(col("id"), col("grp"), (col("v") * col("v")).as("v2"))
+    def hop1(): Unit = {
+      val first = mid.currentVersion().isEmpty
+      assert(IncrementalMap.refresh(mid, src, Seq("id"), f).isDefined)
+      // the view's OWN feed must exist for hop 2: enable CDC on it at birth
+      if (first) { mid.setTableProperty("graft.enableChangeDataFeed", "true"); () }
+    }
+    // hop 2: grouped aggregate maintained from the VIEW's change feed
+    def hop2(): Unit = assert(IncrementalAgg.refresh(
+      gold, mid, Seq("grp"), "n", Map("sum_v2" -> col("v2"))).isDefined)
+    def expected(): Set[(Long, Long, Long)] =
+      f(src.read()).groupBy("grp")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("v2").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    hop1(); hop2()
+    assert(gold.read().select("grp", "n", "sum_v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == expected())
+
+    // a storm at the SOURCE propagates through both incremental hops
+    src.delete(col("id") < 6L)
+    src.update(col("id") === 10L, Map("v" -> lit(100L)))
+    src.commitAppend(Seq((100L, 1L, 7L), (101L, 1L, 8L)).toDF("id", "grp", "v"))
+    hop1(); hop2()
+    assert(gold.read().select("grp", "n", "sum_v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == expected(),
+      "the two-hop chain must equal the end-to-end recompute")
+  }
+
   test("maintained signature index == rebuilt index; forget removes signatures") {
     val dir = fresh()
     val src = VersionedTable(spark, s"$dir/src")
