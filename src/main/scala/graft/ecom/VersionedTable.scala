@@ -1220,12 +1220,52 @@ final case class VersionedTable(
       targetFileBytes: Long = 128L << 20): Long =
     optimizeImpl(targetFileBytes, smallFileBytes = Long.MaxValue, zorderBy = cols)
 
+  /** Delta's `OPTIMIZE ... WHERE`: compaction SCOPED to the files whose
+    * committed min/max stats intersect `[lo, hi]` on `column` — compact
+    * the hot region (today's ingest range) without rewriting cold
+    * history, which at 100 TB is the only affordable compaction cadence.
+    * Files with no stats on `column` are in scope conservatively (they
+    * MIGHT hold range rows — skipping them could leave the very files
+    * the caller wants packed). Same small-file selection, no-op, and
+    * conflict contract as [[optimize]]; cold files outside the range
+    * carry forward untouched.
+    */
+  def optimizeRange(column: String, lo: Long, hi: Long,
+      targetFileBytes: Long = 128L << 20,
+      smallFileBytes: Long = 64L << 20): Long =
+    optimizeImpl(targetFileBytes, smallFileBytes, zorderBy = Nil,
+      scope = { m =>
+        val inline = pruneByStats(m, column, lo, hi)
+        m.statsRef match {
+          case None => inline
+          case Some(ref) =>
+            // a spilled table keeps only the delta tail's stats inline:
+            // sidecar-covered files passed pruneByStats conservatively —
+            // restrict them with ONE distributed sidecar scan collecting
+            // the OUT-of-range names (driver stays at O(file names))
+            val covered = inline.filterNot(m.stats.contains).toSet
+            if (covered.isEmpty) inline
+            else {
+              val coveredB = spark.sparkContext.broadcast(covered)
+              val out = spark.read.schema(VersionedTable.sidecarSchema)
+                .parquet(s"$tableDir/$ref")
+                .as(VersionedTable.sidecarEncoder)
+                .filter(r => coveredB.value.contains(r.file) &&
+                  r.stats.exists(st => st.col == column && (st.mx < lo || st.mn > hi)))
+                .map(_.file)(org.apache.spark.sql.Encoders.STRING)
+                .collect().toSet
+              inline.filterNot(out)
+            }
+        }
+      })
+
   private def optimizeImpl(targetFileBytes: Long, smallFileBytes: Long,
-      zorderBy: Seq[String]): Long = {
+      zorderBy: Seq[String],
+      scope: Manifest => Seq[String] = _.files): Long = {
     val (base, m) = baseSnapshot()
     // manifest-recorded sizes plan with zero filesystem stats; only
     // files from pre-size manifests pay a (batched-by-dir) listing
-    val sized = m.files.map(f =>
+    val sized = scope(m).map(f =>
       f -> m.sizes.get(f).map(_._1).getOrElse(
         fs.getFileStatus(new Path(s"$tableDir/$f")).getLen))
     val small = sized.filter(_._2 < smallFileBytes)

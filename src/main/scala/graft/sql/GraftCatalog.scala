@@ -319,7 +319,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("vacuum", "optimize", "zorder", "restore")
+      Array("vacuum", "optimize", "optimize_range", "zorder", "restore")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -335,6 +335,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "bin-pack small files into target-size files",
         Array(in("table", StringType)))(
         input => { tableArg(input).optimize(): Unit })
+      case "optimize_range" => new Proc("optimize_range",
+        "bin-pack small files whose stats intersect [lo, hi] on column " +
+          "(OPTIMIZE ... WHERE — compact the hot region, cold files untouched)",
+        Array(in("table", StringType), in("column", StringType),
+          in("lo", LongType), in("hi", LongType)))(
+        input => {
+          tableArg(input).optimizeRange(input.getUTF8String(1).toString,
+            input.getLong(2), input.getLong(3)): Unit
+        })
       case "zorder" => new Proc("zorder",
         "rewrite the table z-order-clustered on the given comma-separated columns",
         Array(in("table", StringType), in("columns", StringType)))(
@@ -347,7 +356,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Array(in("table", StringType), in("version", LongType)))(
         input => { tableArg(input).restore(input.getLong(1)): Unit })
       case other => throw new IllegalArgumentException(
-        s"unknown procedure $other — known: vacuum, optimize, zorder, restore")
+        s"unknown procedure $other — known: vacuum, optimize, " +
+          "optimize_range, zorder, restore")
     }
   }
 

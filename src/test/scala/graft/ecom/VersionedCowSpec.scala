@@ -363,6 +363,34 @@ class VersionedCowSpec extends SparkSuite {
     assert(vt.read().filter(col("v") === -1L).count() == 1)
   }
 
+  test("optimizeRange compacts ONLY the stats-intersecting files; cold files carry forward") {
+    val dir = freshDir()
+    val vt = VersionedTable(spark, dir, statsColumns = Seq("id"))
+    // four range-disjoint SMALL files, committed separately so each is
+    // an optimize candidate (all well under the small-file threshold)
+    (0 until 4).foreach { i =>
+      val lo = i * 1000L
+      vt.commitAppend(spark.range(lo, lo + 1000L).toDF("id")
+        .withColumn("v", col("id") * 7L).coalesce(1))
+    }
+    val before = vt.read().inputFiles.toSet
+    assert(before.size == 4)
+    // scope: ids 0..1999 live in exactly two files — only they compact
+    val v = vt.optimizeRange("id", 0L, 1999L, targetFileBytes = 1L << 20)
+    assert(v == 5L)
+    val after = vt.read().inputFiles.toSet
+    assert(before.intersect(after).size == 2, "the two cold files carry forward")
+    assert(after.size == 3, "two hot files pack into one")
+    assert(vt.read().count() == 4000 && vt.history().last.op == "optimize")
+    // rows intact, range reads still prune
+    assert(vt.readRange("id", 500L, 1500L).count() == 1001)
+    // a scope touching ONE small file is a no-op (nothing to pack with)
+    assert(vt.optimizeRange("id", 3000L, 3999L) == 5L)
+    // and the whole-table optimize still packs everything
+    assert(vt.optimize(targetFileBytes = 1L << 20) == 6L)
+    assert(vt.read().inputFiles.length == 1)
+  }
+
   test("racing txn-marked merge twins: exactly one lands (no double-apply via rebase)") {
     val local = freshDir()
     val healthy = VersionedTable(spark, local)

@@ -406,6 +406,12 @@ class GraftCatalogSpec extends SparkSuite {
     spark.sql("CALL graft.system.vacuum(table => 'maint.t')")
     assert(vt.versions().size == 1)
     assert(spark.table("graft.maint.t").count() == 40)
+
+    // optimize_range: scoped compaction from SQL (rows intact; a range
+    // covering everything behaves like optimize on a 1-file table = noop)
+    spark.sql("CALL graft.system.optimize_range(table => 'maint.t', " +
+      "column => 'id', lo => 10, hi => 49)")
+    assert(spark.table("graft.maint.t").count() == 40)
   }
 
   test("ALTER TABLE ADD/RENAME/DROP COLUMN route through the column-mapping ops") {

@@ -170,6 +170,29 @@ class StatsSidecarSpec extends SparkSuite {
     }
   }
 
+  test("optimizeRange scopes via the SIDECAR on spilled tables (driver never sees stats)") {
+    withThreshold(6) {
+      val vt = VersionedTable(spark, s"$warehouse/b/optrange",
+        statsColumns = Seq("id"), bloomColumns = Seq("k"))
+      commitEightDisjointFiles(vt) // 8 disjoint 100-id files, spilled
+      val meta = vt.snapshotMeta(vt.currentVersion().get)
+      assert(meta.statsSidecar.isDefined && meta.stats.isEmpty,
+        "precondition: stats live ONLY in the sidecar")
+      val before = vt.read().inputFiles.toSet
+      // ids 0..199 live in exactly two files: only they may compact —
+      // the scope must come from the distributed sidecar scan, because
+      // the manifest's inline stats map is empty
+      vt.optimizeRange("id", 0L, 199L, targetFileBytes = 1L << 20)
+      val after = vt.read().inputFiles.toSet
+      assert(before.intersect(after).size == 6,
+        "the six out-of-range files must carry forward untouched")
+      assert(after.size == 7, "two in-range files pack into one")
+      assert(vt.read().count() == 800L)
+      assert(spark.sql("SELECT count(*) FROM graftsc.b.optrange WHERE id < 200")
+        .collect().head.getLong(0) == 200L)
+    }
+  }
+
   test("legacy manifests without recorded sizes plan via a batched listing") {
     val dir = Files.createTempDirectory("graft-legacy-sizes").toString
     val vt = VersionedTable(spark, dir, statsColumns = Seq("id"))
