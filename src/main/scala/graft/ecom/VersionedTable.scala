@@ -168,10 +168,19 @@ final case class VersionedTable(
       case ManifestRe(n) => Some(n.toLong -> st.getModificationTime)
       case _ => None
     }).sortBy(_._1)
+    // per-version file churn (Delta's operationMetrics): diff against
+    // the predecessor while resolving — the first RETAINED version after
+    // a vacuumed prefix reports all its files as added (no predecessor)
+    var prevFiles = Set.empty[String]
     resolveSequentially(statuses.map(_._1)).zip(statuses).map {
       case ((v, m), (_, mtime)) =>
-        VersionInfo(v, m.op, m.txns.get(VersionedTable.DefaultApp), m.files.size,
-          mtime, m.dv.size)
+        val cur = m.files.toSet
+        val info = VersionInfo(v, m.op, m.txns.get(VersionedTable.DefaultApp),
+          m.files.size, mtime, m.dv.size,
+          numAddedFiles = (cur -- prevFiles).size,
+          numRemovedFiles = (prevFiles -- cur).size)
+        prevFiles = cur
+        info
     }
   }
 
@@ -2852,12 +2861,17 @@ object VersionedTable {
     Encoders.product[SidecarRow]
   val sidecarSchema: StructType = sidecarEncoder.schema
 
-  /** One [[VersionedTable.history]] row — the DESCRIBE HISTORY shape. */
+  /** One [[VersionedTable.history]] row — the DESCRIBE HISTORY shape.
+    * `numAddedFiles`/`numRemovedFiles` are the file-set diff against the
+    * predecessor (Delta's operationMetrics churn numbers).
+    */
   final case class VersionInfo(
       version: Long,
       op: String,
       batch: Option[Long],
       numFiles: Int,
       modifiedMs: Long,
-      numDvFiles: Int = 0)
+      numDvFiles: Int = 0,
+      numAddedFiles: Int = 0,
+      numRemovedFiles: Int = 0)
 }

@@ -119,10 +119,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           AttributeReference("batch_id", LongType, nullable = true)(),
           AttributeReference("num_files", IntegerType, nullable = false)(),
           AttributeReference("commit_ts", TimestampType, nullable = false)(),
-          AttributeReference("num_dv_files", IntegerType, nullable = false)())
+          AttributeReference("num_dv_files", IntegerType, nullable = false)(),
+          AttributeReference("num_added_files", IntegerType, nullable = false)(),
+          AttributeReference("num_removed_files", IntegerType, nullable = false)())
         LocalRelation.fromExternalRows(out, vt.history().map(v =>
           org.apache.spark.sql.Row(v.version, v.op, v.batch.orNull,
-            v.numFiles, new java.sql.Timestamp(v.modifiedMs), v.numDvFiles)))
+            v.numFiles, new java.sql.Timestamp(v.modifiedMs), v.numDvFiles,
+            v.numAddedFiles, v.numRemovedFiles)))
       }))
     // Row-level change data feed as a table-valued function (Delta's
     // `table_changes`): SELECT * FROM graft_table_changes(target, start

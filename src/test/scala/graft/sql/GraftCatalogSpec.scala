@@ -526,6 +526,14 @@ class GraftCatalogSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(h.map(_._1) == Seq(1L, 2L, 3L))
     assert(h.map(_._2) == Seq("overwrite", "append", "delete"))
+    // file-churn metrics (operationMetrics): the delete REWRITES its one
+    // touched file (1 added, 1 removed); the append only adds
+    val churn = spark.sql(s"SELECT num_added_files, num_removed_files " +
+      s"FROM graft_history('$dir') ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(churn.head._2 == 0 && churn(1)._2 == 0, "appends remove nothing")
+    assert(churn(1)._1 >= 1, "the append adds files")
+    assert(churn(2)._2 >= 1, "the COW delete removes the touched file(s)")
   }
 
   test("DROP TABLE removes the table; rename moves it") {
