@@ -83,6 +83,13 @@ object IncrementalAgg {
     val head = silver.currentVersion().getOrElse(return None)
     val last = gold.currentBatchId(app)
     if (last.exists(_ >= head)) return None
+    // a dst with versions but NO marker was not bootstrapped by this
+    // maintenance loop — merging a bootstrap into foreign rows would
+    // silently double counts; refuse instead
+    require(last.isDefined || gold.currentVersion().isEmpty,
+      s"${gold.tableDir} has committed versions but no '$app' marker — " +
+        "refresh only maintains aggregates it bootstrapped; point it at " +
+        "a fresh gold table")
     val changes = last match {
       case Some(v) => silver.changeFeed(v + 1L, head)
       case None => silver.readAt(head)

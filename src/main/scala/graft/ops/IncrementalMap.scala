@@ -47,6 +47,13 @@ object IncrementalMap {
     val head = src.currentVersion().getOrElse(return None)
     val last = dst.currentBatchId(app)
     if (last.exists(_ >= head)) return None
+    // a dst with versions but NO marker was not bootstrapped by this
+    // maintenance loop — upserting history into foreign rows would be
+    // silent corruption; refuse instead
+    require(last.isDefined || dst.currentVersion().isEmpty,
+      s"${dst.tableDir} has committed versions but no '$app' marker — " +
+        "refresh only maintains views it bootstrapped; point it at a " +
+        "fresh view table")
     if (dst.currentVersion().isEmpty && last.isEmpty)
       return dst.commitAppendBatch(transform(src.readAt(head)), head, app)
 

@@ -68,6 +68,17 @@ class IncrementalAggSpec extends SparkSuite {
     assert(gold.versions() == before)
   }
 
+  test("a pre-populated gold WITHOUT a marker refuses (no silent double-count)") {
+    val dir = fresh()
+    val silver = VersionedTable(spark, s"$dir/silver")
+    val gold = VersionedTable(spark, s"$dir/gold")
+    silver.commitAppend(rows(0 until 10))
+    silver.setTableProperty("graft.enableChangeDataFeed", "true")
+    gold.commitAppend(Seq((0L, 5L, 100L)).toDF("grp", "n", "total")) // foreign rows
+    val e = intercept[IllegalArgumentException](doRefresh(gold, silver))
+    assert(e.getMessage.contains("no") && e.getMessage.contains("marker"))
+  }
+
   test("a zero-net window (update that changes nothing) commits no gold version") {
     val dir = fresh()
     val silver = VersionedTable(spark, s"$dir/silver")
