@@ -1,43 +1,67 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, greatest, least, lit, max, min, sum, when}
 
 import graft.ecom.VersionedTable
 
-/** Incremental view maintenance for grouped COUNT/SUM aggregates over a
+/** Incremental view maintenance for grouped aggregates over a
   * change-data-feed-enabled versioned table — the 100 TB gold-refresh
   * pattern: a refresh costs O(rows changed since the last refresh),
   * never O(table). (The reference recomputes its gold tables from the
   * full silver scan each run, `03_gold/03_gold_aggregate.py` — correct
   * at notebook scale, quadratic-in-time at warehouse scale.)
   *
-  * Scope is the classically IVM-maintainable algebra: per-group row
-  * COUNT and SUMs (averages derive as sum/count at query time). MIN/MAX
-  * are deliberately NOT offered — under deletes they are not
-  * incrementally maintainable without per-group history, so offering
-  * them here would be a silent full-recompute in disguise.
+  * Maintained algebra:
   *
-  * Mechanics, all on existing primitives:
-  *  - the delta of a feed window is one map-side aggregation: +1/+x for
-  *    `insert`/`update_postimage` rows, −1/−x for `delete`/
-  *    `update_preimage` rows, grouped by the aggregate keys — groups
-  *    whose delta nets to zero drop out;
-  *  - the delta MERGEs into the gold table via the clause matrix:
-  *    a matched group whose count would hit zero DELETEs (groups vanish
-  *    exactly when their last row does), otherwise counts/sums ADD;
-  *    unmatched groups INSERT;
-  *  - exactly-once via the gold table's txn marker (`ivm:<silver dir>`
-  *    → last applied silver version): a replayed refresh is a no-op,
-  *    a crashed one re-applies the same window idempotently, and two
-  *    racing refreshes resolve through the merge's CAS conflict.
+  *  - '''COUNT / SUM''' (averages derive as sum/count at query time):
+  *    classically self-maintainable — the delta of a feed window is one
+  *    map-side aggregation: +1/+x for `insert`/`update_postimage` rows,
+  *    −1/−x for `delete`/`update_preimage` rows, grouped by the
+  *    aggregate keys; groups whose delta nets to zero drop out.
+  *  - '''MIN / MAX''' (`mins`/`maxes`): maintainable under INSERTS by a
+  *    pure extreme-merge (`least`/`greatest` of the stored value and
+  *    the window's inserted extreme — no table access). Under removals
+  *    (delete / update preimage) an extreme is NOT self-maintainable —
+  *    the removed row may have BEEN the extreme — so the standard
+  *    bounded-recompute rule applies: groups the window removed rows
+  *    from are DIRTY, and only those groups re-derive their extremes
+  *    from a key-filtered scan of the source head (a semi-join against
+  *    the dirty key set, which data-skipping prunes when the table
+  *    clusters by key). Append-mostly workloads never pay the scan; a
+  *    delete storm pays one scan bounded by the dirty-group filter —
+  *    never a full re-aggregation. Offering min/max any other way would
+  *    be a silent full recompute in disguise.
+  *
+  * `prepare` is the delta-propagation hook for the standard
+  * "changed fact ⋈ static dimension" rule: it transforms BOTH the
+  * change frame and the dirty-group recompute scan with the same
+  * row-local derivation (projections, filters, joins against
+  * dimensions that did not change in the window). It must preserve
+  * `_change_type` untouched on change frames and must be row-local and
+  * deterministic — each output row derived from one input row plus
+  * static lookups. If a joined dimension DOES change, the view is
+  * stale with respect to it until a full re-bootstrap (the same
+  * contract Delta-style MV engines document for dimension updates).
+  *
+  * Mechanics, all on existing primitives: the delta MERGEs into the
+  * gold table via the clause matrix — a matched group whose count hits
+  * zero DELETEs (groups vanish exactly when their last row does),
+  * otherwise counts/sums add and extremes merge-or-recompute;
+  * unmatched non-empty groups INSERT. Exactly-once via the gold
+  * table's txn marker (`ivm:<silver dir>` → last applied silver
+  * version): a replayed refresh is a no-op, a crashed one re-applies
+  * the same window idempotently, and two racing refreshes resolve
+  * through the merge's CAS conflict.
   *
   * SUM columns should be exact types (integral or DECIMAL): incremental
   * accumulation reorders float additions, so a DOUBLE measure would
   * drift from a single-pass recompute by float association. Nulls in
   * measures count as zero contribution (SQL SUM skips them; a group
   * whose every measure is null holds sum 0 here vs SQL's NULL — the one
-  * documented deviation).
+  * documented deviation). MIN/MAX columns carry no such caveat: the
+  * maintained value is always an actual row value (or null when every
+  * live value is null), never an arithmetic accumulation.
   */
 object IncrementalAgg {
 
@@ -70,15 +94,54 @@ object IncrementalAgg {
     d.filter(nonZero.reduce(_ || _))
   }
 
+  // working-column names for the min/max merge (joined back as source
+  // struct fields, so they only need to dodge the OUTPUT columns)
+  private def insC(c: String) = s"_graft_ins_$c"
+  private def authC(c: String) = s"_graft_auth_$c"
+  private val DirtyC = "_graft_dirty"
+
+  /** [[delta]] extended with min/max bookkeeping: per group, the
+    * extremes over the window's INSERTED rows plus a dirty flag marking
+    * groups the window removed rows from (their stored extremes may no
+    * longer be attained). Keeps every group that changed at all — with
+    * extremes in play, even a count/sum-neutral update can move them.
+    */
+  private def deltaMinMax(changes: DataFrame, keys: Seq[String],
+      countCol: String, sums: Map[String, Column],
+      mins: Map[String, Column], maxes: Map[String, Column]): DataFrame = {
+    val out = keys ++ Seq(countCol) ++ sums.keys ++ mins.keys ++ maxes.keys
+    require(out.distinct.size == out.size,
+      s"keys/$countCol/sum/min/max columns must not collide")
+    val sgn = when(col(VersionedTable.CdcTypeCol)
+      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    val inserted = col("_graft_sgn") > 0
+    val aggs = (sum(col("_graft_sgn")).as(countCol) +:
+      sums.toSeq.sortBy(_._1).map { case (o, e) =>
+        sum(e * col("_graft_sgn")).as(o) }) ++
+      mins.toSeq.sortBy(_._1).map { case (o, e) =>
+        min(when(inserted, e)).as(insC(o)) } ++
+      maxes.toSeq.sortBy(_._1).map { case (o, e) =>
+        max(when(inserted, e)).as(insC(o)) } :+
+      max(when(inserted, 0).otherwise(1)).as(DirtyC)
+    changes.withColumn("_graft_sgn", sgn)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Apply every source version since the last refresh to `gold`.
     * Returns the gold version landed, or None when already current (a
     * replay, or no new source commits). The FIRST refresh bootstraps:
     * the full source snapshot reads as one all-inserts change frame and
     * lands with the marker, so subsequent refreshes are incremental —
-    * after that, only the feed window [last+1, head] is ever read.
+    * after that, only the feed window [last+1, head] is ever read
+    * (plus, when the window removed rows from min/max groups, one
+    * key-filtered recompute scan of those groups).
     */
   def refresh(gold: VersionedTable, silver: VersionedTable, keys: Seq[String],
-      countCol: String, sums: Map[String, Column]): Option[Long] = {
+      countCol: String, sums: Map[String, Column],
+      mins: Map[String, Column] = Map.empty,
+      maxes: Map[String, Column] = Map.empty,
+      prepare: DataFrame => DataFrame = identity): Option[Long] = {
     val app = appFor(silver)
     val head = silver.currentVersion().getOrElse(return None)
     val last = gold.currentBatchId(app)
@@ -90,11 +153,93 @@ object IncrementalAgg {
       s"${gold.tableDir} has committed versions but no '$app' marker — " +
         "refresh only maintains aggregates it bootstrapped; point it at " +
         "a fresh gold table")
-    val changes = last match {
+    val changes = prepare(last match {
       case Some(v) => silver.changeFeed(v + 1L, head)
       case None => silver.readAt(head)
         .withColumn(VersionedTable.CdcTypeCol, lit("insert"))
-    }
+    })
+    require(changes.columns.contains(VersionedTable.CdcTypeCol),
+      s"prepare must preserve the ${VersionedTable.CdcTypeCol} column")
+    val minmax = mins.nonEmpty || maxes.nonEmpty
+    if (!minmax) return refreshSums(gold, silver, keys, countCol, sums,
+      changes, app, head)
+
+    val d0 = deltaMinMax(changes, keys, countCol, sums, mins, maxes)
+    // the delta is O(changed groups) — persist it: it feeds the dirty
+    // probe, (maybe) the dirty-key semi-join, and the merge source
+    d0.persist()
+    try {
+      val extremeCols = (mins.keys ++ maxes.keys).toSeq.sorted
+      val anyDirty = d0.filter(col(DirtyC) === 1).limit(1).count() > 0
+      val d =
+        if (!anyDirty)
+          // append-only window: pure extreme-merge, no table access
+          extremeCols.foldLeft(d0)((f, c) => f.withColumn(authC(c), lit(null)))
+        else {
+          // bounded recompute: ONLY dirty groups re-derive extremes from
+          // the source head, key-filtered (broadcast semi-join — the
+          // dirty key set is bounded by the window's removed rows)
+          val dirtyKeys = d0.filter(col(DirtyC) === 1).select(keys.map(col): _*)
+          val authAggs =
+            mins.toSeq.sortBy(_._1).map { case (o, e) => min(e).as(authC(o)) } ++
+              maxes.toSeq.sortBy(_._1).map { case (o, e) => max(e).as(authC(o)) }
+          val auth = prepare(silver.readAt(head))
+            .join(broadcast(dirtyKeys), keys, "left_semi")
+            .groupBy(keys.map(col): _*)
+            .agg(authAggs.head, authAggs.tail: _*)
+          d0.join(broadcast(auth), keys, "left")
+        }
+      val sumCols = sums.keys.toSeq.sorted
+      if (gold.currentVersion().isEmpty) {
+        // first-ever commit: all-insert bootstrap — inserted extremes
+        // ARE the group extremes (dirty is impossible: no preimages)
+        val outCols = keys.map(col) ++ (countCol +: sumCols).map(col) ++
+          extremeCols.map(c => col(insC(c)).as(c))
+        gold.commitAppendBatch(d.select(outCols: _*), head, app)
+      } else {
+        import VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
+        val t = (c: String) => col("t").getField(c)
+        val s = (c: String) => col("s").getField(c)
+        def add(c: String): Column =
+          coalesce(t(c), lit(0)) + coalesce(s(c), lit(0))
+        // dirty → the recomputed head value is authoritative (even when
+        // null: the live group holds only nulls there); clean → merge
+        // the stored extreme with the inserted one (least/greatest skip
+        // nulls, so an all-null insert window keeps the stored value)
+        def mergedExtreme(c: String, m: (Column, Column) => Column): Column =
+          when(s(DirtyC) === 1, s(authC(c))).otherwise(m(t(c), s(insC(c))))
+        def insertedExtreme(c: String): Column =
+          when(s(DirtyC) === 1, s(authC(c))).otherwise(s(insC(c)))
+        val updateSet =
+          (countCol +: sumCols).map(c => c -> add(c)).toMap ++
+            mins.keys.map(c => c -> mergedExtreme(c, least(_, _))) ++
+            maxes.keys.map(c => c -> mergedExtreme(c, greatest(_, _)))
+        val insertSet =
+          (keys.map(k => k -> s(k)) ++ (countCol +: sumCols).map(c => c -> s(c)) ++
+            extremeCols.map(c => c -> insertedExtreme(c))).toMap
+        try Some(gold.mergeClauses(d, keys,
+          matched = Seq(
+            // the group's last row left: the group leaves gold with it
+            MergeWhen(Some(t(countCol) + s(countCol) === 0L), MergeDelete),
+            MergeWhen(None, MergeUpdate(updateSet))),
+          notMatched = Seq(
+            // an unmatched zero-count group was created AND fully
+            // removed inside the window — nothing to insert
+            MergeWhen(Some(s(countCol) =!= 0L), MergeInsert(insertSet))),
+          txn = Some((app, head)))) catch {
+          // a racing refresh applied this window first — already current
+          case _: VersionedTable.ReplayLandedException => None
+        }
+      }
+    } finally d0.unpersist(blocking = false)
+  }
+
+  /** The count/sum-only path (no extremes): zero-net groups drop, no
+    * dirty probe, no persist — one delta aggregation and one merge.
+    */
+  private def refreshSums(gold: VersionedTable, silver: VersionedTable,
+      keys: Seq[String], countCol: String, sums: Map[String, Column],
+      changes: DataFrame, app: String, head: Long): Option[Long] = {
     val d = delta(changes, keys, countCol, sums)
     if (gold.currentVersion().isEmpty)
       // first-ever commit: the delta IS the table, marker attached
