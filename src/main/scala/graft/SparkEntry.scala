@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmDedup, LlmMultimodal, LlmSimilarity, LlmText, Medallion, Parity, Q, Versioned}
+import graft.queries.{GoldIvmQueries, LlmDedup, LlmMultimodal, LlmSimilarity, LlmText, Medallion, Parity, Q, Versioned}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private def suites: Seq[Q] = {
     val all = Parity.all ++ LlmDedup.all ++ LlmSimilarity.all ++ LlmText.all ++
-      LlmMultimodal.all ++ Medallion.all ++ Versioned.all
+      LlmMultimodal.all ++ Medallion.all ++ Versioned.all ++ GoldIvmQueries.all
     // toMap would silently DROP a name-colliding query from every gate
     // (bench, verify, oracle) while the round still reads green
     val dup = all.groupBy(_.name).filter(_._2.size > 1).keys

@@ -1,0 +1,333 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ecom.{GoldIvm, VersionedTable}
+import graft.util.Tables.load
+
+/** The reference's OWN gold models maintained incrementally
+  * ([[graft.ecom.GoldIvm]]) inside the oracle gate: bootstrap from
+  * versioned silver, hit the silvers with a DML storm (delete + update
+  * + merge/append), run ONE incremental refresh, and compose the gold
+  * relation — the DuckDB twin recomputes the same gold from the
+  * relationally-replayed FINAL silver state, so a hash match proves
+  * maintained == full recompute, row for row and column for column.
+  *
+  * q42 covers product_metrics (three maintained aggregates + the
+  * reference's FULL OUTER/dim-join compose, `03_gold_aggregate.py:
+  * 38-110`); q43 covers customer_360 through the TWO-LEVEL cascade
+  * (per-session rollup with min/max under deletes → per-customer
+  * rollup off the rollup's own change feed, `:163-272`). Adapters
+  * mirror q21/q22/q23's, so the gold column semantics being maintained
+  * are the exact ones those queries already pin for the full-recompute
+  * path.
+  */
+object GoldIvmQueries {
+
+  // ---------------------------------------------------------------------
+  // q42 — product_metrics, incrementally maintained through a storm on
+  // all three fact silvers (events / order_items / reviews).
+  val q42 = Q(
+    "q42_gold_ivm_product_metrics",
+    """WITH base AS (
+      |  SELECT event_id AS eid,
+      |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      |    json_extract_string(props, '$.k') AS product_id,
+      |    CASE event_type WHEN 'view' THEN 'page_view'
+      |                    WHEN 'click' THEN 'add_to_cart'
+      |                    ELSE event_type END AS event_type,
+      |    value
+      |  FROM events),
+      |ed AS (SELECT * FROM base WHERE eid % 5 <> 3),
+      |eu AS (
+      |  SELECT eid, event_date, product_id,
+      |    CASE WHEN event_type = 'page_view' AND eid % 7 = 0
+      |         THEN 'add_to_cart' ELSE event_type END AS event_type
+      |  FROM ed),
+      |msrc AS (
+      |  SELECT eid, event_date, product_id, 'page_view' AS event_type
+      |  FROM base WHERE eid % 11 = 5
+      |  UNION ALL
+      |  SELECT eid + 1000000000, event_date, product_id, 'add_to_cart'
+      |  FROM base WHERE eid % 13 = 2),
+      |efin AS (
+      |  SELECT u.eid, u.event_date, u.product_id, u.event_type FROM eu u
+      |  WHERE NOT EXISTS (SELECT 1 FROM msrc s WHERE s.eid = u.eid)
+      |  UNION ALL SELECT * FROM msrc),
+      |em AS (
+      |  SELECT event_date, product_id,
+      |    CAST(SUM(CASE WHEN event_type = 'page_view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+      |    CAST(SUM(CASE WHEN event_type = 'add_to_cart' THEN 1 ELSE 0 END) AS BIGINT) AS cart_count
+      |  FROM efin GROUP BY 1, 2),
+      |ib AS (
+      |  SELECT eid AS order_id, event_date AS order_date, product_id,
+      |    value AS line_total_usd, 1 AS quantity
+      |  FROM base WHERE event_type = 'purchase'),
+      |idl AS (SELECT * FROM ib WHERE order_id % 6 <> 1),
+      |iu AS (
+      |  SELECT order_id, order_date, product_id,
+      |    CASE WHEN order_id % 8 = 2 THEN line_total_usd + 10.0
+      |         ELSE line_total_usd END AS line_total_usd,
+      |    CASE WHEN order_id % 8 = 2 THEN 2 ELSE 1 END AS quantity
+      |  FROM idl),
+      |om AS (
+      |  SELECT order_date AS event_date, product_id,
+      |    CAST(SUM(CAST(line_total_usd AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+      |    CAST(SUM(quantity) AS BIGINT) AS purchase_count
+      |  FROM iu GROUP BY 1, 2),
+      |pa AS (
+      |  SELECT DISTINCT product_id,
+      |    'cat_' || CAST(CAST(product_id AS BIGINT) % 5 AS VARCHAR) AS category,
+      |    'product_' || product_id AS product_name
+      |  FROM base WHERE product_id IS NOT NULL),
+      |rb AS (
+      |  SELECT eid AS review_id, product_id,
+      |    CAST(product_id AS BIGINT) % 5 + 1 AS rating
+      |  FROM base WHERE event_type = 'signup'),
+      |rd AS (SELECT * FROM rb WHERE review_id % 4 <> 2),
+      |rm AS (
+      |  SELECT product_id, AVG(CAST(rating AS BIGINT)) AS avg_rating,
+      |    COUNT(review_id) AS review_count
+      |  FROM rd GROUP BY 1),
+      |pm AS (
+      |  SELECT event_date, product_id, pa.product_name, pa.category,
+      |    CAST(COALESCE(em.view_count, 0) AS INTEGER) AS view_count,
+      |    CAST(COALESCE(em.cart_count, 0) AS INTEGER) AS cart_count,
+      |    CAST(COALESCE(om.purchase_count, 0) AS INTEGER) AS purchase_count,
+      |    CAST(COALESCE(om.total_revenue, 0.0) AS DOUBLE) AS total_revenue,
+      |    ROUND(COALESCE(rm.avg_rating, 0.0), 2) AS avg_rating,
+      |    CAST(COALESCE(rm.review_count, 0) AS INTEGER) AS review_count
+      |  FROM em FULL OUTER JOIN om USING (event_date, product_id)
+      |  LEFT JOIN pa USING (product_id)
+      |  LEFT JOIN rm USING (product_id)
+      |  WHERE product_id IS NOT NULL)
+      |SELECT * FROM pm
+      |ORDER BY event_date, product_id""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-q42-").toString
+    val base = load(s, dir, "events").select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+      get_json_object(col("props"), "$.k").as("product_id"),
+      when(col("event_type") === "view", "page_view")
+        .when(col("event_type") === "click", "add_to_cart")
+        .otherwise(col("event_type")).as("event_type"),
+      col("value"))
+
+    // versioned silvers, CDF on from birth
+    def vt(name: String, df: DataFrame): VersionedTable = {
+      val t = VersionedTable(s, s"$wh/$name")
+      t.commitOverwrite(df)
+      t.setTableProperty(VersionedTable.CdcEnabledProp, "true")
+      t
+    }
+    val events = vt("events_clean",
+      base.select("event_id", "event_date", "product_id", "event_type"))
+    val items = vt("order_items_clean",
+      base.filter(col("event_type") === "purchase").select(
+        col("event_id").as("order_id"), col("event_date").as("order_date"),
+        col("product_id"), col("value").as("line_total_usd"),
+        lit(1).as("quantity")))
+    val reviews = vt("reviews_clean",
+      base.filter(col("event_type") === "signup").select(
+        col("event_id").as("review_id"), col("product_id"),
+        (col("product_id").cast(LongType) % 5 + 1).cast(IntegerType).as("rating")))
+    val products = base.filter(col("product_id").isNotNull)
+      .select(col("product_id")).distinct()
+      .select(col("product_id"),
+        concat(lit("cat_"), (col("product_id").cast(LongType) % 5).cast(StringType))
+          .as("category"),
+        concat(lit("product_"), col("product_id")).as("product_name"))
+
+    val ivm = GoldIvm(s, wh)
+    def refresh(): Unit = {
+      val landed = ivm.refreshProductMetrics(events, items, reviews)
+      require(landed.forall(_.isDefined), "q42 refresh must land all three MVs")
+    }
+    refresh() // bootstrap: full snapshots, markers at each silver head
+
+    // the storm (all replayed relationally by the oracle CTE chain)
+    events.delete(col("event_id") % 5L === 3L)
+    events.update(col("event_type") === "page_view" && col("event_id") % 7L === 0L,
+      Map("event_type" -> lit("add_to_cart")))
+    events.merge(
+      base.filter(col("event_id") % 11L === 5L)
+        .select(col("event_id"), col("event_date"), col("product_id"),
+          lit("page_view").as("event_type"))
+        .unionByName(base.filter(col("event_id") % 13L === 2L)
+          .select((col("event_id") + 1000000000L).as("event_id"),
+            col("event_date"), col("product_id"),
+            lit("add_to_cart").as("event_type"))),
+      Seq("event_id"))
+    items.delete(col("order_id") % 6L === 1L)
+    items.update(col("order_id") % 8L === 2L,
+      Map("line_total_usd" -> (col("line_total_usd") + 10.0),
+        "quantity" -> (col("quantity") + 1)))
+    reviews.delete(col("review_id") % 4L === 2L)
+
+    refresh() // ONE incremental pass per MV over the whole storm window
+    ivm.productMetrics(products).orderBy("event_date", "product_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q43 — customer_360 through the two-level cascade, maintained through
+  // a session-killing / amount-moving / event-dropping / late-arrival
+  // storm on the events silver (exercising min/max dirty recompute at
+  // BOTH levels and level 2's consumption of level 1's own feed).
+  val q43 = Q(
+    "q43_gold_ivm_customer_360",
+    """WITH base AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS session_id, ts AS event_ts,
+      |    CAST(event_id AS VARCHAR) AS event_id, CAST(ts AS DATE) AS event_date,
+      |    event_type, value AS amount_usd, event_id AS eid, user_id
+      |  FROM events),
+      |d1 AS (SELECT * FROM base WHERE user_id % 9 IS DISTINCT FROM 4),
+      |u1 AS (
+      |  SELECT session_id, event_ts, event_id, event_date, event_type,
+      |    CASE WHEN event_type = 'purchase' AND eid % 3 = 0
+      |         THEN amount_usd + 5.0 ELSE amount_usd END AS amount_usd,
+      |    eid, user_id
+      |  FROM d1),
+      |d2 AS (SELECT * FROM u1 WHERE eid % 17 IS DISTINCT FROM 6),
+      |app AS (
+      |  SELECT session_id, event_ts + INTERVAL 2 HOUR AS event_ts,
+      |    CAST(eid + 1000000000 AS VARCHAR) AS event_id,
+      |    CAST(event_ts + INTERVAL 2 HOUR AS DATE) AS event_date,
+      |    'purchase' AS event_type, amount_usd
+      |  FROM base WHERE eid % 23 = 7
+      |  UNION ALL
+      |  SELECT CAST(user_id + 1000000 AS VARCHAR), event_ts,
+      |    CAST(eid + 2000000000 AS VARCHAR), event_date, event_type, amount_usd
+      |  FROM base WHERE eid % 29 = 11),
+      |ev AS (
+      |  SELECT session_id, event_ts, event_id, event_date, event_type, amount_usd
+      |  FROM d2
+      |  UNION ALL SELECT * FROM app),
+      |attrs AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS session_id,
+      |    'c' || CAST(user_id AS VARCHAR) AS customer_id,
+      |    MIN(ts) - INTERVAL 60 SECOND AS session_start_ts
+      |  FROM events WHERE user_id % 2 = 0 GROUP BY user_id),
+      |sagg AS (
+      |  SELECT session_id,
+      |    MIN(event_ts) AS events_start_ts, MAX(event_ts) AS events_end_ts,
+      |    COUNT(event_id) AS total_events,
+      |    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN amount_usd ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS session_revenue,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS has_purchased
+      |  FROM ev GROUP BY session_id),
+      |sm0 AS (
+      |  SELECT sagg.session_id,
+      |    COALESCE(attrs.customer_id, 'UNKNOWN') AS customer_id,
+      |    COALESCE(sagg.events_start_ts, attrs.session_start_ts) AS session_start_ts,
+      |    sagg.events_end_ts AS session_end_ts,
+      |    CAST(FLOOR(epoch(sagg.events_end_ts)) AS BIGINT)
+      |      - CAST(FLOOR(epoch(COALESCE(sagg.events_start_ts, attrs.session_start_ts))) AS BIGINT) AS session_duration_sec,
+      |    sagg.session_revenue, sagg.has_purchased
+      |  FROM sagg LEFT JOIN attrs USING (session_id)),
+      |sm AS (SELECT * FROM sm0
+      |       WHERE session_duration_sec IS NOT NULL AND session_duration_sec >= 0),
+      |cust AS (
+      |  SELECT DISTINCT 'c' || CAST(user_id AS VARCHAR) AS customer_id,
+      |    'user_' || CAST(user_id AS VARCHAR) AS name,
+      |    CAST(user_id AS VARCHAR) || '@x.com' AS email,
+      |    'US' AS country, user_id % 80 + 18 AS age,
+      |    strftime(DATE '2023-01-01' + CAST(user_id % 365 AS INTEGER), '%Y-%m-%d') AS signup_date,
+      |    user_id % 2 = 0 AS marketing_opt_in
+      |  FROM events),
+      |sa AS (
+      |  SELECT customer_id,
+      |    CAST(SUM(CAST(session_revenue AS DECIMAL(18,2))) AS DOUBLE) AS customer_total_revenue,
+      |    CAST(SUM(has_purchased) AS BIGINT) AS total_orders,
+      |    COUNT(DISTINCT session_id) AS total_sessions,
+      |    MAX(session_end_ts) AS last_active_ts,
+      |    MIN(session_start_ts) AS first_active_ts
+      |  FROM sm GROUP BY customer_id),
+      |c360 AS (
+      |  SELECT cust.customer_id, cust.name, cust.email, cust.country, cust.age,
+      |    cust.signup_date, cust.marketing_opt_in,
+      |    COALESCE(sa.customer_total_revenue, 0.0) AS customer_total_revenue,
+      |    CAST(COALESCE(sa.total_orders, 0) AS INTEGER) AS total_orders,
+      |    CAST(COALESCE(sa.total_sessions, 0) AS INTEGER) AS total_sessions,
+      |    sa.first_active_ts, sa.last_active_ts,
+      |    ROUND(CASE WHEN COALESCE(sa.total_orders, 0) <> 0
+      |      THEN COALESCE(sa.customer_total_revenue, 0.0)
+      |        / CAST(COALESCE(sa.total_orders, 0) AS DOUBLE) END, 2) AS average_order_value,
+      |    date_diff('day', CAST(cust.signup_date AS DATE), DATE '2025-01-01') AS days_since_signup,
+      |    TIMESTAMP '2025-01-01 00:00:00' AS scd_load_ts
+      |  FROM cust LEFT JOIN sa USING (customer_id))
+      |SELECT * FROM c360
+      |ORDER BY customer_id""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-q43-").toString
+    val raw = load(s, dir, "events")
+    val base = raw.select(
+      col("user_id").cast(StringType).as("session_id"),
+      col("ts").as("event_ts"),
+      col("event_id").cast(StringType).as("event_id"),
+      to_date(col("ts")).as("event_date"),
+      col("event_type"),
+      col("value").as("amount_usd"))
+    val events = VersionedTable(s, s"$wh/events_clean")
+    events.commitOverwrite(base)
+    events.setTableProperty(VersionedTable.CdcEnabledProp, "true")
+
+    // static dims (q22/q23's adapters): session attrs over even users,
+    // customer demographics over all users
+    val attrs = raw.filter(col("user_id") % 2 === 0)
+      .groupBy(col("user_id"))
+      .agg((min(col("ts")) - expr("INTERVAL 60 SECONDS")).as("session_start_ts"))
+      .select(col("user_id").cast(StringType).as("session_id"),
+        concat(lit("c"), col("user_id")).as("customer_id"),
+        col("session_start_ts"))
+    val cust = raw.select(col("user_id")).distinct().select(
+      concat(lit("c"), col("user_id")).as("customer_id"),
+      concat(lit("user_"), col("user_id")).as("name"),
+      concat(col("user_id").cast(StringType), lit("@x.com")).as("email"),
+      lit("US").as("country"),
+      (col("user_id") % 80 + 18).as("age"),
+      date_format(date_add(lit("2023-01-01").cast(DateType),
+        (col("user_id") % 365).cast(IntegerType)), "yyyy-MM-dd").as("signup_date"),
+      (col("user_id") % 2 === 0).as("marketing_opt_in"))
+
+    val ivm = GoldIvm(s, wh)
+    def refresh(): Unit = {
+      val (l1, l2) = ivm.refreshCustomer360(events, attrs)
+      require(l1.isDefined && l2.isDefined, "q43 refresh must land both levels")
+    }
+    refresh() // bootstrap both levels
+
+    // the storm: kill whole sessions (level-1 groups die, level-2
+    // min/max dirty), move purchase amounts, drop single events (level-1
+    // min/max dirty), append late events + brand-new sessions
+    events.delete(col("session_id").cast(LongType) % 9L === 4L)
+    events.update(
+      col("event_type") === "purchase" &&
+        col("event_id").cast(LongType) % 3L === 0L,
+      Map("amount_usd" -> (col("amount_usd") + 5.0)))
+    events.delete(col("event_id").cast(LongType) % 17L === 6L)
+    events.commitAppend(
+      base.filter(col("event_id").cast(LongType) % 23L === 7L)
+        .select(col("session_id"),
+          (col("event_ts") + expr("INTERVAL 2 HOURS")).as("event_ts"),
+          (col("event_id").cast(LongType) + 1000000000L).cast(StringType)
+            .as("event_id"),
+          to_date(col("event_ts") + expr("INTERVAL 2 HOURS")).as("event_date"),
+          lit("purchase").as("event_type"), col("amount_usd"))
+        .unionByName(base.filter(col("event_id").cast(LongType) % 29L === 11L)
+          .select((col("session_id").cast(LongType) + 1000000L).cast(StringType)
+            .as("session_id"),
+            col("event_ts"),
+            (col("event_id").cast(LongType) + 2000000000L).cast(StringType)
+              .as("event_id"),
+            col("event_date"), col("event_type"), col("amount_usd"))))
+
+    refresh() // ONE incremental pass per level over the storm window
+    ivm.customer360(cust, java.time.LocalDate.parse("2025-01-01"),
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+      .orderBy("customer_id")
+  }
+
+  val all: Seq[Q] = Seq(q42, q43)
+}
