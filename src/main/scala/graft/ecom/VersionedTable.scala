@@ -1319,6 +1319,75 @@ final case class VersionedTable(
     snapshot(to, to.files.filterNot(from))
   }
 
+  /** The rows an append-only STREAM must deliver for the window
+    * `(fromVersion, toVersion]` — per-version file diffs, with
+    * DATA-PRESERVING versions (optimize/optimizeRange/optimizeZOrder,
+    * purgeDeletes — Delta's `dataChange=false` commits) SKIPPED rather
+    * than refused: their rewritten copies hold only rows that earlier
+    * versions already delivered (or that predate the window), so a
+    * table can be compacted while a stream is reading from it. Any
+    * OTHER version that removes files (delete/update/merge/overwrite/
+    * restore rewrites) still refuses, exactly as before — an
+    * incremental batch would re-deliver rewritten survivors.
+    *
+    * The compaction-during-window corner is handled precisely: a file
+    * APPENDED inside the window and then compacted away by a later
+    * in-window optimize is served through the manifest just BEFORE the
+    * optimize (so any merge-on-read DVs it had acquired by then still
+    * apply); window files live at the end serve through the end
+    * manifest, as the plain diff always did. Pre-window files a
+    * compaction rewrites contribute nothing (their rows were served
+    * before `fromVersion`).
+    *
+    * Cost: one manifest read per window version (the window is the
+    * commits since the stream's last trigger — bounded by commit rate,
+    * never by table size). Vacuum note: as with Delta, vacuuming data
+    * files a lagging stream has not read yet breaks that stream;
+    * retention must cover the maximum expected stream lag.
+    */
+  def appendOnlyChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"appendOnlyChanges: bad window (v$fromVersion, v$toVersion]")
+    // bootstrap, or a no-op window: the plain diff is already exact
+    if (fromVersion == 0 || fromVersion == toVersion)
+      return readChangesBetween(fromVersion, toVersion)
+    val byV = resolveSequentially(fromVersion to toVersion).toMap
+    val endM = byV(toVersion)
+    // files appended inside the window and still pending delivery
+    var pending = Vector.empty[String]
+    var frames = Vector.empty[DataFrame]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val m = byV(v)
+      val prev = byV(v - 1)
+      val prevF = prev.files.toSet
+      val curF = m.files.toSet
+      val removed = prev.files.filterNot(curF)
+      if (VersionedTable.DataPreservingOps(m.op)) {
+        // rows preserved: compacted copies must NOT re-deliver. Window
+        // appends being compacted away serve NOW, through the manifest
+        // they were last live in (its DVs are theirs).
+        val (gone, kept) = pending.partition(removed.contains)
+        if (gone.nonEmpty) frames :+= snapshot(prev, gone)
+        pending = kept
+      } else if (removed.nonEmpty)
+        throw new IllegalArgumentException(
+          s"stream window (v$fromVersion, v$toVersion] of $tableDir: v$v " +
+            s"(op '${m.op}') rewrites or removes ${removed.size} file(s) — " +
+            "an incremental batch would re-deliver rewritten rows; restart " +
+            "the stream from a fresh checkpoint (full re-read) instead")
+      else pending ++= m.files.filterNot(prevF)
+    }
+    if (pending.nonEmpty) frames :+= snapshot(endM, pending)
+    frames match {
+      case Vector() => snapshot(endM, Seq.empty)
+      case fs =>
+        // additively-evolved mid-window schemas null-fill through the
+        // END schema (the plain-diff read's behavior)
+        fs.reduce(_.unionByName(_, allowMissingColumns = true))
+          .select(endM.schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** The files of version `fromVersion` that `toVersion` no longer
     * references — EMPTY exactly when the window is append-only in
     * effect, the precise safety condition for consuming
@@ -2820,6 +2889,16 @@ object VersionedTable {
     * time (no sidecar needed); data-preserving ops (optimize, purge,
     * metadata commits) emit nothing.
     */
+  /** Ops whose commits preserve every live row (Delta's
+    * `dataChange=false`): file REWRITES that change layout, never
+    * content — compaction (optimize/optimizeRange/optimizeZOrder all
+    * publish as "optimize") and DV materialization (purgeDeletes).
+    * Streaming sources skip these instead of refusing the window.
+    * Metadata-only commits touch no files and need no membership here;
+    * restore is deliberately absent (a rewind is a data change).
+    */
+  val DataPreservingOps: Set[String] = Set("optimize", "purge")
+
   val CdcEnabledProp: String = "graft.enableChangeDataFeed"
 
   /** The change-feed output columns Delta reserves, in output order. */

@@ -24,14 +24,18 @@ import graft.ecom.VersionedTable
   *    the window's inserted extreme — no table access). Under removals
   *    (delete / update preimage) an extreme is NOT self-maintainable —
   *    the removed row may have BEEN the extreme — so the standard
-  *    bounded-recompute rule applies: groups the window removed rows
-  *    from are DIRTY, and only those groups re-derive their extremes
-  *    from a key-filtered scan of the source head (a semi-join against
-  *    the dirty key set, which data-skipping prunes when the table
-  *    clusters by key). Append-mostly workloads never pay the scan; a
-  *    delete storm pays one scan bounded by the dirty-group filter —
-  *    never a full re-aggregation. Offering min/max any other way would
-  *    be a silent full recompute in disguise.
+  *    bounded-recompute rule applies, sharpened by a THREAT analysis
+  *    against the stored extremes (one aggregate-sized semi-join, never
+  *    a source scan): a group is DIRTY only when a removed value
+  *    REACHES its stored extreme (`remMin <= curMin` / `remMax >=
+  *    curMax`) and the group does not net to zero rows (dying groups
+  *    just DELETE). Strictly-inside removals — the common update storm,
+  *    whose preimages sit between the extremes — merge with no table
+  *    access at all. Only genuinely dirty groups re-derive extremes
+  *    from a key-filtered scan of the source head (a broadcast
+  *    semi-join against the dirty key set, which data-skipping prunes
+  *    when the table clusters by key). Offering min/max any other way
+  *    would be a silent full recompute in disguise.
   *
   * `prepare` is the delta-propagation hook for the standard
   * "changed fact ⋈ static dimension" rule: it transforms BOTH the
@@ -97,14 +101,19 @@ object IncrementalAgg {
   // working-column names for the min/max merge (joined back as source
   // struct fields, so they only need to dodge the OUTPUT columns)
   private def insC(c: String) = s"_graft_ins_$c"
+  private def remC(c: String) = s"_graft_rem_$c"
+  private def curC(c: String) = s"_graft_cur_$c"
   private def authC(c: String) = s"_graft_auth_$c"
   private val DirtyC = "_graft_dirty"
+  private val MatchedC = "_graft_matched"
 
   /** [[delta]] extended with min/max bookkeeping: per group, the
-    * extremes over the window's INSERTED rows plus a dirty flag marking
-    * groups the window removed rows from (their stored extremes may no
-    * longer be attained). Keeps every group that changed at all — with
-    * extremes in play, even a count/sum-neutral update can move them.
+    * extremes over the window's INSERTED rows and over its REMOVED rows
+    * (delete / update preimage). The removed-side extremes drive the
+    * scan-avoidance analysis in [[refresh]]: most windows never touch a
+    * group's stored extreme and merge without any table access. Keeps
+    * every group that changed at all — with extremes in play, even a
+    * count/sum-neutral update can move them.
     */
   private def deltaMinMax(changes: DataFrame, keys: Seq[String],
       countCol: String, sums: Map[String, Column],
@@ -118,11 +127,12 @@ object IncrementalAgg {
     val aggs = (sum(col("_graft_sgn")).as(countCol) +:
       sums.toSeq.sortBy(_._1).map { case (o, e) =>
         sum(e * col("_graft_sgn")).as(o) }) ++
-      mins.toSeq.sortBy(_._1).map { case (o, e) =>
-        min(when(inserted, e)).as(insC(o)) } ++
-      maxes.toSeq.sortBy(_._1).map { case (o, e) =>
-        max(when(inserted, e)).as(insC(o)) } :+
-      max(when(inserted, 0).otherwise(1)).as(DirtyC)
+      mins.toSeq.sortBy(_._1).flatMap { case (o, e) => Seq(
+        min(when(inserted, e)).as(insC(o)),
+        min(when(!inserted, e)).as(remC(o))) } ++
+      maxes.toSeq.sortBy(_._1).flatMap { case (o, e) => Seq(
+        max(when(inserted, e)).as(insC(o)),
+        max(when(!inserted, e)).as(remC(o))) }
     changes.withColumn("_graft_sgn", sgn)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -165,21 +175,72 @@ object IncrementalAgg {
       changes, app, head)
 
     val d0 = deltaMinMax(changes, keys, countCol, sums, mins, maxes)
-    // the delta is O(changed groups) — persist it: it feeds the dirty
-    // probe, (maybe) the dirty-key semi-join, and the merge source
+    // the delta is O(changed groups) — persist it: it feeds the
+    // removal probe, the current-extremes join, (maybe) the dirty-key
+    // semi-join, and the merge source
     d0.persist()
     try {
       val extremeCols = (mins.keys ++ maxes.keys).toSeq.sorted
-      val anyDirty = d0.filter(col(DirtyC) === 1).limit(1).count() > 0
+      val sumCols = sums.keys.toSeq.sorted
+      val bootstrap = gold.currentVersion().isEmpty
+      if (bootstrap) {
+        // first-ever commit: all-insert bootstrap — inserted extremes
+        // ARE the group extremes (no preimages exist)
+        val outCols = keys.map(col) ++ (countCol +: sumCols).map(col) ++
+          extremeCols.map(c => col(insC(c)).as(c))
+        return gold.commitAppendBatch(d0.select(outCols: _*), head, app)
+      }
+      val anyRemoval = d0
+        .filter(extremeCols.map(c => col(remC(c)).isNotNull).reduce(_ || _))
+        .limit(1).count() > 0
       val d =
-        if (!anyDirty)
-          // append-only window: pure extreme-merge, no table access
-          extremeCols.foldLeft(d0)((f, c) => f.withColumn(authC(c), lit(null)))
+        if (!anyRemoval)
+          // no removal touched any extreme column: pure merge, no
+          // table access (removals of all-null values only move counts)
+          extremeCols.foldLeft(d0.withColumn(DirtyC, lit(false))
+            .withColumn(MatchedC, lit(false)))(
+            (f, c) => f.withColumn(curC(c), lit(null)))
         else {
-          // bounded recompute: ONLY dirty groups re-derive extremes from
-          // the source head, key-filtered (broadcast semi-join — the
-          // dirty key set is bounded by the window's removed rows)
-          val dirtyKeys = d0.filter(col(DirtyC) === 1).select(keys.map(col): _*)
+          // scan-avoidance analysis, against the CURRENT stored
+          // extremes (one gold-sized semi-join — gold is the
+          // aggregate, orders of magnitude under the source). A
+          // removal THREATENS a stored minimum only when the removed
+          // extreme reaches it (remMin <= curMin): strictly-inside
+          // removals cannot move it, and any in-window insert-then-
+          // delete churn BELOW the stored value also lands in the
+          // threatened branch (remMin < curMin), so phantom inserted
+          // extremes in the skip branch are provably >= the stored
+          // value and harmless under least(). Symmetric for maxima.
+          // Threatened groups whose count nets to zero skip too — the
+          // DELETE clause removes them without needing a recompute.
+          val cur = gold.read()
+            .join(broadcast(d0.select(keys.map(col): _*)), keys, "left_semi")
+            .select(keys.map(col) ++
+              (countCol +: extremeCols).map(c => col(c).as(curC(c))) :+
+              lit(true).as(MatchedC): _*)
+          val dj = d0.join(broadcast(cur), keys, "left")
+            .withColumn(MatchedC, coalesce(col(MatchedC), lit(false)))
+          def threat(c: String, reaches: (Column, Column) => Column): Column =
+            col(remC(c)).isNotNull && (!col(MatchedC) ||
+              col(curC(c)).isNull || reaches(col(remC(c)), col(curC(c))))
+          val threatened =
+            mins.keys.toSeq.map(c => threat(c, _ <= _)) ++
+              maxes.keys.toSeq.map(c => threat(c, _ >= _))
+          val countsToZero = when(col(MatchedC),
+            col(curC(countCol)) + col(countCol) === 0L)
+            .otherwise(col(countCol) === 0L)
+          dj.withColumn(DirtyC,
+            threatened.reduce(_ || _) && !coalesce(countsToZero, lit(false)))
+        }
+      val anyDirty = anyRemoval && d.filter(col(DirtyC)).limit(1).count() > 0
+      val dAuth =
+        if (!anyDirty)
+          extremeCols.foldLeft(d)((f, c) => f.withColumn(authC(c), lit(null)))
+        else {
+          // bounded recompute: ONLY dirty groups re-derive extremes
+          // from the source head, key-filtered (broadcast semi-join —
+          // the dirty key set is bounded by the window's removed rows)
+          val dirtyKeys = d.filter(col(DirtyC)).select(keys.map(col): _*)
           val authAggs =
             mins.toSeq.sortBy(_._1).map { case (o, e) => min(e).as(authC(o)) } ++
               maxes.toSeq.sortBy(_._1).map { case (o, e) => max(e).as(authC(o)) }
@@ -187,49 +248,40 @@ object IncrementalAgg {
             .join(broadcast(dirtyKeys), keys, "left_semi")
             .groupBy(keys.map(col): _*)
             .agg(authAggs.head, authAggs.tail: _*)
-          d0.join(broadcast(auth), keys, "left")
+          d.join(broadcast(auth), keys, "left")
         }
-      val sumCols = sums.keys.toSeq.sorted
-      if (gold.currentVersion().isEmpty) {
-        // first-ever commit: all-insert bootstrap — inserted extremes
-        // ARE the group extremes (dirty is impossible: no preimages)
-        val outCols = keys.map(col) ++ (countCol +: sumCols).map(col) ++
-          extremeCols.map(c => col(insC(c)).as(c))
-        gold.commitAppendBatch(d.select(outCols: _*), head, app)
-      } else {
-        import VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
-        val t = (c: String) => col("t").getField(c)
-        val s = (c: String) => col("s").getField(c)
-        def add(c: String): Column =
-          coalesce(t(c), lit(0)) + coalesce(s(c), lit(0))
-        // dirty → the recomputed head value is authoritative (even when
-        // null: the live group holds only nulls there); clean → merge
-        // the stored extreme with the inserted one (least/greatest skip
-        // nulls, so an all-null insert window keeps the stored value)
-        def mergedExtreme(c: String, m: (Column, Column) => Column): Column =
-          when(s(DirtyC) === 1, s(authC(c))).otherwise(m(t(c), s(insC(c))))
-        def insertedExtreme(c: String): Column =
-          when(s(DirtyC) === 1, s(authC(c))).otherwise(s(insC(c)))
-        val updateSet =
-          (countCol +: sumCols).map(c => c -> add(c)).toMap ++
-            mins.keys.map(c => c -> mergedExtreme(c, least(_, _))) ++
-            maxes.keys.map(c => c -> mergedExtreme(c, greatest(_, _)))
-        val insertSet =
-          (keys.map(k => k -> s(k)) ++ (countCol +: sumCols).map(c => c -> s(c)) ++
-            extremeCols.map(c => c -> insertedExtreme(c))).toMap
-        try Some(gold.mergeClauses(d, keys,
-          matched = Seq(
-            // the group's last row left: the group leaves gold with it
-            MergeWhen(Some(t(countCol) + s(countCol) === 0L), MergeDelete),
-            MergeWhen(None, MergeUpdate(updateSet))),
-          notMatched = Seq(
-            // an unmatched zero-count group was created AND fully
-            // removed inside the window — nothing to insert
-            MergeWhen(Some(s(countCol) =!= 0L), MergeInsert(insertSet))),
-          txn = Some((app, head)))) catch {
-          // a racing refresh applied this window first — already current
-          case _: VersionedTable.ReplayLandedException => None
-        }
+      import VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
+      val t = (c: String) => col("t").getField(c)
+      val s = (c: String) => col("s").getField(c)
+      def add(c: String): Column =
+        coalesce(t(c), lit(0)) + coalesce(s(c), lit(0))
+      // dirty → the recomputed head value is authoritative (even when
+      // null: the live group holds only nulls there); clean → merge
+      // the stored extreme with the inserted one (least/greatest skip
+      // nulls, so an all-null insert window keeps the stored value)
+      def mergedExtreme(c: String, m: (Column, Column) => Column): Column =
+        when(s(DirtyC), s(authC(c))).otherwise(m(t(c), s(insC(c))))
+      def insertedExtreme(c: String): Column =
+        when(s(DirtyC), s(authC(c))).otherwise(s(insC(c)))
+      val updateSet =
+        (countCol +: sumCols).map(c => c -> add(c)).toMap ++
+          mins.keys.map(c => c -> mergedExtreme(c, least(_, _))) ++
+          maxes.keys.map(c => c -> mergedExtreme(c, greatest(_, _)))
+      val insertSet =
+        (keys.map(k => k -> s(k)) ++ (countCol +: sumCols).map(c => c -> s(c)) ++
+          extremeCols.map(c => c -> insertedExtreme(c))).toMap
+      try Some(gold.mergeClauses(dAuth, keys,
+        matched = Seq(
+          // the group's last row left: the group leaves gold with it
+          MergeWhen(Some(t(countCol) + s(countCol) === 0L), MergeDelete),
+          MergeWhen(None, MergeUpdate(updateSet))),
+        notMatched = Seq(
+          // an unmatched zero-count group was created AND fully
+          // removed inside the window — nothing to insert
+          MergeWhen(Some(s(countCol) =!= 0L), MergeInsert(insertSet))),
+        txn = Some((app, head)))) catch {
+        // a racing refresh applied this window first — already current
+        case _: VersionedTable.ReplayLandedException => None
       }
     } finally d0.unpersist(blocking = false)
   }

@@ -22,12 +22,15 @@ import graft.ecom.VersionedTable
   *   .writeStream.foreachBatch(EventStreams.versionedAppend(dst))...
   * }}}
   *
-  * Contract mirrors [[graft.ecom.VersionedPipe]]: the pending window
-  * must be append-only in effect — a rewriting op (delete/update/merge/
-  * optimize/restore that drops files) throws rather than re-delivering
-  * rewritten survivors as duplicate inserts. The schema is frozen at
-  * stream start (Delta's rule); restart the stream to pick up an
-  * additively evolved schema.
+  * Contract mirrors [[graft.ecom.VersionedPipe]], with Delta's
+  * `dataChange=false` refinement: DATA-PRESERVING versions in the
+  * pending window (optimize/optimizeRange/optimizeZOrder, purgeDeletes)
+  * are SKIPPED — the table can be compacted while streams read from it
+  * — while a genuine rewriting op (delete/update/merge/restore that
+  * drops files) throws rather than re-delivering rewritten survivors
+  * as duplicate inserts ([[graft.ecom.VersionedTable.appendOnlyChanges]]).
+  * The schema is frozen at stream start (Delta's rule); restart the
+  * stream to pick up an additively evolved schema.
   */
 final class GraftStreamSource(
     spark: SparkSession,
@@ -51,16 +54,12 @@ final class GraftStreamSource(
       s"checkpoint records v$from of ${vt.tableDir} but the table is at " +
         s"v$to — was the source reset or replaced? Restart the stream " +
         "from a fresh checkpoint (full re-read)")
-    val removed = vt.filesRemovedBetween(from, to)
-    require(removed.isEmpty,
-      s"stream window (v$from, v$to] of ${vt.tableDir} rewrites or removes " +
-        s"${removed.size} file(s) — an incremental batch would re-deliver " +
-        "rewritten rows; restart the stream from a fresh checkpoint (full " +
-        "re-read) instead")
-    // the engine requires isStreaming=true on the returned plan; the
-    // batch relation is re-tagged through the private[sql] bridge
+    // per-version diff with data-preserving versions (optimize/purge —
+    // Delta's dataChange=false) SKIPPED: the table can be compacted
+    // mid-stream without a restart; genuine rewrites still refuse
+    // inside appendOnlyChanges with the restart message
     org.apache.spark.sql.graft.shims.streamingDataFrame(
-      spark, vt.readChangesBetween(from, to))
+      spark, vt.appendOnlyChanges(from, to))
   }
 
   override def commit(end: OffsetV1): Unit = ()
@@ -119,9 +118,17 @@ final class GraftCdcStreamSource(
       s"checkpoint records v$from of ${vt.tableDir} but the table is at " +
         s"v$to — was the source reset or replaced? Restart the stream " +
         "from a fresh checkpoint (full re-read)")
-    val batch = vt.changeFeed(from + 1L, to)
-      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
+    val batch =
+      if (from == to)
+        // an empty recovery batch (the engine re-plans the last window
+        // after a restart with nothing new): changeFeed's own require
+        // would reject the inverted (to+1, to] window — serve the empty
+        // feed-schema frame it stands for
+        spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row], schema)
+      else vt.changeFeed(from + 1L, to)
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
     org.apache.spark.sql.graft.shims.streamingDataFrame(spark, batch)
   }
 

@@ -136,6 +136,57 @@ class IncrementalAggMinMaxSpec extends SparkSuite {
       == expected)
   }
 
+  test("phantom churn: insert-below-min-then-delete in ONE window must not poison the extreme") {
+    val dir = fresh()
+    val silver = VersionedTable(spark, s"$dir/silver")
+    val gold = VersionedTable(spark, s"$dir/gold")
+    // group 0: amts {50, 90} -> lo=50, hi=90
+    silver.commitAppend(Seq((100L, 0L, 50L), (101L, 0L, 90L)).toDF("id", "grp", "amt"))
+    silver.setTableProperty("graft.enableChangeDataFeed", "true")
+    assert(doRefresh(gold, silver).isDefined)
+    // one window: insert amt=3 (below the stored min), then delete it —
+    // the inserted extreme is a PHANTOM; a naive least(stored, insMin)
+    // would set lo=3. The threat analysis must scan (remMin < curMin).
+    silver.merge(Seq((200L, 0L, 3L)).toDF("id", "grp", "amt"), Seq("id"))
+    silver.delete(col("id") === 200L)
+    // plus the tie-with-equal-reinsert trap: group 1 {7, 7}; remove one
+    // attainer and insert amt=7 again — min stays 7 only because OTHER
+    // attainment survives; then remove BOTH and re-add higher
+    silver.commitAppend(Seq((300L, 1L, 7L), (301L, 1L, 7L)).toDF("id", "grp", "amt"))
+    assert(doRefresh(gold, silver).isDefined)
+    assert(goldState(gold) == recompute(silver))
+    silver.delete(col("id") === 300L)
+    silver.merge(Seq((302L, 1L, 7L)).toDF("id", "grp", "amt"), Seq("id"))
+    assert(doRefresh(gold, silver).isDefined)
+    assert(goldState(gold) == recompute(silver))
+    silver.delete(col("id").isin(301L, 302L)) // both attainers of 7 gone
+    silver.merge(Seq((303L, 1L, 11L)).toDF("id", "grp", "amt"), Seq("id"))
+    assert(doRefresh(gold, silver).isDefined)
+    assert(goldState(gold) == recompute(silver))
+  }
+
+  test("strictly-interior removals merge WITHOUT a source scan (threat analysis)") {
+    val dir = fresh()
+    val silver = VersionedTable(spark, s"$dir/silver")
+    val gold = VersionedTable(spark, s"$dir/gold")
+    silver.commitAppend(rows(0 until 40))
+    silver.setTableProperty("graft.enableChangeDataFeed", "true")
+    assert(doRefresh(gold, silver).isDefined)
+    // update rows whose amt sits strictly INSIDE every group's [lo, hi]
+    // (ids 4..7 -> amts 40..70; group extremes are 0..30 and 360..390):
+    // preimages threaten nothing, so the refresh must stay correct via
+    // the pure merge path — and converge identically
+    silver.update(col("id").between(4L, 7L), Map("amt" -> (col("amt") + 1L)))
+    assert(doRefresh(gold, silver).isDefined)
+    assert(goldState(gold) == recompute(silver))
+    // and a whole-group delete takes the count-to-zero path (no scan,
+    // group vanishes)
+    silver.delete(col("grp") === 2L)
+    assert(doRefresh(gold, silver).isDefined)
+    assert(goldState(gold) == recompute(silver))
+    assert(!goldState(gold).exists(_.getLong(0) == 2L))
+  }
+
   test("randomized DML storms always converge to the recompute") {
     val dir = fresh()
     val silver = VersionedTable(spark, s"$dir/silver")

@@ -145,6 +145,58 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(dst.read().count() == 30, "nothing half-delivered")
   }
 
+  test("a mid-stream OPTIMIZE is skipped (dataChange=false): zero duplicates, no restart") {
+    val dir = fresh("graft-stream-opt")
+    val src = VersionedTable(spark, s"$dir/src")
+    val dst = VersionedTable(spark, s"$dir/dst")
+    src.commitOverwrite((1L to 30L).toDF("id"))
+    def run(): Unit = {
+      val q = Sinks.versionedAppend(
+        spark.readStream.format("graft").load(src.tableDir), dst, s"$dir/ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(dst.read().count() == 30)
+
+    // the pending window: an append, a compaction that REWRITES both
+    // the pre-window files and the window's own append (the corner:
+    // those rows must deliver exactly once, from the pre-optimize
+    // manifest), then another append read through the end manifest
+    src.commitAppend((31L to 40L).toDF("id"))
+    src.optimize()
+    src.commitAppend((41L to 50L).toDF("id"))
+    run()
+    assert(dst.read().as[Long].collect().sorted.toSeq == (1L to 50L),
+      "stream must survive the optimize with zero duplicate rows")
+
+    // and a replay stays a no-op
+    val before = dst.versions()
+    run()
+    assert(dst.versions() == before)
+  }
+
+  test("a mid-stream purgeDeletes is skipped; MoR deletes stay unpropagated (policy)") {
+    val dir = fresh("graft-stream-purge")
+    val src = VersionedTable(spark, s"$dir/src")
+    val dst = VersionedTable(spark, s"$dir/dst")
+    src.commitOverwrite((1L to 30L).toDF("id"))
+    def run(): Unit = {
+      val q = Sinks.versionedAppend(
+        spark.readStream.format("graft").load(src.tableDir), dst, s"$dir/ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    // window: DV-only delete (kept files — nothing re-delivered, the
+    // documented MoR policy), an append, then the purge rewrite that
+    // materializes the DVs — data-preserving, skipped
+    src.deleteMoR(col("id") <= 3L)
+    src.commitAppend((31L to 35L).toDF("id"))
+    src.purgeDeletes()
+    run()
+    assert(dst.read().as[Long].collect().sorted.toSeq == (1L to 35L),
+      "only the append delivers; already-served rows stay (MoR policy)")
+  }
+
   test("schema comes from the manifest; user schemas are refused") {
     val dir = fresh("graft-stream-schema")
     val src = VersionedTable(spark, s"$dir/src")
