@@ -100,7 +100,8 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
         "cart_count" -> when(col("event_type") === "add_to_cart", 1L).otherwise(0L)),
       mins = Map("event_date" -> col("event_date")),
       prepare = _.filter(col("product_id").isNotNull)
-        .withColumn("date_key", keyed("event_date"))),
+        .withColumn("date_key", keyed("event_date")),
+      netKeys = Seq("event_id")),
     // order metrics (`:59-67`): exact-decimal revenue + unit sums
     IncrementalAgg.refresh(orderMetricsMv, orderItemsClean,
       keys = Seq("date_key", "product_id"), countCol = "n_items",
@@ -109,7 +110,8 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
         "purchase_count" -> col("quantity").cast(LongType)),
       mins = Map("event_date" -> col("order_date")),
       prepare = _.filter(col("product_id").isNotNull)
-        .withColumn("date_key", keyed("order_date"))),
+        .withColumn("date_key", keyed("order_date")),
+      netKeys = Seq("order_id", "product_id")),
     // review metrics (`:70-74`): AVG(rating) maintains as
     // (rating_sum, rating_cnt) — null ratings contribute to neither
     IncrementalAgg.refresh(reviewMetricsMv, reviewsClean,
@@ -202,7 +204,8 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
         "session_start_ts_events" -> col("event_ts"),
         "session_date" -> col("event_date")),
       maxes = Map("session_end_ts" -> col("event_ts")),
-      prepare = _.withColumn("session_key", keyed("session_id")))
+      prepare = _.withColumn("session_key", keyed("session_id")),
+      netKeys = Seq("event_id"))
     // level 2 consumes level 1's feed: enable CDF right after the
     // bootstrap append so every DML version it ever takes is recorded
     if (bootstrap && l1.isDefined)
@@ -215,7 +218,8 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
         "total_orders" -> col("has_purchased")),
       mins = Map("first_active_ts" -> col("session_start_ts")),
       maxes = Map("last_active_ts" -> col("session_end_ts")),
-      prepare = prep)
+      prepare = prep,
+      netKeys = Seq("session_key"))
     (l1, l2)
   }
 

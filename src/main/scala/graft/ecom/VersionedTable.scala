@@ -1584,6 +1584,54 @@ final case class VersionedTable(
       }
   }
 
+  /** The maximal sub-windows of `[startingVersion, endingVersion]` that
+    * [[changeFeed]] can serve — the "split the read" its refusal asks
+    * for, computed for the consumer. A feed window must present every
+    * version's rows through ONE end schema, so it cuts at:
+    *
+    *  - a RENAME/DROP COLUMN commit (the column mapping changes). The
+    *    boundary commit is metadata-only — it contributes no change
+    *    rows — and OPENS the following segment;
+    *  - a NON-ADDITIVE OVERWRITE (its predecessor's columns vanish).
+    *    That version belongs to NEITHER side: its delete rows present
+    *    only through the old schema and its inserts only through the
+    *    new, so it is EXCLUDED from the returned segments — an
+    *    incremental consumer must treat it as a full re-sync point
+    *    (exactly Delta's contract for overwrites that change schema).
+    *
+    * One manifest read per window version (the changeFeed cost). Each
+    * returned `(from, to)` is inclusive and legal for
+    * `changeFeed(from, to)`; their concatenation covers the window
+    * minus excluded re-sync versions.
+    */
+  def changeFeedSegments(startingVersion: Long,
+      endingVersion: Long = -1L): Seq[(Long, Long)] = {
+    val head = currentVersion().getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no committed version"))
+    val end = if (endingVersion < 0L) head else endingVersion
+    require(startingVersion >= 1 && startingVersion <= end && end <= head,
+      s"changeFeedSegments: bad window [v$startingVersion, v$end] (head is v$head)")
+    val resolved = resolveSequentially(startingVersion to end)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var segStart = startingVersion
+    resolved.sliding(2).foreach {
+      case Seq((_, a), (v, b)) =>
+        if (a.colmap != b.colmap || a.droppedPhys != b.droppedPhys) {
+          // mapping boundary: close before it, the boundary commit
+          // (metadata-only) starts the next segment
+          if (segStart <= v - 1) segs += ((segStart, v - 1))
+          segStart = v
+        } else if (a.schema.fieldNames.exists(!b.schema.fieldNames.contains(_))) {
+          // non-additive overwrite: servable by neither side — exclude
+          if (segStart <= v - 1) segs += ((segStart, v - 1))
+          segStart = v + 1
+        }
+      case _ => ()
+    }
+    if (segStart <= end) segs += ((segStart, end))
+    segs.toSeq
+  }
+
   /** Time travel by wall clock (Delta's `TIMESTAMP AS OF`): the newest
     * version whose manifest landed at or before `tsMillis`. Commit
     * times come from manifest file modification time — audit-grade

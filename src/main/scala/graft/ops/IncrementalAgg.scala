@@ -114,26 +114,62 @@ object IncrementalAgg {
     * group's stored extreme and merge without any table access. Keeps
     * every group that changed at all — with extremes in play, even a
     * count/sum-neutral update can move them.
+    *
+    * With `netKeys` (the SOURCE's row key), update pre/post PAIRS whose
+    * extreme-column value did not change are NETTED OUT of the extreme
+    * bookkeeping (one change-frame-sized window pass pairing the images
+    * by row key + commit version): an update storm that edits measures
+    * but not timestamps — the archetypal gold refresh — contributes no
+    * removed extremes at all, so the threat analysis sees nothing and
+    * no recompute scan ever runs. Counts/sums need no netting (equal
+    * contributions cancel arithmetically).
     */
   private def deltaMinMax(changes: DataFrame, keys: Seq[String],
       countCol: String, sums: Map[String, Column],
-      mins: Map[String, Column], maxes: Map[String, Column]): DataFrame = {
+      mins: Map[String, Column], maxes: Map[String, Column],
+      netKeys: Seq[String]): DataFrame = {
     val out = keys ++ Seq(countCol) ++ sums.keys ++ mins.keys ++ maxes.keys
     require(out.distinct.size == out.size,
       s"keys/$countCol/sum/min/max columns must not collide")
-    val sgn = when(col(VersionedTable.CdcTypeCol)
-      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    val ct = col(VersionedTable.CdcTypeCol)
+    val sgn = when(ct.isin("insert", "update_postimage"), 1L).otherwise(-1L)
     val inserted = col("_graft_sgn") > 0
+    val extremes = (mins.toSeq ++ maxes.toSeq).sortBy(_._1)
+    // paired-update netting: _graft_keep_<c> = false exactly when this
+    // row is half of a pre/post pair whose value of <c> is unchanged
+    val (prepped, keepOf): (DataFrame, String => Column) =
+      if (netKeys.isEmpty || !changes.columns.contains(VersionedTable.CdcVersionCol))
+        (changes, _ => lit(true))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((netKeys :+ VersionedTable.CdcVersionCol).map(col): _*)
+        val isPre = ct === "update_preimage"
+        val isPost = ct === "update_postimage"
+        // only genuine pairs net: both images present under a NON-NULL
+        // row key (a null key could lump unrelated rows into one
+        // window) and the GROUP key unchanged (a migrating update
+        // really does remove from one group and insert into another)
+        val pairable = ct.isin("update_preimage", "update_postimage") &&
+          netKeys.map(col(_).isNotNull).reduce(_ && _) &&
+          keys.map(k => max(when(isPre, col(k))).over(w) <=>
+            max(when(isPost, col(k))).over(w)).reduce(_ && _)
+        val f = extremes.foldLeft(changes) { case (df, (o, e)) =>
+          df.withColumn(s"_graft_keep_$o",
+            !(pairable &&
+              (max(when(isPre, e)).over(w) <=> max(when(isPost, e)).over(w))))
+        }
+        (f, (c: String) => col(s"_graft_keep_$c"))
+      }
     val aggs = (sum(col("_graft_sgn")).as(countCol) +:
       sums.toSeq.sortBy(_._1).map { case (o, e) =>
         sum(e * col("_graft_sgn")).as(o) }) ++
       mins.toSeq.sortBy(_._1).flatMap { case (o, e) => Seq(
-        min(when(inserted, e)).as(insC(o)),
-        min(when(!inserted, e)).as(remC(o))) } ++
+        min(when(inserted && keepOf(o), e)).as(insC(o)),
+        min(when(!inserted && keepOf(o), e)).as(remC(o))) } ++
       maxes.toSeq.sortBy(_._1).flatMap { case (o, e) => Seq(
-        max(when(inserted, e)).as(insC(o)),
-        max(when(!inserted, e)).as(remC(o))) }
-    changes.withColumn("_graft_sgn", sgn)
+        max(when(inserted && keepOf(o), e)).as(insC(o)),
+        max(when(!inserted && keepOf(o), e)).as(remC(o))) }
+    prepped.withColumn("_graft_sgn", sgn)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -151,7 +187,8 @@ object IncrementalAgg {
       countCol: String, sums: Map[String, Column],
       mins: Map[String, Column] = Map.empty,
       maxes: Map[String, Column] = Map.empty,
-      prepare: DataFrame => DataFrame = identity): Option[Long] = {
+      prepare: DataFrame => DataFrame = identity,
+      netKeys: Seq[String] = Nil): Option[Long] = {
     val app = appFor(silver)
     val head = silver.currentVersion().getOrElse(return None)
     val last = gold.currentBatchId(app)
@@ -174,7 +211,7 @@ object IncrementalAgg {
     if (!minmax) return refreshSums(gold, silver, keys, countCol, sums,
       changes, app, head)
 
-    val d0 = deltaMinMax(changes, keys, countCol, sums, mins, maxes)
+    val d0 = deltaMinMax(changes, keys, countCol, sums, mins, maxes, netKeys)
     // the delta is O(changed groups) — persist it: it feeds the
     // removal probe, the current-extremes join, (maybe) the dirty-key
     // semi-join, and the merge source

@@ -126,9 +126,36 @@ final class GraftCdcStreamSource(
         // feed-schema frame it stands for
         spark.createDataFrame(spark.sparkContext.emptyRDD[
           org.apache.spark.sql.Row], schema)
-      else vt.changeFeed(from + 1L, to)
-        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+      else {
+        // a schema-evolution STOP, the way Delta stops a CDF stream: a
+        // rename/drop/non-additive overwrite inside the pending window
+        // cannot present through this stream's frozen schema — name
+        // the exact restart point instead of failing inside changeFeed
+        val segs = vt.changeFeedSegments(from + 1L, to)
+        segs match {
+          case Seq((a, b)) if a == from + 1L && b == to => ()
+          case _ =>
+            val resume = segs.collectFirst {
+              case (x, _) if x > from + 1L => x
+            }.getOrElse(to + 1L)
+            throw new IllegalStateException(
+              s"${vt.tableDir}: the column mapping/schema changed inside " +
+                s"the pending window (v$from, v$to] — a change feed cannot " +
+                "present both sides through one schema. Restart the stream " +
+                s"with a fresh checkpoint and .option(\"startingVersion\", " +
+                s"$resume) to continue past the boundary " +
+                s"(legal sub-windows: ${segs.mkString(", ")})")
+        }
+        val feed = vt.changeFeed(from + 1L, to)
+        val missing = schema.fieldNames.filterNot(feed.columns.contains)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"${vt.tableDir}: column(s) ${missing.mkString(", ")} of this " +
+            "stream's frozen schema no longer exist at the table head " +
+            "(renamed or dropped since stream start) — restart the stream " +
+            "with a fresh checkpoint to adopt the evolved schema")
+        feed.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*)
+      }
     org.apache.spark.sql.graft.shims.streamingDataFrame(spark, batch)
   }
 
