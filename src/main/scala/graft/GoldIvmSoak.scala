@@ -27,7 +27,7 @@ import graft.ecom.{Gold, GoldIvm, VersionedTable}
   */
 object GoldIvmSoak {
 
-  private val Decades = Seq(1000000L, 10000000L, 30000000L)
+  private val Decades = Seq(10000000L, 100000000L, 300000000L)
   private val EventsPerSession = 20L
   private val ChangedRows = 2000L
 
@@ -111,6 +111,9 @@ object GoldIvmSoak {
         f"recompute=${recomputeMs}%9.1fms ratio=${recomputeMs / refreshMs}%6.2f")
       rows += f"""    {"source_rows": $n, "bootstrap_ms": $bootMs%.1f, "refresh_ms": $refreshMs%.1f, "full_recompute_ms": $recomputeMs%.1f, "customers": $nCust}"""
       attrs.unpersist()
+      // reclaim the decade's data before the next (300M events + CoW
+      // copies would otherwise stack up in /tmp)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
 
     val json = rows.mkString(

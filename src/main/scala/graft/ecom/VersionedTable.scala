@@ -1616,15 +1616,17 @@ final case class VersionedTable(
     var segStart = startingVersion
     resolved.sliding(2).foreach {
       case Seq((_, a), (v, b)) =>
-        if (a.colmap != b.colmap || a.droppedPhys != b.droppedPhys) {
-          // mapping boundary: close before it, the boundary commit
-          // (metadata-only) starts the next segment
+        val boundary = a.colmap != b.colmap ||
+          a.droppedPhys != b.droppedPhys ||
+          a.schema.fieldNames.exists(!b.schema.fieldNames.contains(_))
+        if (boundary) {
           if (segStart <= v - 1) segs += ((segStart, v - 1))
-          segStart = v
-        } else if (a.schema.fieldNames.exists(!b.schema.fieldNames.contains(_))) {
-          // non-additive overwrite: servable by neither side — exclude
-          if (segStart <= v - 1) segs += ((segStart, v - 1))
-          segStart = v + 1
+          // a RENAME/DROP boundary is metadata-only (no change rows) and
+          // opens the next segment; any DATA version at a boundary (a
+          // non-additive overwrite, a cross-mapping restore) is the
+          // excluded re-sync point
+          segStart =
+            if (b.op == "renameColumn" || b.op == "dropColumn") v else v + 1
         }
       case _ => ()
     }

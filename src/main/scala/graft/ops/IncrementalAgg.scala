@@ -193,13 +193,17 @@ object IncrementalAgg {
     val head = silver.currentVersion().getOrElse(return None)
     val last = gold.currentBatchId(app)
     if (last.exists(_ >= head)) return None
-    // a dst with versions but NO marker was not bootstrapped by this
+    // a dst with ROWS but NO marker was not bootstrapped by this
     // maintenance loop — merging a bootstrap into foreign rows would
-    // silently double counts; refuse instead
-    require(last.isDefined || gold.currentVersion().isEmpty,
-      s"${gold.tableDir} has committed versions but no '$app' marker — " +
+    // silently double counts; refuse. A pre-created EMPTY table (the
+    // SQL `CREATE TABLE` + `CALL refresh_mv` flow) is fine: the
+    // bootstrap merge lands into it and attaches the marker.
+    // (the emptiness probe is a take(1) — it only ever runs on the
+    // marker-less first refresh, never in steady state)
+    require(last.isDefined || gold.currentVersion().isEmpty || gold.read().isEmpty,
+      s"${gold.tableDir} has committed rows but no '$app' marker — " +
         "refresh only maintains aggregates it bootstrapped; point it at " +
-        "a fresh gold table")
+        "a fresh (or empty) gold table")
     val changes = prepare(last match {
       case Some(v) => silver.changeFeed(v + 1L, head)
       case None => silver.readAt(head)

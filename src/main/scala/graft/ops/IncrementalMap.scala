@@ -30,6 +30,12 @@ import graft.ecom.VersionedTable
   * unmatched non-tombstone → INSERT), exactly-once via the dst txn
   * marker `ivmmap:<src dir>` (a racing twin surfaces as
   * [[VersionedTable.ReplayLandedException]] and reports not-landed).
+  *
+  * Null-keyed source rows do NOT participate in the view (filtered on
+  * bootstrap and from every window): a null key matches nothing in
+  * MERGE, so maintaining such rows would re-insert them per window and
+  * diverge — the same contract [[graft.streaming.Sinks.latestWins]]
+  * documents for the upsert sink.
   */
 object IncrementalMap {
 
@@ -47,6 +53,12 @@ object IncrementalMap {
     val head = src.currentVersion().getOrElse(return None)
     val last = dst.currentBatchId(app)
     if (last.exists(_ >= head)) return None
+    // null keys never match in the MERGE clause matrix, so a null-keyed
+    // source row would re-INSERT its view row on every window it
+    // changes in — the view diverges. Contract (as Sinks.latestWins):
+    // null-keyed source rows do not participate in the view.
+    val dropNullKeys = (df: DataFrame) =>
+      df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
     // a dst with versions but NO marker was not bootstrapped by this
     // maintenance loop — upserting history into foreign rows would be
     // silent corruption; refuse instead
@@ -55,11 +67,12 @@ object IncrementalMap {
         "refresh only maintains views it bootstrapped; point it at a " +
         "fresh view table")
     if (dst.currentVersion().isEmpty && last.isEmpty)
-      return dst.commitAppendBatch(transform(src.readAt(head)), head, app)
+      return dst.commitAppendBatch(
+        transform(dropNullKeys(src.readAt(head))), head, app)
 
     val ct = VersionedTable.CdcTypeCol
     val cv = VersionedTable.CdcVersionCol
-    val changes = src.changeFeed(last.getOrElse(0L) + 1L, head)
+    val changes = dropNullKeys(src.changeFeed(last.getOrElse(0L) + 1L, head))
     // net effect per key: the latest non-preimage change wins
     // ('update_postimage' > 'insert' > 'delete' under type-desc breaks
     // an overwrite's same-version delete+insert pair toward the insert)

@@ -319,9 +319,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("vacuum", "optimize", "optimize_range", "zorder", "restore")
+      Array("vacuum", "optimize", "optimize_range", "zorder", "restore",
+        "refresh_mv")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
+
+  /** Parse refresh_mv's `name:sqlExpr` lists (`;`-separated pairs) and
+    * refuse non-maintainable aggregate shapes LOUDLY: the procedure's
+    * algebra is per-group COUNT/SUM/MIN/MAX — an avg/stddev/percentile
+    * smuggled into an expression would silently be summed, so the
+    * parse rejects it with the standard rewrite instead.
+    */
+  private def mvExprs(spec: String, what: String): Map[String, org.apache.spark.sql.Column] = {
+    val banned =
+      "(?i)\\b(avg|mean|stddev|stddev_samp|stddev_pop|variance|var_samp|median|percentile|approx_percentile|count|min|max|first|last|collect_list|collect_set)\\s*\\(".r
+    spec.split(';').map(_.trim).filter(_.nonEmpty).map { p =>
+      val i = p.indexOf(':')
+      require(i > 0,
+        s"refresh_mv $what entry '$p' must be '<output_col>:<sql expr over source columns>'")
+      val (n, e) = (p.take(i).trim, p.drop(i + 1).trim)
+      banned.findFirstIn(e).foreach { hit =>
+        throw new IllegalArgumentException(
+          s"refresh_mv $what expression '$e' contains the aggregate '$hit' — " +
+            "the maintainable algebra is per-group COUNT/SUM/MIN/MAX over " +
+            "ROW-LOCAL expressions. AVG is not self-maintainable: maintain " +
+            "the sum and a non-null count as two columns and derive " +
+            "sum/count at query time; MIN/MAX go in the mins/maxes " +
+            "parameters (bounded dirty-group recompute), not in a sum.")
+      }
+      n -> org.apache.spark.sql.functions.expr(e)
+    }.toMap
+  }
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),
@@ -355,9 +383,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "make the head a zero-copy replay of the given version",
         Array(in("table", StringType), in("version", LongType)))(
         input => { tableArg(input).restore(input.getLong(1)): Unit })
+      case "refresh_mv" => new Proc("refresh_mv",
+        "incrementally refresh a grouped COUNT/SUM/MIN/MAX materialized " +
+          "aggregate from a CDF-enabled source table (bootstraps on first " +
+          "call, then reads only the change-feed window; exactly-once via " +
+          "the view's txn marker). sums/mins/maxes take ';'-separated " +
+          "'col:sqlExpr' pairs; net_keys names the source row key for " +
+          "update-pair netting",
+        Array(in("view", StringType), in("source", StringType),
+          in("keys", StringType), in("count_col", StringType),
+          inDefault("sums", StringType, "''"),
+          inDefault("mins", StringType, "''"),
+          inDefault("maxes", StringType, "''"),
+          inDefault("net_keys", StringType, "''")))(
+        input => {
+          def str(i: Int): String =
+            if (input.isNullAt(i)) "" else input.getUTF8String(i).toString
+          def tbl(i: Int): VersionedTable = {
+            val parts = str(i).split('.')
+            val ident = Identifier.of(parts.init, parts.last)
+            if (!tableExists(ident)) throw new NoSuchTableException(ident)
+            open(ident)
+          }
+          val keys = str(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val netKeys = str(7).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          graft.ops.IncrementalAgg.refresh(
+            gold = tbl(0), silver = tbl(1), keys = keys, countCol = str(3),
+            sums = mvExprs(str(4), "sums"),
+            mins = mvExprs(str(5), "mins"),
+            maxes = mvExprs(str(6), "maxes"),
+            netKeys = netKeys): Unit
+        })
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other — known: vacuum, optimize, " +
-          "optimize_range, zorder, restore")
+          "optimize_range, zorder, restore, refresh_mv")
     }
   }
 

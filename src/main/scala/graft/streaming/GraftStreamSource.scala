@@ -148,11 +148,20 @@ final class GraftCdcStreamSource(
         }
         val feed = vt.changeFeed(from + 1L, to)
         val missing = schema.fieldNames.filterNot(feed.columns.contains)
-        if (missing.nonEmpty) throw new IllegalStateException(
-          s"${vt.tableDir}: column(s) ${missing.mkString(", ")} of this " +
-            "stream's frozen schema no longer exist at the table head " +
-            "(renamed or dropped since stream start) — restart the stream " +
-            "with a fresh checkpoint to adopt the evolved schema")
+        if (missing.nonEmpty) {
+          // the recovery shape: this (re)started source froze the HEAD
+          // schema but the checkpoint still points at pre-rename
+          // windows — name the first post-boundary version to restart at
+          val resume = vt.changeFeedSegments(math.max(from + 1L, 1L))
+            .lastOption.map(_._1)
+          throw new IllegalStateException(
+            s"${vt.tableDir}: column(s) ${missing.mkString(", ")} of this " +
+              "stream's schema do not exist in the pending window " +
+              "(renamed/dropped between the checkpoint and the head) — " +
+              "restart the stream with a fresh checkpoint" +
+              resume.fold("")(r => s" and .option(\"startingVersion\", $r)") +
+              " to adopt the evolved schema")
+        }
         feed.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*)
       }

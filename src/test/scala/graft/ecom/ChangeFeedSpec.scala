@@ -336,4 +336,26 @@ class ChangeFeedSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(f == Set((1L, 2L, "update_preimage"), (11L, 22L, "update_postimage")))
   }
+
+  test("changeFeedSegments: maximal legal sub-windows around renames and non-additive overwrites") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitAppend(rows(8))                                         // v1
+    vt.setTableProperty("graft.enableChangeDataFeed", "true")        // v2
+    vt.delete(col("id") === 0L)                                      // v3
+    vt.renameColumn("amt", "amount")                                 // v4 (cut)
+    vt.commitAppend(rows(4).withColumnRenamed("amt", "amount"))      // v5
+    // non-additive overwrite: 'amount' vanishes — v6 excluded
+    vt.commitOverwrite(rows(6).select("id", "grp"))                  // v6
+    vt.commitAppend(rows(2).select("id", "grp"))                     // v7
+
+    assert(vt.changeFeedSegments(1, 7) == Seq((1L, 3L), (4L, 5L), (7L, 7L)))
+    // every returned segment is servable; the refused spans refuse
+    Seq((1L, 3L), (4L, 5L), (7L, 7L)).foreach { case (a, b) =>
+      vt.changeFeed(a, b).collect(): Unit
+    }
+    intercept[IllegalArgumentException](vt.changeFeed(1, 7).collect())
+    intercept[IllegalArgumentException](vt.changeFeed(5, 7).collect())
+    // sub-window of one segment is still one segment
+    assert(vt.changeFeedSegments(2, 3) == Seq((2L, 3L)))
+  }
 }

@@ -536,6 +536,42 @@ class GraftCatalogSpec extends SparkSuite {
     assert(churn(2)._2 >= 1, "the COW delete removes the touched file(s)")
   }
 
+  test("CALL graft.system.refresh_mv: SQL-driven incremental aggregate with min/max") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
+    spark.sql("""CREATE TABLE graft.mv.silver (id BIGINT, grp BIGINT, amt BIGINT)
+                |TBLPROPERTIES ('graft.enableChangeDataFeed' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO graft.mv.silver SELECT id, id % 5, id * 10 FROM range(0, 40)")
+    spark.sql("CREATE TABLE graft.mv.gold (grp BIGINT, n BIGINT, total BIGINT, lo BIGINT, hi BIGINT)")
+
+    def call(): Unit = spark.sql(
+      """CALL graft.system.refresh_mv(view => 'mv.gold', source => 'mv.silver',
+        |  keys => 'grp', count_col => 'n', sums => 'total:amt',
+        |  mins => 'lo:amt', maxes => 'hi:amt', net_keys => 'id')""".stripMargin)
+    def expected = spark.sql(
+      """SELECT grp, count(*) AS n, sum(amt) AS total, min(amt) AS lo, max(amt) AS hi
+        |FROM graft.mv.silver GROUP BY grp""".stripMargin).collect().toSet
+
+    call() // bootstrap
+    assert(spark.table("graft.mv.gold").select("grp", "n", "total", "lo", "hi")
+      .collect().toSet == expected)
+
+    // SQL DML storm, ONE refresh — deleting ids 30..39 removes every
+    // group's stored max (delete-the-extreme through plain SQL)
+    spark.sql("DELETE FROM graft.mv.silver WHERE id BETWEEN 30 AND 39")
+    spark.sql("UPDATE graft.mv.silver SET amt = amt + 100 WHERE id < 5")
+    call()
+    assert(spark.table("graft.mv.gold").select("grp", "n", "total", "lo", "hi")
+      .collect().toSet == expected)
+
+    // non-maintainable aggregates refuse LOUDLY with the rewrite hint
+    val e = intercept[Exception](spark.sql(
+      """CALL graft.system.refresh_mv(view => 'mv.gold', source => 'mv.silver',
+        |  keys => 'grp', count_col => 'n', sums => 'a:avg(amt)')""".stripMargin))
+    assert(e.getMessage.contains("not self-maintainable") ||
+      e.getMessage.contains("maintainable algebra"),
+      s"must name the maintainable algebra: ${e.getMessage}")
+  }
+
   test("DROP TABLE removes the table; rename moves it") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tmp")
     spark.sql("CREATE TABLE graft.tmp.victim (id BIGINT)")

@@ -209,4 +209,55 @@ class GraftStreamSourceSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("manifest"))
   }
+
+  test("CDC stream: a rename mid-window stops with an actionable error naming the restart version") {
+    val dir = fresh("graft-cdc-rename")
+    val src = VersionedTable(spark, s"$dir/src")
+    src.commitOverwrite((1L to 10L).toDF("id"))                      // v1
+    src.setTableProperty("graft.enableChangeDataFeed", "true")       // v2
+
+    def run(dst: VersionedTable, ckpt: String, startingVersion: Long): Unit = {
+      val q = Sinks.versionedAppend(
+        spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", startingVersion.toString)
+          .load(src.tableDir)
+          .drop(VersionedTable.CdcTimestampCol),
+        dst, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    val dst1 = VersionedTable(spark, s"$dir/dst1")
+    run(dst1, s"$dir/ckpt", 1L)
+    assert(dst1.read().count() == 10) // the v1 inserts
+
+    // a rename + more DML land while the stream is down: the pending
+    // window crosses the mapping boundary — the resume must refuse
+    // with the exact restart point, not a confusing analysis error
+    src.delete(col("id") === 1L)                                     // v3
+    src.renameColumn("id", "ident")                                  // v4
+    src.delete(col("ident") === 2L)                                  // v5
+    val ex = intercept[Exception] {
+      val q = Sinks.versionedAppend(
+        spark.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "1")
+          .load(src.tableDir)
+          .drop(VersionedTable.CdcTimestampCol),
+        dst1, s"$dir/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("startingVersion") && msg.contains("4"),
+      s"must name the restart version: $msg")
+    assert(dst1.read().count() == 10, "nothing half-delivered")
+
+    // the prescribed restart (fresh checkpoint, startingVersion = 4)
+    // serves the post-rename side under the evolved schema
+    val dst2 = VersionedTable(spark, s"$dir/dst2")
+    run(dst2, s"$dir/ckpt2", 4L)
+    assert(dst2.read().columns.contains("ident"))
+    assert(dst2.read()
+      .filter(col(VersionedTable.CdcTypeCol) === "delete").count() == 1)
+  }
 }
