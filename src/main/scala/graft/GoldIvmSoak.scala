@@ -94,16 +94,19 @@ object GoldIvmSoak {
       events.commitAppend(eventsOf(spark.range(n, n + ChangedRows)))
       val (refreshMs, _) = timed(refresh())
       // what the refresh replaced: the notebook's full recompute of the
-      // session metrics + customer rollup over the whole silver, gold
-      // write included (the notebook writes its gold table every run)
+      // session metrics + customer rollup over the whole silver, landed
+      // through the SAME versioned-commit sink the pipeline uses for
+      // gold (q41's medallion path) — both sides pay identical storage
+      // machinery, so the delta is scan+re-aggregate vs window+merge
       val recomputed = Gold.sessionMetrics(events.read(), attrs)
         .groupBy("customer_id")
-        .agg(count(lit(1)).as("n"), sum("session_revenue"),
-          sum("has_purchased"),
-          min("session_start_ts"), max("session_end_ts"))
-      val (recomputeMs, _) = timed(
-        recomputed.write.mode("overwrite").parquet(s"$dir/recompute_gold"))
-      val nCust = spark.read.parquet(s"$dir/recompute_gold").count()
+        .agg(count(lit(1)).as("n"), sum("session_revenue").as("rev"),
+          sum("has_purchased").as("orders"),
+          min("session_start_ts").as("first_ts"),
+          max("session_end_ts").as("last_ts"))
+      val recomputeGold = VersionedTable(spark, s"$dir/recompute_gold")
+      val (recomputeMs, _) = timed(recomputeGold.commitOverwrite(recomputed))
+      val nCust = recomputeGold.read().count()
       val maintained = ivm.customerRollupMv.read().count()
       require(maintained == nCust,
         s"maintained customer groups $maintained != recompute $nCust at n=$n")

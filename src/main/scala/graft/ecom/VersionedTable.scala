@@ -7,8 +7,8 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, explode, expr, input_file_name, lit, max, min, not, regexp_extract, struct, sum, when}
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, explode, expr, input_file_name, lit, max, min, not, regexp_extract, struct, sum, unix_date, unix_micros, when}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** Minimal versioned parquet+manifest table format — the observable
   * Delta-Lake semantics the reference claims (`README.md:10` "ACID
@@ -168,19 +168,33 @@ final case class VersionedTable(
       case ManifestRe(n) => Some(n.toLong -> st.getModificationTime)
       case _ => None
     }).sortBy(_._1)
-    // per-version file churn (Delta's operationMetrics): diff against
-    // the predecessor while resolving — the first RETAINED version after
-    // a vacuumed prefix reports all its files as added (no predecessor)
-    var prevFiles = Set.empty[String]
-    resolveSequentially(statuses.map(_._1)).zip(statuses).map {
-      case ((v, m), (_, mtime)) =>
-        val cur = m.files.toSet
-        val info = VersionInfo(v, m.op, m.txns.get(VersionedTable.DefaultApp),
-          m.files.size, mtime, m.dv.size,
-          numAddedFiles = (cur -- prevFiles).size,
-          numRemovedFiles = (prevFiles -- cur).size)
-        prevFiles = cur
-        info
+    // per-version file churn (Delta's operationMetrics): most versions
+    // are DELTA manifests whose addfile/rmfile actions ARE the churn —
+    // O(changed files) per version, no full file-set diff. Only full
+    // manifests (v1, every CheckpointInterval-th, checkpointed gap
+    // heads) diff against the predecessor's resolved set — O(files)
+    // once per interval, not per version. The first RETAINED version
+    // after a vacuumed prefix reports all its files as added (no
+    // predecessor), as before.
+    var prev: Option[(Long, Manifest)] = None
+    statuses.map { case (v, mtime) =>
+      val (m, added, removed) =
+        (try parseStored(v) catch { case _: MissingManifest => FullForm(readManifest(v)) }) match {
+          case f: DeltaForm if prev.exists(_._1 == f.base) =>
+            (applyDelta(prev.get._2, f), f.d.files.size, f.rm.size)
+          case stored =>
+            val m = stored match {
+              case FullForm(fm) => fm
+              case _: DeltaForm => readManifest(v) // gap: full resolve
+            }
+            val prevFiles = prev.fold(Set.empty[String])(_._2.files.toSet)
+            val cur = m.files.toSet
+            (m, (cur -- prevFiles).size, (prevFiles -- cur).size)
+        }
+      prev = Some(v -> m)
+      VersionInfo(v, m.op, m.txns.get(VersionedTable.DefaultApp),
+        m.files.size, mtime, m.dv.size,
+        numAddedFiles = added, numRemovedFiles = removed)
     }
   }
 
@@ -1419,8 +1433,19 @@ final case class VersionedTable(
     */
   private def writeCdcFiles(changes: DataFrame): Seq[String] = {
     val rel = s"data/cdc-${UUID.randomUUID()}"
-    changes.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/$rel")
-    listDataFiles(s"$tableDir/$rel").map(t => s"$rel/${t._1}")
+    // a ZERO-partition change frame (e.g. a merge whose source is an
+    // empty local relation) would write no part files at all, leaving
+    // the manifest's cdc list empty — changeFeed would then
+    // misclassify the version as pre-enablement and refuse the window;
+    // force one (empty) part file so "no changes" stays recorded
+    val out =
+      if (changes.rdd.getNumPartitions == 0) changes.repartition(1)
+      else changes
+    out.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/$rel")
+    val files = listDataFiles(s"$tableDir/$rel").map(t => s"$rel/${t._1}")
+    require(files.nonEmpty,
+      s"CDC sidecar write produced no files under $tableDir/$rel")
+    files
   }
 
   /** Delta's `readChangeFeed`: every row-level change in versions
@@ -2339,15 +2364,27 @@ final case class VersionedTable(
     else {
       val integral: Set[Any] = Set(LongType, IntegerType, ShortType, ByteType)
       statsCols.foreach { c =>
-        require(integral.contains(declared(c)),
-          s"stats column $c is ${declared(c).simpleString}; only integral types " +
-            "serialize exactly in the manifest")
+        require(integral.contains(declared(c)) ||
+          declared(c) == DateType || declared(c) == TimestampType,
+          s"stats column $c is ${declared(c).simpleString}; only integral, " +
+            "date and timestamp types serialize exactly in the manifest")
       }
+      // the manifest's long encoding per type — chosen to MATCH the
+      // internal value Catalyst literals carry, so StatsPrune compares
+      // the recorded range against a DATE '...' / TIMESTAMP '...'
+      // predicate literal with no conversion at plan time: DateType →
+      // epoch days (unix_date), TimestampType → epoch micros
+      // (unix_micros), integrals as themselves
+      def asStatLong(c: String): Column = (declared(c) match {
+        case DateType => unix_date(col(c).cast(DateType))
+        case TimestampType => unix_micros(col(c).cast(TimestampType))
+        case _ => col(c)
+      }).cast(LongType)
       val back = spark.read.format(format).option("basePath", commitAbs).load(commitAbs)
       // ONE read-back pass collects both kinds of skipping metadata:
       // min/max ranges and point-lookup blooms (map-side combinable)
       val aggs = statsCols.flatMap(c => Seq(
-        min(col(c).cast(LongType)).as(s"_mn_$c"), max(col(c).cast(LongType)).as(s"_mx_$c"))) ++
+        min(asStatLong(c)).as(s"_mn_$c"), max(asStatLong(c)).as(s"_mx_$c"))) ++
         bloomCols.map(c =>
           graft.util.BloomSketch.agg(col(c).cast(declared(c)), bloomBits, bloomHashes)
             .as(s"_bf_$c"))

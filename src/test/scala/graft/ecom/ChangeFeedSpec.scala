@@ -358,4 +358,20 @@ class ChangeFeedSpec extends SparkSuite {
     // sub-window of one segment is still one segment
     assert(vt.changeFeedSegments(2, 3) == Seq((2L, 3L)))
   }
+
+  test("a DML commit whose change frame is EMPTY still records CDC (feed serves, not refuses)") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitAppend(rows(6))                                         // v1
+    vt.setTableProperty("graft.enableChangeDataFeed", "true")        // v2
+    // merge with an EMPTY source (zero-partition local relation): the
+    // version publishes, changes nothing — its CDC record must exist
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      vt.read().schema)
+    vt.merge(empty, Seq("id"))                                       // v3
+    vt.delete(col("id") === 0L)                                      // v4
+    val f = asSet(feed(vt, 3, 4))
+    assert(f == Set((0L, 0L, 0L, "delete", 4L)),
+      s"the empty-merge version must serve as zero changes, got $f")
+  }
 }

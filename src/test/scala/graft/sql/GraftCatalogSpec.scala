@@ -572,6 +572,32 @@ class GraftCatalogSpec extends SparkSuite {
       s"must name the maintainable algebra: ${e.getMessage}")
   }
 
+  test("DATE stats prune files for a dashboard BETWEEN on a date-partitioned versioned table") {
+    import org.apache.spark.sql.functions.{date_add, lit}
+    import org.apache.spark.sql.types.{DateType, IntegerType}
+    val dir = s"$warehouse/bronze/gold_dates"
+    val vt = VersionedTable(spark, dir,
+      partitionCol = Some("event_date"), statsColumns = Seq("event_date"))
+    // 8 distinct dates, clustered so each date lands in its own file(s)
+    val df = spark.range(0, 80).select(col("id"),
+      date_add(lit("2024-01-01").cast(DateType),
+        (col("id") % 8).cast(IntegerType)).as("event_date"))
+    vt.commitOverwrite(df.repartition(col("event_date")))
+
+    val all = scanFiles(spark.sql("SELECT id FROM graft.bronze.gold_dates"))
+    assert(all >= 8, s"expected one file per date, got $all")
+    // the dashboard-shaped predicate, in plain SQL through the catalog:
+    // file skipping must cut the scan to the two matching dates
+    val q = spark.sql(
+      """SELECT id FROM graft.bronze.gold_dates
+        |WHERE event_date BETWEEN DATE '2024-01-02' AND DATE '2024-01-03'""".stripMargin)
+    assert(q.as[Long].collect().sorted.toSeq ==
+      (0L until 80L).filter(i => i % 8 == 1 || i % 8 == 2))
+    val pruned = scanFiles(q)
+    assert(pruned <= all / 4 && pruned >= 1,
+      s"BETWEEN must prune to the 2 matching dates' files: $pruned of $all")
+  }
+
   test("DROP TABLE removes the table; rename moves it") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tmp")
     spark.sql("CREATE TABLE graft.tmp.victim (id BIGINT)")
