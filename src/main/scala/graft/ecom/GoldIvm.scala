@@ -87,13 +87,29 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
 
   /** One incremental pass for each of the three product_metrics
     * aggregates. Returns the MV versions landed (None = already
-    * current). Bootstraps on first call.
+    * current). Bootstraps on first call. The three MVs maintain
+    * INDEPENDENT tables from independent sources, so their refreshes
+    * run concurrently — Spark's scheduler interleaves the three job
+    * chains, hiding each other's driver-side commit latency (the
+    * standard maintenance-fleet shape).
     */
   def refreshProductMetrics(eventsClean: VersionedTable,
       orderItemsClean: VersionedTable,
-      reviewsClean: VersionedTable): Seq[Option[Long]] = Seq(
+      reviewsClean: VersionedTable): Seq[Option[Long]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(
+      Future.sequence(refreshProductMetricsTasks(
+        eventsClean, orderItemsClean, reviewsClean)
+        .map(t => Future(t()))), Duration.Inf)
+  }
+
+  private def refreshProductMetricsTasks(eventsClean: VersionedTable,
+      orderItemsClean: VersionedTable,
+      reviewsClean: VersionedTable): Seq[() => Option[Long]] = Seq(
     // event metrics (`03_gold_aggregate.py:48-56`): conditional counts
-    IncrementalAgg.refresh(eventMetricsMv, eventsClean,
+    () => IncrementalAgg.refresh(eventMetricsMv, eventsClean,
       keys = Seq("date_key", "product_id"), countCol = "n_events",
       sums = Map(
         "view_count" -> when(col("event_type") === "page_view", 1L).otherwise(0L),
@@ -103,7 +119,7 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
         .withColumn("date_key", keyed("event_date")),
       netKeys = Seq("event_id")),
     // order metrics (`:59-67`): exact-decimal revenue + unit sums
-    IncrementalAgg.refresh(orderMetricsMv, orderItemsClean,
+    () => IncrementalAgg.refresh(orderMetricsMv, orderItemsClean,
       keys = Seq("date_key", "product_id"), countCol = "n_items",
       sums = Map(
         "total_revenue" -> col("line_total_usd").cast(DecimalType(18, 2)),
@@ -114,7 +130,7 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
       netKeys = Seq("order_id", "product_id")),
     // review metrics (`:70-74`): AVG(rating) maintains as
     // (rating_sum, rating_cnt) — null ratings contribute to neither
-    IncrementalAgg.refresh(reviewMetricsMv, reviewsClean,
+    () => IncrementalAgg.refresh(reviewMetricsMv, reviewsClean,
       keys = Seq("product_id"), countCol = "review_count",
       sums = Map(
         "rating_sum" -> coalesce(col("rating").cast(LongType), lit(0L)),

@@ -796,7 +796,11 @@ final case class VersionedTable(
       matched: Seq[VersionedTable.MergeWhen],
       notMatched: Seq[VersionedTable.MergeWhen],
       notMatchedBySource: Seq[VersionedTable.MergeWhen] = Nil,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      // the IVM refreshers' sources are groupBy/row_number outputs —
+      // key-unique BY CONSTRUCTION — so they skip the defensive
+      // duplicate-key job (one full source aggregation per merge)
+      sourceKeyUnique: Boolean = false): Long = {
     import VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
     require(keys.nonEmpty, "merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
@@ -819,9 +823,11 @@ final case class VersionedTable(
     }
     // key-uniqueness over non-null source keys, as [[merge]]: a dup key
     // would pick a nondeterministic winner per target row
-    val dups = source.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
-    require(dups == 0, s"merge source has duplicate keys on (${keys.mkString(", ")})")
+    if (!sourceKeyUnique) {
+      val dups = source.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+      require(dups == 0, s"merge source has duplicate keys on (${keys.mkString(", ")})")
+    }
 
     val touched: Seq[String] =
       if (notMatchedBySource.nonEmpty) m.files

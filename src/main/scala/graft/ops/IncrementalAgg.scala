@@ -320,7 +320,7 @@ object IncrementalAgg {
           // an unmatched zero-count group was created AND fully
           // removed inside the window — nothing to insert
           MergeWhen(Some(s(countCol) =!= 0L), MergeInsert(insertSet))),
-        txn = Some((app, head)))) catch {
+        txn = Some((app, head)), sourceKeyUnique = true)) catch {
         // a racing refresh applied this window first — already current
         case _: VersionedTable.ReplayLandedException => None
       }
@@ -352,7 +352,7 @@ object IncrementalAgg {
             measureCols.map(c => c -> add(c)).toMap))),
         notMatched = Seq(MergeWhen(None, MergeInsert(
           (keys.map(k => k -> s(k)) ++ measureCols.map(c => c -> s(c))).toMap))),
-        txn = Some((app, head)))) catch {
+        txn = Some((app, head)), sourceKeyUnique = true)) catch {
         // a racing refresh applied this window first — already current
         case _: VersionedTable.ReplayLandedException => None
       }

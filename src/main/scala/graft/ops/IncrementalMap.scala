@@ -105,7 +105,7 @@ object IncrementalMap {
         MergeWhen(None, MergeUpdate(nonKey.map(c => c -> s(c)).toMap))),
       notMatched = Seq(MergeWhen(Some(!s(delC)),
         MergeInsert(viewCols.map(c => c -> s(c)).toMap))),
-      txn = Some((app, head)))) catch {
+      txn = Some((app, head)), sourceKeyUnique = true)) catch {
       // a racing refresh applied this window first — already current
       case _: VersionedTable.ReplayLandedException => None
     }
