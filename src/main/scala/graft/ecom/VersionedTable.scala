@@ -821,10 +821,18 @@ final case class VersionedTable(
         s"merge key $k is ${st.simpleString} in the source but the table " +
           s"declares ${tt.simpleString} — cast the source explicitly")
     }
+    // materialize the source ONCE (Delta's merge does the same, for
+    // determinism AND cost): its lineage is re-executed by the dup
+    // check, the touched-file classification, the rewrite pass and the
+    // CDC pass — for an IVM refresh that lineage is a change-feed read
+    // + window netting + several broadcast joins, and every
+    // re-execution re-submits every broadcast exchange as its own job
+    val src = source.persist()
+    try {
     // key-uniqueness over non-null source keys, as [[merge]]: a dup key
     // would pick a nondeterministic winner per target row
     if (!sourceKeyUnique) {
-      val dups = source.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      val dups = src.filter(keys.map(col(_).isNotNull).reduce(_ && _))
         .groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
       require(dups == 0, s"merge source has duplicate keys on (${keys.mkString(", ")})")
     }
@@ -835,7 +843,7 @@ final case class VersionedTable(
       else {
         val fileC = freshFileCol(m)
         val got = snapshot(m, m.files, Some(fileC))
-          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(col(fileC)).distinct().collect().map(_.getString(0)).toSeq.sorted
         checkKnown(m, got)
         got
@@ -880,9 +888,9 @@ final case class VersionedTable(
         w.condition.fold(row)(c => when(c, row).otherwise(rest))
       }
 
-    val sDf = source.select(
+    val sDf = src.select(
       keys.map(k => col(k).as(kCols(k))) ++ Seq(
-        struct(source.columns.map(col).toSeq: _*).as("s"),
+        struct(src.columns.map(col).toSeq: _*).as("s"),
         lit(true).as(spC)): _*)
     val joined =
       if (classifyFiles.isEmpty)
@@ -948,6 +956,7 @@ final case class VersionedTable(
       }
     publishCow("merge", base, m, rewriteFiles.toSet, rewritten, txn = txn,
       cdcFiles = cdcFiles)
+    } finally src.unpersist(blocking = false)
   }
 
   /** Delta's `ALTER TABLE ... ADD CONSTRAINT name CHECK (sqlExpr)`:

@@ -296,12 +296,14 @@ object GoldIvmQueries {
 
     // static dims (q22/q23's adapters): session attrs over even users,
     // customer demographics over all users
+    // persisted: the attrs dim rides level-2's `prepare`, so its
+    // aggregation would otherwise re-run inside every refresh action
     val attrs = raw.filter(col("user_id") % 2 === 0)
       .groupBy(col("user_id"))
       .agg((min(col("ts")) - expr("INTERVAL 60 SECONDS")).as("session_start_ts"))
       .select(col("user_id").cast(StringType).as("session_id"),
         concat(lit("c"), col("user_id")).as("customer_id"),
-        col("session_start_ts"))
+        col("session_start_ts")).persist()
     val cust = raw.select(col("user_id")).distinct().select(
       concat(lit("c"), col("user_id")).as("customer_id"),
       concat(lit("user_"), col("user_id")).as("name"),

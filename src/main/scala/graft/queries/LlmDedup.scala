@@ -1420,20 +1420,41 @@ object LlmDedup {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qd25-").toString
     val src = graft.ecom.VersionedTable(s, s"$tmp/docs")
     val idx = graft.ecom.VersionedTable(s, s"$tmp/idx")
-    val base = docsSpread(s, dir).select(col("doc_id"), col("text"))
+    val base = docsSpread(s, dir).select(col("doc_id"), col("text")).persist()
     src.commitAppend(base)
     src.setTableProperty("graft.enableChangeDataFeed", "true")
     def refresh(): Unit = require(graft.ops.IncrementalMap.refresh(
       idx, src, Seq("doc_id"), lshSignatures).isDefined, "qd25 refresh must land")
     refresh() // bootstrap
-    src.delete(col("doc_id") % 5 === 3)
-    src.update(col("doc_id") % 7 === 0,
-      Map("text" -> concat(col("text"), lit(" zz7"))))
-    // new docs are copies of the ORIGINAL base (so an updated original
-    // and its copy become near- rather than exact dups)
-    src.commitAppend(base.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // the storm as ONE multi-clause merge — the forget-deletes, the
+    // text edits, and the new docs (copies of the ORIGINAL base, so an
+    // updated original and its copy become near- rather than exact
+    // dups) land in a single commit: same final state as the
+    // sequential ops (slices are disjoint — deletes win the %5∩%7
+    // overlap, exactly as delete-then-update would), one COW + one CDC
+    // sidecar instead of three
+    locally {
+      import graft.ecom.VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
+      val sf = (c: String) => col("s").getField(c)
+      val storm = base.filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id"), col("text"), lit("d").as("op"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 3)
+          .select(col("doc_id"), concat(col("text"), lit(" zz7")).as("text"),
+            lit("u").as("op")))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit("i").as("op")))
+      src.mergeClauses(storm, Seq("doc_id"),
+        matched = Seq(
+          MergeWhen(Some(sf("op") === "d"), MergeDelete),
+          MergeWhen(Some(sf("op") === "u"),
+            MergeUpdate(Map("text" -> sf("text"))))),
+        notMatched = Seq(MergeWhen(Some(sf("op") === "i"),
+          MergeInsert(Map("doc_id" -> sf("doc_id"), "text" -> sf("text"))))),
+        sourceKeyUnique = true) // disjoint residue slices + shifted ids
+    }
     refresh() // ONE pass over the delete+update+append window
+    base.unpersist(blocking = false)
     lshVerifiedPairs(idx.read().select("doc_id", "sh", "sig"))
   }
 

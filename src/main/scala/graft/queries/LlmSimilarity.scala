@@ -888,22 +888,46 @@ object LlmSimilarity {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qs11-").toString
     val src = graft.ecom.VersionedTable(s, s"$tmp/emb")
     val lists = graft.ecom.VersionedTable(s, s"$tmp/lists")
-    val base = emb(s, dir)
+    val base = emb(s, dir).persist()
     src.commitAppend(base)
     src.setTableProperty("graft.enableChangeDataFeed", "true")
-    // centroids freeze at build time, from the BOOTSTRAP corpus
-    val centroids = ivfCentroids(src.read())
+    // centroids freeze at build time, from the BOOTSTRAP corpus (==
+    // base: nothing has changed yet — the persisted frame saves the
+    // k-means passes re-reading the versioned snapshot)
+    val centroids = ivfCentroids(base)
     val assignT: DataFrame => DataFrame = d => d.select(col("vec_id"),
       col("embedding"), ivfBestCell(col("embedding"), centroids).as("cell"))
     def refresh(): Unit = require(graft.ops.IncrementalMap.refresh(
       lists, src, Seq("vec_id"), assignT).isDefined, "qs11 refresh must land")
     refresh() // bootstrap the inverted lists
-    src.delete(col("vec_id") % 9 === 5 && col("vec_id") >= 20)
-    src.update(col("vec_id") % 11 === 7 && col("vec_id") >= 20,
-      Map("embedding" -> transform(col("embedding"), x => -x)))
-    src.commitAppend(base.filter(col("vec_id") % 13 === 2)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    // the storm as ONE multi-clause merge: forget-deletes, embedding
+    // flips (cell reassignment), and exact-copy appends land in a
+    // single commit — same final state as the sequential ops (slices
+    // are disjoint; deletes win the %9∩%11 overlap exactly as
+    // delete-then-update would), one COW + one CDC sidecar, not three
+    locally {
+      import graft.ecom.VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
+      val sf = (c: String) => col("s").getField(c)
+      val storm = base.filter(col("vec_id") % 9 === 5 && col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding"), lit("d").as("op"))
+        .unionByName(base.filter(col("vec_id") % 11 === 7 && col("vec_id") >= 20 &&
+            col("vec_id") % 9 =!= 5)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"), lit("u").as("op")))
+        .unionByName(base.filter(col("vec_id") % 13 === 2)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+            lit("i").as("op")))
+      src.mergeClauses(storm, Seq("vec_id"),
+        matched = Seq(
+          MergeWhen(Some(sf("op") === "d"), MergeDelete),
+          MergeWhen(Some(sf("op") === "u"),
+            MergeUpdate(Map("embedding" -> sf("embedding"))))),
+        notMatched = Seq(MergeWhen(Some(sf("op") === "i"),
+          MergeInsert(Map("vec_id" -> sf("vec_id"), "embedding" -> sf("embedding"))))),
+        sourceKeyUnique = true) // disjoint residue slices + shifted ids
+    }
     refresh() // ONE pass over the delete+flip+append window
+    base.unpersist(blocking = false)
     val l = lists.read()
     val queries = l.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -98,4 +98,33 @@ object Sinks {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** CONTINUOUS materialized-view maintenance — the streaming face of
+    * [[graft.ops.IncrementalAgg]]/[[graft.ops.IncrementalMap]]: the
+    * silver table's change-data-feed STREAM is the change SIGNAL, and
+    * each micro-batch fires one `refresh` call. The refresh is
+    * self-windowing — it reads the feed window (last-applied marker,
+    * head] itself, exactly-once through the view's txn marker — so the
+    * trigger carries no payload: a replayed trigger after a crash, a
+    * trigger racing a manual/scheduled refresh, or a batch whose
+    * window a faster trigger already applied all collapse to marker
+    * no-ops (the batch frame passed to foreachBatch is deliberately
+    * unused, so its rows are never even computed). The view stays a
+    * versioned TABLE maintained in O(rows changed) per trigger — what
+    * Spark's own streaming aggregation over a CDF would force into
+    * complete-mode output, kept incremental instead.
+    */
+  def mvMaintain(spark: org.apache.spark.sql.SparkSession,
+      silver: graft.ecom.VersionedTable, checkpointDir: String)
+      (refresh: () => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(silver.tableDir)
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        refresh()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }
