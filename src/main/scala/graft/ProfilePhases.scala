@@ -42,22 +42,14 @@ object ProfilePhases {
         }
       }
     })
+    val name = SparkEntry.queries.keys.find(_.startsWith(which)).getOrElse(
+      sys.error(s"no query named $which*"))
     // warm
-    SparkEntry.queries(which match {
-      case "q42" => "q42_gold_ivm_product_metrics"
-      case "q43" => "q43_gold_ivm_customer_360"
-      case "qd25" => "qd25_maintained_sig_index"
-      case "qs11" => "qs11_maintained_ivf"
-    })(spark, sfDir).queryExecution.toRdd.count()
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     spark.catalog.clearCache()
     jobs = 0; jobMs = 0; bySite.clear()
     val t0 = System.nanoTime()
-    SparkEntry.queries(which match {
-      case "q42" => "q42_gold_ivm_product_metrics"
-      case "q43" => "q43_gold_ivm_customer_360"
-      case "qd25" => "qd25_maintained_sig_index"
-      case "qs11" => "qs11_maintained_ivf"
-    })(spark, sfDir).queryExecution.toRdd.count()
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"PHASES $which%s wall=$wall%.2fs jobs=$jobs sumJobWall=${jobMs / 1e3}%.2fs")
     import scala.jdk.CollectionConverters._

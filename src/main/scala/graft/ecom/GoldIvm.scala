@@ -239,6 +239,41 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
     (l1, l2)
   }
 
+  /** The session_metrics gold relation from the maintained level-1
+    * rollup — column-for-column [[Gold.sessionMetrics]]'s output
+    * (`03_gold_aggregate.py:163-209`), with the per-session aggregation
+    * replaced by the maintained table. `sessionsAttrs` must be unique
+    * per session_id (the [[IncrementalLakehouse]] maintains exactly
+    * that table).
+    */
+  def sessionMetrics(sessionsAttrs: DataFrame): DataFrame = {
+    val r = sessionRollupMv.read()
+    val attrs = sessionsAttrs.select(
+      col("session_id"), col("customer_id"),
+      col("session_start_ts").as("session_start_ts_sessions"),
+      col("device"), col("source"), col("country"))
+    val startTs =
+      coalesce(col("session_start_ts_events"), col("session_start_ts_sessions"))
+    // no broadcast hint, as Gold.sessionMetrics: sessions are fact-sized
+    r.join(attrs, Seq("session_id"), "left")
+      .select(
+        col("session_id"),
+        coalesce(col("customer_id"), lit("UNKNOWN")).as("customer_id"),
+        col("session_date"),
+        startTs.as("session_start_ts"),
+        col("session_end_ts"),
+        (col("session_end_ts").cast(LongType) - startTs.cast(LongType))
+          .as("session_duration_sec"),
+        col("total_events"),
+        coalesce(col("device"), lit("UNKNOWN")).as("device"),
+        coalesce(col("source"), lit("UNKNOWN")).as("source"),
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        col("session_revenue").cast(DoubleType).as("session_revenue"),
+        col("has_purchased").cast(IntegerType).as("has_purchased"))
+      .filter(col("session_duration_sec").isNotNull &&
+        col("session_duration_sec") >= 0)
+  }
+
   /** The customer_360 gold relation from the maintained level-2 rollup:
     * the reference's demographics left join, zero-fills, NULL-safe AOV,
     * as-of datediff and scd load stamp (`03_gold_aggregate.py:240-272`)

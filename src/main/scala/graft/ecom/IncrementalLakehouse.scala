@@ -1,0 +1,356 @@
+package graft.ecom
+
+import java.sql.Timestamp
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ecom.VersionedTable.{MergeInsert, MergeUpdate, MergeWhen}
+
+/** The medallion run INCREMENTALLY, end to end — what [[Lakehouse.runAll]]
+  * recomputes from scratch each run (the reference's notebook cadence,
+  * `README.md:26-33`), this advances in O(new/changed rows) per step:
+  *
+  *  - '''bronze → silver''': each wave of raw rows goes through the SAME
+  *    [[Silver]] transforms and lands via a LATEST-WINS merge keyed by
+  *    the table's PK — keep-latest dedup (`02_silver_transform.py:66-69`)
+  *    is an argmax, so merging each wave with a strict
+  *    `(_ingest_ts, tie)` struct comparison reproduces the full-corpus
+  *    `row_number` dedup exactly, independent of how history was split
+  *    into waves (struct ordering puts a null field lowest, matching
+  *    the dedup's `desc_nulls_last`). Sessions append — the reference
+  *    neither PK-filters nor dedups them.
+  *  - '''silver → gold''': [[GoldIvm]] refreshes the maintained
+  *    aggregates from the silvers' change feeds (product_metrics' three
+  *    aggregates concurrently; customer_360's two-level cascade);
+  *    product/customer dimensions join at compose-time, so dim changes
+  *    flow with zero maintenance work.
+  *
+  * Cross-table dependencies a full recompute refreshes for free are
+  * handled explicitly — the two honest costs of incrementality:
+  *
+  *  - '''order-date fallback repair''': order_items_clean derives
+  *    `order_date` from orders_clean with an ingest-date fallback
+  *    (`02_silver_transform.py:148-160`). An order arriving AFTER its
+  *    items (or re-delivered with a changed date) invalidates the
+  *    stored value, so the step repairs the items of this wave's
+  *    changed orders — repair rows FOLD INTO the wave's items merge
+  *    (one commit, one marker), and the repair window is the single
+  *    orders version this wave committed, which a replayed step
+  *    recomputes from the durable head (the orders merge no-ops, so
+  *    the head IS the wave's version) — crash-safe with no extra
+  *    cursor. Cost is bounded by the wave's changed order keys.
+  *  - '''stale-attribution guard''': customer_360 level 2 joins session
+  *    attrs inside its `prepare`, and [[GoldIvm]]'s contract makes that
+  *    dimension STATIC between refreshes. The step maintains a
+  *    unique-per-session attrs table (latest-wins; updates fire only on
+  *    genuine value changes) and REFUSES — naming [[rebootstrapGold]] —
+  *    when a wave changes or late-delivers attrs for a session already
+  *    in the level-1 rollup: its prior contribution was attributed
+  *    under the old attrs, and continuing silently would diverge from
+  *    recompute. In the reference's data shape (the session row is
+  *    created at visit start, events follow) the guard never fires.
+  *
+  * Exactly-once end to end: every silver merge carries a per-table txn
+  * marker keyed by the step's `waveId` (monotone), gold refreshes ride
+  * the IVM markers — a replayed step (crash between a commit and the
+  * caller's own checkpoint) re-applies as marker no-ops.
+  *
+  * At 100 TB this is the difference between re-aggregating the
+  * warehouse nightly and touching yesterday's rows: silver cost scales
+  * with the wave, gold cost with the changed groups, and the
+  * repair/guard scans are key-bounded semi-joins, never table scans.
+  */
+final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String) {
+
+  import IncrementalLakehouse._
+
+  private def vt(name: String): VersionedTable =
+    VersionedTable(spark, s"$warehouseDir/$name")
+
+  val eventsClean: VersionedTable = vt("events_clean")
+  val ordersClean: VersionedTable = vt("orders_clean")
+  val orderItemsClean: VersionedTable = vt("order_items_clean")
+  val productsClean: VersionedTable = vt("products_clean")
+  val reviewsClean: VersionedTable = vt("reviews_clean")
+  val customersClean: VersionedTable = vt("customers_clean")
+  val sessionsClean: VersionedTable = vt("sessions_clean")
+  /** Unique-per-session attrs (latest-wins over the sessions stream) —
+    * level-2's `prepare` dimension plus the guard's change detector.
+    */
+  val sessionAttrs: VersionedTable = vt("_session_attrs")
+
+  val gold: GoldIvm = GoldIvm(spark, warehouseDir)
+
+  private def app(t: VersionedTable): String = s"inc:${t.tableDir}"
+
+  /** CDC on, immediately after a table's first data commit (so every
+    * DML version the gold refresh will ever read is recorded); no-op
+    * when already enabled.
+    */
+  private def ensureCdc(t: VersionedTable): Unit =
+    if (!t.tableProperties().get(VersionedTable.CdcEnabledProp).contains("true")) {
+      t.setTableProperty(VersionedTable.CdcEnabledProp, "true")
+      ()
+    }
+
+  /** Latest-wins merge of one cleaned wave into a silver table: strict
+    * `(_ingest_ts, tie)` descending — exactly [[Silver]]'s dedup order.
+    * The wave is in-batch-reduced first (merge sources are key-unique);
+    * an empty wave commits nothing. `extraMatched` prepends clauses
+    * (the items repair). Exactly-once per (`inc:<table>`, waveId).
+    */
+  private def mergeLatestWins(dst: VersionedTable, wave: DataFrame,
+      keys: Seq[String], tie: String, waveId: Long,
+      extraMatched: Seq[MergeWhen] = Seq.empty): Option[Long] = {
+    if (dst.currentBatchId(app(dst)).exists(_ >= waveId)) return None
+    val reduced = graft.streaming.Sinks.latestWins(wave, keys,
+      struct(col("_ingest_ts"), col(tie)))
+    // the repair/marker columns steer clauses only — never stored
+    val markers = Set(RepairCol, RepairDateCol)
+    val stored = wave.columns.toSeq.filterNot(markers)
+    if (dst.currentVersion().isEmpty)
+      return dst.commitAppendBatch(
+        reduced.select(stored.map(col): _*), waveId, app(dst))
+    if (reduced.isEmpty) return None // nothing to apply; replay-safe
+    val s = (c: String) => col("s").getField(c)
+    val t = (c: String) => col("t").getField(c)
+    val newer = struct(s("_ingest_ts"), s(tie)) > struct(t("_ingest_ts"), t(tie))
+    val isRepair: Option[Column] =
+      if (wave.columns.contains(RepairCol)) Some(s(RepairCol)) else None
+    try Some(dst.mergeClauses(reduced, keys,
+      // repair rows must never fall through to the latest-wins update
+      // (their audit equals the target's, so `newer` is false anyway —
+      // the explicit guard keeps that invariant local, not incidental)
+      matched = extraMatched :+ MergeWhen(
+        Some(isRepair.fold(newer)(r => !r && newer)),
+        MergeUpdate(stored.filterNot(keys.contains).map(c => c -> s(c)).toMap)),
+      notMatched = Seq(MergeWhen(isRepair.map(r => !r),
+        MergeInsert(stored.map(c => c -> s(c)).toMap))),
+      txn = Some((app(dst), waveId)), sourceKeyUnique = true)) catch {
+      case _: VersionedTable.ReplayLandedException => None
+    }
+  }
+
+  /** One end-to-end incremental step: the wave's seven bronze frames →
+    * silver merges → cross-table repair/guard → gold refreshes.
+    * `waveId` must be strictly increasing across steps; a replayed step
+    * is a no-op. Returns the gold relations (compose-at-read over the
+    * maintained aggregates).
+    */
+  def step(bronze: Map[String, DataFrame], waveId: Long, asOf: LocalDate,
+      loadTs: Timestamp): Map[String, DataFrame] = {
+
+    // independent tables merge CONCURRENTLY (futures over the shared
+    // scheduler — the q42 maintenance-fleet shape, hiding each other's
+    // driver-side commit latency); the one real dependency chain stays
+    // ordered inside its own task: orders BEFORE items, because the
+    // wave's items derive their date fallback from the post-merge
+    // orders table (and the repair covers earlier waves' items whose
+    // order changed in THIS wave)
+    par(
+      () => mergeLatestWins(customersClean,
+        Silver.customers(bronze("customers")),
+        Seq("customer_id"), "email", waveId): Unit,
+      () => mergeLatestWins(eventsClean,
+        Silver.eventsProjected(bronze("events")),
+        Seq("event_id"), "event_ts", waveId): Unit,
+      () => mergeLatestWins(productsClean, Silver.products(bronze("products")),
+        Seq("product_id"), "product_name", waveId): Unit,
+      () => mergeLatestWins(reviewsClean, Silver.reviews(bronze("reviews")),
+        Seq("review_id"), "review_ts", waveId): Unit,
+      () => {
+        mergeLatestWins(ordersClean, Silver.orders(bronze("orders")),
+          Seq("order_id"), "order_ts", waveId)
+        ensureCdc(ordersClean) // before any wave-2 DML lands on it
+        val itemsWave =
+          Silver.orderItems(bronze("order_items"), ordersClean.read())
+            // null product_id rows survive silver (the reference keeps
+            // them, `02_silver_transform.py:157-158`); merge keys cannot
+            // be null, so the PK rides a sentinel twin column
+            .withColumn(ItemPkCol, coalesce(col("product_id"), lit(NullPk)))
+            .withColumn(RepairCol, lit(false))
+        mergeItemsWithRepair(itemsWave, waveId)
+      },
+      () => // sessions: append-only, as the reference (no PK filter/dedup)
+        if (sessionsClean.currentBatchId(app(sessionsClean)).forall(_ < waveId)) {
+          sessionsClean.commitAppendBatch(Silver.sessions(bronze("sessions")),
+            waveId, app(sessionsClean))
+          ()
+        })
+    maintainSessionAttrs(waveId)
+    Seq(eventsClean, orderItemsClean, reviewsClean).foreach(ensureCdc)
+
+    // gold: the maintained aggregates advance over the silvers'
+    // accumulated feed windows (self-windowing, exactly-once); the two
+    // families maintain disjoint MV tables, so they run concurrently
+    par(
+      () => gold.refreshProductMetrics(eventsClean, orderItemsClean,
+        reviewsClean): Unit,
+      () => gold.refreshCustomer360(eventsClean, sessionAttrs.read()): Unit)
+
+    goldRelations(asOf, loadTs)
+  }
+
+  private def par(fs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+    ()
+  }
+
+  /** The four gold relations, composed at read over the maintained
+    * aggregates — column-for-column [[Gold]]'s outputs.
+    */
+  def goldRelations(asOf: LocalDate, loadTs: Timestamp): Map[String, DataFrame] = {
+    val pm = gold.productMetrics(productsClean.read())
+    Map(
+      "product_metrics" -> pm,
+      "product_funnel" -> Gold.productFunnel(pm),
+      "session_metrics" -> gold.sessionMetrics(sessionAttrs.read()),
+      "customer_360" -> gold.customer360(customersClean.read(), asOf, loadTs))
+  }
+
+  /** The wave's items merge with the order-date repair folded in: the
+    * repair source rows are the EXISTING items of orders changed by
+    * this wave's single orders version (minus the wave's own keys —
+    * those already carry the fresh date), marked `_graft_repair`; a
+    * matched repair row only re-derives order_date, an unmatched one
+    * (item deleted meanwhile) drops. One commit, one marker: a replayed
+    * step recomputes the same repair window because the orders merge
+    * no-ops and the head stays the wave's version.
+    */
+  private def mergeItemsWithRepair(itemsWave: DataFrame, waveId: Long): Unit =
+    repairRows(itemsWave) match {
+      case None =>
+        mergeLatestWins(orderItemsClean, itemsWave,
+          Seq("order_id", ItemPkCol), "line_total_usd", waveId): Unit
+      case Some(rows) => // fold the repair rows into the wave merge
+        val s = (c: String) => col("s").getField(c)
+        val t = (c: String) => col("t").getField(c)
+        val desired = coalesce(s(RepairDateCol), to_date(t("_ingest_ts")))
+        val unified = itemsWave.withColumn(RepairDateCol,
+            lit(null).cast(rows.schema(RepairDateCol).dataType))
+          .unionByName(rows)
+        mergeLatestWins(orderItemsClean, unified,
+          Seq("order_id", ItemPkCol), "line_total_usd", waveId,
+          extraMatched = Seq(MergeWhen(
+            Some(s(RepairCol) && !(desired <=> t("order_date"))),
+            MergeUpdate(Map("order_date" -> desired))))): Unit
+    }
+
+  /** Existing items of the orders changed by this wave (none on the
+    * bootstrap wave, on a replay of a no-op orders wave, or when no
+    * earlier items reference the changed orders).
+    */
+  private def repairRows(itemsWave: DataFrame): Option[DataFrame] = {
+    val head = ordersClean.currentVersion().getOrElse(return None)
+    if (orderItemsClean.currentVersion().isEmpty) return None
+    if (!ordersClean.tableProperties()
+        .get(VersionedTable.CdcEnabledProp).contains("true")) return None
+    // the wave's single orders version: insert/update_postimage rows
+    val changed = ordersClean.changeFeed(head, head)
+      .filter(col(VersionedTable.CdcTypeCol).isin("insert", "update_postimage"))
+      .select(col("order_id"), col("order_date").as(RepairDateCol))
+      .dropDuplicates("order_id")
+    val existing = orderItemsClean.read()
+      .join(broadcast(changed), Seq("order_id"), "inner")
+      .join(itemsWave.select("order_id", ItemPkCol),
+        Seq("order_id", ItemPkCol), "left_anti")
+      .withColumn(RepairCol, lit(true))
+      .select(itemsWave.columns.filterNot(_ == RepairDateCol).map(col)
+        :+ col(RepairDateCol): _*)
+    if (existing.isEmpty) None else Some(existing)
+  }
+
+  /** Maintain the unique-per-session attrs table (latest-wins; updates
+    * only on genuine value changes, so re-delivered identical rows are
+    * no-ops). The static-dimension GUARD runs BEFORE the merge, by
+    * value-joining the wave's reduced attrs against the CURRENT table:
+    * at that point the level-1 rollup reflects refreshes through the
+    * previous wave only — exactly the sessions whose attribution is
+    * already materialized — and a REPLAYED wave re-detects nothing
+    * (its values already landed, so the diff is empty), while a wave
+    * that was REFUSED left the attrs unmerged and re-detects the same
+    * conflict. Refusal precedes every mutation of the attrs table, so
+    * the guard and the merge cannot be split by a crash.
+    */
+  private def maintainSessionAttrs(waveId: Long): Unit = {
+    val a = app(sessionAttrs)
+    if (sessionAttrs.currentBatchId(a).exists(_ >= waveId)) return
+    val attrCols = Seq("customer_id", "session_start_ts", "device",
+      "source", "country")
+    // attrs derive from the full accumulated stream — idempotent; only
+    // genuine value changes survive the diff below
+    val reduced = graft.streaming.Sinks.latestWins(
+      sessionsClean.read().filter(col("session_id").isNotNull)
+        .select((("session_id" +: attrCols) :+ "_ingest_ts").map(col): _*),
+      Seq("session_id"), struct(col("_ingest_ts"), col("session_start_ts")))
+      .drop("_ingest_ts")
+    if (sessionAttrs.currentVersion().isEmpty) {
+      sessionAttrs.commitAppendBatch(reduced, waveId, a)
+      return // bootstrap wave: gold rollup cannot predate the attrs
+    }
+    // the guard: sessions whose attrs this wave changes (or first
+    // delivers — the left join's all-null old row diffs too) that are
+    // already aggregated into the rollup
+    if (gold.sessionRollupMv.currentVersion().isDefined) {
+      val old = sessionAttrs.read().select(col("session_id") +:
+        attrCols.map(c => col(c).as(s"_old_$c")): _*)
+      val changed = reduced.join(old, Seq("session_id"), "left")
+        .filter(attrCols.map(c => !(col(c) <=> col(s"_old_$c"))).reduce(_ || _))
+        .select(col("session_id"))
+      val stale = changed
+        .join(gold.sessionRollupMv.read().select(col("session_id")),
+          Seq("session_id"), "left_semi")
+        .limit(1).count() > 0
+      require(!stale,
+        "this wave changed (or late-delivered) session attrs for sessions " +
+          "already aggregated into customer_360's rollup — their prior " +
+          "contribution is attributed under the old attrs. Incremental " +
+          "maintenance treats the attrs dimension as static (GoldIvm's " +
+          "contract); call rebootstrapGold() to rebuild the gold " +
+          "aggregates against the current dimensions")
+    }
+    val s = (c: String) => col("s").getField(c)
+    val t = (c: String) => col("t").getField(c)
+    val valueChanged = attrCols.map(c => !(s(c) <=> t(c))).reduce(_ || _)
+    try sessionAttrs.mergeClauses(reduced, Seq("session_id"),
+      matched = Seq(MergeWhen(Some(valueChanged),
+        MergeUpdate(attrCols.map(c => c -> s(c)).toMap))),
+      notMatched = Seq(MergeWhen(None,
+        MergeInsert(("session_id" +: attrCols).map(c => c -> s(c)).toMap))),
+      txn = Some((a, waveId)), sourceKeyUnique = true): Unit
+    catch { case _: VersionedTable.ReplayLandedException => () }
+  }
+
+  /** Drop and re-bootstrap the gold aggregates — the dimension-changed
+    * escape hatch. Silver state is untouched; the next [[step]] (or a
+    * direct refresh) rebuilds from the silvers' full snapshots.
+    */
+  def rebootstrapGold(): Unit =
+    Seq(gold.eventMetricsMv, gold.orderMetricsMv, gold.reviewMetricsMv,
+      gold.sessionRollupMv, gold.customerRollupMv).foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t.tableDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+}
+
+object IncrementalLakehouse {
+  /** Sentinel PK twin for order_items' nullable product_id (the
+    * reference KEEPS null-product rows; merge keys cannot be null, and
+    * SQL grouping treats null as one key). Gold prepare/compose paths
+    * never read it; readers wanting the reference schema drop it.
+    */
+  val ItemPkCol: String = "_graft_pk_product"
+  val NullPk: String = " "
+  /** Marker column distinguishing repair rows inside the items wave
+    * merge source.
+    */
+  val RepairCol: String = "_graft_repair"
+  /** The repaired order's current order_date (null → ingest fallback). */
+  val RepairDateCol: String = "_graft_repair_date"
+}

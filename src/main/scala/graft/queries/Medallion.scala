@@ -340,5 +340,42 @@ object Medallion {
     out
   }
 
-  val all: Seq[Q] = Seq(q35, q41)
+  /** The medallion run INCREMENTALLY — [[graft.ecom.IncrementalLakehouse]]
+    * fed the same raw stream as TWO date-split waves: silvers advance by
+    * latest-wins merges, gold by [[graft.ecom.GoldIvm]] refreshes, and
+    * the final gold content must be bit-identical to the batch runs —
+    * the SAME oracle as q35 (parquet batch) and q41 (versioned batch),
+    * so the three execution strategies are pinned to one hash.
+    * Sessions are delivered on first sight of their user (the
+    * reference's shape: the session row precedes its events), so the
+    * stale-attribution guard stays quiet; everything else splits
+    * naturally because events are disjoint across waves.
+    */
+  val q44 = Q("q44_medallion_incremental", medallionOracle) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-medallion-inc-").toString
+    val raw = rawEvents(s, dir).persist()
+    val inFirst = to_date(col("ts")) <= lit("2024-01-15").cast(DateType)
+    val waves = Seq(
+      raw.filter(coalesce(inFirst, lit(false))),
+      raw.filter(coalesce(!inFirst, lit(true))))
+    val inc = graft.ecom.IncrementalLakehouse(s, wh)
+    var gold: Map[String, DataFrame] = Map.empty
+    var seen: Option[DataFrame] = None
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val b0 = bronzeSources(w)
+      // sessions deliver once, on the wave of their user's FIRST event
+      // (ascending waves -> that wave already holds the global min ts)
+      val b = seen.fold(b0)(sc => b0.updated("sessions",
+        b0("sessions").join(sc, Seq("session_id"), "left_anti")))
+      gold = inc.step(b, i + 1L, AsOf, LoadTs)
+      val users = w.select(col("user_id").cast(StringType).as("session_id"))
+        .distinct()
+      seen = Some(seen.fold(users)(_.unionByName(users).distinct()))
+    }
+    val out = fingerprints(s, gold)
+    raw.unpersist(blocking = false)
+    out
+  }
+
+  val all: Seq[Q] = Seq(q35, q41, q44)
 }

@@ -1,0 +1,196 @@
+package graft.ecom
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, StringType}
+
+import graft.SparkSuite
+import graft.queries.Medallion
+
+/** The incremental medallion vs the batch one: silvers maintained by
+  * latest-wins merges must equal `Silver.transformAll` over the
+  * accumulated bronze, gold maintained by GoldIvm must equal `Gold.*`
+  * over those silvers — wave-split-independent, replay-safe, with the
+  * two cross-table seams (order-date repair, stale-attr guard)
+  * exercised explicitly.
+  */
+class IncrementalLakehouseSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val AsOf = LocalDate.parse("2025-01-01")
+  private val LoadTs = Timestamp.valueOf("2025-01-01 00:00:00")
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft-inc-lh").toString
+
+  /** Toy raw stream (Medallion adapter shape): users 1-6, two waves by
+    * date; user 6 appears only in wave 2.
+    */
+  private def rawWaves: Seq[DataFrame] = {
+    def ts(d: String) = Timestamp.valueOf(d)
+    val rows = Seq(
+      // (event_id, user_id, ts, value, product_id, event_type) — wave 1
+      (1L, 1L, ts("2024-01-02 10:00:00"), 5.0, "101", "page_view"),
+      (2L, 1L, ts("2024-01-02 10:05:00"), 7.5, "101", "purchase"),
+      (3L, 2L, ts("2024-01-03 09:00:00"), 3.0, "102", "page_view"),
+      (4L, 2L, ts("2024-01-03 09:30:00"), 9.0, "103", "signup"),
+      (5L, 3L, ts("2024-01-04 12:00:00"), 4.0, null, "purchase"),
+      (6L, 4L, ts("2024-01-05 08:00:00"), 2.0, "104", "add_to_cart"),
+      // wave 2 (later dates; user 6 new)
+      (7L, 1L, ts("2024-02-02 11:00:00"), 6.0, "101", "purchase"),
+      (8L, 4L, ts("2024-02-03 13:00:00"), 8.0, "104", "purchase"),
+      (9L, 6L, ts("2024-02-04 14:00:00"), 1.5, "105", "page_view"),
+      (10L, 6L, ts("2024-02-04 14:30:00"), 2.5, "105", "purchase"),
+      (11L, 2L, ts("2024-02-05 15:00:00"), 3.5, "102", "signup"))
+      .toDF("event_id", "user_id", "ts", "value", "product_id", "event_type")
+    val cut = to_date(col("ts")) <= lit("2024-01-31").cast(DateType)
+    Seq(rows.filter(cut), rows.filter(!cut))
+  }
+
+  private def stepWaves(inc: IncrementalLakehouse,
+      waves: Seq[DataFrame]): Map[String, DataFrame] = {
+    var gold: Map[String, DataFrame] = Map.empty
+    var seen: Option[DataFrame] = None
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val b0 = Medallion.bronzeSources(w)
+      val b = seen.fold(b0)(sc => b0.updated("sessions",
+        b0("sessions").join(sc, Seq("session_id"), "left_anti")))
+      gold = inc.step(b, i + 1L, AsOf, LoadTs)
+      val users = w.select(col("user_id").cast(StringType).as("session_id"))
+        .distinct()
+      seen = Some(seen.fold(users)(_.unionByName(users).distinct()))
+    }
+    gold
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("silvers and gold equal the batch recompute after two waves; replay is a no-op") {
+    val wh = fresh()
+    val inc = IncrementalLakehouse(spark, wh)
+    val waves = rawWaves
+    val gold = stepWaves(inc, waves)
+
+    // batch twin over the accumulated bronze (sessions delivered once)
+    val cumulative = waves.reduce(_ unionByName _)
+    val silverBatch = Silver.transformAll(Medallion.bronzeSources(cumulative))
+
+    for ((name, t) <- Seq(
+        "customers_clean" -> inc.customersClean,
+        "events_clean" -> inc.eventsClean,
+        "orders_clean" -> inc.ordersClean,
+        "products_clean" -> inc.productsClean,
+        "reviews_clean" -> inc.reviewsClean,
+        "sessions_clean" -> inc.sessionsClean)) {
+      assert(rows(t.read().drop(IncrementalLakehouse.ItemPkCol)) ==
+        rows(silverBatch(name)), s"silver $name diverged from batch")
+    }
+    assert(rows(inc.orderItemsClean.read()
+        .drop(IncrementalLakehouse.ItemPkCol)) ==
+      rows(silverBatch("order_items_clean")),
+      "order_items_clean diverged from batch")
+
+    // gold: maintained == Gold.* over the batch silvers
+    val pmB = Gold.productMetrics(silverBatch("events_clean"),
+      silverBatch("order_items_clean"), silverBatch("products_clean"),
+      silverBatch("reviews_clean"))
+    assert(rows(gold("product_metrics")) == rows(pmB))
+    assert(rows(gold("product_funnel")) == rows(Gold.productFunnel(pmB)))
+    val smB = Gold.sessionMetrics(silverBatch("events_clean"),
+      silverBatch("sessions_clean"))
+    assert(rows(gold("session_metrics")) == rows(smB))
+    assert(rows(gold("customer_360")) ==
+      rows(Gold.customer360(silverBatch("customers_clean"), smB, AsOf, LoadTs)))
+
+    // replay of the last wave: every commit is a marker no-op
+    val versionsBefore = inc.eventsClean.currentVersion()
+    val goldBefore = inc.gold.customerRollupMv.currentVersion()
+    val b2 = Medallion.bronzeSources(waves(1)).updated("sessions",
+      Medallion.bronzeSources(waves(1))("sessions")
+        .join(waves(0).select(col("user_id").cast(StringType).as("session_id"))
+          .distinct(), Seq("session_id"), "left_anti"))
+    inc.step(b2, 2L, AsOf, LoadTs)
+    assert(inc.eventsClean.currentVersion() == versionsBefore,
+      "replayed wave must not land a new events version")
+    assert(inc.gold.customerRollupMv.currentVersion() == goldBefore,
+      "replayed wave must not land a new gold version")
+  }
+
+  test("a late-arriving order repairs its items' fallback date") {
+    val wh = fresh()
+    val inc = IncrementalLakehouse(spark, wh)
+    val stamp1 = Timestamp.valueOf("2024-03-01 00:00:00")
+    val stamp2 = Timestamp.valueOf("2024-03-02 00:00:00")
+
+    def bronzeWith(orders: DataFrame, items: DataFrame,
+        stamp: Timestamp): Map[String, DataFrame] = {
+      val empty = Medallion.bronzeSources(
+        Seq.empty[(Long, Long, Timestamp, Double, String, String)]
+          .toDF("event_id", "user_id", "ts", "value", "product_id", "event_type"))
+      empty ++ Map(
+        "orders" -> Bronze.stampAt(orders, "orders.late", stamp),
+        "order_items" -> Bronze.stampAt(items, "items.late", stamp))
+    }
+    val itemsW1 = Seq(("500", "101", 5.0, 1, 5.0))
+      .toDF("order_id", "product_id", "unit_price_usd", "quantity", "line_total_usd")
+    val noOrders = Seq.empty[(String, String, Timestamp, String, Double, Double, Double, String, String, String)]
+      .toDF("order_id", "customer_id", "order_time", "payment_method",
+        "discount_pct", "subtotal_usd", "total_usd", "country", "device", "source")
+    inc.step(bronzeWith(noOrders, itemsW1, stamp1), 1L, AsOf, LoadTs)
+    // no order yet: the ingest-date fallback
+    assert(inc.orderItemsClean.read().select("order_date")
+      .as[java.sql.Date].collect().toSeq ==
+      Seq(java.sql.Date.valueOf("2024-03-01")))
+
+    // wave 2: the order arrives with a real date — the repair must
+    // rewrite the already-landed item
+    val ordersW2 = Seq(("500", "9", Timestamp.valueOf("2024-01-20 10:00:00"),
+      "card", 0.0, 5.0, 5.0, "US", "web", "ads"))
+      .toDF("order_id", "customer_id", "order_time", "payment_method",
+        "discount_pct", "subtotal_usd", "total_usd", "country", "device", "source")
+    val noItems = Seq.empty[(String, String, Double, Int, Double)]
+      .toDF("order_id", "product_id", "unit_price_usd", "quantity", "line_total_usd")
+    inc.step(bronzeWith(ordersW2, noItems, stamp2), 2L, AsOf, LoadTs)
+    assert(inc.orderItemsClean.read().select("order_date")
+      .as[java.sql.Date].collect().toSeq ==
+      Seq(java.sql.Date.valueOf("2024-01-20")),
+      "the late order's date must repair the stored fallback")
+  }
+
+  test("changed attrs for a rolled-up session refuse; rebootstrapGold recovers") {
+    val wh = fresh()
+    val inc = IncrementalLakehouse(spark, wh)
+    val waves = rawWaves
+    stepWaves(inc, waves)
+
+    // wave 3 re-delivers user 2's session with a DIFFERENT start — its
+    // events are already aggregated under the old attrs
+    val b3 = Medallion.bronzeSources(waves(1).limit(0)).updated("sessions",
+      Bronze.stampAt(Seq(("2", "2", Timestamp.valueOf("2023-12-01 00:00:00"),
+        "web", "ads", "US"))
+        .toDF("session_id", "customer_id", "start_time", "device", "source",
+          "country"), "sessions.changed", Timestamp.valueOf("2024-04-01 00:00:00")))
+    val e = intercept[IllegalArgumentException](inc.step(b3, 3L, AsOf, LoadTs))
+    assert(e.getMessage.contains("rebootstrapGold"),
+      s"the guard must name the escape hatch: ${e.getMessage}")
+
+    // the escape hatch: rebuild gold against the current dimensions;
+    // replaying the wave is now clean and gold equals the recompute
+    inc.rebootstrapGold()
+    val gold = inc.step(b3, 3L, AsOf, LoadTs)
+    val silverBatch = Map(
+      "events_clean" -> inc.eventsClean.read(),
+      "sessions_clean" -> inc.sessionsClean.read(),
+      "customers_clean" -> inc.customersClean.read())
+    val smB = Gold.sessionMetrics(silverBatch("events_clean"),
+      inc.sessionAttrs.read())
+    assert(rows(gold("customer_360")) ==
+      rows(Gold.customer360(silverBatch("customers_clean"), smB, AsOf, LoadTs)),
+      "post-rebootstrap gold must equal the recompute over current dims")
+  }
+}
