@@ -515,6 +515,81 @@ final case class VersionedTable(
       }
     }
 
+  /** Candidate files for a MERGE — Delta's merge-condition file
+    * skipping, derived from the SOURCE itself instead of a user
+    * predicate. Two prunes compose, each conservative by default:
+    *
+    *  - '''key-range stats''': for every merge key that is integral/
+    *    date/timestamp, one tiny aggregation computes the source's
+    *    [min, max] (encoded exactly as the manifest stats are); files
+    *    whose committed range for that key cannot overlap drop out — a
+    *    file disjoint in ANY key column cannot hold a row whose EVERY
+    *    key equals some source row's.
+    *  - '''key-set blooms''': when the source's distinct non-null keys
+    *    for a bloom-indexed key column number at most
+    *    [[VersionedTable.MergeProbeCap]], each candidate file's bloom
+    *    is probed with every key's hash pair (the build side's exact
+    *    hash codepath); a file whose bloom rejects all of them cannot
+    *    match — the string-PK upsert's skipping path, where min/max
+    *    never prunes.
+    *
+    * Files without the metadata stay candidates (including
+    * sidecar-spilled tables, whose in-manifest maps are empty — their
+    * read-side pruning is the distributed [[graft.sql.StatsPrune]]
+    * path; the merge prune is deliberately driver-local and O(files)).
+    * Null source keys match nothing and never constrain. Zero cost
+    * when no key column is indexed.
+    */
+  private def mergeCandidates(m: Manifest, keys: Seq[String], src: DataFrame): Seq[String] = {
+    var cand = m.files
+    if (cand.isEmpty) return cand
+    val integral: Set[Any] = Set(LongType, IntegerType, ShortType, ByteType)
+    def statLong(k: String, t: org.apache.spark.sql.types.DataType): Column =
+      (t match {
+        case DateType => unix_date(col(k).cast(DateType))
+        case TimestampType => unix_micros(col(k).cast(TimestampType))
+        case _ => col(k)
+      }).cast(LongType)
+    val statKeys = keys.flatMap(k => m.schema.fields.find(_.name == k)).filter(f =>
+      (integral.contains(f.dataType) || f.dataType == DateType ||
+        f.dataType == TimestampType) && m.stats.exists(_._2.contains(f.name)))
+    if (statKeys.nonEmpty) {
+      val aggs = statKeys.flatMap(f => Seq(
+        min(statLong(f.name, f.dataType)), max(statLong(f.name, f.dataType))))
+      val row = src.agg(aggs.head, aggs.tail: _*).head()
+      statKeys.zipWithIndex.foreach { case (f, i) =>
+        if (!row.isNullAt(2 * i)) {
+          val (lo, hi) = (row.getLong(2 * i), row.getLong(2 * i + 1))
+          cand = cand.filter { file =>
+            m.stats.get(file).flatMap(_.get(f.name)) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None => true
+            }
+          }
+        }
+      }
+    }
+    keys.filter(k => m.blooms.exists(_._2.contains(k))).foreach { k =>
+      if (cand.nonEmpty) {
+        val t = m.schema.fields.find(_.name == k).get.dataType
+        val (h1c, h2c) = graft.util.BloomSketch.hashCols(col(k).cast(t))
+        val hashes = src.filter(col(k).isNotNull)
+          .select(h1c.as("h1"), h2c.as("h2")).distinct()
+          .limit(VersionedTable.MergeProbeCap + 1).collect()
+        if (hashes.nonEmpty && hashes.length <= VersionedTable.MergeProbeCap)
+          cand = cand.filter { file =>
+            m.blooms.get(file).flatMap(_.get(k)) match {
+              case Some((kk, bits)) => hashes.exists(r =>
+                graft.util.BloomSketch.mightContain(bits, kk,
+                  r.getLong(0), r.getLong(1)))
+              case None => true
+            }
+          }
+      }
+    }
+    cand
+  }
+
   private def deleteFrom(base: Long, m: Manifest, candidates: Seq[String],
       predicate: Column): Long = {
     val touched = touchedFiles(m, candidates, coalesce(predicate, lit(false)))
@@ -697,7 +772,11 @@ final case class VersionedTable(
         s"merge source column ${f.name} is ${st.simpleString} but the table " +
           s"declares ${f.dataType.simpleString} — cast the source explicitly")
     }
-    val src = source.select(m.schema.map(f => col(f.name)): _*)
+    // materialized once, as [[mergeClauses]]: the dup check, candidate
+    // pruning, touched-file discovery, rewrite and CDC passes would
+    // otherwise each re-execute the source lineage
+    val src = source.select(m.schema.map(f => col(f.name)): _*).persist()
+    try {
     // key-uniqueness: one aggregation over the source (cheap next to the
     // rewrite), because a dup key would non-deterministically pick a
     // winner. NULL-keyed rows are exempt — they never match any table
@@ -705,11 +784,12 @@ final case class VersionedTable(
     val dups = src.filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     require(dups == 0, s"merge source has duplicate keys on (${keys.mkString(", ")})")
-    // touched files = files holding at least one matched key; the
-    // semi-join shuffles on the keys (or broadcasts a small source —
-    // AQE's call), and only distinct FILE NAMES reach the driver
+    // touched files = files holding at least one matched key, discovered
+    // over the stats/bloom-pruned candidates; the semi-join shuffles on
+    // the keys (or broadcasts a small source — AQE's call), and only
+    // distinct FILE NAMES reach the driver
     val fileC = freshFileCol(m)
-    val touched = snapshot(m, m.files, Some(fileC))
+    val touched = snapshot(m, mergeCandidates(m, keys, src), Some(fileC))
       .join(src.select(keys.map(col): _*), keys, "left_semi")
       .select(fileC).distinct().collect().map(_.getString(0)).toSeq.sorted
     checkKnown(m, touched)
@@ -741,6 +821,7 @@ final case class VersionedTable(
       }
     publishCow("merge", base, m, touched.toSet, rewritten, txn = txn,
       cdcFiles = cdcFiles)
+    } finally src.unpersist(blocking = false)
   }
 
   /** Exactly-once streaming upsert commit (the merge twin of
@@ -837,21 +918,29 @@ final case class VersionedTable(
       require(dups == 0, s"merge source has duplicate keys on (${keys.mkString(", ")})")
     }
 
+    // files that can hold a matched key at all (stats/bloom skipping
+    // from the source's own key range/set); NOT MATCHED BY SOURCE is a
+    // whole-target pass by definition
+    val cand: Seq[String] =
+      if (notMatchedBySource.nonEmpty) m.files
+      else mergeCandidates(m, keys, src)
     val touched: Seq[String] =
       if (notMatchedBySource.nonEmpty) m.files
       else if (matched.isEmpty) Seq.empty
       else {
         val fileC = freshFileCol(m)
-        val got = snapshot(m, m.files, Some(fileC))
+        val got = snapshot(m, cand, Some(fileC))
           .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(col(fileC)).distinct().collect().map(_.getString(0)).toSeq.sorted
         checkKnown(m, got)
         got
       }
     // rows the rewrite may emit (touched files) vs rows present ONLY to
-    // classify source rows (insert-only: whole table, read-only)
+    // classify source rows (insert-only: read-only, and bounded by the
+    // same candidates — a source row matching a row in a non-candidate
+    // file is impossible by the pruning's soundness argument)
     val rewriteFiles = if (notMatchedBySource.nonEmpty || matched.nonEmpty) touched else Seq.empty
-    val classifyFiles = if (rewriteFiles.nonEmpty) rewriteFiles else m.files
+    val classifyFiles = if (rewriteFiles.nonEmpty) rewriteFiles else cand
 
     val avoid = m.schema.fieldNames.toSeq ++ source.columns ++ m.colmap.values
     val kCols = keys.map(k => k -> graft.util.Names.fresh(s"_graft_mk_$k", avoid)).toMap
@@ -3002,6 +3091,13 @@ object VersionedTable {
   val DataPreservingOps: Set[String] = Set("optimize", "purge")
 
   val CdcEnabledProp: String = "graft.enableChangeDataFeed"
+
+  /** Max distinct source keys for [[mergeCandidates]]' bloom probe —
+    * bounds the driver's hash-pair collect (~16 B/key) and the
+    * per-candidate-file probe loop; larger sources skip the bloom
+    * prune (the stats-range prune still applies).
+    */
+  val MergeProbeCap: Int = 1024
 
   /** The change-feed output columns Delta reserves, in output order. */
   val CdcTypeCol: String = "_change_type"
