@@ -938,9 +938,17 @@ final case class VersionedTable(
     // rows the rewrite may emit (touched files) vs rows present ONLY to
     // classify source rows (insert-only: read-only, and bounded by the
     // same candidates — a source row matching a row in a non-candidate
-    // file is impossible by the pruning's soundness argument)
+    // file is impossible by the pruning's soundness argument). When
+    // matched clauses exist and the discovery found NO touched file,
+    // classification is already decided: no source key matches any
+    // table row (a match would have made its file touched), so every
+    // source row is not-matched and the classify scan drops entirely —
+    // the append-mostly latest-wins wave costs ONE table pass, not two.
     val rewriteFiles = if (notMatchedBySource.nonEmpty || matched.nonEmpty) touched else Seq.empty
-    val classifyFiles = if (rewriteFiles.nonEmpty) rewriteFiles else cand
+    val classifyFiles =
+      if (rewriteFiles.nonEmpty) rewriteFiles
+      else if (matched.nonEmpty) Seq.empty
+      else cand
 
     val avoid = m.schema.fieldNames.toSeq ++ source.columns ++ m.colmap.values
     val kCols = keys.map(k => k -> graft.util.Names.fresh(s"_graft_mk_$k", avoid)).toMap
