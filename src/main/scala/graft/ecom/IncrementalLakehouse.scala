@@ -179,7 +179,7 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
             waveId, app(sessionsClean))
           ()
         })
-    maintainSessionAttrs(waveId)
+    maintainSessionAttrs(waveId, Silver.sessions(bronze("sessions")))
     Seq(eventsClean, orderItemsClean, reviewsClean).foreach(ensureCdc)
 
     // gold: the maintained aggregates advance over the silvers'
@@ -223,7 +223,7 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     * no-ops and the head stays the wave's version.
     */
   private def mergeItemsWithRepair(itemsWave: DataFrame, waveId: Long): Unit =
-    repairRows(itemsWave) match {
+    repairRows(itemsWave, waveId) match {
       case None =>
         mergeLatestWins(orderItemsClean, itemsWave,
           Seq("order_id", ItemPkCol), "line_total_usd", waveId): Unit
@@ -245,8 +245,12 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     * bootstrap wave, on a replay of a no-op orders wave, or when no
     * earlier items reference the changed orders).
     */
-  private def repairRows(itemsWave: DataFrame): Option[DataFrame] = {
+  private def repairRows(itemsWave: DataFrame, waveId: Long): Option[DataFrame] = {
     val head = ordersClean.currentVersion().getOrElse(return None)
+    // only when THIS wave actually landed an orders version — an empty
+    // orders wave leaves the head at an older wave whose repairs
+    // already ran (reprocessing them would be a no-op-value rewrite)
+    if (!ordersClean.currentBatchId(app(ordersClean)).contains(waveId)) return None
     if (orderItemsClean.currentVersion().isEmpty) return None
     if (!ordersClean.tableProperties()
         .get(VersionedTable.CdcEnabledProp).contains("true")) return None
@@ -265,42 +269,53 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     if (existing.isEmpty) None else Some(existing)
   }
 
-  /** Maintain the unique-per-session attrs table (latest-wins; updates
-    * only on genuine value changes, so re-delivered identical rows are
-    * no-ops). The static-dimension GUARD runs BEFORE the merge, by
-    * value-joining the wave's reduced attrs against the CURRENT table:
-    * at that point the level-1 rollup reflects refreshes through the
-    * previous wave only — exactly the sessions whose attribution is
-    * already materialized — and a REPLAYED wave re-detects nothing
-    * (its values already landed, so the diff is empty), while a wave
-    * that was REFUSED left the attrs unmerged and re-detects the same
-    * conflict. Refusal precedes every mutation of the attrs table, so
-    * the guard and the merge cannot be split by a crash.
+  /** Maintain the unique-per-session attrs table from THIS WAVE's
+    * session rows only — O(wave), never O(stream): the table stores
+    * `_ingest_ts` alongside the attrs, so the latest-wins comparison
+    * against the stored audit reproduces the full-stream argmax under
+    * any wave split and any out-of-order re-delivery (a newer
+    * re-delivery with unchanged values still advances the stored
+    * audit, keeping a later-but-older delivery from winning wrongly).
+    *
+    * The static-dimension GUARD runs BEFORE the merge, value-joining
+    * the wave's winners-to-be against the CURRENT table: at that point
+    * the level-1 rollup reflects refreshes through the previous wave
+    * only — exactly the sessions whose attribution is already
+    * materialized. A REPLAYED wave re-detects nothing (its values
+    * already landed, so the value diff is empty), while a REFUSED wave
+    * left the attrs unmerged and re-detects the same conflict; refusal
+    * precedes every mutation, so guard and merge cannot be split by a
+    * crash.
     */
-  private def maintainSessionAttrs(waveId: Long): Unit = {
+  private def maintainSessionAttrs(waveId: Long, waveSessions: DataFrame): Unit = {
     val a = app(sessionAttrs)
     if (sessionAttrs.currentBatchId(a).exists(_ >= waveId)) return
     val attrCols = Seq("customer_id", "session_start_ts", "device",
       "source", "country")
-    // attrs derive from the full accumulated stream — idempotent; only
-    // genuine value changes survive the diff below
     val reduced = graft.streaming.Sinks.latestWins(
-      sessionsClean.read().filter(col("session_id").isNotNull)
+      waveSessions.filter(col("session_id").isNotNull)
         .select((("session_id" +: attrCols) :+ "_ingest_ts").map(col): _*),
       Seq("session_id"), struct(col("_ingest_ts"), col("session_start_ts")))
-      .drop("_ingest_ts")
     if (sessionAttrs.currentVersion().isEmpty) {
       sessionAttrs.commitAppendBatch(reduced, waveId, a)
       return // bootstrap wave: gold rollup cannot predate the attrs
     }
-    // the guard: sessions whose attrs this wave changes (or first
-    // delivers — the left join's all-null old row diffs too) that are
-    // already aggregated into the rollup
+    val s = (c: String) => col("s").getField(c)
+    val t = (c: String) => col("t").getField(c)
+    val newer = struct(s("_ingest_ts"), s("session_start_ts")) >
+      struct(t("_ingest_ts"), t("session_start_ts"))
+    // the guard: sessions whose attr VALUES this wave would change (or
+    // first-deliver — the left join's all-null old row diffs too) that
+    // are already aggregated into the rollup. Losers of the latest-wins
+    // comparison change nothing and trigger nothing.
     if (gold.sessionRollupMv.currentVersion().isDefined) {
       val old = sessionAttrs.read().select(col("session_id") +:
-        attrCols.map(c => col(c).as(s"_old_$c")): _*)
+        (attrCols :+ "_ingest_ts").map(c => col(c).as(s"_old_$c")): _*)
+      val wins = struct(col("_ingest_ts"), col("session_start_ts")) >
+        struct(col("_old__ingest_ts"), col("_old_session_start_ts"))
       val changed = reduced.join(old, Seq("session_id"), "left")
-        .filter(attrCols.map(c => !(col(c) <=> col(s"_old_$c"))).reduce(_ || _))
+        .filter(col("_old__ingest_ts").isNull ||
+          (wins && attrCols.map(c => !(col(c) <=> col(s"_old_$c"))).reduce(_ || _)))
         .select(col("session_id"))
       val stale = changed
         .join(gold.sessionRollupMv.read().select(col("session_id")),
@@ -314,14 +329,12 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
           "contract); call rebootstrapGold() to rebuild the gold " +
           "aggregates against the current dimensions")
     }
-    val s = (c: String) => col("s").getField(c)
-    val t = (c: String) => col("t").getField(c)
-    val valueChanged = attrCols.map(c => !(s(c) <=> t(c))).reduce(_ || _)
+    val allCols = ("session_id" +: attrCols) :+ "_ingest_ts"
     try sessionAttrs.mergeClauses(reduced, Seq("session_id"),
-      matched = Seq(MergeWhen(Some(valueChanged),
-        MergeUpdate(attrCols.map(c => c -> s(c)).toMap))),
+      matched = Seq(MergeWhen(Some(newer),
+        MergeUpdate((attrCols :+ "_ingest_ts").map(c => c -> s(c)).toMap))),
       notMatched = Seq(MergeWhen(None,
-        MergeInsert(("session_id" +: attrCols).map(c => c -> s(c)).toMap))),
+        MergeInsert(allCols.map(c => c -> s(c)).toMap))),
       txn = Some((a, waveId)), sourceKeyUnique = true): Unit
     catch { case _: VersionedTable.ReplayLandedException => () }
   }
