@@ -177,6 +177,33 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
 
   // ---- customer_360 (two-level) -----------------------------------------
 
+  /** customer_360's level-2 aggregate spec — ONE definition shared by
+    * the feed refresh and the dimension re-attribution, so the two
+    * maintenance paths cannot drift.
+    */
+  private object L2 {
+    val keys: Seq[String] = Seq("customer_id")
+    val countCol: String = "total_sessions"
+    val sums: Map[String, Column] = Map(
+      "customer_total_revenue" -> col("session_revenue"),
+      "total_orders" -> col("has_purchased"))
+    val mins: Map[String, Column] = Map("first_active_ts" -> col("session_start_ts"))
+    val maxes: Map[String, Column] = Map("last_active_ts" -> col("session_end_ts"))
+    val netKeys: Seq[String] = Seq("session_key")
+  }
+
+  /** CDF on the level-1 rollup, set whenever absent (and the table has
+    * its bootstrap commit to attach the property to) — never assume a
+    * prior call's property commit survived.
+    */
+  private def ensureRollupCdc(): Unit =
+    if (sessionRollupMv.currentVersion().isDefined &&
+        !sessionRollupMv.tableProperties()
+          .get(VersionedTable.CdcEnabledProp).contains("true")) {
+      sessionRollupMv.setTableProperty(VersionedTable.CdcEnabledProp, "true")
+      ()
+    }
+
   /** The session-attrs dimension in level-2's prepare shape. */
   private def attrsFor(sessionsClean: DataFrame): DataFrame =
     sessionsClean.select(
@@ -206,6 +233,12 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
   def refreshCustomer360(eventsClean: VersionedTable,
       sessionsClean: DataFrame): (Option[Long], Option[Long]) = {
     val bootstrap = sessionRollupMv.currentVersion().isEmpty
+    // heal a crash between the level-1 bootstrap commit and the CDC
+    // property commit below: without this, the next level-1 merge would
+    // commit feed-less and every future level-2 refresh of that window
+    // would refuse (recoverable only by re-bootstrap). Idempotent —
+    // one manifest read per refresh, a metadata commit only when absent.
+    if (!bootstrap) ensureRollupCdc()
     // level 1: the session rollup of `Gold.sessionMetrics`'s agg
     // (`03_gold_aggregate.py:163-176`) — session_id recovered from the
     // sentinel key via the constant-per-group min()
@@ -224,19 +257,79 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
       netKeys = Seq("event_id"))
     // level 2 consumes level 1's feed: enable CDF right after the
     // bootstrap append so every DML version it ever takes is recorded
-    if (bootstrap && l1.isDefined)
-      sessionRollupMv.setTableProperty(VersionedTable.CdcEnabledProp, "true")
+    if (bootstrap) ensureRollupCdc()
     val prep = sessionToCustomer(attrsFor(sessionsClean)) _
     val l2 = IncrementalAgg.refresh(customerRollupMv, sessionRollupMv,
-      keys = Seq("customer_id"), countCol = "total_sessions",
-      sums = Map(
-        "customer_total_revenue" -> col("session_revenue"),
-        "total_orders" -> col("has_purchased")),
-      mins = Map("first_active_ts" -> col("session_start_ts")),
-      maxes = Map("last_active_ts" -> col("session_end_ts")),
+      keys = L2.keys, countCol = L2.countCol, sums = L2.sums,
+      mins = L2.mins, maxes = L2.maxes,
       prepare = prep,
-      netKeys = Seq("session_key"))
+      netKeys = L2.netKeys)
     (l1, l2)
+  }
+
+  /** Bounded dimension-change repair for customer_360 — the classic
+    * delta rule for a dimension update under an aggregate that joined
+    * it: for every session whose attrs row changed, RETRACT its level-1
+    * contribution as prepared under the OLD attrs snapshot and RE-ADD
+    * it under the NEW one (a first-delivered attrs row retracts the
+    * UNKNOWN-attributed contribution the left-join miss produced; a
+    * deleted one re-adds it). The retract/re-add pair rides
+    * [[IncrementalAgg.applyChanges]] as update pre/post images sharing
+    * a commit version, so sessions whose attrs VALUES did not actually
+    * change (audit-only re-deliveries) net out before they cost
+    * anything, a customer-migrating change correctly moves count, sums
+    * AND extremes between groups, and a retired extreme triggers the
+    * same bounded dirty-group recompute facts get. Cost: O(changed
+    * sessions) + O(dirty customers) — never O(rollup), which is what
+    * replaces the re-bootstrap this event used to force.
+    *
+    * Level-1 rows read AT THE VERSION the level-2 marker records — the
+    * snapshot whose contributions are actually materialized (the head
+    * may already hold level-1 changes a crashed run never propagated).
+    *
+    *  - `touched`: one `session_id` column, the sessions whose attrs
+    *    changed (wave-bounded — broadcast);
+    *  - `attrsBefore`/`attrsAfter`: the attrs DIMENSION restricted to
+    *    the touched sessions, as of the last attributed version and the
+    *    target version;
+    *  - `attrsAfterFull`: the FULL attrs dimension at the target
+    *    version — the dirty-customer recompute must re-attribute every
+    *    session of a dirty customer, not only the touched ones;
+    *  - `txn`: (cursor app, attrs version) — exactly-once; a replayed
+    *    wave is a marker no-op.
+    */
+  def reattributeCustomer360(touched: DataFrame, attrsBefore: DataFrame,
+      attrsAfter: DataFrame, attrsAfterFull: DataFrame,
+      txn: (String, Long)): Option[Long] = {
+    if (customerRollupMv.currentVersion().isEmpty) return None
+    if (customerRollupMv.currentBatchId(txn._1).exists(_ >= txn._2)) return None
+    val applied = customerRollupMv
+      .currentBatchId(IncrementalAgg.appFor(sessionRollupMv))
+      .getOrElse(return None) // no contributions materialized yet
+    val level1 = sessionRollupMv.readAt(applied)
+      .join(broadcast(touched.select("session_id")), Seq("session_id"), "left_semi")
+    // the COMMON wave shape: every touched session is NEW (attrs arrive
+    // at visit start, before any event reaches the rollup) — nothing is
+    // materialized, so nothing re-attributes. Advance the cursor with an
+    // empty marker commit instead of driving the merge machinery.
+    if (level1.isEmpty)
+      return customerRollupMv.commitAppendBatch(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          customerRollupMv.snapshotMeta(
+            customerRollupMv.currentVersion().get).schema),
+        txn._2, txn._1)
+    def side(attrs: DataFrame, ct: String): DataFrame =
+      sessionToCustomer(attrsFor(attrs))(level1)
+        .withColumn(VersionedTable.CdcTypeCol, lit(ct))
+        .withColumn(VersionedTable.CdcVersionCol, lit(txn._2))
+    val changes = side(attrsBefore, "update_preimage")
+      .unionByName(side(attrsAfter, "update_postimage"))
+    IncrementalAgg.applyChanges(customerRollupMv, changes,
+      keys = L2.keys, countCol = L2.countCol, sums = L2.sums,
+      mins = L2.mins, maxes = L2.maxes, netKeys = L2.netKeys, txn = txn,
+      authoritative = () =>
+        sessionToCustomer(attrsFor(attrsAfterFull))(
+          sessionRollupMv.readAt(applied)))
   }
 
   /** The session_metrics gold relation from the maintained level-1

@@ -41,16 +41,20 @@ import graft.ecom.VersionedTable.{MergeInsert, MergeUpdate, MergeWhen}
   *    recomputes from the durable head (the orders merge no-ops, so
   *    the head IS the wave's version) — crash-safe with no extra
   *    cursor. Cost is bounded by the wave's changed order keys.
-  *  - '''stale-attribution guard''': customer_360 level 2 joins session
-  *    attrs inside its `prepare`, and [[GoldIvm]]'s contract makes that
-  *    dimension STATIC between refreshes. The step maintains a
-  *    unique-per-session attrs table (latest-wins; updates fire only on
-  *    genuine value changes) and REFUSES — naming [[rebootstrapGold]] —
-  *    when a wave changes or late-delivers attrs for a session already
-  *    in the level-1 rollup: its prior contribution was attributed
-  *    under the old attrs, and continuing silently would diverge from
-  *    recompute. In the reference's data shape (the session row is
-  *    created at visit start, events follow) the guard never fires.
+  *  - '''attrs-dimension re-attribution''': customer_360 level 2 joins
+  *    session attrs inside its `prepare`, and [[GoldIvm]]'s feed refresh
+  *    treats that dimension as STATIC between refreshes. The step
+  *    maintains a unique-per-session, CDF-enabled attrs table
+  *    (latest-wins), and when a wave changes or late-delivers attrs for
+  *    a session already in the level-1 rollup, [[reattribute]] repairs
+  *    the rollup in O(changed sessions): retract the session's
+  *    contribution under the old attrs snapshot, re-add under the new —
+  *    the classic delta rule for dimension updates, riding the same
+  *    +/− netting machinery facts use. (Through r13 this event REFUSED
+  *    and forced [[rebootstrapGold]] — a full gold rebuild for one
+  *    changed dimension row.) In the reference's data shape (the
+  *    session row is created at visit start, events follow) the repair
+  *    never fires; when it does, cost is bounded by the wave.
   *
   * Exactly-once end to end: every silver merge carries a per-table txn
   * marker keyed by the step's `waveId` (monotone), gold refreshes ride
@@ -179,7 +183,13 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
             waveId, app(sessionsClean))
           ()
         })
+    // attrs-dimension maintenance brackets the merge: the cursor heal
+    // must see the PRE-merge attrs head (a crash between a gold
+    // bootstrap and its cursor commit is only recoverable before new
+    // attrs versions land), and the repair must see the POST-merge feed
+    ensureReattrCursor()
     maintainSessionAttrs(waveId, Silver.sessions(bronze("sessions")))
+    reattribute()
     Seq(eventsClean, orderItemsClean, reviewsClean).foreach(ensureCdc)
 
     // gold: the maintained aggregates advance over the silvers'
@@ -189,9 +199,67 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
       () => gold.refreshProductMetrics(eventsClean, orderItemsClean,
         reviewsClean): Unit,
       () => gold.refreshCustomer360(eventsClean, sessionAttrs.read()): Unit)
+    // a gold bootstrap this wave consumed the attrs head maintainSession-
+    // Attrs left — pin it as the re-attribution cursor before returning
+    ensureReattrCursor()
 
     goldRelations(asOf, loadTs)
   }
+
+  /** The re-attribution cursor: a txn marker on customer_360's rollup
+    * (`reattr:<attrs dir>` → last attrs version whose state every
+    * materialized contribution reflects). Set idempotently wherever it
+    * is found missing while the rollup exists: immediately after the
+    * gold bootstrap (which consumed the current attrs head), and as the
+    * crash-heal at the START of a later wave — sound there too, because
+    * the heal runs BEFORE that wave's attrs merge, so the attrs head
+    * still is what the bootstrap consumed (no merge can land between a
+    * bootstrap and the first subsequent heal: every merge is preceded
+    * by one). Also the r13-warehouse upgrade path: under the old
+    * refusal guard no rolled-up session's attrs ever changed, so every
+    * materialized contribution reflects the current head there as well.
+    */
+  private def ensureReattrCursor(): Unit =
+    if (gold.customerRollupMv.currentVersion().isDefined &&
+        gold.customerRollupMv.currentBatchId(ReattrApp).isEmpty)
+      sessionAttrs.currentVersion().foreach { v =>
+        val schema = gold.customerRollupMv.snapshotMeta(
+          gold.customerRollupMv.currentVersion().get).schema
+        gold.customerRollupMv.commitAppendBatch(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          v, ReattrApp)
+        ()
+      }
+
+  /** Bounded repair of customer_360 under attrs-dimension changes —
+    * [[GoldIvm.reattributeCustomer360]] driven by the attrs table's OWN
+    * change feed, from the cursor to the head (normally exactly this
+    * wave's merge; after a crash, the accumulated backlog). Runs after
+    * the attrs merge and BEFORE this wave's gold refreshes, so a
+    * level-1 row that changed in the same wave retracts under the attrs
+    * it is re-attributed to. Exactly-once via the cursor itself (the
+    * repair merge carries it), and O(changed sessions), never O(rollup).
+    */
+  private def reattribute(): Unit = {
+    if (gold.customerRollupMv.currentVersion().isEmpty) return
+    val head = sessionAttrs.currentVersion().getOrElse(return)
+    val last = gold.customerRollupMv.currentBatchId(ReattrApp).getOrElse(
+      throw new IllegalStateException(
+        s"customer rollup exists but carries no '$ReattrApp' cursor — " +
+          "it was bootstrapped outside the step loop; run one step() (its " +
+          "heal pins the cursor) before mutating session attrs, or call " +
+          "rebootstrapGold()"))
+    if (last >= head) return
+    val touched = sessionAttrs.changeFeed(last + 1L, head)
+      .select(col("session_id")).distinct()
+    def bounded(v: Long): DataFrame =
+      sessionAttrs.readAt(v).join(touched, Seq("session_id"), "left_semi")
+    gold.reattributeCustomer360(touched, bounded(last), bounded(head),
+      sessionAttrs.readAt(head), (ReattrApp, head)): Unit
+  }
+
+  private val ReattrApp: String = s"reattr:${sessionAttrs.tableDir}"
 
   private def par(fs: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
@@ -277,15 +345,11 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     * re-delivery with unchanged values still advances the stored
     * audit, keeping a later-but-older delivery from winning wrongly).
     *
-    * The static-dimension GUARD runs BEFORE the merge, value-joining
-    * the wave's winners-to-be against the CURRENT table: at that point
-    * the level-1 rollup reflects refreshes through the previous wave
-    * only — exactly the sessions whose attribution is already
-    * materialized. A REPLAYED wave re-detects nothing (its values
-    * already landed, so the value diff is empty), while a REFUSED wave
-    * left the attrs unmerged and re-detects the same conflict; refusal
-    * precedes every mutation, so guard and merge cannot be split by a
-    * crash.
+    * The table is CDF-enabled: its own change feed is what drives
+    * [[reattribute]]'s bounded repair when a wave changes (or
+    * late-delivers) attrs of a session already aggregated into
+    * customer_360's rollup — the event that used to REFUSE with
+    * [[rebootstrapGold]].
     */
   private def maintainSessionAttrs(waveId: Long, waveSessions: DataFrame): Unit = {
     val a = app(sessionAttrs)
@@ -298,37 +362,14 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
       Seq("session_id"), struct(col("_ingest_ts"), col("session_start_ts")))
     if (sessionAttrs.currentVersion().isEmpty) {
       sessionAttrs.commitAppendBatch(reduced, waveId, a)
+      ensureCdc(sessionAttrs) // before any post-bootstrap merge lands
       return // bootstrap wave: gold rollup cannot predate the attrs
     }
+    ensureCdc(sessionAttrs) // heal a crash between bootstrap and enable
     val s = (c: String) => col("s").getField(c)
     val t = (c: String) => col("t").getField(c)
     val newer = struct(s("_ingest_ts"), s("session_start_ts")) >
       struct(t("_ingest_ts"), t("session_start_ts"))
-    // the guard: sessions whose attr VALUES this wave would change (or
-    // first-deliver — the left join's all-null old row diffs too) that
-    // are already aggregated into the rollup. Losers of the latest-wins
-    // comparison change nothing and trigger nothing.
-    if (gold.sessionRollupMv.currentVersion().isDefined) {
-      val old = sessionAttrs.read().select(col("session_id") +:
-        (attrCols :+ "_ingest_ts").map(c => col(c).as(s"_old_$c")): _*)
-      val wins = struct(col("_ingest_ts"), col("session_start_ts")) >
-        struct(col("_old__ingest_ts"), col("_old_session_start_ts"))
-      val changed = reduced.join(old, Seq("session_id"), "left")
-        .filter(col("_old__ingest_ts").isNull ||
-          (wins && attrCols.map(c => !(col(c) <=> col(s"_old_$c"))).reduce(_ || _)))
-        .select(col("session_id"))
-      val stale = changed
-        .join(gold.sessionRollupMv.read().select(col("session_id")),
-          Seq("session_id"), "left_semi")
-        .limit(1).count() > 0
-      require(!stale,
-        "this wave changed (or late-delivered) session attrs for sessions " +
-          "already aggregated into customer_360's rollup — their prior " +
-          "contribution is attributed under the old attrs. Incremental " +
-          "maintenance treats the attrs dimension as static (GoldIvm's " +
-          "contract); call rebootstrapGold() to rebuild the gold " +
-          "aggregates against the current dimensions")
-    }
     val allCols = ("session_id" +: attrCols) :+ "_ingest_ts"
     try sessionAttrs.mergeClauses(reduced, Seq("session_id"),
       matched = Seq(MergeWhen(Some(newer),
@@ -339,9 +380,13 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     catch { case _: VersionedTable.ReplayLandedException => () }
   }
 
-  /** Drop and re-bootstrap the gold aggregates — the dimension-changed
-    * escape hatch. Silver state is untouched; the next [[step]] (or a
-    * direct refresh) rebuilds from the silvers' full snapshots.
+  /** Drop and re-bootstrap the gold aggregates. No longer REQUIRED for
+    * attrs changes ([[reattribute]] handles those in O(changed rows));
+    * still the escape hatch for anything outside the maintained
+    * algebra — e.g. a historical correction applied directly to a
+    * silver table outside the wave protocol. Silver state is untouched;
+    * the next [[step]] (or a direct refresh) rebuilds from the silvers'
+    * full snapshots.
     */
   def rebootstrapGold(): Unit =
     Seq(gold.eventMetricsMv, gold.orderMetricsMv, gold.reviewMetricsMv,
@@ -359,7 +404,7 @@ object IncrementalLakehouse {
     * never read it; readers wanting the reference schema drop it.
     */
   val ItemPkCol: String = "_graft_pk_product"
-  val NullPk: String = " "
+  val NullPk: String = "\u0000"
   /** Marker column distinguishing repair rows inside the items wave
     * merge source.
     */

@@ -907,8 +907,13 @@ final case class VersionedTable(
     // check, the touched-file classification, the rewrite pass and the
     // CDC pass — for an IVM refresh that lineage is a change-feed read
     // + window netting + several broadcast joins, and every
-    // re-execution re-submits every broadcast exchange as its own job
-    val src = source.persist()
+    // re-execution re-submits every broadcast exchange as its own job.
+    // A source the CALLER already cached is reused as-is: persisting it
+    // again would be a warn-noop but the paired unpersist would evict
+    // the caller's cache out from under it.
+    val callerCached =
+      source.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val src = if (callerCached) source else source.persist()
     try {
     // key-uniqueness over non-null source keys, as [[merge]]: a dup key
     // would pick a nondeterministic winner per target row
@@ -1053,7 +1058,7 @@ final case class VersionedTable(
       }
     publishCow("merge", base, m, rewriteFiles.toSet, rewritten, txn = txn,
       cdcFiles = cdcFiles)
-    } finally src.unpersist(blocking = false)
+    } finally if (!callerCached) src.unpersist(blocking = false): Unit
   }
 
   /** Delta's `ALTER TABLE ... ADD CONSTRAINT name CHECK (sqlExpr)`:

@@ -169,9 +169,20 @@ object IncrementalAgg {
       maxes.toSeq.sortBy(_._1).flatMap { case (o, e) => Seq(
         max(when(inserted && keepOf(o), e)).as(insC(o)),
         max(when(!inserted && keepOf(o), e)).as(remC(o))) }
-    prepped.withColumn("_graft_sgn", sgn)
+    val d = prepped.withColumn("_graft_sgn", sgn)
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    // a group whose count AND every sum net to zero AND whose extreme
+    // bookkeeping is all-null (fully netted pre/post pairs — the
+    // audit-only update storm, and re-attribution of sessions whose
+    // attrs value did not actually change) is a provable no-op: the
+    // merge would add 0 and least/greatest against null — drop it
+    // before it costs a file rewrite
+    val noop = ((col(countCol) === 0L) +:
+      (sums.keys.toSeq.map(o => coalesce(col(o), lit(0)) === 0) ++
+        (mins.keys ++ maxes.keys).toSeq.map(c =>
+          col(insC(c)).isNull && col(remC(c)).isNull))).reduce(_ && _)
+    d.filter(!noop)
   }
 
   /** Apply every source version since the last refresh to `gold`.
@@ -211,8 +222,32 @@ object IncrementalAgg {
     })
     require(changes.columns.contains(VersionedTable.CdcTypeCol),
       s"prepare must preserve the ${VersionedTable.CdcTypeCol} column")
+    applyChanges(gold, changes, keys, countCol, sums, mins, maxes, netKeys,
+      txn = (app, head),
+      authoritative = () => prepare(silver.readAt(head)))
+  }
+
+  /** Apply ONE explicit change frame (source columns + `_change_type`,
+    * optionally `_commit_version` for pair netting) to a maintained
+    * aggregate, exactly-once under `txn` — the primitive [[refresh]]
+    * drives from a feed window, exposed for maintenance events whose
+    * delta is NOT a source feed window: dimension re-attribution
+    * (retract the old-attribute contribution, re-add under the new —
+    * [[graft.ecom.GoldIvm.reattributeCustomer360]]) and any other
+    * caller-derived retract/re-add pair. `authoritative` supplies the
+    * PREPARED post-change source for the bounded dirty-group recompute
+    * (only evaluated when a removal threatens a stored extreme); it
+    * must reflect the state the view holds AFTER this change lands.
+    */
+  def applyChanges(gold: VersionedTable, changes: DataFrame, keys: Seq[String],
+      countCol: String, sums: Map[String, Column],
+      mins: Map[String, Column], maxes: Map[String, Column],
+      netKeys: Seq[String], txn: (String, Long),
+      authoritative: () => DataFrame): Option[Long] = {
+    val (app, head) = txn
+    if (gold.currentBatchId(app).exists(_ >= head)) return None
     val minmax = mins.nonEmpty || maxes.nonEmpty
-    if (!minmax) return refreshSums(gold, silver, keys, countCol, sums,
+    if (!minmax) return refreshSums(gold, keys, countCol, sums,
       changes, app, head)
 
     val d0 = deltaMinMax(changes, keys, countCol, sums, mins, maxes, netKeys)
@@ -285,7 +320,7 @@ object IncrementalAgg {
           val authAggs =
             mins.toSeq.sortBy(_._1).map { case (o, e) => min(e).as(authC(o)) } ++
               maxes.toSeq.sortBy(_._1).map { case (o, e) => max(e).as(authC(o)) }
-          val auth = prepare(silver.readAt(head))
+          val auth = authoritative()
             .join(broadcast(dirtyKeys), keys, "left_semi")
             .groupBy(keys.map(col): _*)
             .agg(authAggs.head, authAggs.tail: _*)
@@ -330,7 +365,7 @@ object IncrementalAgg {
   /** The count/sum-only path (no extremes): zero-net groups drop, no
     * dirty probe, no persist — one delta aggregation and one merge.
     */
-  private def refreshSums(gold: VersionedTable, silver: VersionedTable,
+  private def refreshSums(gold: VersionedTable,
       keys: Seq[String], countCol: String, sums: Map[String, Column],
       changes: DataFrame, app: String, head: Long): Option[Long] = {
     val d = delta(changes, keys, countCol, sums)

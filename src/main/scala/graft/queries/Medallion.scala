@@ -347,9 +347,17 @@ object Medallion {
     * the SAME oracle as q35 (parquet batch) and q41 (versioned batch),
     * so the three execution strategies are pinned to one hash.
     * Sessions are delivered on first sight of their user (the
-    * reference's shape: the session row precedes its events), so the
-    * stale-attribution guard stays quiet; everything else splits
-    * naturally because events are disjoint across waves.
+    * reference's shape: the session row precedes its events); everything
+    * else splits naturally because events are disjoint across waves.
+    *
+    * Waves 3–4 are an attrs-dimension STORM through the bounded
+    * re-attribution path: a slice of already-rolled-up sessions migrates
+    * to a DIFFERENT customer (retract + re-add across rollup groups,
+    * extremes included), then migrates back — so the final state equals
+    * the batch runs bit-for-bit and the oracle stays shared, while the
+    * churn itself is maintained in O(changed sessions), never a gold
+    * rebuild (through r13 this wave shape REFUSED and forced a
+    * re-bootstrap).
     */
   val q44 = Q("q44_medallion_incremental", medallionOracle) { (s, dir) =>
     val wh = Files.createTempDirectory("graft-medallion-inc-").toString
@@ -372,6 +380,31 @@ object Medallion {
         .distinct()
       seen = Some(seen.fold(users)(_.unionByName(users).distinct()))
     }
+    // attrs storm: sessions of every 20th even user re-attribute to the
+    // NEXT customer id (same start_time — the stored value, so only the
+    // attribution changes), then re-attribute back. Ingest stamps
+    // ascend so latest-wins lands each wave deterministically.
+    def stormSessions(customer: Column, stamp: java.sql.Timestamp): DataFrame =
+      Bronze.stampAt(
+        raw.filter(col("user_id") % 20 === 0)
+          .groupBy(col("user_id"))
+          .agg((min(col("ts")) - expr("INTERVAL 60 SECONDS")).as("start_time"))
+          .select(
+            col("user_id").cast(StringType).as("session_id"),
+            customer.cast(StringType).as("customer_id"),
+            col("start_time"),
+            lit("web").as("device"), lit("ads").as("source"),
+            lit("US").as("country")),
+        "sessions.reattr", stamp)
+    val emptyBronze = bronzeSources(raw.limit(0))
+    gold = inc.step(emptyBronze.updated("sessions",
+        stormSessions(col("user_id") + 1,
+          java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))),
+      3L, AsOf, LoadTs)
+    gold = inc.step(emptyBronze.updated("sessions",
+        stormSessions(col("user_id"),
+          java.sql.Timestamp.valueOf("2024-02-03 00:00:00"))),
+      4L, AsOf, LoadTs)
     val out = fingerprints(s, gold)
     raw.unpersist(blocking = false)
     out

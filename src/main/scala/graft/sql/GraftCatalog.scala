@@ -332,7 +332,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def mvExprs(spec: String, what: String): Map[String, org.apache.spark.sql.Column] = {
     val banned =
-      "(?i)\\b(avg|mean|stddev|stddev_samp|stddev_pop|variance|var_samp|median|percentile|approx_percentile|count|min|max|first|last|collect_list|collect_set)\\s*\\(".r
+      "(?i)\\b(avg|mean|sum|stddev|stddev_samp|stddev_pop|variance|var_samp|median|percentile|approx_percentile|count|min|max|first|last|collect_list|collect_set|array_agg|string_agg|listagg)\\s*\\(".r
     spec.split(';').map(_.trim).filter(_.nonEmpty).map { p =>
       val i = p.indexOf(':')
       require(i > 0,
@@ -341,11 +341,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       banned.findFirstIn(e).foreach { hit =>
         throw new IllegalArgumentException(
           s"refresh_mv $what expression '$e' contains the aggregate '$hit' — " +
-            "the maintainable algebra is per-group COUNT/SUM/MIN/MAX over " +
-            "ROW-LOCAL expressions. AVG is not self-maintainable: maintain " +
-            "the sum and a non-null count as two columns and derive " +
-            "sum/count at query time; MIN/MAX go in the mins/maxes " +
-            "parameters (bounded dirty-group recompute), not in a sum.")
+            "entries are ROW-LOCAL expressions; the view itself applies the " +
+            "per-group COUNT/SUM/MIN/MAX (write 'rev:x', not 'rev:sum(x)'). " +
+            "AVG is not self-maintainable: maintain the sum and a non-null " +
+            "count as two columns and derive sum/count at query time; " +
+            "MIN/MAX go in the mins/maxes parameters (bounded dirty-group " +
+            "recompute), not in a sum.")
       }
       n -> org.apache.spark.sql.functions.expr(e)
     }.toMap

@@ -162,35 +162,99 @@ class IncrementalLakehouseSpec extends SparkSuite {
       "the late order's date must repair the stored fallback")
   }
 
-  test("changed attrs for a rolled-up session refuse; rebootstrapGold recovers") {
+  /** One attrs-only wave: bronze is empty except the sessions source. */
+  private def attrsWave(rows: Seq[(String, String, Timestamp, String, String, String)],
+      stamp: Timestamp): Map[String, DataFrame] =
+    Medallion.bronzeSources(
+      Seq.empty[(Long, Long, Timestamp, Double, String, String)]
+        .toDF("event_id", "user_id", "ts", "value", "product_id", "event_type"))
+      .updated("sessions", Bronze.stampAt(
+        rows.toDF("session_id", "customer_id", "start_time", "device",
+          "source", "country"),
+        "sessions.changed", stamp))
+
+  private def c360Recompute(inc: IncrementalLakehouse): DataFrame =
+    Gold.customer360(inc.customersClean.read(),
+      Gold.sessionMetrics(inc.eventsClean.read(), inc.sessionAttrs.read()),
+      AsOf, LoadTs)
+
+  test("changed attrs for rolled-up sessions re-attribute in-place (no rebootstrap)") {
     val wh = fresh()
     val inc = IncrementalLakehouse(spark, wh)
-    val waves = rawWaves
-    stepWaves(inc, waves)
+    stepWaves(inc, rawWaves)
+    val emBefore = inc.gold.eventMetricsMv.currentVersion()
 
-    // wave 3 re-delivers user 2's session with a DIFFERENT start — its
-    // events are already aggregated under the old attrs
-    val b3 = Medallion.bronzeSources(waves(1).limit(0)).updated("sessions",
-      Bronze.stampAt(Seq(("2", "2", Timestamp.valueOf("2023-12-01 00:00:00"),
-        "web", "ads", "US"))
-        .toDF("session_id", "customer_id", "start_time", "device", "source",
-          "country"), "sessions.changed", Timestamp.valueOf("2024-04-01 00:00:00")))
-    val e = intercept[IllegalArgumentException](inc.step(b3, 3L, AsOf, LoadTs))
-    assert(e.getMessage.contains("rebootstrapGold"),
-      s"the guard must name the escape hatch: ${e.getMessage}")
+    // wave 3: session "2" migrates from customer 2 to customer 4 (who
+    // already owns session "4" — the target group gains a second
+    // member), and session "1" — an ODD user, previously UNKNOWN-
+    // attributed (no attrs row) — late-delivers attrs pointing at
+    // customer 1. Both sessions' events are already aggregated.
+    val gold3 = inc.step(attrsWave(Seq(
+      ("2", "4", Timestamp.valueOf("2024-01-03 08:59:00"), "web", "ads", "US"),
+      ("1", "1", Timestamp.valueOf("2024-01-02 09:59:00"), "web", "ads", "US")),
+      Timestamp.valueOf("2024-04-01 00:00:00")), 3L, AsOf, LoadTs)
+    assert(rows(gold3("customer_360")) == rows(c360Recompute(inc)),
+      "maintained customer_360 must equal the recompute after migration")
+    assert(rows(gold3("session_metrics")) ==
+      rows(Gold.sessionMetrics(inc.eventsClean.read(), inc.sessionAttrs.read())),
+      "session_metrics must reflect the new attrs")
 
-    // the escape hatch: rebuild gold against the current dimensions;
-    // replaying the wave is now clean and gold equals the recompute
+    // wave 4: session "2" migrates AWAY from customer 4 — it holds
+    // customer 4's min(first_active_ts), so the retract must trigger
+    // the bounded dirty-group recompute, not a stale extreme
+    val gold4 = inc.step(attrsWave(Seq(
+      ("2", "9", Timestamp.valueOf("2024-01-03 08:59:00"), "web", "ads", "US")),
+      Timestamp.valueOf("2024-04-02 00:00:00")), 4L, AsOf, LoadTs)
+    assert(rows(gold4("customer_360")) == rows(c360Recompute(inc)),
+      "maintained customer_360 must survive losing a group's extreme")
+
+    // the product-metrics family was never touched: re-attribution is
+    // bounded repair, not a rebootstrap
+    assert(inc.gold.eventMetricsMv.currentVersion() == emBefore,
+      "attrs churn must not touch the product-metrics aggregates")
+
+    // replaying wave 4 lands nothing anywhere
+    val rollupBefore = inc.gold.customerRollupMv.currentVersion()
+    val attrsBefore = inc.sessionAttrs.currentVersion()
+    inc.step(attrsWave(Seq(
+      ("2", "9", Timestamp.valueOf("2024-01-03 08:59:00"), "web", "ads", "US")),
+      Timestamp.valueOf("2024-04-02 00:00:00")), 4L, AsOf, LoadTs)
+    assert(inc.gold.customerRollupMv.currentVersion() == rollupBefore &&
+      inc.sessionAttrs.currentVersion() == attrsBefore,
+      "a replayed attrs wave must be a marker no-op end to end")
+  }
+
+  test("audit-only attrs re-delivery is a provable no-op for the rollup") {
+    val wh = fresh()
+    val inc = IncrementalLakehouse(spark, wh)
+    stepWaves(inc, rawWaves)
+    val rollupBefore = inc.gold.customerRollupMv.currentVersion()
+
+    // re-deliver session "4" with IDENTICAL values, newer audit: the
+    // attrs merge advances _ingest_ts (so a later-but-older delivery
+    // cannot win), but the re-attribution delta nets to nothing — the
+    // rollup must not pay a single file rewrite (the cursor commit is
+    // an empty marker version, tolerated below)
+    val gold = inc.step(attrsWave(Seq(
+      ("4", "4", Timestamp.valueOf("2024-01-05 07:59:00"), "web", "ads", "US")),
+      Timestamp.valueOf("2024-05-01 00:00:00")), 3L, AsOf, LoadTs)
+    assert(rows(gold("customer_360")) == rows(c360Recompute(inc)))
+    val landed = inc.gold.customerRollupMv.currentVersion()
+    assert(landed.get <= rollupBefore.get + 1,
+      s"an audit-only re-delivery must cost at most the cursor marker " +
+        s"(rollup went $rollupBefore -> $landed)")
+  }
+
+  test("rebootstrapGold still recovers as the out-of-band escape hatch") {
+    val wh = fresh()
+    val inc = IncrementalLakehouse(spark, wh)
+    stepWaves(inc, rawWaves)
     inc.rebootstrapGold()
-    val gold = inc.step(b3, 3L, AsOf, LoadTs)
-    val silverBatch = Map(
-      "events_clean" -> inc.eventsClean.read(),
-      "sessions_clean" -> inc.sessionsClean.read(),
-      "customers_clean" -> inc.customersClean.read())
-    val smB = Gold.sessionMetrics(silverBatch("events_clean"),
-      inc.sessionAttrs.read())
-    assert(rows(gold("customer_360")) ==
-      rows(Gold.customer360(silverBatch("customers_clean"), smB, AsOf, LoadTs)),
+    // next wave rebuilds the aggregates from the silvers' snapshots
+    val gold = inc.step(attrsWave(Seq(
+      ("2", "7", Timestamp.valueOf("2024-01-03 08:59:00"), "web", "ads", "US")),
+      Timestamp.valueOf("2024-06-01 00:00:00")), 3L, AsOf, LoadTs)
+    assert(rows(gold("customer_360")) == rows(c360Recompute(inc)),
       "post-rebootstrap gold must equal the recompute over current dims")
   }
 }
