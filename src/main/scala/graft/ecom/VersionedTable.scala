@@ -1113,15 +1113,27 @@ final case class VersionedTable(
     * it refuses a schema that already carries the reserved change-feed
     * column names.
     */
-  def setTableProperty(key: String, value: String): Long = {
-    require(key.nonEmpty && !key.exists(c => c == '\t' || c == '\n'),
-      s"property key must be non-empty and tab/newline-free: '$key'")
-    require(!value.exists(c => c == '\t' || c == '\n'),
-      s"property value must be tab/newline-free: '$value'")
+  def setTableProperty(key: String, value: String): Long =
+    setTableProperties(Map(key -> value))
+
+  /** SET TBLPROPERTIES for several keys in ONE metadata commit — the
+    * atomic multi-key form: a definition stored as related keys (the
+    * materialized-view spec) must never be readable half-written, and
+    * per-key commits could be torn by a crash between them. Same
+    * validation as the single-key form; pairs already current are
+    * dropped, and a call whose every pair is current commits nothing.
+    */
+  def setTableProperties(kvs: Map[String, String]): Long = {
+    kvs.foreach { case (key, value) =>
+      require(key.nonEmpty && !key.exists(c => c == '\t' || c == '\n'),
+        s"property key must be non-empty and tab/newline-free: '$key'")
+      require(!value.exists(c => c == '\t' || c == '\n'),
+        s"property value must be tab/newline-free: '$value'")
+    }
     val (base, m) = baseSnapshot()
-    if (key == VersionedTable.CdcEnabledProp) {
+    kvs.get(VersionedTable.CdcEnabledProp).foreach { value =>
       require(value == "true" || value == "false",
-        s"$key must be 'true' or 'false', got '$value'")
+        s"${VersionedTable.CdcEnabledProp} must be 'true' or 'false', got '$value'")
       if (value == "true") {
         val clash = m.schema.fieldNames.filter(VersionedTable.CdcReservedCols)
         require(clash.isEmpty,
@@ -1129,9 +1141,10 @@ final case class VersionedTable(
             "collide with the reserved change-feed output columns")
       }
     }
-    if (m.props.get(key).contains(value)) return base // no empty commits
+    val changed = kvs.filterNot { case (k, v) => m.props.get(k).contains(v) }
+    if (changed.isEmpty) return base // no empty commits
     publishAt(base, m, m.copy(op = "setProperty",
-      props = m.props + (key -> value)), "(none — metadata-only)")
+      props = m.props ++ changed), "(none — metadata-only)")
   }
 
   /** `ALTER TABLE ... UNSET TBLPROPERTIES (key)` — no-op if absent. */
@@ -3001,7 +3014,10 @@ final case class VersionedTable(
     val statsRef = lines.find(_.startsWith("statsref:")).map(_.stripPrefix("statsref:"))
     val props = lines.filter(_.startsWith("prop:"))
       .map { l =>
-        val parts = l.stripPrefix("prop:").split('\t')
+        // limit -1: an EMPTY property value is legal (an MV spec with no
+        // mins stores "") and must not lose its field to split()'s
+        // trailing-empty elision
+        val parts = l.stripPrefix("prop:").split("\t", -1)
         require(parts.length == 2, s"malformed prop line in $p: $l")
         parts(0) -> parts(1)
       }.toMap

@@ -320,36 +320,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("vacuum", "optimize", "optimize_range", "zorder", "restore",
-        "refresh_mv")
+        "create_mv", "refresh_mv")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
-  /** Parse refresh_mv's `name:sqlExpr` lists (`;`-separated pairs) and
-    * refuse non-maintainable aggregate shapes LOUDLY: the procedure's
-    * algebra is per-group COUNT/SUM/MIN/MAX — an avg/stddev/percentile
-    * smuggled into an expression would silently be summed, so the
-    * parse rejects it with the standard rewrite instead.
+  /** Resolve a `ns.t` argument to the table's directory path, the form
+    * [[graft.ops.MvSpec]] stores (catalog-name-independent).
     */
-  private def mvExprs(spec: String, what: String): Map[String, org.apache.spark.sql.Column] = {
-    val banned =
-      "(?i)\\b(avg|mean|sum|stddev|stddev_samp|stddev_pop|variance|var_samp|median|percentile|approx_percentile|count|min|max|first|last|collect_list|collect_set|array_agg|string_agg|listagg)\\s*\\(".r
-    spec.split(';').map(_.trim).filter(_.nonEmpty).map { p =>
-      val i = p.indexOf(':')
-      require(i > 0,
-        s"refresh_mv $what entry '$p' must be '<output_col>:<sql expr over source columns>'")
-      val (n, e) = (p.take(i).trim, p.drop(i + 1).trim)
-      banned.findFirstIn(e).foreach { hit =>
-        throw new IllegalArgumentException(
-          s"refresh_mv $what expression '$e' contains the aggregate '$hit' — " +
-            "entries are ROW-LOCAL expressions; the view itself applies the " +
-            "per-group COUNT/SUM/MIN/MAX (write 'rev:x', not 'rev:sum(x)'). " +
-            "AVG is not self-maintainable: maintain the sum and a non-null " +
-            "count as two columns and derive sum/count at query time; " +
-            "MIN/MAX go in the mins/maxes parameters (bounded dirty-group " +
-            "recompute), not in a sum.")
-      }
-      n -> org.apache.spark.sql.functions.expr(e)
-    }.toMap
+  private def resolveDir(name: String): String = {
+    val parts = name.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    tablePath(ident).toString
   }
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -384,13 +366,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "make the head a zero-copy replay of the given version",
         Array(in("table", StringType), in("version", LongType)))(
         input => { tableArg(input).restore(input.getLong(1)): Unit })
-      case "refresh_mv" => new Proc("refresh_mv",
-        "incrementally refresh a grouped COUNT/SUM/MIN/MAX materialized " +
-          "aggregate from a CDF-enabled source table (bootstraps on first " +
-          "call, then reads only the change-feed window; exactly-once via " +
-          "the view's txn marker). sums/mins/maxes take ';'-separated " +
-          "'col:sqlExpr' pairs; net_keys names the source row key for " +
-          "update-pair netting",
+      case "create_mv" => new Proc("create_mv",
+        "create a DURABLE materialized view: persist the maintainable " +
+          "definition (source, keys, count_col, row-local sums/mins/maxes, " +
+          "net_keys) in the view's table properties (one atomic metadata " +
+          "commit) and run the bootstrap refresh. Idempotent for an " +
+          "identical definition; a DIFFERENT definition for an existing " +
+          "view refuses (drop the view first). After creation, " +
+          "refresh_mv(view => ...) maintains it from the stored spec",
         Array(in("view", StringType), in("source", StringType),
           in("keys", StringType), in("count_col", StringType),
           inDefault("sums", StringType, "''"),
@@ -400,20 +383,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         input => {
           def str(i: Int): String =
             if (input.isNullAt(i)) "" else input.getUTF8String(i).toString
-          def tbl(i: Int): VersionedTable = {
-            val parts = str(i).split('.')
-            val ident = Identifier.of(parts.init, parts.last)
-            if (!tableExists(ident)) throw new NoSuchTableException(ident)
-            open(ident)
+          val viewName = str(0)
+          val parts = viewName.split('.')
+          val ident = Identifier.of(parts.init, parts.last)
+          if (!fs.exists(nsPath(ident.namespace)))
+            throw new NoSuchNamespaceException(ident.namespace)
+          val spec = graft.ops.MvSpec.fromArgs(resolveDir(str(1)), str(2),
+            str(3), str(4), str(5), str(6), str(7))
+          val view = open(ident)
+          graft.ops.MvSpec.load(view).foreach { stored =>
+            require(stored.props == spec.props,
+              s"${qualified(ident)} already carries a DIFFERENT " +
+                "materialized-view definition — create_mv never silently " +
+                "redefines a view (the stored spec is the contract every " +
+                "past refresh maintained). Drop the view and re-create it " +
+                s"to change the definition.\n  stored:  ${stored.props}" +
+                s"\n  offered: ${spec.props}")
           }
-          val keys = str(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          val netKeys = str(7).split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          graft.ops.IncrementalAgg.refresh(
-            gold = tbl(0), silver = tbl(1), keys = keys, countCol = str(3),
-            sums = mvExprs(str(4), "sums"),
-            mins = mvExprs(str(5), "mins"),
-            maxes = mvExprs(str(6), "maxes"),
-            netKeys = netKeys): Unit
+          // refresh FIRST (it creates the table on bootstrap and refuses
+          // foreign unmarked rows), then persist the spec — a crash
+          // between the two re-heals on the re-run's idempotent store
+          spec.refresh(spark, view)
+          graft.ops.MvSpec.store(view, spec): Unit
+        })
+      case "refresh_mv" => new Proc("refresh_mv",
+        "incrementally refresh a materialized view from its STORED " +
+          "definition (create_mv) — bootstraps on first call, then reads " +
+          "only the change-feed window; exactly-once via the view's txn " +
+          "marker. Passing the definition inline is allowed only for a " +
+          "view with no stored spec (ad-hoc mode); if a stored spec " +
+          "exists, an inline definition must MATCH it or the call refuses " +
+          "(re-typed algebra per call is exactly the drift create_mv " +
+          "exists to remove)",
+        Array(in("view", StringType),
+          inDefault("source", StringType, "''"),
+          inDefault("keys", StringType, "''"),
+          inDefault("count_col", StringType, "''"),
+          inDefault("sums", StringType, "''"),
+          inDefault("mins", StringType, "''"),
+          inDefault("maxes", StringType, "''"),
+          inDefault("net_keys", StringType, "''")))(
+        input => {
+          def str(i: Int): String =
+            if (input.isNullAt(i)) "" else input.getUTF8String(i).toString
+          val parts = str(0).split('.')
+          val ident = Identifier.of(parts.init, parts.last)
+          if (!tableExists(ident)) throw new NoSuchTableException(ident)
+          val view = open(ident)
+          val stored = graft.ops.MvSpec.load(view)
+          val inline =
+            if (str(1).isEmpty && str(2).isEmpty && str(3).isEmpty) None
+            else Some(graft.ops.MvSpec.fromArgs(resolveDir(str(1)), str(2),
+              str(3), str(4), str(5), str(6), str(7)))
+          val spec = (stored, inline) match {
+            case (Some(st), Some(in)) =>
+              require(st.props == in.props,
+                s"${qualified(ident)}: the inline definition DIFFERS from " +
+                  "the view's stored spec — refresh_mv never applies a " +
+                  "definition other than the one the view was created " +
+                  "with. Call refresh_mv(view => ...) bare, or drop and " +
+                  s"re-create the view.\n  stored:  ${st.props}" +
+                  s"\n  offered: ${in.props}")
+              st
+            case (Some(st), None) => st
+            case (None, Some(in)) => in // ad-hoc mode (no durable spec)
+            case (None, None) => throw new IllegalArgumentException(
+              s"${qualified(ident)} carries no stored materialized-view " +
+                "definition — create it with CALL graft.system.create_mv(" +
+                "view => ..., source => ..., keys => ..., count_col => " +
+                "...), or pass the full definition inline for an ad-hoc " +
+                "refresh")
+          }
+          spec.refresh(spark, view): Unit
         })
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other — known: vacuum, optimize, " +

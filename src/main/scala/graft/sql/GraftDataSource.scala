@@ -103,7 +103,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   /** Append-only source by default; with `readChangeFeed=true`, the
     * row-level CDC source ([[graft.streaming.GraftCdcStreamSource]]) —
-    * optional `startingVersion` (default 1 = the whole history).
+    * optional `startingVersion` (default 1 = the whole history) and
+    * `schemaTrackingLocation` (a stream-private directory; Delta's
+    * option) to ride across rename/drop schema epochs with one
+    * same-checkpoint stop/start per boundary instead of a fresh-
+    * checkpoint re-read.
     */
   private def buildSource(parameters: Map[String, String]): Source = {
     val vt = streamVt(parameters)
@@ -114,8 +118,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
             s"${vt.tableDir}: startingVersion must be numeric, got '$s'")
         }
       }.getOrElse(1L)
-      new graft.streaming.GraftCdcStreamSource(vt.spark, vt, start)
-    } else new graft.streaming.GraftStreamSource(vt.spark, vt)
+      val tracker = streamOpt(parameters, "schemaTrackingLocation")
+        .map(dir => new graft.streaming.SchemaTracker(vt.spark, dir))
+      new graft.streaming.GraftCdcStreamSource(vt.spark, vt, start, tracker)
+    } else {
+      require(streamOpt(parameters, "schemaTrackingLocation").isEmpty,
+        s"${vt.tableDir}: schemaTrackingLocation applies to the change-feed " +
+          "source only (readChangeFeed=true)")
+      new graft.streaming.GraftStreamSource(vt.spark, vt)
+    }
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -128,8 +139,26 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    // schema-tracked CDC source: before freezing a schema, REALIGN the
+    // tracker with the engine's own commit/offset logs (metadataPath is
+    // <checkpoint>/sources/<i>, so the logs are two levels up). The
+    // tracker normally matches — it is written from getBatch's engine-
+    // confirmed `from` — but a crash in the instant between the engine's
+    // commit-log write and the next trigger can leave it one batch
+    // behind, which would freeze the OLD epoch's schema over a fully
+    // committed boundary and idle the stream. Realignment is Delta's
+    // schemaTrackingLocation behavior: fix the tracker, then fail once
+    // asking for a (same-checkpoint) restart so analysis re-reads it.
+    streamOpt(parameters, "schemaTrackingLocation").foreach { trackDir =>
+      if (streamOpt(parameters, "readChangeFeed").exists(_.equalsIgnoreCase("true")))
+        graft.streaming.SchemaTracker.realign(streamVt(parameters), trackDir,
+          metadataPath,
+          startingVersion = streamOpt(parameters, "startingVersion")
+            .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(1L))
+    }
     buildSource(parameters)
+  }
 
   // ---- streaming sink: .writeStream.format("graft").start(dir) --------
   // DeltaSink's V1 shape: each micro-batch is ONE atomic versioned

@@ -127,4 +127,23 @@ object Sinks {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** [[mvMaintain]] for a DURABLE materialized view: the definition
+    * (source binding included) comes from the spec the view's own table
+    * properties carry ([[graft.ops.MvSpec]], written by `CALL
+    * graft.system.create_mv`) — the streaming maintainer can no longer
+    * drift from what the SQL surface created, because neither re-states
+    * the algebra.
+    */
+  def mvMaintainStored(spark: org.apache.spark.sql.SparkSession,
+      view: graft.ecom.VersionedTable, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spec = graft.ops.MvSpec.load(view).getOrElse(
+      throw new IllegalArgumentException(
+        s"${view.tableDir} carries no stored materialized-view definition " +
+          "— create it with CALL graft.system.create_mv (or MvSpec.store) " +
+          "before attaching the streaming maintainer"))
+    mvMaintain(spark, graft.ecom.VersionedTable(spark, spec.source),
+      checkpointDir)(() => spec.refresh(spark, view): Unit)
+  }
 }

@@ -572,6 +572,63 @@ class GraftCatalogSpec extends SparkSuite {
       s"must name the maintainable algebra: ${e.getMessage}")
   }
 
+  test("create_mv persists the definition; bare refresh_mv maintains from the stored spec") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvd")
+    spark.sql("""CREATE TABLE graft.mvd.silver (id BIGINT, grp BIGINT, amt BIGINT)
+                |TBLPROPERTIES ('graft.enableChangeDataFeed' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO graft.mvd.silver SELECT id, id % 4, id * 7 FROM range(0, 32)")
+
+    // create: one call carries the WHOLE definition and bootstraps
+    spark.sql(
+      """CALL graft.system.create_mv(view => 'mvd.gold', source => 'mvd.silver',
+        |  keys => 'grp', count_col => 'n', sums => 'total:amt',
+        |  mins => 'lo:amt', maxes => 'hi:amt', net_keys => 'id')""".stripMargin)
+    def expected = spark.sql(
+      """SELECT grp, count(*) AS n, sum(amt) AS total, min(amt) AS lo, max(amt) AS hi
+        |FROM graft.mvd.silver GROUP BY grp""".stripMargin).collect().toSet
+    def got = spark.table("graft.mvd.gold")
+      .select("grp", "n", "total", "lo", "hi").collect().toSet
+    assert(got == expected, "create_mv must bootstrap the view")
+
+    // the stored spec is real table metadata (atomic, SHOW-able)
+    val props = VersionedTable(spark, s"$warehouse/mvd/gold").tableProperties()
+    assert(props.get(graft.ops.MvSpec.SourceProp).contains(s"$warehouse/mvd/silver"))
+    assert(props.get(graft.ops.MvSpec.MaxesProp).contains("hi:amt"))
+
+    // DML storm, then a BARE refresh — nobody re-states the algebra
+    spark.sql("DELETE FROM graft.mvd.silver WHERE id >= 24") // kills stored maxes
+    spark.sql("UPDATE graft.mvd.silver SET amt = amt + 1000 WHERE id < 4")
+    spark.sql("INSERT INTO graft.mvd.silver SELECT id, id % 4, id * 7 FROM range(100, 108)")
+    spark.sql("CALL graft.system.refresh_mv(view => 'mvd.gold')")
+    assert(got == expected, "bare refresh_mv must equal the recompute")
+
+    // idempotent re-create with the identical definition is a no-op
+    spark.sql(
+      """CALL graft.system.create_mv(view => 'mvd.gold', source => 'mvd.silver',
+        |  keys => 'grp', count_col => 'n', sums => 'total:amt',
+        |  mins => 'lo:amt', maxes => 'hi:amt', net_keys => 'id')""".stripMargin)
+    assert(got == expected)
+
+    // a DIFFERENT definition refuses — create_mv never silently redefines
+    val e = intercept[Exception](spark.sql(
+      """CALL graft.system.create_mv(view => 'mvd.gold', source => 'mvd.silver',
+        |  keys => 'grp', count_col => 'n', sums => 'total:amt + 1')""".stripMargin))
+    assert(e.getMessage.contains("DIFFERENT"), e.getMessage)
+
+    // an inline refresh that drifts from the stored spec refuses too
+    val e2 = intercept[Exception](spark.sql(
+      """CALL graft.system.refresh_mv(view => 'mvd.gold', source => 'mvd.silver',
+        |  keys => 'grp', count_col => 'n', sums => 'total:amt * 2',
+        |  mins => 'lo:amt', maxes => 'hi:amt', net_keys => 'id')""".stripMargin))
+    assert(e2.getMessage.contains("DIFFERS"), e2.getMessage)
+
+    // a bare refresh of a table with NO stored spec names create_mv
+    spark.sql("CREATE TABLE graft.mvd.plain (id BIGINT)")
+    val e3 = intercept[Exception](spark.sql(
+      "CALL graft.system.refresh_mv(view => 'mvd.plain')"))
+    assert(e3.getMessage.contains("create_mv"), e3.getMessage)
+  }
+
   test("DATE stats prune files for a dashboard BETWEEN on a date-partitioned versioned table") {
     import org.apache.spark.sql.functions.{date_add, lit}
     import org.apache.spark.sql.types.{DateType, IntegerType}

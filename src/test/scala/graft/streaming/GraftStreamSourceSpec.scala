@@ -260,4 +260,69 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(dst2.read()
       .filter(col(VersionedTable.CdcTypeCol) === "delete").count() == 1)
   }
+
+  test("schemaTrackingLocation rides a rename: same checkpoint, one stop/start, zero lost/duplicated") {
+    val dir = fresh("graft-cdc-track")
+    val src = VersionedTable(spark, s"$dir/src")
+    src.commitOverwrite((1L to 10L).toDF("id"))                      // v1
+    src.setTableProperty("graft.enableChangeDataFeed", "true")       // v2
+
+    // every delivered change, normalized as (change_type, key value) —
+    // the sink survives the rename by reading positionally
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def run(): Option[Throwable] = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("schemaTrackingLocation", s"$dir/track")
+        .load(src.tableDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(r =>
+              (r.getString(r.fieldIndex(VersionedTable.CdcTypeCol)), r.getLong(0)))
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      val err = try { q.processAllAvailable(); None } catch {
+        case e: Throwable => Some(e)
+      }
+      q.stop()
+      err
+    }
+
+    assert(run().isEmpty)
+    assert(got.count(_._1 == "insert") == 10, "bootstrap window: the v1 inserts")
+
+    // while the stream is DOWN: pre-boundary DML, a rename, post-boundary DML
+    src.delete(col("id") === 1L)                                     // v3
+    src.renameColumn("id", "ident")                                  // v4
+    src.delete(col("ident") === 2L)                                  // v5
+
+    // resume on the SAME checkpoint: the clamped offset serves the
+    // pre-boundary delete under the old schema FIRST, then stops at the
+    // boundary naming the same-checkpoint restart
+    val stop = run()
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(stop.isDefined && msgs(stop.get).contains("SAME checkpoint"),
+      s"the boundary stop must prescribe a same-checkpoint restart: " +
+        stop.map(msgs).getOrElse("no error"))
+    assert(got.collect { case ("delete", v) => v } == Seq(1L),
+      "the pre-boundary delete must be served BEFORE the stop")
+
+    // ONE restart, same checkpoint: the re-frozen schema serves the
+    // post-boundary side; nothing lost, nothing duplicated
+    assert(run().isEmpty)
+    assert(got.collect { case ("delete", v) => v } == Seq(1L, 2L),
+      s"both deletes exactly once, in order: $got")
+    assert(got.count(_._1 == "insert") == 10, "no re-delivered inserts")
+
+    // idle restart on the same checkpoint lands nothing more
+    assert(run().isEmpty)
+    assert(got.size == 12, s"idle restart must deliver nothing: $got")
+  }
 }

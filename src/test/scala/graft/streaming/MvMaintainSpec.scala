@@ -68,5 +68,36 @@ class MvMaintainSpec extends SparkSuite {
     assert(goldRows() == recompute())
   }
 
+  test("mvMaintainStored drives the maintainer from the view's own stored spec") {
+    val dir = fresh("graft-mv-stored")
+    val silver = VersionedTable(spark, s"$dir/silver")
+    val view = VersionedTable(spark, s"$dir/view")
+    silver.commitAppend(Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 1L))
+      .toDF("id", "k", "v"))
+    silver.setTableProperty(VersionedTable.CdcEnabledProp, "true")
+
+    // no spec yet: the maintainer refuses by name
+    val e = intercept[IllegalArgumentException](
+      Sinks.mvMaintainStored(spark, view, s"$dir/ckpt"))
+    assert(e.getMessage.contains("create_mv"), e.getMessage)
+
+    val spec = graft.ops.MvSpec(s"$dir/silver", Seq("k"), "n",
+      sums = Seq("s" -> "v"), mins = Seq("v_min" -> "v"),
+      maxes = Nil, netKeys = Seq("id"))
+    spec.refresh(spark, view) // bootstrap
+    graft.ops.MvSpec.store(view, spec)
+
+    silver.delete(col("id") === 3L)
+    silver.commitAppend(Seq((4L, "c", 2L)).toDF("id", "k", "v"))
+    val q = Sinks.mvMaintainStored(spark, view, s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val recompute = silver.read().groupBy("k")
+      .agg(count(lit1).as("n"), sum("v").as("s"), min("v").as("v_min"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(view.read().select("k", "n", "s", "v_min")
+      .as[(String, Long, Long, Long)].collect().toSet == recompute,
+      "the stored-spec maintainer must track the recompute")
+  }
+
   private def lit1 = org.apache.spark.sql.functions.lit(1)
 }
