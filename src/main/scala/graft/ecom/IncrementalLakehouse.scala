@@ -206,6 +206,70 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     goldRelations(asOf, loadTs)
   }
 
+  // ---- the medallion as ONE continuous stream --------------------------
+
+  /** Versioned LANDING tables for the raw wave stream, one per source,
+    * each wave stamped with [[IncrementalLakehouse.WaveCol]] and
+    * committed atomically — min/max stats on the wave column let the
+    * streamed step's per-wave read SKIP every other wave's files.
+    */
+  val bronzeWave: Map[String, VersionedTable] =
+    Seq("customers", "events", "orders", "order_items", "products",
+      "reviews", "sessions")
+      .map(n => n -> VersionedTable(spark, s"$warehouseDir/_bronze/$n",
+        statsColumns = Seq(WaveCol))).toMap
+
+  /** The wave SIGNAL table (one row per landed wave) — the streamed
+    * medallion's trigger source. Committed LAST by [[landWave]], so a
+    * visible signal row implies every bronze table's wave committed:
+    * the stream can never step a half-landed wave.
+    */
+  val waveSignal: VersionedTable =
+    vt("_bronze/_waves")
+
+  /** Land one wave into the versioned bronze tables, then publish its
+    * signal row. Exactly-once per (table, waveId) via batch markers: a
+    * crashed/replayed landing re-applies as no-ops and completes
+    * whatever the crash skipped, then signals.
+    */
+  def landWave(frames: Map[String, DataFrame], waveId: Long): Unit = {
+    frames.foreach { case (n, df) =>
+      bronzeWave(n).commitAppendBatch(
+        df.withColumn(WaveCol, lit(waveId)), waveId, s"wave:$n"): Unit
+    }
+    import spark.implicits._
+    waveSignal.commitAppendBatch(Seq(waveId).toDF("wave_id"), waveId,
+      "wave:signal"): Unit
+  }
+
+  /** The WHOLE medallion as one continuous stream — what [[step]] does
+    * per explicit wave, driven by the wave-signal stream instead: each
+    * trigger reads the newly signaled wave ids, pulls each wave's rows
+    * from the bronze landing tables (file-skipped to that wave via the
+    * wave-column stats), and runs the full step — latest-wins silver
+    * merges, repair, re-attribution, gold refreshes. The `inc:*`/IVM
+    * markers make a REPLAYED trigger a chain-wide no-op, and an idle
+    * restart lands nothing anywhere: exactly-once across the whole
+    * medallion, not per table. Call after the first [[landWave]] (a
+    * stream source needs a committed v1).
+    */
+  def streamed(checkpointDir: String, asOf: LocalDate, loadTs: Timestamp)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft").load(waveSignal.tableDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.select(col("wave_id")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        ids.foreach { w =>
+          val frames = bronzeWave.map { case (n, t) =>
+            n -> t.read().filter(col(WaveCol) === w).drop(WaveCol)
+          }
+          step(frames, w, asOf, loadTs): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** The re-attribution cursor: a txn marker on customer_360's rollup
     * (`reattr:<attrs dir>` → last attrs version whose state every
     * materialized contribution reflects). Set idempotently wherever it
@@ -411,4 +475,6 @@ object IncrementalLakehouse {
   val RepairCol: String = "_graft_repair"
   /** The repaired order's current order_date (null → ingest fallback). */
   val RepairDateCol: String = "_graft_repair_date"
+  /** Wave stamp on the streamed medallion's bronze landing tables. */
+  val WaveCol: String = "_graft_wave"
 }

@@ -245,6 +245,49 @@ class IncrementalLakehouseSpec extends SparkSuite {
         s"(rollup went $rollupBefore -> $landed)")
   }
 
+  test("streamed medallion == explicit batch waves; replayed trigger and idle restart land nothing") {
+    // batch twin: the explicit-wave path
+    val incB = IncrementalLakehouse(spark, fresh())
+    val goldB = stepWaves(incB, rawWaves)
+
+    // streamed twin: land wave 1, stream it, land wave 2 LIVE, stream on
+    val whS = fresh()
+    val incS = IncrementalLakehouse(spark, whS)
+    def bronzeFor(w: DataFrame, seen: Option[DataFrame]): Map[String, DataFrame] = {
+      val b0 = Medallion.bronzeSources(w)
+      seen.fold(b0)(sc => b0.updated("sessions",
+        b0("sessions").join(sc, Seq("session_id"), "left_anti")))
+    }
+    val waves = rawWaves
+    incS.landWave(bronzeFor(waves(0), None), 1L)
+    val q = incS.streamed(s"$whS/_ckpt", AsOf, LoadTs)
+    q.processAllAvailable()
+    incS.landWave(bronzeFor(waves(1),
+      Some(waves(0).select(col("user_id").cast(StringType).as("session_id"))
+        .distinct())), 2L)
+    q.processAllAvailable(); q.stop()
+
+    val goldS = incS.goldRelations(AsOf, LoadTs)
+    for (name <- Seq("product_metrics", "product_funnel", "session_metrics",
+        "customer_360"))
+      assert(rows(goldS(name)) == rows(goldB(name)),
+        s"streamed gold $name diverged from the batch waves")
+    assert(rows(incS.eventsClean.read()) == rows(incB.eventsClean.read()),
+      "streamed silver diverged from the batch waves")
+
+    // idle restart on the same checkpoint: the recovery trigger replays,
+    // every marker no-ops — zero new versions anywhere in the chain
+    val before = (incS.eventsClean.currentVersion(),
+      incS.gold.customerRollupMv.currentVersion(),
+      incS.gold.eventMetricsMv.currentVersion())
+    val q2 = incS.streamed(s"$whS/_ckpt", AsOf, LoadTs)
+    q2.processAllAvailable(); q2.stop()
+    assert((incS.eventsClean.currentVersion(),
+      incS.gold.customerRollupMv.currentVersion(),
+      incS.gold.eventMetricsMv.currentVersion()) == before,
+      "an idle streamed restart must land nothing")
+  }
+
   test("rebootstrapGold still recovers as the out-of-band escape hatch") {
     val wh = fresh()
     val inc = IncrementalLakehouse(spark, wh)
