@@ -38,9 +38,11 @@ import graft.ecom.VersionedTable.{MergeInsert, MergeUpdate, MergeWhen}
   *    changed orders — repair rows FOLD INTO the wave's items merge
   *    (one commit, one marker), and the repair window is the single
   *    orders version this wave committed, which a replayed step
-  *    recomputes from the durable head (the orders merge no-ops, so
-  *    the head IS the wave's version) — crash-safe with no extra
-  *    cursor. Cost is bounded by the wave's changed order keys.
+  *    recomputes from the durable LAST DATA version (the orders merge
+  *    no-ops, so that version IS the wave's; trailing auto-compaction
+  *    versions are rowsPreserved and explicitly skipped) — crash-safe
+  *    with no extra cursor. Cost is bounded by the wave's changed
+  *    order keys.
   *  - '''attrs-dimension re-attribution''': customer_360 level 2 joins
   *    session attrs inside its `prepare`, and [[GoldIvm]]'s feed refresh
   *    treats that dimension as STATIC between refreshes. The step
@@ -99,6 +101,20 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
       ()
     }
 
+  /** Auto-compaction on, once per silver table: the wave cadence
+    * accretes one small file set per table per wave, and the property
+    * makes the format bin-pack them post-commit
+    * ([[VersionedTable.maybeAutoCompact]], rowsPreserved versions the
+    * gold feed windows and the repair path are explicitly proof
+    * against). Without it a month of hourly waves turns every
+    * discovery scan into a 700-file-set walk. No-op when already set.
+    */
+  private def ensureAutoCompact(t: VersionedTable): Unit =
+    if (!t.tableProperties().contains(VersionedTable.AutoCompactProp)) {
+      t.setTableProperty(VersionedTable.AutoCompactProp, "true")
+      ()
+    }
+
   /** Latest-wins merge of one cleaned wave into a silver table: strict
     * `(_ingest_ts, tie)` descending — exactly [[Silver]]'s dedup order.
     * The wave is in-batch-reduced first (merge sources are key-unique);
@@ -108,33 +124,54 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
   private def mergeLatestWins(dst: VersionedTable, wave: DataFrame,
       keys: Seq[String], tie: String, waveId: Long,
       extraMatched: Seq[MergeWhen] = Seq.empty): Option[Long] = {
+    val t0 = if (Profile) System.nanoTime() else 0L
+    try mergeLatestWins0(dst, wave, keys, tie, waveId, extraMatched)
+    finally if (Profile)
+      println(f"      [merge] ${dst.tableDir.split('/').last}%-20s " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.1fs")
+  }
+
+  private def mergeLatestWins0(dst: VersionedTable, wave: DataFrame,
+      keys: Seq[String], tie: String, waveId: Long,
+      extraMatched: Seq[MergeWhen]): Option[Long] = {
     if (dst.currentBatchId(app(dst)).exists(_ >= waveId)) return None
-    val reduced = graft.streaming.Sinks.latestWins(wave, keys,
+    val reduced0 = graft.streaming.Sinks.latestWins(wave, keys,
       struct(col("_ingest_ts"), col(tie)))
     // the repair/marker columns steer clauses only — never stored
     val markers = Set(RepairCol, RepairDateCol)
     val stored = wave.columns.toSeq.filterNot(markers)
+    // bootstrap writes straight from the lineage — one pass, no cache
+    // (the bootstrap wave is the BIG one; caching it would trade the
+    // table's largest write for memory pressure)
     if (dst.currentVersion().isEmpty)
       return dst.commitAppendBatch(
-        reduced.select(stored.map(col): _*), waveId, app(dst))
-    if (reduced.isEmpty) return None // nothing to apply; replay-safe
-    val s = (c: String) => col("s").getField(c)
-    val t = (c: String) => col("t").getField(c)
-    val newer = struct(s("_ingest_ts"), s(tie)) > struct(t("_ingest_ts"), t(tie))
-    val isRepair: Option[Column] =
-      if (wave.columns.contains(RepairCol)) Some(s(RepairCol)) else None
-    try Some(dst.mergeClauses(reduced, keys,
-      // repair rows must never fall through to the latest-wins update
-      // (their audit equals the target's, so `newer` is false anyway —
-      // the explicit guard keeps that invariant local, not incidental)
-      matched = extraMatched :+ MergeWhen(
-        Some(isRepair.fold(newer)(r => !r && newer)),
-        MergeUpdate(stored.filterNot(keys.contains).map(c => c -> s(c)).toMap)),
-      notMatched = Seq(MergeWhen(isRepair.map(r => !r),
-        MergeInsert(stored.map(c => c -> s(c)).toMap))),
-      txn = Some((app(dst), waveId)), sourceKeyUnique = true)) catch {
-      case _: VersionedTable.ReplayLandedException => None
-    }
+        reduced0.select(stored.map(col): _*), waveId, app(dst))
+    // steady state: materialize the reduced wave ONCE — the empty-wave
+    // check, the discovery's broadcast sizing, and the merge's own
+    // passes all read the cache instead of re-running the wave pipeline
+    val reduced = reduced0.persist()
+    try {
+      val n = reduced.count()
+      if (n == 0L) return None // nothing to apply; replay-safe
+      val s = (c: String) => col("s").getField(c)
+      val t = (c: String) => col("t").getField(c)
+      val newer = struct(s("_ingest_ts"), s(tie)) > struct(t("_ingest_ts"), t(tie))
+      val isRepair: Option[Column] =
+        if (wave.columns.contains(RepairCol)) Some(s(RepairCol)) else None
+      try Some(dst.mergeClauses(reduced, keys,
+        // repair rows must never fall through to the latest-wins update
+        // (their audit equals the target's, so `newer` is false anyway —
+        // the explicit guard keeps that invariant local, not incidental)
+        matched = extraMatched :+ MergeWhen(
+          Some(isRepair.fold(newer)(r => !r && newer)),
+          MergeUpdate(stored.filterNot(keys.contains).map(c => c -> s(c)).toMap)),
+        notMatched = Seq(MergeWhen(isRepair.map(r => !r),
+          MergeInsert(stored.map(c => c -> s(c)).toMap))),
+        txn = Some((app(dst), waveId)), sourceKeyUnique = true,
+        sourceRowsHint = Some(n))) catch {
+        case _: VersionedTable.ReplayLandedException => None
+      }
+    } finally reduced.unpersist(blocking = false): Unit
   }
 
   /** One end-to-end incremental step: the wave's seven bronze frames →
@@ -145,60 +182,127 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     */
   def step(bronze: Map[String, DataFrame], waveId: Long, asOf: LocalDate,
       loadTs: Timestamp): Map[String, DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def phase[T](name: String)(f: => T): T =
+      if (!Profile) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"    [step $waveId] $name%-14s ${(System.nanoTime() - t0) / 1e9}%6.1fs")
+        r
+      }
 
-    // independent tables merge CONCURRENTLY (futures over the shared
-    // scheduler — the q42 maintenance-fleet shape, hiding each other's
-    // driver-side commit latency); the one real dependency chain stays
-    // ordered inside its own task: orders BEFORE items, because the
+    // the step is a dependency DAG, not three barriers: every table
+    // maintains on its own future and each gold refresh starts the
+    // moment ITS OWN inputs committed — product_metrics behind
+    // events/items/reviews, customer_360 behind events + the attrs
+    // chain — so dim merges, the sessions append, and the attrs repair
+    // all overlap gold instead of gating it. Same commits, same
+    // markers, same exactly-once; only the false barriers are gone.
+    // The one real in-branch order stays: orders BEFORE items (the
     // wave's items derive their date fallback from the post-merge
-    // orders table (and the repair covers earlier waves' items whose
-    // order changed in THIS wave)
-    par(
-      () => mergeLatestWins(customersClean,
-        Silver.customers(bronze("customers")),
-        Seq("customer_id"), "email", waveId): Unit,
-      () => mergeLatestWins(eventsClean,
+    // orders table, and the repair covers earlier waves' items whose
+    // order changed in THIS wave). Each feed table's CDC enablement
+    // follows its own first commit, inside its own branch.
+    val fEvents = Future(phase("events") {
+      mergeLatestWins(eventsClean,
         Silver.eventsProjected(bronze("events")),
-        Seq("event_id"), "event_ts", waveId): Unit,
-      () => mergeLatestWins(productsClean, Silver.products(bronze("products")),
-        Seq("product_id"), "product_name", waveId): Unit,
-      () => mergeLatestWins(reviewsClean, Silver.reviews(bronze("reviews")),
-        Seq("review_id"), "review_ts", waveId): Unit,
-      () => {
-        mergeLatestWins(ordersClean, Silver.orders(bronze("orders")),
-          Seq("order_id"), "order_ts", waveId)
-        ensureCdc(ordersClean) // before any wave-2 DML lands on it
-        val itemsWave =
-          Silver.orderItems(bronze("order_items"), ordersClean.read())
+        Seq("event_id"), "event_ts", waveId)
+      ensureCdc(eventsClean)
+      ensureAutoCompact(eventsClean)
+    })
+    // the items' clean/dedup half runs CONCURRENTLY with the orders
+    // merge — only the date-fallback join needs the post-merge orders
+    val fItemsClean = Future(phase("items:clean") {
+      val d = Silver.orderItemsProjected(bronze("order_items")).persist()
+      d.count()
+      d
+    })
+    val fOrders = Future(phase("orders") {
+      mergeLatestWins(ordersClean, Silver.orders(bronze("orders")),
+        Seq("order_id"), "order_ts", waveId)
+      ensureCdc(ordersClean) // before any wave-2 DML lands on it
+      ensureAutoCompact(ordersClean)
+    })
+    val fItems = (for { d <- fItemsClean; _ <- fOrders } yield d).map { d =>
+      phase("items:merge") {
+        try {
+          // the date-fallback join needs ONLY the orders this wave's
+          // items reference — semi-restricting the post-merge orders
+          // table first turns a whole-table shuffle join into a
+          // scan-side probe plus a broadcast of the handful of matching
+          // orders (O(wave), with the orders scan reading two columns)
+          val ordersForDate = ordersClean.read()
+            .select("order_id", "order_date")
+            .join(broadcast(d.select("order_id").distinct()),
+              Seq("order_id"), "left_semi")
+          val itemsWave = Silver.orderItemsDated(d, ordersForDate)
             // null product_id rows survive silver (the reference keeps
             // them, `02_silver_transform.py:157-158`); merge keys cannot
             // be null, so the PK rides a sentinel twin column
             .withColumn(ItemPkCol, coalesce(col("product_id"), lit(NullPk)))
             .withColumn(RepairCol, lit(false))
-        mergeItemsWithRepair(itemsWave, waveId)
-      },
-      () => // sessions: append-only, as the reference (no PK filter/dedup)
-        if (sessionsClean.currentBatchId(app(sessionsClean)).forall(_ < waveId)) {
-          sessionsClean.commitAppendBatch(Silver.sessions(bronze("sessions")),
-            waveId, app(sessionsClean))
-          ()
-        })
-    // attrs-dimension maintenance brackets the merge: the cursor heal
-    // must see the PRE-merge attrs head (a crash between a gold
-    // bootstrap and its cursor commit is only recoverable before new
-    // attrs versions land), and the repair must see the POST-merge feed
-    ensureReattrCursor()
-    maintainSessionAttrs(waveId, Silver.sessions(bronze("sessions")))
-    reattribute()
-    Seq(eventsClean, orderItemsClean, reviewsClean).foreach(ensureCdc)
-
+          mergeItemsWithRepair(itemsWave, waveId)
+          ensureCdc(orderItemsClean)
+          ensureAutoCompact(orderItemsClean)
+        } finally d.unpersist(blocking = false): Unit
+      }
+    }
+    val fReviews = Future(phase("reviews") {
+      mergeLatestWins(reviewsClean, Silver.reviews(bronze("reviews")),
+        Seq("review_id"), "review_ts", waveId)
+      ensureCdc(reviewsClean)
+      ensureAutoCompact(reviewsClean)
+    })
+    val fCustomers = Future(phase("customers") {
+      mergeLatestWins(customersClean, Silver.customers(bronze("customers")),
+        Seq("customer_id"), "email", waveId)
+      ensureAutoCompact(customersClean)
+    })
+    val fProducts = Future(phase("products") {
+      mergeLatestWins(productsClean, Silver.products(bronze("products")),
+        Seq("product_id"), "product_name", waveId)
+      ensureAutoCompact(productsClean)
+    })
+    // one shared materialization of the cleaned sessions wave — the
+    // append branch AND the attrs chain both read it
+    val sessionsWave = Silver.sessions(bronze("sessions")).persist()
+    val fSessions = Future(phase("sessions")(
+      // sessions: append-only, as the reference (no PK filter/dedup)
+      if (sessionsClean.currentBatchId(app(sessionsClean)).forall(_ < waveId)) {
+        sessionsClean.commitAppendBatch(sessionsWave,
+          waveId, app(sessionsClean))
+        ensureAutoCompact(sessionsClean)
+      }))
+    // attrs-dimension maintenance: the cursor heal must see the
+    // PRE-merge attrs head (a crash between a gold bootstrap and its
+    // cursor commit is only recoverable before new attrs versions
+    // land), and the repair must see the POST-merge feed. The whole
+    // chain touches only sessionAttrs + customer_360's rollup, so it
+    // runs beside the silver merges.
+    val fAttrs = Future(phase("attrs") {
+      ensureReattrCursor()
+      maintainSessionAttrs(waveId, sessionsWave)
+      ensureAutoCompact(sessionAttrs)
+      reattribute()
+    })
     // gold: the maintained aggregates advance over the silvers'
     // accumulated feed windows (self-windowing, exactly-once); the two
     // families maintain disjoint MV tables, so they run concurrently
-    par(
-      () => gold.refreshProductMetrics(eventsClean, orderItemsClean,
-        reviewsClean): Unit,
-      () => gold.refreshCustomer360(eventsClean, sessionAttrs.read()): Unit)
+    val fPm = for {
+      _ <- fEvents; _ <- fItems; _ <- fReviews
+    } yield phase("gold:pm")(
+      gold.refreshProductMetrics(eventsClean, orderItemsClean, reviewsClean))
+    val fC360 = for {
+      _ <- fEvents; _ <- fAttrs
+    } yield phase("gold:c360")(
+      gold.refreshCustomer360(eventsClean, sessionAttrs.read()))
+    try Await.result(
+      Future.sequence(Seq(fCustomers, fProducts, fSessions,
+        fPm.map(_ => ()), fC360.map(_ => ()))), Duration.Inf)
+    finally sessionsWave.unpersist(blocking = false): Unit
     // a gold bootstrap this wave consumed the attrs head maintainSession-
     // Attrs left — pin it as the re-attribution cursor before returning
     ensureReattrCursor()
@@ -325,13 +429,12 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
 
   private val ReattrApp: String = s"reattr:${sessionAttrs.tableDir}"
 
-  private def par(fs: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
-    ()
-  }
+  /** Dev-only phase-wall prints (IncProf sets the property; the env var
+    * reaches forked `sbt runMain` JVMs).
+    */
+  private val Profile: Boolean =
+    sys.props.get("graft.inc.profile").contains("true") ||
+      sys.env.get("GRAFT_INC_PROFILE").contains("true")
 
   /** The four gold relations, composed at read over the maintained
     * aggregates — column-for-column [[Gold]]'s outputs.
@@ -378,7 +481,11 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     * earlier items reference the changed orders).
     */
   private def repairRows(itemsWave: DataFrame, waveId: Long): Option[DataFrame] = {
-    val head = ordersClean.currentVersion().getOrElse(return None)
+    // the wave's orders version is the last DATA version, not the head:
+    // auto-compaction may have appended a rowsPreserved version right
+    // after the merge, and its change feed is empty by design — reading
+    // (head, head) there would silently drop the wave's repairs
+    val head = ordersClean.lastDataChangeVersion().getOrElse(return None)
     // only when THIS wave actually landed an orders version — an empty
     // orders wave leaves the head at an older wave whose repairs
     // already ran (reprocessing them would be a no-op-value rewrite)
@@ -424,24 +531,29 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
       waveSessions.filter(col("session_id").isNotNull)
         .select((("session_id" +: attrCols) :+ "_ingest_ts").map(col): _*),
       Seq("session_id"), struct(col("_ingest_ts"), col("session_start_ts")))
-    if (sessionAttrs.currentVersion().isEmpty) {
-      sessionAttrs.commitAppendBatch(reduced, waveId, a)
-      ensureCdc(sessionAttrs) // before any post-bootstrap merge lands
-      return // bootstrap wave: gold rollup cannot predate the attrs
-    }
-    ensureCdc(sessionAttrs) // heal a crash between bootstrap and enable
-    val s = (c: String) => col("s").getField(c)
-    val t = (c: String) => col("t").getField(c)
-    val newer = struct(s("_ingest_ts"), s("session_start_ts")) >
-      struct(t("_ingest_ts"), t("session_start_ts"))
-    val allCols = ("session_id" +: attrCols) :+ "_ingest_ts"
-    try sessionAttrs.mergeClauses(reduced, Seq("session_id"),
-      matched = Seq(MergeWhen(Some(newer),
-        MergeUpdate((attrCols :+ "_ingest_ts").map(c => c -> s(c)).toMap))),
-      notMatched = Seq(MergeWhen(None,
-        MergeInsert(allCols.map(c => c -> s(c)).toMap))),
-      txn = Some((a, waveId)), sourceKeyUnique = true): Unit
-    catch { case _: VersionedTable.ReplayLandedException => () }
+      .persist()
+    try {
+      val n = reduced.count()
+      if (sessionAttrs.currentVersion().isEmpty) {
+        sessionAttrs.commitAppendBatch(reduced, waveId, a)
+        ensureCdc(sessionAttrs) // before any post-bootstrap merge lands
+        return // bootstrap wave: gold rollup cannot predate the attrs
+      }
+      ensureCdc(sessionAttrs) // heal a crash between bootstrap and enable
+      val s = (c: String) => col("s").getField(c)
+      val t = (c: String) => col("t").getField(c)
+      val newer = struct(s("_ingest_ts"), s("session_start_ts")) >
+        struct(t("_ingest_ts"), t("session_start_ts"))
+      val allCols = ("session_id" +: attrCols) :+ "_ingest_ts"
+      try sessionAttrs.mergeClauses(reduced, Seq("session_id"),
+        matched = Seq(MergeWhen(Some(newer),
+          MergeUpdate((attrCols :+ "_ingest_ts").map(c => c -> s(c)).toMap))),
+        notMatched = Seq(MergeWhen(None,
+          MergeInsert(allCols.map(c => c -> s(c)).toMap))),
+        txn = Some((a, waveId)), sourceKeyUnique = true,
+        sourceRowsHint = Some(n)): Unit
+      catch { case _: VersionedTable.ReplayLandedException => () }
+    } finally reduced.unpersist(blocking = false): Unit
   }
 
   /** Drop and re-bootstrap the gold aggregates. No longer REQUIRED for

@@ -102,7 +102,14 @@ object Silver {
     * (`:157-158`); they group as a null key downstream and gold's
     * product_id filter is what finally drops them.
     */
-  def orderItems(raw: DataFrame, ordersClean: DataFrame): DataFrame = {
+  def orderItems(raw: DataFrame, ordersClean: DataFrame): DataFrame =
+    orderItemsDated(orderItemsProjected(raw), ordersClean)
+
+  /** The clean/dedup half of [[orderItems]], exposed separately so an
+    * incremental step can compute it CONCURRENTLY with the orders merge
+    * the date-fallback join must wait for.
+    */
+  def orderItemsProjected(raw: DataFrame): DataFrame = {
     val projected = raw.select(
       Seq(
         cleanId(col("order_id")).as("order_id"),
@@ -112,11 +119,17 @@ object Silver {
         col("line_total_usd").cast(DoubleType).as("line_total_usd")) ++ audit: _*)
       .filter(col("order_id").isNotNull)
       .filter(col("quantity") > 0)
-    val deduped = dedupByKey(projected, Seq("order_id", "product_id"), "line_total_usd")
-    deduped
+    dedupByKey(projected, Seq("order_id", "product_id"), "line_total_usd")
+  }
+
+  /** The order_date derivation half of [[orderItems]] (ingest-date
+    * fallback for items whose order is absent,
+    * `02_silver_transform.py:148-160`).
+    */
+  def orderItemsDated(items: DataFrame, ordersClean: DataFrame): DataFrame =
+    items
       .join(ordersClean.select("order_id", "order_date"), Seq("order_id"), "left")
       .withColumn("order_date", coalesce(col("order_date"), to_date(col("_ingest_ts"))))
-  }
 
   /** products_clean (`02_silver_transform.py:185-200`). */
   def products(raw: DataFrame): DataFrame = {

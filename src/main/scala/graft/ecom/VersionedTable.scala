@@ -448,12 +448,14 @@ final case class VersionedTable(
       // table properties are metadata like constraints: survive overwrite
       val propsOut = prevM.fold(Map.empty[String, String])(_.props)
       val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
-      writeManifest(tmp, Manifest(schema, op, txnsOut, carried ++ newFiles,
+      val outM = Manifest(schema, op, txnsOut, carried ++ newFiles,
         carriedStats ++ newStats, carriedDv, carriedBlooms ++ newBlooms, cons,
-        colmap, dropped, gen, carriedSizes ++ newSizes, carriedRef, propsOut),
-        next, prev.flatMap(v => prevM.map(v -> _)))
+        colmap, dropped, gen, carriedSizes ++ newSizes, carriedRef, propsOut)
+      writeManifest(tmp, outM, next, prev.flatMap(v => prevM.map(v -> _)))
       publishManifest(tmp, manifestPath(next)) match {
-        case Landed => return next
+        case Landed =>
+          maybeAutoCompact(outM)
+          return next
         // a lost CAS is NOT a fault: another writer landed (global
         // progress — livelock-free), so loop unbudgeted with a fresh
         // prev; only genuine filesystem refusals count toward abort
@@ -787,11 +789,18 @@ final case class VersionedTable(
     // touched files = files holding at least one matched key, discovered
     // over the stats/bloom-pruned candidates; the semi-join shuffles on
     // the keys (or broadcasts a small source — AQE's call), and only
-    // distinct FILE NAMES reach the driver
+    // distinct FILE NAMES reach the driver. Same broadcast-vs-shuffle
+    // sizing as mergeClauses' discovery: a wave-sized key set probes
+    // the scan side directly instead of shuffling the whole table.
     val fileC = freshFileCol(m)
-    val touched = snapshot(m, mergeCandidates(m, keys, src), Some(fileC))
-      .join(src.select(keys.map(col): _*), keys, "left_semi")
-      .select(fileC).distinct().collect().map(_.getString(0)).toSeq.sorted
+    val mp = src.select(keys.map(col): _*).distinct().persist()
+    val touched = try {
+      val keyed =
+        if (mp.count() <= VersionedTable.BroadcastKeyCap) broadcast(mp) else mp
+      snapshot(m, mergeCandidates(m, keys, src), Some(fileC))
+        .join(keyed, keys, "left_semi")
+        .select(fileC).distinct().collect().map(_.getString(0)).toSeq.sorted
+    } finally mp.unpersist(blocking = false): Unit
     checkKnown(m, touched)
     val rewritten =
       if (touched.isEmpty) src
@@ -806,7 +815,10 @@ final case class VersionedTable(
     val ct = VersionedTable.CdcTypeCol
     val cdcFiles =
       if (!cdcEnabled(m)) Seq.empty
-      else if (touched.isEmpty) writeCdcFiles(src.withColumn(ct, lit("insert")))
+      // nothing rewritten -> the commit's added files ARE the inserted
+      // rows; the feed derives them by file diff (no sidecar, no
+      // doubled write — Delta's CDF rule for appends)
+      else if (touched.isEmpty) Seq.empty
       else {
         val tch = snapshot(m, touched)
         val srcKeys = src.select(keys.map(col): _*)
@@ -881,7 +893,12 @@ final case class VersionedTable(
       // the IVM refreshers' sources are groupBy/row_number outputs —
       // key-unique BY CONSTRUCTION — so they skip the defensive
       // duplicate-key job (one full source aggregation per merge)
-      sourceKeyUnique: Boolean = false): Long = {
+      sourceKeyUnique: Boolean = false,
+      // a caller that already counted its (cached) source can pass the
+      // row count so the discovery's broadcast-vs-shuffle decision
+      // costs zero extra jobs; only trusted when the source is also
+      // key-unique (rows == distinct keys)
+      sourceRowsHint: Option[Long] = None): Long = {
     import VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
     require(keys.nonEmpty, "merge needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
@@ -915,6 +932,13 @@ final case class VersionedTable(
       source.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val src = if (callerCached) source else source.persist()
     try {
+    val profT = if (VersionedTable.Profile) System.nanoTime() else 0L
+    def prof(what: String, t0: Long): Long = {
+      val now = System.nanoTime()
+      println(f"        [mc ${tableDir.split('/').last}%-18s] $what%-10s " +
+        f"${(now - t0) / 1e9}%6.1fs")
+      now
+    }
     // key-uniqueness over non-null source keys, as [[merge]]: a dup key
     // would pick a nondeterministic winner per target row
     if (!sourceKeyUnique) {
@@ -922,6 +946,7 @@ final case class VersionedTable(
         .groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
       require(dups == 0, s"merge source has duplicate keys on (${keys.mkString(", ")})")
     }
+    val profT1 = if (VersionedTable.Profile) prof("dupcheck", profT) else 0L
 
     // files that can hold a matched key at all (stats/bloom skipping
     // from the source's own key range/set); NOT MATCHED BY SOURCE is a
@@ -934,12 +959,39 @@ final case class VersionedTable(
       else if (matched.isEmpty) Seq.empty
       else {
         val fileC = freshFileCol(m)
-        val got = snapshot(m, cand, Some(fileC))
-          .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
-          .select(col(fileC)).distinct().collect().map(_.getString(0)).toSeq.sorted
+        // the discovery join's default shape shuffles EVERY candidate
+        // row's keys (sort-merge semi-join) — O(table) network per
+        // merge, the incremental step's linear term. A wave-sized
+        // source has a bounded key set, so broadcast it and the
+        // discovery collapses to one scan-side probe: the target never
+        // shuffles, the scan reads key columns only, and a 100 TB
+        // table pays exactly one columnar pass. (Pruning candidates by
+        // audit-time stats instead would be UNSOUND here: a
+        // re-delivered key can match a row in an arbitrarily old file,
+        // and missing it would turn an update into a duplicate
+        // insert.) One count job over the persisted source decides;
+        // above the cap the shuffle join is the right plan anyway.
+        val keyProj = src.select(keys.map(col): _*)
+        // a key-unique source's key projection IS its distinct key set
+        val srcKeys = if (sourceKeyUnique) keyProj else keyProj.distinct()
+        val (keyed, cleanup): (DataFrame, () => Unit) =
+          sourceRowsHint.filter(_ => sourceKeyUnique) match {
+            case Some(h) =>
+              (if (h <= VersionedTable.BroadcastKeyCap) broadcast(srcKeys)
+               else srcKeys, () => ())
+            case None => // count once off the persisted source, reuse below
+              val p = srcKeys.persist()
+              (if (p.count() <= VersionedTable.BroadcastKeyCap) broadcast(p)
+               else p, () => p.unpersist(blocking = false): Unit)
+          }
+        val got = try snapshot(m, cand, Some(fileC))
+            .join(keyed, keys, "left_semi")
+            .select(col(fileC)).distinct().collect().map(_.getString(0)).toSeq.sorted
+          finally cleanup()
         checkKnown(m, got)
         got
       }
+    val profT2 = if (VersionedTable.Profile) prof("discover", profT1) else 0L
     // rows the rewrite may emit (touched files) vs rows present ONLY to
     // classify source rows (insert-only: read-only, and bounded by the
     // same candidates — a source row matching a row in a non-candidate
@@ -1026,6 +1078,12 @@ final case class VersionedTable(
     // nothing for target rows that stay in carried-forward files.
     val cdcFiles =
       if (!cdcEnabled(m)) Seq.empty
+      // a merge that rewrites NO file can only have inserted rows, and
+      // the inserted rows ARE the commit's added files — the feed
+      // derives them by file diff (exactly Delta's CDF rule for
+      // appends), so the sidecar would duplicate every written byte of
+      // an insert-mostly wave for nothing
+      else if (rewriteFiles.isEmpty) Seq.empty
       else {
         val ct = VersionedTable.CdcTypeCol
         // all-nullable element fields: struct-over-getField is nullable,
@@ -1056,8 +1114,11 @@ final case class VersionedTable(
             col("_graft_c").getField(ct).as(ct): _*)
         writeCdcFiles(cdcRows)
       }
-    publishCow("merge", base, m, rewriteFiles.toSet, rewritten, txn = txn,
-      cdcFiles = cdcFiles)
+    val profT3 = if (VersionedTable.Profile) prof("cdc", profT2) else 0L
+    val out = publishCow("merge", base, m, rewriteFiles.toSet, rewritten,
+      txn = txn, cdcFiles = cdcFiles)
+    if (VersionedTable.Profile) prof("publish", profT3): Unit
+    out
     } finally if (!callerCached) src.unpersist(blocking = false): Unit
   }
 
@@ -1704,6 +1765,13 @@ final case class VersionedTable(
             if (added.isEmpty) Nil
             else Seq(stamped(snapshot(m, added).withColumn(ct, lit("insert")), v))
           dels ++ ins
+        case "merge" if removed.isEmpty =>
+          // a sidecar-less merge that removed no files rewrote nothing,
+          // so its added files hold exactly the rows it inserted — the
+          // same file-diff derivation appends use (and the write path
+          // deliberately skips the sidecar for this shape)
+          if (added.isEmpty) Nil
+          else Seq(stamped(snapshot(m, added).withColumn(ct, lit("insert")), v))
         case "delete" | "update" | "merge" =>
           throw new IllegalArgumentException(
             s"changeFeed: change data was not recorded for v$v of $tableDir " +
@@ -2018,7 +2086,9 @@ final case class VersionedTable(
         val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
         writeManifest(tmp, mn, b + 1, Some(b -> bm))
         publishManifest(tmp, manifestPath(b + 1)) match {
-          case Landed => return b + 1
+          case Landed =>
+            maybeAutoCompact(mn)
+            return b + 1
           // someone landed b+1 under us: the next loop iteration sees
           // the moved version and rebases or raises the conflict
           case Lost => ()
@@ -2031,6 +2101,53 @@ final case class VersionedTable(
       }
     }
     -1L // unreachable
+  }
+
+  /** Delta's auto-compaction (`graft.autoOptimize.autoCompact=true`):
+    * after a DATA commit lands, when the new manifest records at least
+    * `graft.autoCompact.minSmallFiles` (default 64) files smaller than
+    * `graft.autoCompact.smallFileBytes` (default 16 MB), bin-pack them
+    * immediately via [[optimize]]. Sizes come from the manifest the
+    * commit just wrote — zero filesystem calls decide; the compaction
+    * itself is rowsPreserved/dataChange=false, so streams serve it as
+    * an empty window and the change feed emits nothing. BEST-EFFORT by
+    * contract (Delta's too): a concurrent writer beats the compaction,
+    * the data commit stands. Steady small-wave ingestion — the
+    * incremental medallion's shape, one file set per wave per table —
+    * stays at O(table/target-size) file counts instead of accreting
+    * forever into exactly the long manifest tail that slows every
+    * discovery scan and read.
+    */
+  private def maybeAutoCompact(mn: Manifest): Unit = {
+    if (!VersionedTable.DataChangeOps.contains(mn.op)) return
+    if (!mn.props.get(VersionedTable.AutoCompactProp).contains("true")) return
+    val small = mn.props.get(VersionedTable.AutoCompactSmallBytesProp)
+      .map(_.toLong).getOrElse(16L << 20)
+    val minN = mn.props.get(VersionedTable.AutoCompactMinFilesProp)
+      .map(_.toInt).getOrElse(64)
+    // files without a recorded size (pre-sizes manifests) never count:
+    // auto-compact is an opt-in steady-state policy, not a migration
+    val n = mn.files.count(f => mn.sizes.get(f).exists(_._1 < small))
+    if (n < minN) return
+    try optimize(smallFileBytes = small): Unit
+    catch { case _: java.util.ConcurrentModificationException => () }
+  }
+
+  /** The newest version whose commit CHANGED data (append / overwrite /
+    * merge / update / delete) — callers that need "the version my write
+    * landed as" after the fact must use this, not [[currentVersion]]:
+    * a post-commit auto-compaction (or any maintenance commit) may have
+    * advanced the head with a rowsPreserved version whose change feed
+    * is empty by design. Walks back over the (few, trailing)
+    * maintenance versions only.
+    */
+  def lastDataChangeVersion(): Option[Long] = {
+    var v = currentVersion().getOrElse(return None)
+    while (v >= 1) {
+      if (VersionedTable.DataChangeOps.contains(readManifest(v).op)) return Some(v)
+      v -= 1
+    }
+    None
   }
 
   /** Latest snapshot. The returned DataFrame is pinned to the version
@@ -3127,6 +3244,33 @@ object VersionedTable {
     * prune (the stats-range prune still applies).
     */
   val MergeProbeCap: Int = 1024
+
+  /** Max distinct source keys the merge discovery broadcasts (above
+    * this, a shuffle semi-join beats shipping the key set to every
+    * executor; 2M string keys ≈ tens of MB, the top of the range
+    * Spark's own broadcast-join sizing targets).
+    */
+  val BroadcastKeyCap: Long = 2000000L
+
+  /** Ops whose commit changes table DATA (vs metadata/compaction) —
+    * the set auto-compaction may trigger after.
+    */
+  private val DataChangeOps: Set[String] =
+    Set("append", "overwrite", "merge", "update", "delete")
+
+  /** Opt-in post-commit auto-compaction (Delta's
+    * `delta.autoOptimize.autoCompact` shape) + its two thresholds.
+    */
+  val AutoCompactProp: String = "graft.autoOptimize.autoCompact"
+  val AutoCompactSmallBytesProp: String = "graft.autoCompact.smallFileBytes"
+  val AutoCompactMinFilesProp: String = "graft.autoCompact.minSmallFiles"
+
+  /** Dev-only merge sub-phase prints (IncProf sets the property; the
+    * env var reaches forked `sbt runMain` JVMs).
+    */
+  private[ecom] def Profile: Boolean =
+    sys.props.get("graft.inc.profile").contains("true") ||
+      sys.env.get("GRAFT_INC_PROFILE").contains("true")
 
   /** The change-feed output columns Delta reserves, in output order. */
   val CdcTypeCol: String = "_change_type"

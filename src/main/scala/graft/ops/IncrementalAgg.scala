@@ -296,12 +296,35 @@ object IncrementalAgg {
               lit(true).as(MatchedC): _*)
           val dj = d0.join(broadcast(cur), keys, "left")
             .withColumn(MatchedC, coalesce(col(MatchedC), lit(false)))
-          def threat(c: String, reaches: (Column, Column) => Column): Column =
+          // a STRICTLY dominating same-window insert DEFUSES a threat:
+          // if the window inserts a value strictly more extreme than
+          // everything it removed (insMax > remMax >= curMax), that
+          // insert cannot itself be in-window phantom churn (a phantom
+          // is inserted AND removed, so its value is <= remMax), hence
+          // it survives and the new group extreme IS insMax no matter
+          // what the removal uncovered — max(after) =
+          // max(stored \ removed <= cur <= rem < ins, ins) = ins,
+          // exactly the clean-path greatest(stored, ins) merge.
+          // Symmetric for minima. Strictness is load-bearing: with >=
+          // an insert-then-delete of one value above the stored max
+          // would defuse itself and the clean merge would resurrect
+          // the deleted phantom. This is the monotone-update shape (a
+          // growing last-seen timestamp retracts the old max and
+          // inserts a higher one every single window) — without the
+          // refinement every such group recomputes, with it none does.
+          // Only a MATCHED group with a stored extreme qualifies: an
+          // unmatched group with leftover removals is in-window churn
+          // the recompute must arbitrate.
+          def threat(c: String, reaches: (Column, Column) => Column,
+              strictlyPast: (Column, Column) => Column): Column =
             col(remC(c)).isNotNull && (!col(MatchedC) ||
-              col(curC(c)).isNull || reaches(col(remC(c)), col(curC(c))))
+              col(curC(c)).isNull ||
+              (reaches(col(remC(c)), col(curC(c))) &&
+                !(col(insC(c)).isNotNull &&
+                  strictlyPast(col(insC(c)), col(remC(c))))))
           val threatened =
-            mins.keys.toSeq.map(c => threat(c, _ <= _)) ++
-              maxes.keys.toSeq.map(c => threat(c, _ >= _))
+            mins.keys.toSeq.map(c => threat(c, _ <= _, _ < _)) ++
+              maxes.keys.toSeq.map(c => threat(c, _ >= _, _ > _))
           val countsToZero = when(col(MatchedC),
             col(curC(countCol)) + col(countCol) === 0L)
             .otherwise(col(countCol) === 0L)

@@ -187,6 +187,52 @@ class IncrementalAggMinMaxSpec extends SparkSuite {
     assert(!goldState(gold).exists(_.getLong(0) == 2L))
   }
 
+  test("monotone update (dominating same-window insert) defuses the threat — no recompute") {
+    val dir = fresh()
+    val silver = VersionedTable(spark, s"$dir/silver")
+    val gold = VersionedTable(spark, s"$dir/gold")
+    silver.commitAppend(rows(0 until 12))
+    silver.setTableProperty("graft.enableChangeDataFeed", "true")
+    assert(doRefresh(gold, silver).isDefined)
+    // the streaming-aggregate shape: every window RAISES a group's max
+    // (update preimage retracts the stored max, postimage inserts a
+    // higher value) and LOWERS another's min. The dominating insert
+    // makes the clean least/greatest merge provably exact, so the
+    // bounded recompute must never fire — pinned by a poisoned
+    // authoritative() that throws if evaluated.
+    silver.update(col("id") === 11L, Map("amt" -> lit(500L))) // grp 3 max 110->500
+    silver.update(col("id") === 0L, Map("amt" -> lit(-50L))) // grp 0 min 0->-50
+    // pin on a TWIN gold (applyChanges has its own txn marker; applying
+    // the same window to the refresh-managed gold would double-count)
+    val goldPin = VersionedTable(spark, s"$dir/goldpin")
+    assert(IncrementalAgg.applyChanges(goldPin,
+      silver.readAt(1L).withColumn(VersionedTable.CdcTypeCol, lit("insert")),
+      Seq("grp"), "n", Map("total" -> col("amt")),
+      mins = Map("lo" -> col("amt")), maxes = Map("hi" -> col("amt")),
+      netKeys = Seq("id"), txn = ("spec-mono", 1L),
+      authoritative = () => sys.error("bootstrap recomputed")).isDefined)
+    val head = silver.currentVersion().get
+    val changes = silver.changeFeed(2L, head)
+    assert(IncrementalAgg.applyChanges(goldPin, changes, Seq("grp"), "n",
+      Map("total" -> col("amt")),
+      mins = Map("lo" -> col("amt")), maxes = Map("hi" -> col("amt")),
+      netKeys = Seq("id"), txn = ("spec-mono", head),
+      authoritative =
+        () => sys.error("recompute fired for a defused threat")).isDefined)
+    assert(goldState(goldPin) == recompute(silver))
+    // and the refresh path converges over a longer monotone storm
+    (1 to 3).foreach { k =>
+      silver.update(col("id") === 11L, Map("amt" -> (col("amt") + 100L)))
+      silver.update(col("id") === 0L, Map("amt" -> (col("amt") - 100L)))
+      if (k % 2 == 0) {
+        assert(doRefresh(gold, silver).isDefined)
+        assert(goldState(gold) == recompute(silver), s"diverged at storm $k")
+      }
+    }
+    doRefresh(gold, silver)
+    assert(goldState(gold) == recompute(silver))
+  }
+
   test("randomized DML storms always converge to the recompute") {
     val dir = fresh()
     val silver = VersionedTable(spark, s"$dir/silver")
