@@ -121,6 +121,28 @@ object MvSpec {
   def store(view: VersionedTable, spec: MvSpec): Long =
     view.setTableProperties(spec.props)
 
+  /** The whole CREATE path, shared by `CALL graft.system.create_mv` and
+    * the `CREATE MATERIALIZED VIEW` DDL: an identical stored definition
+    * is idempotent, a DIFFERENT one refuses (the stored spec is the
+    * contract every past refresh maintained); refresh FIRST (it creates
+    * the table on bootstrap and refuses foreign unmarked rows), then
+    * persist the spec — a crash between the two re-heals on the re-run's
+    * idempotent store.
+    */
+  def ensure(spark: SparkSession, view: VersionedTable, spec: MvSpec,
+      viewName: String): Unit = {
+    load(view).foreach { stored =>
+      require(stored.props == spec.props,
+        s"$viewName already carries a DIFFERENT materialized-view " +
+          "definition — a view is never silently redefined (the stored " +
+          "spec is the contract every past refresh maintained). Drop the " +
+          "view and re-create it to change the definition." +
+          s"\n  stored:  ${stored.props}\n  offered: ${spec.props}")
+    }
+    spec.refresh(spark, view)
+    store(view, spec): Unit
+  }
+
   /** The stored spec, if this table is a materialized view. A PARTIAL
     * spec (some keys present, the required ones missing) is corruption
     * and refuses rather than guessing — with atomic storage it can only

@@ -814,7 +814,85 @@ object Versioned {
       .orderBy("grp")
   }
 
+  /** The DURABLE materialized-view lifecycle, entirely through SQL —
+    * qv15's maintained aggregate re-run as a catalog object: `CREATE
+    * MATERIALIZED VIEW ... AS SELECT` (the [[graft.sql.GraftSqlParser]]
+    * DDL; `CALL graft.system.create_mv` is the procedure twin) extracts
+    * the maintainable algebra from the statement, persists it in the
+    * view's table properties, and bootstraps; the DML storm lands as
+    * plain SQL DELETE/UPDATE/MERGE against the registered catalog; then
+    * a bare `REFRESH MATERIALIZED VIEW` maintains from the STORED spec
+    * — no algebra re-stated anywhere after creation (the drift vector
+    * the loud-refusal parser existed to catch). MIN/MAX are part of the
+    * stored spec, so the storm also exercises the bounded dirty-group
+    * recompute through the durable path. The DuckDB twin replays the
+    * storm relationally and aggregates the final state.
+    */
+  val qv16 = Q(
+    "qv16_mv_durable",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey % 100 AS grp,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey <= 4000),
+      |after_delete AS (
+      |  SELECT * FROM base WHERE o_orderkey NOT BETWEEN 500 AND 900),
+      |after_update AS (
+      |  SELECT o_orderkey, grp,
+      |    CASE WHEN grp < 10 THEN CAST(price + 5 AS DECIMAL(18,2))
+      |         ELSE price END AS price
+      |  FROM after_delete),
+      |merge_src AS (
+      |  SELECT o_orderkey, grp, CAST(price + 1 AS DECIMAL(18,2)) AS price
+      |  FROM base WHERE o_orderkey <= 200
+      |  UNION ALL
+      |  SELECT o_orderkey + 500000, grp, price
+      |  FROM base WHERE o_orderkey BETWEEN 300 AND 500),
+      |final AS (
+      |  SELECT u.* FROM after_update u
+      |  WHERE NOT EXISTS (SELECT 1 FROM merge_src s WHERE s.o_orderkey = u.o_orderkey)
+      |  UNION ALL SELECT * FROM merge_src)
+      |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(price) AS DOUBLE) AS total,
+      |  CAST(MIN(price) AS DOUBLE) AS lo,
+      |  CAST(MAX(price) AS DOUBLE) AS hi
+      |FROM final GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv16-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g16c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val src = VersionedTable(s, s"$wh/db/src")
+    src.commitAppend(load(s, dir, "orders").filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"), (col("o_custkey") % 100).as("grp"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price")))    // v1
+    src.setTableProperty("graft.enableChangeDataFeed", "true")        // v2
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv AS
+         |SELECT grp, COUNT(*) AS n, SUM(price) AS total,
+         |  MIN(price) AS lo, MAX(price) AS hi
+         |FROM $cat.db.src GROUP BY grp""".stripMargin).collect()
+    // the storm: plain SQL DML against the catalog (no Graft API)
+    s.sql(s"DELETE FROM $cat.db.src WHERE o_orderkey BETWEEN 500 AND 900").collect()
+    s.sql(s"UPDATE $cat.db.src SET price = price + 5 WHERE grp < 10").collect()
+    s.sql(
+      s"""MERGE INTO $cat.db.src t USING (
+         |  SELECT o_orderkey, grp, CAST(price + 1 AS DECIMAL(18,2)) AS price
+         |  FROM $cat.db.src VERSION AS OF 1 WHERE o_orderkey <= 200
+         |  UNION ALL
+         |  SELECT o_orderkey + 500000, grp, price
+         |  FROM $cat.db.src VERSION AS OF 1 WHERE o_orderkey BETWEEN 300 AND 500
+         |) s ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // bare refresh: the stored definition is the only algebra in play
+    s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.mv").collect()
+    s.sql(
+      s"""SELECT grp, n, CAST(total AS DOUBLE) AS total,
+         |  CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+         |FROM $cat.db.mv ORDER BY grp""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12,
-      qv13, qv14, qv15)
+      qv13, qv14, qv15, qv16)
 }

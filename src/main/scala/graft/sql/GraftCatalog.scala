@@ -82,6 +82,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def open(ident: Identifier): VersionedTable =
     VersionedTable(spark, tablePath(ident).toString)
+
+  /** Public path resolution for the MV DDL commands ([[MvDdl]]) — the
+    * same warehouse layout every procedure resolves through.
+    */
+  def dirOf(ident: Identifier): String = tablePath(ident).toString
   private def qualified(ident: Identifier): String =
     (catalogName +: ident.namespace :+ ident.name).mkString(".")
 
@@ -390,21 +395,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             throw new NoSuchNamespaceException(ident.namespace)
           val spec = graft.ops.MvSpec.fromArgs(resolveDir(str(1)), str(2),
             str(3), str(4), str(5), str(6), str(7))
-          val view = open(ident)
-          graft.ops.MvSpec.load(view).foreach { stored =>
-            require(stored.props == spec.props,
-              s"${qualified(ident)} already carries a DIFFERENT " +
-                "materialized-view definition — create_mv never silently " +
-                "redefines a view (the stored spec is the contract every " +
-                "past refresh maintained). Drop the view and re-create it " +
-                s"to change the definition.\n  stored:  ${stored.props}" +
-                s"\n  offered: ${spec.props}")
-          }
-          // refresh FIRST (it creates the table on bootstrap and refuses
-          // foreign unmarked rows), then persist the spec — a crash
-          // between the two re-heals on the re-run's idempotent store
-          spec.refresh(spark, view)
-          graft.ops.MvSpec.store(view, spec): Unit
+          graft.ops.MvSpec.ensure(spark, open(ident), spec, qualified(ident))
         })
       case "refresh_mv" => new Proc("refresh_mv",
         "incrementally refresh a materialized view from its STORED " +

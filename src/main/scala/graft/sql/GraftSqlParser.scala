@@ -1,0 +1,225 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.connector.catalog.{CatalogNotFoundException, Identifier}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.ecom.VersionedTable
+import graft.ops.MvSpec
+
+/** SQL DDL for DURABLE materialized views, the Databricks/Delta shape:
+  *
+  * {{{
+  * CREATE MATERIALIZED VIEW cat.ns.mv AS
+  *   SELECT k, COUNT(*) AS n, SUM(x) AS total, MIN(x) AS lo, MAX(x) AS hi
+  *   FROM cat.ns.src GROUP BY k
+  * REFRESH MATERIALIZED VIEW cat.ns.mv
+  * }}}
+  *
+  * Spark's grammar has neither statement, so a `ParserInterface`
+  * wrapper (injected via `SparkSessionExtensions.injectParser` —
+  * [[graft.functions.GraftExtensions]]) recognizes exactly these two
+  * prefixes and DELEGATES everything else untouched. The SELECT body is
+  * parsed by the DELEGATE parser (full Spark expression syntax, no
+  * private grammar) and must be the maintainable shape — one Aggregate
+  * over one source table, grouping keys plus aliased
+  * COUNT(*)/SUM/MIN/MAX entries; anything else refuses LOUDLY with the
+  * rewrite ([[graft.ops.MvSpec]]'s contract: AVG → sum + count columns,
+  * COUNT(DISTINCT) → a one-row-per-key level-1 view). The extracted
+  * definition is persisted in the view's table properties by the same
+  * atomic path as `CALL graft.system.create_mv`, and a bare
+  * `REFRESH MATERIALIZED VIEW` maintains from the STORED spec — the
+  * statement carries no algebra at all.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    MvDdl.parse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+  // MUST delegate, not inherit the interface default: the default drops
+  // the ParameterContext and `spark.sql(text, Map("p" -> v))` named
+  // markers (`:p`) stop binding — the dashboard entry shape
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    MvDdl.parse(sqlText, delegate)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object MvDdl {
+  // identifier: dotted parts, each plain or backquoted (no newline in a
+  // backquoted part). The SELECT is everything after the AS keyword.
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val RefreshRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s*;?\s*$""".r
+
+  /** The two MV statements, or None → the delegate owns the text. */
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case CreateRe(ifNotExists, name, select) =>
+        Some(CreateMaterializedViewCommand(
+          delegate.parseMultipartIdentifier(name),
+          select, delegate.parsePlan(select), ifNotExists != null))
+      case RefreshRe(name) =>
+        Some(RefreshMaterializedViewCommand(
+          delegate.parseMultipartIdentifier(name)))
+      case _ => None
+    }
+
+  /** Resolve a DDL identifier to (graft catalog, in-catalog identifier):
+    * a first part naming a registered catalog wins; otherwise the
+    * session's CURRENT catalog (Spark's own resolution order). The
+    * catalog must be a [[GraftCatalog]] — materialized views are
+    * versioned tables whose metadata carries the definition.
+    */
+  def resolve(spark: SparkSession, parts: Seq[String]): (GraftCatalog, Identifier) = {
+    require(parts.nonEmpty, "empty identifier")
+    val (plugin, rest) =
+      if (parts.length >= 2)
+        try (org.apache.spark.sql.graft.shims.catalogPlugin(spark, parts.head),
+          parts.tail)
+        catch { case _: CatalogNotFoundException =>
+          (org.apache.spark.sql.graft.shims.currentCatalog(spark), parts)
+        }
+      else (org.apache.spark.sql.graft.shims.currentCatalog(spark), parts)
+    plugin match {
+      case g: GraftCatalog => (g, Identifier.of(rest.init.toArray, rest.last))
+      case other => throw new IllegalArgumentException(
+        s"materialized views live in a graft catalog; '${other.name}' is " +
+          s"${other.getClass.getName}. Register one with " +
+          "spark.sql.catalog.<name>=graft.sql.GraftCatalog and qualify the " +
+          "view (and its source) with it.")
+    }
+  }
+
+  private def refuse(what: String): Nothing =
+    throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW takes the maintainable shape — " +
+        "SELECT <keys>, COUNT(*) AS <n>, then aliased SUM/MIN/MAX entries " +
+        "over row-local expressions, FROM <one source table> GROUP BY " +
+        s"<keys> — but $what. AVG is not self-maintainable: maintain the " +
+        "sum and a non-null count as two columns and derive at query time; " +
+        "COUNT(DISTINCT k) becomes a row count over a one-row-per-k view.")
+
+  /** Extract the [[MvSpec]] algebra from the parsed (unresolved) SELECT.
+    * Strict by design: the statement IS the stored contract every future
+    * refresh maintains, so anything outside the maintainable algebra
+    * refuses here, at CREATE time, with the rewrite.
+    */
+  def specOf(spark: SparkSession, select: LogicalPlan): MvSpec = {
+    val agg = select match {
+      case a: Aggregate => a
+      case other => refuse(
+        s"the statement parsed to ${other.nodeName}, not a single " +
+          "GROUP BY aggregate (no WHERE/JOIN/HAVING/ORDER/LIMIT/DISTINCT)")
+    }
+    val srcParts = agg.child match {
+      case r: UnresolvedRelation => r.multipartIdentifier
+      case SubqueryAlias(_, r: UnresolvedRelation) => r.multipartIdentifier
+      case other => refuse(
+        s"the FROM clause is ${other.nodeName}, not one plain source table")
+    }
+    val (srcCat, srcIdent) = resolve(spark, srcParts)
+    if (!srcCat.tableExists(srcIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(srcIdent)
+
+    val keyNames = agg.groupingExpressions.map {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => a.nameParts.head
+      case other => refuse(
+        s"GROUP BY entry '${other.sql}' is not a plain source column")
+    }
+    var countCol: Option[String] = None
+    val sums = Seq.newBuilder[(String, String)]
+    val mins = Seq.newBuilder[(String, String)]
+    val maxes = Seq.newBuilder[(String, String)]
+    def rowLocal(name: String, arg: Expression, what: String): (String, String) =
+      // re-render through MvSpec's validator so a smuggled nested
+      // aggregate gets the SAME loud refusal as the procedure form
+      MvSpec.parsePairs(s"$name:${arg.sql}", what).head
+    agg.aggregateExpressions.foreach {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+          keyNames.contains(a.nameParts.head) => () // a grouping key
+      case Alias(f: UnresolvedFunction, name) if f.nameParts.length == 1 =>
+        val fn = f.nameParts.head.toLowerCase
+        if (f.isDistinct) refuse(s"'$name' uses $fn(DISTINCT ...)")
+        (fn, f.arguments) match {
+          case ("count", Seq(_: UnresolvedStar)) | ("count", Seq(Literal(_, _))) =>
+            require(countCol.isEmpty,
+              "CREATE MATERIALIZED VIEW: more than one COUNT(*) entry")
+            countCol = Some(name)
+          case ("count", _) => refuse(
+            s"'$name' is COUNT(<expr>) — only COUNT(*) is stored; a " +
+              "non-null count is SUM(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END)")
+          case ("sum", Seq(arg)) => sums += rowLocal(name, arg, "sums")
+          case ("min", Seq(arg)) => mins += rowLocal(name, arg, "mins")
+          case ("max", Seq(arg)) => maxes += rowLocal(name, arg, "maxes")
+          case _ => refuse(s"'$name' is $fn(...), outside COUNT/SUM/MIN/MAX")
+        }
+      case a: UnresolvedAttribute => refuse(
+        s"select entry '${a.sql}' is not a GROUP BY key")
+      case other => refuse(
+        s"select entry '${other.sql}' is not an aliased COUNT/SUM/MIN/MAX")
+    }
+    MvSpec(srcCat.dirOf(srcIdent), keyNames,
+      countCol.getOrElse(refuse("no COUNT(*) entry (the count column is " +
+        "what lets group deaths DELETE)")),
+      sums.result(), mins.result(), maxes.result(), netKeys = Nil)
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] v AS SELECT ...` — extract
+  * the maintainable algebra, bootstrap, persist the spec (one atomic
+  * metadata commit); identical-definition re-create is idempotent, a
+  * DIFFERENT definition refuses (IF NOT EXISTS short-circuits instead).
+  */
+case class CreateMaterializedViewCommand(viewParts: Seq[String],
+    selectText: String, select: LogicalPlan, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = MvDdl.resolve(spark, viewParts)
+    val view = VersionedTable(spark, cat.dirOf(ident))
+    if (ifNotExists && MvSpec.load(view).isDefined) return Seq.empty
+    val spec = MvDdl.specOf(spark, select)
+    MvSpec.ensure(spark, view, spec, viewParts.mkString("."))
+    Seq.empty
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW v` — one incremental refresh from the
+  * STORED definition; refuses if the table carries none (the statement
+  * deliberately cannot re-state algebra — that drift vector is the one
+  * durable specs exist to remove).
+  */
+case class RefreshMaterializedViewCommand(viewParts: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = MvDdl.resolve(spark, viewParts)
+    if (!cat.tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val view = VersionedTable(spark, cat.dirOf(ident))
+    val spec = MvSpec.load(view).getOrElse(throw new IllegalArgumentException(
+      s"${viewParts.mkString(".")} carries no stored materialized-view " +
+        "definition — create it with CREATE MATERIALIZED VIEW ... AS " +
+        "SELECT ... (or CALL graft.system.create_mv)"))
+    spec.refresh(spark, view): Unit
+    Seq.empty
+  }
+}

@@ -41,4 +41,18 @@ object shims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's V2 catalog plugin by name (CatalogManager is
+    * `private[sql]`) — the MV DDL commands resolve `cat.ns.view`
+    * identifiers the same way Spark's own analyzer does. Throws
+    * `CatalogNotFoundException` for an unregistered name.
+    */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.sessionState.catalogManager.catalog(name)
+
+  /** The session's CURRENT catalog plugin (for 2-part MV identifiers). */
+  def currentCatalog(spark: SparkSession)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.sessionState.catalogManager.currentCatalog
 }
