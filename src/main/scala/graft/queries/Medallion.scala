@@ -410,5 +410,43 @@ object Medallion {
     out
   }
 
-  val all: Seq[Q] = Seq(q35, q41, q44)
+  /** The medallion as ONE CONTINUOUS STREAM — the same two raw waves as
+    * q44, but landed into the versioned bronze tables ([[graft.ecom
+    * .IncrementalLakehouse.landWave]]) and consumed by the wave-signal
+    * stream ([[graft.ecom.IncrementalLakehouse.streamed]]): each trigger
+    * pulls the newly signaled waves (file-skipped via the wave-column
+    * stats) and runs the full step — latest-wins silver merges, repair,
+    * re-attribution, gold refreshes. Wave 2 lands LIVE while the stream
+    * runs. Hash-pinned to the SAME oracle as q35/q41/q44, making the
+    * FOURTH execution strategy of the identical pipeline: parquet batch,
+    * versioned batch, incremental waves, continuous stream.
+    */
+  val q45 = Q("q45_medallion_streamed", medallionOracle) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-medallion-str-").toString
+    val raw = rawEvents(s, dir).persist()
+    val inFirst = to_date(col("ts")) <= lit("2024-01-15").cast(DateType)
+    val waves = Seq(
+      raw.filter(coalesce(inFirst, lit(false))),
+      raw.filter(coalesce(!inFirst, lit(true))))
+    val inc = graft.ecom.IncrementalLakehouse(s, wh)
+    // wave 1 lands before the stream starts (a source needs v1); wave 2
+    // lands while the stream is live — its signal row drives the step
+    inc.landWave(bronzeSources(waves(0)), 1L)
+    val q = inc.streamed(s"$wh/_ckpt", AsOf, LoadTs)
+    try {
+      q.processAllAvailable()
+      // sessions deliver once, on the wave of their user's first event
+      val seen = waves(0).select(col("user_id").cast(StringType).as("session_id"))
+        .distinct()
+      val b2 = bronzeSources(waves(1))
+      inc.landWave(b2.updated("sessions",
+        b2("sessions").join(seen, Seq("session_id"), "left_anti")), 2L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = fingerprints(s, inc.goldRelations(AsOf, LoadTs))
+    raw.unpersist(blocking = false)
+    out
+  }
+
+  val all: Seq[Q] = Seq(q35, q41, q44, q45)
 }
