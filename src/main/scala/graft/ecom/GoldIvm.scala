@@ -263,7 +263,9 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
       keys = L2.keys, countCol = L2.countCol, sums = L2.sums,
       mins = L2.mins, maxes = L2.maxes,
       prepare = prep,
-      netKeys = L2.netKeys)
+      netKeys = L2.netKeys,
+      boundedAuth = Some((head, dirty) =>
+        boundedCustomerAuth(sessionRollupMv.readAt(head), sessionsClean)(dirty)))
     (l1, l2)
   }
 
@@ -306,30 +308,69 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
     val applied = customerRollupMv
       .currentBatchId(IncrementalAgg.appFor(sessionRollupMv))
       .getOrElse(return None) // no contributions materialized yet
+    // persisted: the emptiness probe reads it once, then BOTH change
+    // sides re-read it while the merge materializes its source — three
+    // executions of the rollup scan + semi-join collapse to one
     val level1 = sessionRollupMv.readAt(applied)
       .join(broadcast(touched.select("session_id")), Seq("session_id"), "left_semi")
-    // the COMMON wave shape: every touched session is NEW (attrs arrive
-    // at visit start, before any event reaches the rollup) — nothing is
-    // materialized, so nothing re-attributes. Advance the cursor with an
-    // empty marker commit instead of driving the merge machinery.
-    if (level1.isEmpty)
-      return customerRollupMv.commitAppendBatch(
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          customerRollupMv.snapshotMeta(
-            customerRollupMv.currentVersion().get).schema),
-        txn._2, txn._1)
-    def side(attrs: DataFrame, ct: String): DataFrame =
-      sessionToCustomer(attrsFor(attrs))(level1)
-        .withColumn(VersionedTable.CdcTypeCol, lit(ct))
-        .withColumn(VersionedTable.CdcVersionCol, lit(txn._2))
-    val changes = side(attrsBefore, "update_preimage")
-      .unionByName(side(attrsAfter, "update_postimage"))
-    IncrementalAgg.applyChanges(customerRollupMv, changes,
-      keys = L2.keys, countCol = L2.countCol, sums = L2.sums,
-      mins = L2.mins, maxes = L2.maxes, netKeys = L2.netKeys, txn = txn,
-      authoritative = () =>
-        sessionToCustomer(attrsFor(attrsAfterFull))(
-          sessionRollupMv.readAt(applied)))
+      .persist()
+    try {
+      // the COMMON wave shape: every touched session is NEW (attrs arrive
+      // at visit start, before any event reaches the rollup) — nothing is
+      // materialized, so nothing re-attributes. Advance the cursor with an
+      // empty marker commit instead of driving the merge machinery.
+      if (level1.isEmpty)
+        return customerRollupMv.commitAppendBatch(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            customerRollupMv.snapshotMeta(
+              customerRollupMv.currentVersion().get).schema),
+          txn._2, txn._1)
+      def side(attrs: DataFrame, ct: String): DataFrame =
+        sessionToCustomer(attrsFor(attrs))(level1)
+          .withColumn(VersionedTable.CdcTypeCol, lit(ct))
+          .withColumn(VersionedTable.CdcVersionCol, lit(txn._2))
+      val changes = side(attrsBefore, "update_preimage")
+        .unionByName(side(attrsAfter, "update_postimage"))
+      IncrementalAgg.applyChanges(customerRollupMv, changes,
+        keys = L2.keys, countCol = L2.countCol, sums = L2.sums,
+        mins = L2.mins, maxes = L2.maxes, netKeys = L2.netKeys, txn = txn,
+        authoritative =
+          boundedCustomerAuth(sessionRollupMv.readAt(applied), attrsAfterFull))
+    } finally level1.unpersist(blocking = false): Unit
+  }
+
+  /** Bounded post-change source for level 2's dirty-customer recompute.
+    * The customer key is CREATED by the attribution join, so the
+    * recompute's dirty-key semi-join cannot push below it — naively the
+    * recompute re-joins the FULL rollup with the FULL dimension to then
+    * keep a handful of customers. But the sessions attributed to a
+    * dirty customer are exactly the dimension rows whose STORED
+    * customer_id is dirty (a scan-side probe on `attrs`), and the
+    * attribution of those sessions only needs those same dimension rows
+    * — so BOTH join sides restrict to that session set first:
+    * O(dirty customers' sessions), never O(rollup). UNKNOWN-attributed
+    * sessions have no such dimension row (left-join miss or stored
+    * null), so when UNKNOWN itself is dirty — a formerly-unattributed
+    * session's extreme retired — fall back to the full join; the
+    * recompute's own semi-join still bounds the aggregation.
+    */
+  private def boundedCustomerAuth(level1At: => DataFrame, attrs: DataFrame)(
+      dirty: DataFrame): DataFrame = {
+    val full = sessionToCustomer(attrsFor(attrs)) _
+    val unknownDirty = dirty
+      .filter(col("customer_id").isNull || col("customer_id") === "UNKNOWN")
+      .limit(1).count() > 0
+    if (unknownDirty) full(level1At)
+    else {
+      val attrsDirty = attrs
+        .join(dirty.select("customer_id"), Seq("customer_id"), "left_semi")
+      val sess = attrsDirty.select("session_id")
+      // attrs is unique per session_id, so joining the bounded rollup
+      // against the dirty dimension slice attributes those sessions
+      // exactly as the full join would
+      sessionToCustomer(attrsFor(attrsDirty))(
+        level1At.join(sess, Seq("session_id"), "left_semi"))
+    }
   }
 
   /** The session_metrics gold relation from the maintained level-1

@@ -419,12 +419,17 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
           "heal pins the cursor) before mutating session attrs, or call " +
           "rebootstrapGold()"))
     if (last >= head) return
+    // persisted: the feed-window scan feeds the rollup probe and BOTH
+    // bounded snapshots (4+ executions otherwise); broadcast turns each
+    // snapshot read into a scan-side probe instead of a shuffle join
     val touched = sessionAttrs.changeFeed(last + 1L, head)
-      .select(col("session_id")).distinct()
+      .select(col("session_id")).distinct().persist()
     def bounded(v: Long): DataFrame =
-      sessionAttrs.readAt(v).join(touched, Seq("session_id"), "left_semi")
-    gold.reattributeCustomer360(touched, bounded(last), bounded(head),
+      sessionAttrs.readAt(v)
+        .join(broadcast(touched), Seq("session_id"), "left_semi")
+    try gold.reattributeCustomer360(touched, bounded(last), bounded(head),
       sessionAttrs.readAt(head), (ReattrApp, head)): Unit
+    finally touched.unpersist(blocking = false): Unit
   }
 
   private val ReattrApp: String = s"reattr:${sessionAttrs.tableDir}"

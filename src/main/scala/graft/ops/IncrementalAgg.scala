@@ -199,7 +199,8 @@ object IncrementalAgg {
       mins: Map[String, Column] = Map.empty,
       maxes: Map[String, Column] = Map.empty,
       prepare: DataFrame => DataFrame = identity,
-      netKeys: Seq[String] = Nil): Option[Long] = {
+      netKeys: Seq[String] = Nil,
+      boundedAuth: Option[(Long, DataFrame) => DataFrame] = None): Option[Long] = {
     val app = appFor(silver)
     val head = silver.currentVersion().getOrElse(return None)
     val last = gold.currentBatchId(app)
@@ -222,9 +223,15 @@ object IncrementalAgg {
     })
     require(changes.columns.contains(VersionedTable.CdcTypeCol),
       s"prepare must preserve the ${VersionedTable.CdcTypeCol} column")
+    // default recompute source: the prepared head snapshot — for plain
+    // stored keys the recompute's dirty-key semi-join pushes to the
+    // scan; `boundedAuth` lets a computed-key caller (GoldIvm level 2)
+    // restrict BOTH join sides before the key even exists
     applyChanges(gold, changes, keys, countCol, sums, mins, maxes, netKeys,
       txn = (app, head),
-      authoritative = () => prepare(silver.readAt(head)))
+      authoritative = boundedAuth.fold(
+        (_: DataFrame) => prepare(silver.readAt(head)))(
+        f => (dirty: DataFrame) => f(head, dirty)))
   }
 
   /** Apply ONE explicit change frame (source columns + `_change_type`,
@@ -238,12 +245,17 @@ object IncrementalAgg {
     * PREPARED post-change source for the bounded dirty-group recompute
     * (only evaluated when a removal threatens a stored extreme); it
     * must reflect the state the view holds AFTER this change lands.
+    * It receives the DISTINCT dirty-key frame so a caller whose group
+    * key is COMPUTED (a join-derived attribution — Catalyst cannot push
+    * the key semi-join below the join that creates the key) can bound
+    * its own scan; the recompute semi-joins the result against the same
+    * frame regardless, so ignoring the argument stays correct.
     */
   def applyChanges(gold: VersionedTable, changes: DataFrame, keys: Seq[String],
       countCol: String, sums: Map[String, Column],
       mins: Map[String, Column], maxes: Map[String, Column],
       netKeys: Seq[String], txn: (String, Long),
-      authoritative: () => DataFrame): Option[Long] = {
+      authoritative: DataFrame => DataFrame): Option[Long] = {
     val (app, head) = txn
     if (gold.currentBatchId(app).exists(_ >= head)) return None
     val minmax = mins.nonEmpty || maxes.nonEmpty
@@ -343,7 +355,7 @@ object IncrementalAgg {
           val authAggs =
             mins.toSeq.sortBy(_._1).map { case (o, e) => min(e).as(authC(o)) } ++
               maxes.toSeq.sortBy(_._1).map { case (o, e) => max(e).as(authC(o)) }
-          val auth = authoritative()
+          val auth = authoritative(dirtyKeys)
             .join(broadcast(dirtyKeys), keys, "left_semi")
             .groupBy(keys.map(col): _*)
             .agg(authAggs.head, authAggs.tail: _*)

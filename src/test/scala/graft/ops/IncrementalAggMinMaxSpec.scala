@@ -210,7 +210,7 @@ class IncrementalAggMinMaxSpec extends SparkSuite {
       Seq("grp"), "n", Map("total" -> col("amt")),
       mins = Map("lo" -> col("amt")), maxes = Map("hi" -> col("amt")),
       netKeys = Seq("id"), txn = ("spec-mono", 1L),
-      authoritative = () => sys.error("bootstrap recomputed")).isDefined)
+      authoritative = _ => sys.error("bootstrap recomputed")).isDefined)
     val head = silver.currentVersion().get
     val changes = silver.changeFeed(2L, head)
     assert(IncrementalAgg.applyChanges(goldPin, changes, Seq("grp"), "n",
@@ -218,7 +218,7 @@ class IncrementalAggMinMaxSpec extends SparkSuite {
       mins = Map("lo" -> col("amt")), maxes = Map("hi" -> col("amt")),
       netKeys = Seq("id"), txn = ("spec-mono", head),
       authoritative =
-        () => sys.error("recompute fired for a defused threat")).isDefined)
+        (_: org.apache.spark.sql.DataFrame) => sys.error("recompute fired for a defused threat")).isDefined)
     assert(goldState(goldPin) == recompute(silver))
     // and the refresh path converges over a longer monotone storm
     (1 to 3).foreach { k =>
