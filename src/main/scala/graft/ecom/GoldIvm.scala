@@ -265,7 +265,7 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
       prepare = prep,
       netKeys = L2.netKeys,
       boundedAuth = Some((head, dirty) =>
-        boundedCustomerAuth(sessionRollupMv.readAt(head), sessionsClean)(dirty)))
+        boundedCustomerAuth(head, sessionsClean)(dirty)))
     (l1, l2)
   }
 
@@ -335,7 +335,7 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
         keys = L2.keys, countCol = L2.countCol, sums = L2.sums,
         mins = L2.mins, maxes = L2.maxes, netKeys = L2.netKeys, txn = txn,
         authoritative =
-          boundedCustomerAuth(sessionRollupMv.readAt(applied), attrsAfterFull))
+          boundedCustomerAuth(applied, attrsAfterFull))
     } finally level1.unpersist(blocking = false): Unit
   }
 
@@ -353,10 +353,26 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
     * null), so when UNKNOWN itself is dirty — a formerly-unattributed
     * session's extreme retired — fall back to the full join; the
     * recompute's own semi-join still bounds the aggregation.
+    *
+    * Gated on the rollup's manifest-recorded byte size (zero filesystem
+    * calls): under [[GoldIvm.BoundedAuthMinBytes]] the full join is the
+    * cheaper PLAN (the bounding trades a small shuffle for an extra
+    * dimension scan + probe stages — pure overhead when the whole
+    * rollup shuffles in one wave), so small tables keep the naive
+    * shape; a table large enough to carry a stats sidecar instead of
+    * inline sizes is by construction past the threshold.
     */
-  private def boundedCustomerAuth(level1At: => DataFrame, attrs: DataFrame)(
+  private def boundedCustomerAuth(rollupVersion: Long, attrs: DataFrame)(
       dirty: DataFrame): DataFrame = {
     val full = sessionToCustomer(attrsFor(attrs)) _
+    def level1At = sessionRollupMv.readAt(rollupVersion)
+    val meta = sessionRollupMv.snapshotMeta(rollupVersion)
+    val minBytes = spark.conf
+      .getOption(GoldIvm.BoundedAuthMinBytesKey).map(_.toLong)
+      .getOrElse(GoldIvm.BoundedAuthMinBytes)
+    val small = meta.statsSidecar.isEmpty &&
+      meta.sizes.valuesIterator.map(_._1).sum < minBytes
+    if (small) return full(level1At)
     val unknownDirty = dirty
       .filter(col("customer_id").isNull || col("customer_id") === "UNKNOWN")
       .limit(1).count() > 0
@@ -450,4 +466,19 @@ object GoldIvm {
     * recovered from the constant-per-group companion column.
     */
   val NullKey: String = "\u0000"
+
+  /** Below this rollup size (manifest-recorded bytes) the dirty-group
+    * recompute keeps the plain full-join plan: the whole rollup
+    * shuffles in one stage wave, so the bounded shape's extra scan and
+    * probe stages are pure overhead. 1 GiB is far above any test/bench
+    * table and far below any table whose fact-x-dimension shuffle
+    * hurts a cluster.
+    */
+  val BoundedAuthMinBytes: Long = 1L << 30
+
+  /** Runtime override of [[BoundedAuthMinBytes]] (a LONG, bytes) — the
+    * spec seam that forces the bounded shape onto toy tables, and the
+    * operator knob for clusters whose shuffle/scan cost ratio differs.
+    */
+  val BoundedAuthMinBytesKey: String = "graft.ivm.boundedAuthMinBytes"
 }

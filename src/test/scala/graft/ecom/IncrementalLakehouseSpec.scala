@@ -245,6 +245,36 @@ class IncrementalLakehouseSpec extends SparkSuite {
         s"(rollup went $rollupBefore -> $landed)")
   }
 
+  test("bounded-auth shape (forced via conf) re-attributes identically to the full join") {
+    // the size gate keeps toy tables on the plain full-join recompute;
+    // forcing the threshold to 0 drives the BOUNDED shape — dimension
+    // slice probe + session-set restriction on both join sides — through
+    // the same storms the default path takes above, including the
+    // dirty-customer migration and the UNKNOWN-dirty fallback
+    spark.conf.set(GoldIvm.BoundedAuthMinBytesKey, "0")
+    try {
+      val inc = IncrementalLakehouse(spark, fresh())
+      stepWaves(inc, rawWaves)
+      // session "2" migrates c2 -> c4 (dirty customers, bounded branch);
+      // session "1" was UNKNOWN-attributed and gains attrs (UNKNOWN
+      // dirty -> full-join fallback) — both inside one wave
+      val gold3 = inc.step(attrsWave(Seq(
+        ("2", "4", Timestamp.valueOf("2024-01-03 08:59:00"), "web", "ads", "US"),
+        ("1", "1", Timestamp.valueOf("2024-01-02 09:59:00"), "web", "ads", "US")),
+        Timestamp.valueOf("2024-04-01 00:00:00")), 3L, AsOf, LoadTs)
+      assert(rows(gold3("customer_360")) == rows(c360Recompute(inc)),
+        "bounded-shape re-attribution must equal the recompute")
+      // migrate AWAY from a group whose extreme it holds: the retract
+      // dirties customer 4 and the bounded recompute must also see its
+      // UNTOUCHED member (session "4")
+      val gold4 = inc.step(attrsWave(Seq(
+        ("2", "9", Timestamp.valueOf("2024-01-03 08:59:00"), "web", "ads", "US")),
+        Timestamp.valueOf("2024-04-02 00:00:00")), 4L, AsOf, LoadTs)
+      assert(rows(gold4("customer_360")) == rows(c360Recompute(inc)),
+        "bounded recompute must include a dirty customer's untouched sessions")
+    } finally spark.conf.unset(GoldIvm.BoundedAuthMinBytesKey)
+  }
+
   test("streamed medallion == explicit batch waves; replayed trigger and idle restart land nothing") {
     // batch twin: the explicit-wave path
     val incB = IncrementalLakehouse(spark, fresh())
