@@ -198,11 +198,16 @@ object ReattrSoak {
         ",\n  \"round\": 14" +
         ",\n  \"notes\": \"What the repair replaces is bootstrap_ms: through " +
         "r13 this wave shape REFUSED and forced rebootstrapGold() — a full " +
-        "gold rebuild that grows with the table (10.6s -> 25.7s -> 103s) — " +
-        "while reattr_ms is the complete maintenance event (changeFeed " +
-        "window, retract/re-add delta, dirty-customer recompute, rollup " +
-        "merge + commits) and stays ~flat: 5x cheaper at 300M and " +
-        "diverging. naive_auth_ms vs bounded_auth_ms isolates the r14 " +
+        "gold rebuild whose wall grows with the table — while reattr_ms " +
+        "is the complete maintenance event (changeFeed window, " +
+        "retract/re-add delta, dirty-customer recompute, rollup merge + " +
+        "commits) and stays ~flat after the first decade: several times " +
+        "cheaper at 300M and diverging (see steps). The production size " +
+        "gate (graft.ivm.boundedAuthMinBytes) keeps sub-GiB rollups on " +
+        "the full-join recompute shape, which is what the steps time; " +
+        "the bounded shape is forced and equality-pinned by " +
+        "IncrementalLakehouseSpec. naive_auth_ms vs bounded_auth_ms " +
+        "isolates the r14 " +
         "recompute bounding (computation-only, min of 2): naive joins the " +
         "FULL rollup with the FULL dimension because the customer key is " +
         "created by that join; bounded derives the dirty customers' " +
