@@ -1753,7 +1753,8 @@ final case class VersionedTable(
       lazy val removed = pm.fold(Seq.empty[String])(_.files.filterNot(m.files.toSet))
       if (m.cdc.nonEmpty) Nil // served by the batched sidecar scan above
       else m.op match {
-        case "append" =>
+        // a clone's v1 is its full content arriving — the append rule
+        case "append" | "clone" =>
           if (added.isEmpty) Nil
           else Seq(stamped(snapshot(m, added).withColumn(ct, lit("insert")), v))
         case "overwrite" | "restore" =>
@@ -2039,6 +2040,108 @@ final case class VersionedTable(
     // must remain a no-op after the restore
     publishAt(base, baseM, target.copy(op = "restore", txns = baseM.txns),
       commitRel = "(none — restore writes no files)")
+  }
+
+  /** Snapshot CLONE (Delta's `CREATE TABLE t CLONE s [VERSION AS OF
+    * v]`): materialize `version` of this table (default: the head) as
+    * an INDEPENDENT table at `targetDir`. Schema, data, deletion
+    * vectors, per-file stats/bloom skipping metadata (sidecar
+    * included), CHECK constraints, generated-column rules, column
+    * mapping and table properties all carry; transaction markers and
+    * the change-feed history do NOT — the clone is a new table whose
+    * history starts at its own v1 (Delta's clone contract: a stream or
+    * exactly-once writer must not mistake the clone for its source,
+    * so the source's batch markers would be lies on the clone).
+    *
+    * Storage: each data file HARD-LINKS into the target when both
+    * sides are the exact local filesystem (constant-time, zero bytes
+    * copied, and — unlike Delta's path-referencing shallow clone —
+    * immune to a later VACUUM of the source, because the link keeps
+    * the bytes alive) and falls back to a byte copy otherwise (object
+    * stores have no links). Either way the clone OWNS its storage:
+    * no write, optimize or vacuum on either table can corrupt the
+    * other — the sharp edge Delta documents for shallow clones
+    * (source vacuum breaks the clone) cannot occur.
+    *
+    * The clone's v1 reads as a full-content insert window in its
+    * change feed (op `clone`, the append file-diff rule), so an IVM
+    * bootstrap or stream over the clone starts exactly as over a
+    * freshly written table.
+    */
+  def cloneTo(targetDir: String, version: Long = -1L): VersionedTable = {
+    val v =
+      if (version >= 0) version
+      else currentVersion().getOrElse(throw new IllegalArgumentException(
+        s"$tableDir has no committed version to clone"))
+    val m = readManifest(v)
+    require(new Path(targetDir) != new Path(tableDir),
+      "clone target must differ from the source table directory")
+    val target = VersionedTable(spark, targetDir, format, partitionCol,
+      statsColumns, bloomColumns, bloomBits, bloomHashes)
+    require(target.currentVersion().isEmpty,
+      s"clone target $targetDir already has committed versions")
+    val tfs = target.fs
+    (m.files ++ m.dv ++ m.statsRef.toSeq).distinct.foreach { rel =>
+      val src = new Path(s"$tableDir/$rel")
+      val dst = new Path(s"$targetDir/$rel")
+      tfs.mkdirs(dst.getParent)
+      linkOrCopy(src, tfs, dst)
+    }
+    // Manifest is an inner type — the target re-assembles its v1 from
+    // the source's plain fields (txns and cdc deliberately dropped)
+    target.publishCloneV1(m.schema, m.files, m.stats, m.dv, m.blooms,
+      m.constraints, m.colmap, m.droppedPhys, m.generated, m.sizes,
+      m.statsRef, m.props)
+    target
+  }
+
+  /** Publish a clone's v1 from the source snapshot's fields ([[cloneTo]]
+    * runs this on the TARGET instance).
+    */
+  private def publishCloneV1(schema: StructType, files: Seq[String],
+      stats: FileStats, dv: Seq[String], blooms: FileBlooms,
+      constraints: Map[String, String], colmap: Map[String, String],
+      droppedPhys: Seq[String], generated: Map[String, String],
+      sizes: FileSizes, statsRef: Option[String],
+      props: Map[String, String]): Unit = {
+    fs.mkdirs(new Path(logDir))
+    val cm = Manifest(schema, "clone", Map.empty, files, stats, dv, blooms,
+      constraints, colmap, droppedPhys, generated, sizes, statsRef, props)
+    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
+    writeManifest(tmp, cm, 1L, None)
+    publishManifest(tmp, manifestPath(1L)) match {
+      case Landed => ()
+      case _ => throw new java.util.ConcurrentModificationException(
+        s"clone target $tableDir gained a v1 concurrently — " +
+          "clone into a fresh directory")
+    }
+  }
+
+  /** Hard-link `src` to `dst` when both ends are the EXACT local
+    * filesystem class (subclass test doubles keep their instrumented
+    * IO paths — the rename discipline), falling back to a byte copy
+    * when links are unsupported or cross-device.
+    */
+  private def linkOrCopy(src: Path, tfs: FileSystem, dst: Path): Unit = {
+    def exactLocal(f: FileSystem): Boolean =
+      f.getClass == classOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        f.getClass == classOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    val linked = exactLocal(fs) && exactLocal(tfs) && {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        true
+      } catch {
+        case _: UnsupportedOperationException => false
+        case _: java.nio.file.FileSystemException => false // cross-device
+      }
+    }
+    if (!linked) {
+      val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, tfs, dst,
+        false, false, spark.sparkContext.hadoopConfiguration)
+      require(ok, s"clone could not copy $src to $dst")
+    }
   }
 
   /** Base-pinned CAS publish of an explicit file list (the shared tail
@@ -3256,7 +3359,7 @@ object VersionedTable {
     * the set auto-compaction may trigger after.
     */
   private val DataChangeOps: Set[String] =
-    Set("append", "overwrite", "merge", "update", "delete")
+    Set("append", "overwrite", "merge", "update", "delete", "clone")
 
   /** Opt-in post-commit auto-compaction (Delta's
     * `delta.autoOptimize.autoCompact` shape) + its two thresholds.

@@ -892,7 +892,41 @@ object Versioned {
          |FROM $cat.db.mv ORDER BY grp""".stripMargin)
   }
 
+  /** CLONE isolation: snapshot-clone a versioned table, then mutate the
+    * SOURCE past the clone point (delete + append) and VACUUM its
+    * history away — the clone must still aggregate exactly the pinned
+    * snapshot (hard-linked storage is immune to the source's vacuum,
+    * the sharp edge Delta documents for path-referencing shallow
+    * clones). The oracle aggregates the pre-mutation subset directly:
+    * any leakage from the source's later life — or a byte lost to its
+    * vacuum — breaks the hash.
+    */
+  val qv17 = Q(
+    "qv17_clone_isolation",
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val orders = load(s, dir, "orders")
+    val src = VersionedTable(s, Files.createTempDirectory("graft-qv17s-").toString)
+    src.commitOverwrite(orders.filter(col("o_orderkey") % 3 === 0).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DoubleType).as("price")))
+    val clone = src.cloneTo(Files.createTempDirectory("graft-qv17c-").toString)
+    // the source moves on and erases the cloned snapshot from its log
+    src.delete(col("o_orderkey") % 2 === 0)
+    src.commitAppend(orders.filter(col("o_orderkey") % 3 =!= 0)
+      .limit(100).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DoubleType).as("price")))
+    src.vacuum(keepVersions = 1)
+    clone.read()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("price")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] =
     Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12,
-      qv13, qv14, qv15, qv16)
+      qv13, qv14, qv15, qv16, qv17)
 }

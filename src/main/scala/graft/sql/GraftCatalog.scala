@@ -325,7 +325,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("vacuum", "optimize", "optimize_range", "zorder", "restore",
-        "create_mv", "refresh_mv")
+        "clone", "create_mv", "refresh_mv")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -371,6 +371,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "make the head a zero-copy replay of the given version",
         Array(in("table", StringType), in("version", LongType)))(
         input => { tableArg(input).restore(input.getLong(1)): Unit })
+      case "clone" => new Proc("clone",
+        "clone a snapshot of table (default: the head; version >= 0 " +
+          "pins one) as the INDEPENDENT new table `target` — data files " +
+          "hard-link where the filesystem supports it; properties/" +
+          "constraints/generated rules carry, txn markers do not",
+        Array(in("table", StringType), in("target", StringType),
+          inDefault("version", LongType, "-1")))(
+        input => {
+          val src = tableArg(input)
+          val tName = input.getUTF8String(1).toString
+          val parts = tName.split('.')
+          val tIdent = Identifier.of(parts.init, parts.last)
+          if (tableExists(tIdent))
+            throw new TableAlreadyExistsException(tIdent)
+          // the namespace must already exist (CREATE TABLE's rule);
+          // the clone itself creates the table directory
+          if (!namespaceExists(tIdent.namespace))
+            throw new NoSuchNamespaceException(tIdent.namespace)
+          src.cloneTo(tablePath(tIdent).toString, input.getLong(2)): Unit
+        })
       case "create_mv" => new Proc("create_mv",
         "create a DURABLE materialized view: persist the maintainable " +
           "definition (source, keys, count_col, row-local sums/mins/maxes, " +
