@@ -70,8 +70,15 @@ object MvDdl {
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s+AS\s+(.+?)\s*;?\s*$""".r
   private val RefreshRe =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s*;?\s*$""".r
+  // CREATE TABLE t [SHALLOW] CLONE s [VERSION AS OF n] — Delta's clone
+  // DDL. The mandatory CLONE keyword between two identifiers keeps
+  // every regular CREATE TABLE (column list, AS SELECT, USING...) with
+  // the delegate.
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s+(?:SHALLOW\s+)?CLONE\s+""" +
+      """((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
-  /** The two MV statements, or None → the delegate owns the text. */
+  /** The three graft DDL statements, or None → the delegate owns the text. */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case CreateRe(ifNotExists, name, select) =>
@@ -81,6 +88,11 @@ object MvDdl {
       case RefreshRe(name) =>
         Some(RefreshMaterializedViewCommand(
           delegate.parseMultipartIdentifier(name)))
+      case CloneRe(ifNotExists, target, source, version) =>
+        Some(CloneTableCommand(
+          delegate.parseMultipartIdentifier(target),
+          delegate.parseMultipartIdentifier(source),
+          Option(version).map(_.toLong), ifNotExists != null))
       case _ => None
     }
 
@@ -199,6 +211,36 @@ case class CreateMaterializedViewCommand(viewParts: Seq[String],
     if (ifNotExists && MvSpec.load(view).isDefined) return Seq.empty
     val spec = MvDdl.specOf(spark, select)
     MvSpec.ensure(spark, view, spec, viewParts.mkString("."))
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE t [SHALLOW] CLONE s [VERSION AS OF n]` — the DDL face
+  * of [[graft.ecom.VersionedTable.cloneTo]] (same semantics as
+  * `CALL graft.system.clone`): an INDEPENDENT snapshot clone with
+  * create-table rules — existing target refuses (IF NOT EXISTS
+  * short-circuits), the target namespace must already exist. SHALLOW
+  * is accepted for Delta-syntax compatibility; the storage strategy
+  * (hard link where supported, copy otherwise) is the engine's.
+  */
+case class CloneTableCommand(targetParts: Seq[String],
+    sourceParts: Seq[String], version: Option[Long], ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (srcCat, srcIdent) = MvDdl.resolve(spark, sourceParts)
+    if (!srcCat.tableExists(srcIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(srcIdent)
+    val (tgtCat, tgtIdent) = MvDdl.resolve(spark, targetParts)
+    if (tgtCat.tableExists(tgtIdent)) {
+      if (ifNotExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(tgtIdent)
+    }
+    if (!tgtCat.namespaceExists(tgtIdent.namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(tgtIdent.namespace)
+    VersionedTable(spark, srcCat.dirOf(srcIdent))
+      .cloneTo(tgtCat.dirOf(tgtIdent), version.getOrElse(-1L)): Unit
     Seq.empty
   }
 }

@@ -122,4 +122,34 @@ class CloneSpec extends SparkSuite {
       spark.sql("CALL graftclone.system.clone(table => 'ns.src', target => 'ns.dst')")
     }
   }
+
+  test("CREATE TABLE ... CLONE DDL: pinned version, IF NOT EXISTS, delegate untouched") {
+    val wh = freshDir()
+    spark.conf.set("spark.sql.catalog.graftddl",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftddl.warehouse", wh)
+    new java.io.File(s"$wh/ns").mkdirs()
+    val src = VersionedTable(spark, s"$wh/ns/src")
+    src.commitOverwrite((1L to 20L).toDF("id"))   // v1
+    src.commitAppend((21L to 30L).toDF("id"))     // v2
+
+    spark.sql("CREATE TABLE graftddl.ns.c1 SHALLOW CLONE graftddl.ns.src")
+    assert(spark.sql("SELECT count(*) AS n FROM graftddl.ns.c1")
+      .as[Long].head() == 30L)
+    spark.sql(
+      "CREATE TABLE graftddl.ns.c2 CLONE graftddl.ns.src VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) AS n FROM graftddl.ns.c2")
+      .as[Long].head() == 20L, "VERSION AS OF must pin the cloned snapshot")
+    // existing target: bare form refuses, IF NOT EXISTS no-ops
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftddl.ns.c1 CLONE graftddl.ns.src")
+    }
+    spark.sql("CREATE TABLE IF NOT EXISTS graftddl.ns.c1 CLONE graftddl.ns.src VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) AS n FROM graftddl.ns.c1")
+      .as[Long].head() == 30L, "IF NOT EXISTS must leave the existing clone alone")
+    // a REGULAR create-table statement still belongs to the delegate
+    spark.sql("CREATE TABLE graftddl.ns.plain (id BIGINT) USING graft")
+    assert(spark.sql("SELECT count(*) AS n FROM graftddl.ns.plain")
+      .as[Long].head() == 0L)
+  }
 }
