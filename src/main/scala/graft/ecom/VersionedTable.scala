@@ -2074,8 +2074,21 @@ final case class VersionedTable(
       else currentVersion().getOrElse(throw new IllegalArgumentException(
         s"$tableDir has no committed version to clone"))
     val m = readManifest(v)
-    require(new Path(targetDir) != new Path(tableDir),
-      "clone target must differ from the source table directory")
+    // qualified-path containment, both directions: a target nested
+    // inside the source directory would be reclaimed by the source's
+    // vacuum (unreferenced-dir cleanup); a source nested inside the
+    // target is the mirror hazard
+    val srcQ = fs.makeQualified(new Path(tableDir))
+    val tgtQ = fs.makeQualified(new Path(targetDir))
+    def contains(outer: Path, inner: Path): Boolean = {
+      var p: Path = inner
+      while (p != null) { if (p == outer) return true; p = p.getParent }
+      false
+    }
+    require(!contains(srcQ, tgtQ) && !contains(tgtQ, srcQ),
+      s"clone target $tgtQ must not equal, contain, or be nested inside " +
+        s"the source table directory $srcQ — a nested clone's storage " +
+        "would be reclaimed by the outer table's vacuum")
     val target = VersionedTable(spark, targetDir, format, partitionCol,
       statsColumns, bloomColumns, bloomBits, bloomHashes)
     require(target.currentVersion().isEmpty,
@@ -2134,6 +2147,14 @@ final case class VersionedTable(
         true
       } catch {
         case _: UnsupportedOperationException => false
+        // NoSuchFileException IS a FileSystemException — without its own
+        // case a source file deleted mid-clone (concurrent vacuum) would
+        // fall through to the copy path and die with an opaque IO error
+        case e: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"clone source file $src vanished mid-clone — most likely a " +
+              "concurrent VACUUM of the source table; re-run the clone " +
+              "(pin a version the vacuum retains, or pause the vacuum)", e)
         case _: java.nio.file.FileSystemException => false // cross-device
       }
     }

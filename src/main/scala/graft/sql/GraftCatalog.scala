@@ -381,8 +381,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         input => {
           val src = tableArg(input)
           val tName = input.getUTF8String(1).toString
-          val parts = tName.split('.')
-          val tIdent = Identifier.of(parts.init, parts.last)
+          // the session parser, not split('.'): backquoted parts with
+          // dots survive, and a single-part name gets the parser's
+          // clear error instead of an empty-namespace lookup
+          val parts =
+            spark.sessionState.sqlParser.parseMultipartIdentifier(tName)
+          require(parts.length >= 2,
+            s"system.clone target '$tName' must be namespace-qualified " +
+              "(ns.table) — it is created inside this catalog's warehouse")
+          val tIdent = Identifier.of(parts.init.toArray, parts.last)
           if (tableExists(tIdent))
             throw new TableAlreadyExistsException(tIdent)
           // the namespace must already exist (CREATE TABLE's rule);

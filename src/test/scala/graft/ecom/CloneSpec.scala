@@ -101,6 +101,27 @@ class CloneSpec extends SparkSuite {
     assert(feed.count() == 25L)
   }
 
+  test("a clone target nested inside the source directory (or vice versa) refuses") {
+    val srcDir = freshDir()
+    val src = VersionedTable(spark, srcDir)
+    src.commitOverwrite((1L to 10L).toDF("id"))
+    // nested under the source's data dir: a later source vacuum would
+    // reclaim the clone's storage as an unreferenced directory
+    val e1 = intercept[IllegalArgumentException] {
+      src.cloneTo(s"$srcDir/data/sneaky")
+    }
+    assert(e1.getMessage.contains("nested"))
+    intercept[IllegalArgumentException] { src.cloneTo(srcDir) }
+    // source nested inside the target directory — the mirror hazard
+    val outer = freshDir()
+    val inner = VersionedTable(spark, s"$outer/in")
+    inner.commitOverwrite((1L to 5L).toDF("id"))
+    intercept[IllegalArgumentException] { inner.cloneTo(outer) }
+    // a sibling under the same parent is fine
+    inner.cloneTo(s"$outer/sibling")
+    assert(VersionedTable(spark, s"$outer/sibling").read().count() == 5L)
+  }
+
   test("CALL graft.system.clone creates the target table by name; existing target refuses") {
     val wh = freshDir()
     spark.conf.set("spark.sql.catalog.graftclone",
@@ -121,6 +142,17 @@ class CloneSpec extends SparkSuite {
     intercept[Exception] {
       spark.sql("CALL graftclone.system.clone(table => 'ns.src', target => 'ns.dst')")
     }
+    // a single-part target refuses with the qualification message, not
+    // an empty-namespace lookup error
+    val e = intercept[Exception] {
+      spark.sql("CALL graftclone.system.clone(table => 'ns.src', target => 'bare')")
+    }
+    assert(e.getMessage.contains("namespace-qualified"))
+    // a backquoted part with a dot parses as ONE namespace level
+    new java.io.File(s"$wh/dot.ns").mkdirs()
+    spark.sql("CALL graftclone.system.clone(table => 'ns.src', target => '`dot.ns`.dst')")
+    assert(spark.sql("SELECT count(*) AS n FROM graftclone.`dot.ns`.dst")
+      .as[Long].head() == 15L)
   }
 
   test("CREATE TABLE ... CLONE DDL: pinned version, IF NOT EXISTS, delegate untouched") {
