@@ -308,35 +308,20 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
     val applied = customerRollupMv
       .currentBatchId(IncrementalAgg.appFor(sessionRollupMv))
       .getOrElse(return None) // no contributions materialized yet
-    // persisted: the emptiness probe reads it once, then BOTH change
-    // sides re-read it while the merge materializes its source — three
-    // executions of the rollup scan + semi-join collapse to one
+    // the generic retract/re-add core ([[IncrementalAgg.reattribute]]):
+    // it persists the bounded fact frame, advances the cursor with an
+    // empty marker commit when nothing is materialized (the common
+    // wave shape — attrs arrive at visit start, before any event
+    // reaches the rollup), and nets value-unchanged pairs by L2's row
+    // key before they cost anything
     val level1 = sessionRollupMv.readAt(applied)
       .join(broadcast(touched.select("session_id")), Seq("session_id"), "left_semi")
-      .persist()
-    try {
-      // the COMMON wave shape: every touched session is NEW (attrs arrive
-      // at visit start, before any event reaches the rollup) — nothing is
-      // materialized, so nothing re-attributes. Advance the cursor with an
-      // empty marker commit instead of driving the merge machinery.
-      if (level1.isEmpty)
-        return customerRollupMv.commitAppendBatch(
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            customerRollupMv.snapshotMeta(
-              customerRollupMv.currentVersion().get).schema),
-          txn._2, txn._1)
-      def side(attrs: DataFrame, ct: String): DataFrame =
-        sessionToCustomer(attrsFor(attrs))(level1)
-          .withColumn(VersionedTable.CdcTypeCol, lit(ct))
-          .withColumn(VersionedTable.CdcVersionCol, lit(txn._2))
-      val changes = side(attrsBefore, "update_preimage")
-        .unionByName(side(attrsAfter, "update_postimage"))
-      IncrementalAgg.applyChanges(customerRollupMv, changes,
-        keys = L2.keys, countCol = L2.countCol, sums = L2.sums,
-        mins = L2.mins, maxes = L2.maxes, netKeys = L2.netKeys, txn = txn,
-        authoritative =
-          boundedCustomerAuth(applied, attrsAfterFull))
-    } finally level1.unpersist(blocking = false): Unit
+    IncrementalAgg.reattribute(customerRollupMv, level1,
+      attrs => sessionToCustomer(attrsFor(attrs)),
+      dimBefore = attrsBefore, dimAfter = attrsAfter,
+      keys = L2.keys, countCol = L2.countCol, sums = L2.sums,
+      mins = L2.mins, maxes = L2.maxes, netKeys = L2.netKeys, txn = txn,
+      authoritative = boundedCustomerAuth(applied, attrsAfterFull))
   }
 
   /** Bounded post-change source for level 2's dirty-customer recompute.
@@ -370,7 +355,11 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
     val minBytes = spark.conf
       .getOption(GoldIvm.BoundedAuthMinBytesKey).map(_.toLong)
       .getOrElse(GoldIvm.BoundedAuthMinBytes)
+    // a legacy manifest may record files with NO inline sizes and no
+    // sidecar — unknown size is NOT small (assuming small would keep a
+    // large rollup on the naive full-join recompute silently)
     val small = meta.statsSidecar.isEmpty &&
+      (meta.files.isEmpty || meta.files.forall(meta.sizes.contains)) &&
       meta.sizes.valuesIterator.map(_._1).sum < minBytes
     if (small) return full(level1At)
     val unknownDirty = dirty

@@ -72,6 +72,14 @@ object IncrementalAgg {
   /** The txn-marker namespace recording the last applied source version. */
   def appFor(silver: VersionedTable): String = s"ivm:${silver.tableDir}"
 
+  /** Synthetic per-row netting key stamped by [[reattribute]] when the
+    * caller declares no row key: both change sides read the SAME
+    * persisted fact frame, so `monotonically_increasing_id` assigns
+    * each fact row one stable id across the pre/post pipelines and
+    * value-unchanged re-attributions net out exactly as keyed ones do.
+    */
+  private val SynthNetCol = "_graft_net_row"
+
   /** Per-group (key → count/sum deltas) of a change frame: one
     * map-side-combined aggregation, zero-net groups dropped. `changes`
     * carries the source's columns plus `_change_type`.
@@ -232,6 +240,90 @@ object IncrementalAgg {
       authoritative = boundedAuth.fold(
         (_: DataFrame) => prepare(silver.readAt(head)))(
         f => (dirty: DataFrame) => f(head, dirty)))
+  }
+
+  /** The maintained view's STORED schema for a given prepared source
+    * shape — keys, count, sums, then min/max columns — computed plan-
+    * side only (no job runs). Lets a caller commit marker-only empty
+    * versions on a view that has no data commit yet.
+    */
+  def outputSchema(preparedChanges: DataFrame, keys: Seq[String],
+      countCol: String, sums: Map[String, Column],
+      mins: Map[String, Column],
+      maxes: Map[String, Column]): org.apache.spark.sql.types.StructType = {
+    val empty = preparedChanges.limit(0)
+    if (mins.isEmpty && maxes.isEmpty)
+      delta(empty, keys, countCol, sums).schema
+    else {
+      val d = deltaMinMax(empty, keys, countCol, sums, mins, maxes, Nil)
+      val extremeCols = (mins.keys ++ maxes.keys).toSeq.sorted
+      val outCols = keys.map(col) ++
+        (countCol +: sums.keys.toSeq.sorted).map(col) ++
+        extremeCols.map(c => col(insC(c)).as(c))
+      d.select(outCols: _*).schema
+    }
+  }
+
+  /** GENERIC dimension re-attribution — the delta rule for a dimension
+    * change under an aggregate whose `prepare` joined it: every
+    * materialized fact row that joined a changed dimension row RETRACTS
+    * its contribution as prepared under the OLD dimension snapshot and
+    * RE-ADDS it under the NEW one, as update pre/post images riding
+    * [[applyChanges]]. Re-deliveries whose prepared values did not
+    * actually change net out before they cost anything (by the caller's
+    * `netKeys`, or a synthetic per-row id when none is declared — both
+    * sides read the same persisted `facts`, so the id is stable across
+    * the two pipelines); a group-migrating change moves count, sums AND
+    * extremes between groups; a retired extreme takes the same bounded
+    * dirty-group recompute fact windows get. Cost: O(touched facts) +
+    * O(dirty groups) — never O(view), never O(fact table).
+    *
+    *  - `facts`: the materialized contributions' source rows RESTRICTED
+    *    to the touched dimension keys (caller-bounded; read AT the
+    *    version the view's fact marker records). Persisted here for the
+    *    span of the command.
+    *  - `prepareUnder(dimSnapshot)`: the view's full prepare pipeline
+    *    with the changed dimension bound to the given snapshot (other
+    *    dimensions, filters and derived columns unchanged).
+    *  - `txn`: (dimension cursor app, dimension version) — exactly-once;
+    *    a replayed repair is a marker no-op. When nothing is
+    *    materialized for the touched keys, the cursor still advances
+    *    via an empty marker commit (the common wave shape: dimension
+    *    rows arrive before their facts).
+    */
+  def reattribute(gold: VersionedTable, facts: DataFrame,
+      prepareUnder: DataFrame => DataFrame => DataFrame,
+      dimBefore: DataFrame, dimAfter: DataFrame,
+      keys: Seq[String], countCol: String, sums: Map[String, Column],
+      mins: Map[String, Column], maxes: Map[String, Column],
+      netKeys: Seq[String], txn: (String, Long),
+      authoritative: DataFrame => DataFrame): Option[Long] = {
+    if (gold.currentVersion().isEmpty) return None
+    if (gold.currentBatchId(txn._1).exists(_ >= txn._2)) return None
+    val (f0, nk) =
+      if (netKeys.nonEmpty) (facts, netKeys)
+      else (facts.withColumn(SynthNetCol,
+        org.apache.spark.sql.functions.monotonically_increasing_id()),
+        Seq(SynthNetCol))
+    val f = f0.persist()
+    try {
+      if (f.isEmpty) {
+        val spark = gold.spark
+        return gold.commitAppendBatch(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            gold.snapshotMeta(gold.currentVersion().get).schema),
+          txn._2, txn._1)
+      }
+      def side(dim: DataFrame, ct: String): DataFrame =
+        prepareUnder(dim)(f)
+          .withColumn(VersionedTable.CdcTypeCol, lit(ct))
+          .withColumn(VersionedTable.CdcVersionCol, lit(txn._2))
+      val changes = side(dimBefore, "update_preimage")
+        .unionByName(side(dimAfter, "update_postimage"))
+      applyChanges(gold, changes, keys, countCol, sums, mins, maxes,
+        netKeys = nk, txn = txn, authoritative = authoritative)
+    } finally f.unpersist(blocking = false): Unit
   }
 
   /** Apply ONE explicit change frame (source columns + `_change_type`,
