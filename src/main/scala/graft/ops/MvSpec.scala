@@ -1,56 +1,234 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.expr
+import scala.util.Try
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr}
 
 import graft.ecom.VersionedTable
+
+/** One declared dimension of a materialized view: a versioned table
+  * LEFT-joined (USING semantics) into the view's prepare pipeline on
+  * `joinKeys`, contributing `cols` to the downstream expressions. The
+  * dimension must be unique per join key (a duplicate would fan the
+  * left join out — the same contract customer_360's attrs table
+  * carries). A dimension CHANGE is repaired automatically at refresh
+  * time by the generic retract/re-add rule
+  * ([[IncrementalAgg.reattribute]]): cost O(changed keys' facts),
+  * never O(view) and never a re-bootstrap.
+  */
+final case class MvDim(source: String, joinKeys: Seq[String],
+    cols: Seq[String]) {
+  require(source.nonEmpty, "materialized-view dimension needs a table path")
+  require(joinKeys.nonEmpty,
+    s"materialized-view dimension $source needs at least one join key")
+  MvSpec.requireCleanPath(source)
+
+  /** This dimension's cursor app on the view (last attributed version). */
+  def app: String = s"ivm-dim:$source"
+
+  private[ops] def render: String =
+    s"$source|${joinKeys.mkString(",")}|${cols.sorted.mkString(",")}"
+}
 
 /** A maintained aggregate's DEFINITION as durable table metadata — the
   * `CREATE MATERIALIZED VIEW` object model. The spec (source table
   * path, grouping keys, count column, row-local sum/min/max
-  * expressions, netting keys) is stored in the VIEW table's properties
-  * in ONE atomic metadata commit at creation, and every later refresh
-  * reads the STORED spec instead of trusting the caller to re-state the
-  * algebra — re-typed measure expressions per call were the drift
-  * vector the parse-time refusals existed to catch; storing the spec
-  * removes the vector. (Delta/Databricks materialized views persist
-  * their definition the same way: the view is a table whose metadata
-  * carries the query.)
+  * expressions, netting keys — and, since r15, a row-local WHERE
+  * filter, star-schema dimension LEFT joins, and derived grouping-key
+  * expressions) is stored in the VIEW table's properties in ONE atomic
+  * metadata commit at creation, and every later refresh reads the
+  * STORED spec instead of trusting the caller to re-state the algebra —
+  * re-typed measure expressions per call were the drift vector the
+  * parse-time refusals existed to catch; storing the spec removes the
+  * vector. (Delta/Databricks materialized views persist their
+  * definition the same way: the view is a table whose metadata carries
+  * the query.)
   *
   * The maintainable algebra is [[IncrementalAgg]]'s: per-group
-  * COUNT/SUM/MIN/MAX over row-local SQL expressions of the source's
-  * columns, maintained from the source's change data feed in O(rows
-  * changed). Expressions are validated at parse time — an aggregate
-  * smuggled into an entry (avg, a nested sum, percentile...) refuses
-  * loudly with the standard rewrite instead of silently mis-summing.
+  * COUNT/SUM/MIN/MAX over row-local SQL expressions of the PREPARED
+  * row — the source row, LEFT-joined dimension columns, then derived
+  * key columns, then the WHERE filter (exactly SQL's evaluation
+  * order). All of `where`/`keyExprs`/measure entries are validated at
+  * parse time — an aggregate smuggled into any of them (avg, a nested
+  * sum, percentile...) refuses loudly with the standard rewrite.
   *
-  * The source is stored by PATH (its table directory), not by catalog
+  * Maintenance invariant for dimensions: every materialized
+  * contribution is prepared under each dimension AT the version its
+  * cursor (`ivm-dim:<path>` txn marker on the view) records. The fact
+  * feed refresh reads dimensions at their cursors; a dimension that
+  * advanced is FIRST repaired by retract/re-add over its changed keys
+  * (cursor moves atomically with the repair merge), so the two
+  * maintenance paths can never double- or mis-attribute.
+  *
+  * Sources are stored by PATH (table directories), not by catalog
   * name: the binding survives catalog renames and works identically
   * from the SQL procedures, the Scala API, and the streaming
   * maintainer ([[graft.streaming.Sinks.mvMaintainStored]]).
   */
 final case class MvSpec(source: String, keys: Seq[String], countCol: String,
     sums: Seq[(String, String)], mins: Seq[(String, String)],
-    maxes: Seq[(String, String)], netKeys: Seq[String]) {
+    maxes: Seq[(String, String)], netKeys: Seq[String],
+    where: Option[String] = None, dims: Seq[MvDim] = Nil,
+    keyExprs: Seq[(String, String)] = Nil) {
 
   require(source.nonEmpty, "materialized-view spec needs a source table path")
   require(keys.nonEmpty, "materialized-view spec needs at least one key")
   require(countCol.nonEmpty, "materialized-view spec needs a count column")
+  require(keyExprs.map(_._1).forall(keys.contains),
+    "every derived key expression must name a grouping key")
+  where.foreach(MvSpec.validateRowLocal(_, "where"))
 
   private def cols(ps: Seq[(String, String)]): Map[String, Column] =
     ps.map { case (n, e) => n -> expr(e) }.toMap
 
-  /** One incremental refresh of `view` from the stored definition —
-    * bootstraps on first call, then reads only the feed window
-    * (exactly-once via the view's txn marker, as [[IncrementalAgg]]).
+  /** The view's prepare pipeline under explicit dimension snapshots:
+    * LEFT-join each dimension (join keys + referenced columns only),
+    * apply the WHERE filter, then derive the computed grouping keys —
+    * applied uniformly to change frames, recompute scans, and both
+    * re-attribution sides, so the maintenance paths cannot drift.
+    * Row-local throughout; `_change_type`/`_commit_version` flow
+    * through untouched.
     */
-  def refresh(spark: SparkSession, view: VersionedTable): Option[Long] =
-    IncrementalAgg.refresh(view, VersionedTable(spark, source), keys,
-      countCol, cols(sums), cols(mins), cols(maxes), netKeys = netKeys)
+  private[graft] def prepare(dimAt: MvDim => DataFrame)(df: DataFrame): DataFrame = {
+    val joined = dims.foldLeft(df) { (d, dim) =>
+      d.join(dimAt(dim)
+          .select((dim.joinKeys ++ dim.cols).distinct.map(col): _*),
+        dim.joinKeys, "left")
+    }
+    val filtered = where.fold(joined)(w => joined.filter(expr(w)))
+    keyExprs.foldLeft(filtered) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+  }
+
+  /** One incremental refresh of `view` from the stored definition —
+    * first repair any dimension that changed since its cursor (the
+    * generic retract/re-add rule, cursor advanced atomically with the
+    * repair), then apply the fact feed window with dimensions pinned AT
+    * their cursors. Bootstraps on first call (dimension cursors are
+    * committed BEFORE the bootstrap merge, so a crash between the two
+    * re-heals deterministically). Returns the last view version landed,
+    * or None when already current.
+    */
+  def refresh(spark: SparkSession, view: VersionedTable): Option[Long] = {
+    val fact = VersionedTable(spark, source)
+    dims.foreach(ensureDimCursor(spark, view, fact, _))
+    val repaired = dims.flatMap(repairDim(spark, view, fact, _))
+    def dimAtCursor(dim: MvDim): DataFrame = {
+      val t = VersionedTable(spark, dim.source)
+      view.currentBatchId(dim.app).fold(t.read())(t.readAt)
+    }
+    val landed = IncrementalAgg.refresh(view, fact, keys,
+      countCol, cols(sums), cols(mins), cols(maxes),
+      prepare = prepare(dimAtCursor), netKeys = netKeys)
+    landed.orElse(repaired.lastOption)
+  }
+
+  /** Pin a missing dimension cursor. Before the view's FIRST fact
+    * bootstrap this is trivially sound (nothing is materialized, so
+    * "attributed at the current head" is vacuously true) and makes the
+    * bootstrap deterministic under crashes: the cursor commit precedes
+    * the data commit, so a re-run reuses the pinned version instead of
+    * re-pinning a moved head. A bootstrapped view MISSING a cursor can
+    * only be a legacy dimension added by redefinition — refused at
+    * [[MvSpec.ensure]], so it refuses here too rather than guessing
+    * which snapshot old contributions reflect.
+    */
+  private def ensureDimCursor(spark: SparkSession, view: VersionedTable,
+      fact: VersionedTable, dim: MvDim): Unit =
+    if (view.currentBatchId(dim.app).isEmpty) {
+      require(view.currentBatchId(IncrementalAgg.appFor(fact)).isEmpty,
+        s"${view.tableDir} has materialized contributions but no " +
+          s"'${dim.app}' cursor — the dimension's attributed version is " +
+          "unknowable; drop and re-create the view")
+      VersionedTable(spark, dim.source).currentVersion().foreach { v =>
+        val schema = IncrementalAgg.outputSchema(
+          prepare(d => VersionedTable(spark, d.source).read())(
+            fact.read().limit(0)
+              .withColumn(VersionedTable.CdcTypeCol,
+                org.apache.spark.sql.functions.lit("insert"))),
+          keys, countCol, cols(sums), cols(mins), cols(maxes))
+        view.commitAppendBatch(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          v, dim.app)
+        ()
+      }
+    }
+
+  /** Bounded repair of one advanced dimension: touched join keys from
+    * the dimension's own change feed (snapshot symmetric-diff when the
+    * feed window is unavailable), facts READ AT the version the view's
+    * fact marker records and restricted to those keys, retract under
+    * the cursor snapshot / re-add under the head — all other
+    * dimensions stay pinned at THEIR cursors on both sides.
+    */
+  private def repairDim(spark: SparkSession, view: VersionedTable,
+      fact: VersionedTable, dim: MvDim): Option[Long] = {
+    val dimT = VersionedTable(spark, dim.source)
+    val head = dimT.currentVersion().getOrElse(return None)
+    val last = view.currentBatchId(dim.app).getOrElse(return None)
+    if (last >= head) return None
+    val applied = view.currentBatchId(IncrementalAgg.appFor(fact))
+      .getOrElse {
+        // nothing materialized yet — advance the cursor alone
+        val schema = view.snapshotMeta(view.currentVersion().get).schema
+        return view.commitAppendBatch(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          head, dim.app)
+      }
+    val touched = touchedKeys(dimT, last, head, dim.joinKeys).persist()
+    try {
+      def slice(v: Long): DataFrame =
+        dimT.readAt(v).join(broadcast(touched), dim.joinKeys, "left_semi")
+      def under(snapshot: DataFrame)(d: MvDim): DataFrame =
+        if (d == dim) snapshot
+        else {
+          val t = VersionedTable(spark, d.source)
+          view.currentBatchId(d.app).fold(t.read())(t.readAt)
+        }
+      val facts = fact.readAt(applied)
+        .join(broadcast(touched), dim.joinKeys, "left_semi")
+      IncrementalAgg.reattribute(view, facts,
+        snap => prepare(under(snap)),
+        dimBefore = slice(last), dimAfter = slice(head),
+        keys = keys, countCol = countCol, sums = cols(sums),
+        mins = cols(mins), maxes = cols(maxes), netKeys = netKeys,
+        txn = (dim.app, head),
+        // the dirty-group recompute re-prepares the FULL fact snapshot
+        // under the post-change dimensions; its own dirty-key semi-join
+        // bounds the aggregation (group keys may be join-derived, so
+        // the semi-join cannot push below the join — the standard
+        // size-gated shape)
+        authoritative = _ => prepare(under(dimT.readAt(head)))(
+          fact.readAt(applied)))
+    } finally touched.unpersist(blocking = false): Unit
+  }
+
+  /** The distinct join keys whose dimension row changed in
+    * (`last`, `head`]: the dimension's own change feed when readable
+    * (O(changes)), else a full-row symmetric snapshot diff (O(dim) —
+    * dimensions are dimension-sized by contract).
+    */
+  private def touchedKeys(dimT: VersionedTable, last: Long, head: Long,
+      joinKeys: Seq[String]): DataFrame =
+    Try(dimT.changeFeed(last + 1L, head).select(joinKeys.map(col): _*))
+      .getOrElse {
+        val before = dimT.readAt(last)
+        val after = dimT.readAt(head)
+        val cols = after.columns.toSeq
+        before.select(cols.map(col): _*).exceptAll(after.select(cols.map(col): _*))
+          .unionByName(
+            after.select(cols.map(col): _*)
+              .exceptAll(before.select(cols.map(col): _*)))
+          .select(joinKeys.map(col): _*)
+      }
+      .distinct()
 
   /** The spec as table properties (normalized: lists joined, pair lists
-    * re-rendered sorted by output column — two specs that mean the same
-    * thing serialize identically, so drift checks are string compares).
+    * re-rendered sorted by output column, dimensions in declared join
+    * order — two specs that mean the same thing serialize identically,
+    * so drift checks are string compares).
     */
   def props: Map[String, String] = Map(
     MvSpec.SourceProp -> source,
@@ -59,7 +237,10 @@ final case class MvSpec(source: String, keys: Seq[String], countCol: String,
     MvSpec.SumsProp -> MvSpec.renderPairs(sums),
     MvSpec.MinsProp -> MvSpec.renderPairs(mins),
     MvSpec.MaxesProp -> MvSpec.renderPairs(maxes),
-    MvSpec.NetKeysProp -> netKeys.mkString(","))
+    MvSpec.NetKeysProp -> netKeys.mkString(","),
+    MvSpec.WhereProp -> where.getOrElse(""),
+    MvSpec.DimsProp -> dims.map(_.render).mkString(";"),
+    MvSpec.KeyExprsProp -> MvSpec.renderPairs(keyExprs))
 }
 
 object MvSpec {
@@ -70,6 +251,9 @@ object MvSpec {
   val MinsProp: String = "graft.mv.mins"
   val MaxesProp: String = "graft.mv.maxes"
   val NetKeysProp: String = "graft.mv.net_keys"
+  val WhereProp: String = "graft.mv.where"
+  val DimsProp: String = "graft.mv.dims"
+  val KeyExprsProp: String = "graft.mv.key_exprs"
 
   // aggregates (and aggregate-ish collectors) that cannot appear inside
   // a ROW-LOCAL entry: the view itself applies the per-group algebra
@@ -77,6 +261,29 @@ object MvSpec {
     ("(?i)\\b(avg|mean|sum|stddev|stddev_samp|stddev_pop|variance|var_samp|" +
       "median|percentile|approx_percentile|count|min|max|first|last|" +
       "collect_list|collect_set|array_agg|string_agg|listagg)\\s*\\(").r
+
+  /** Refuse a non-row-local SQL fragment (a smuggled aggregate) LOUDLY
+    * with the standard rewrite — shared by measure entries, the WHERE
+    * filter, and derived key expressions.
+    */
+  def validateRowLocal(e: String, what: String): Unit =
+    Banned.findFirstIn(e).foreach { hit =>
+      throw new IllegalArgumentException(
+        s"materialized-view $what expression '$e' contains the aggregate " +
+          s"'$hit' — entries are ROW-LOCAL expressions; the view itself " +
+          "applies the per-group COUNT/SUM/MIN/MAX (write 'rev:x', not " +
+          "'rev:sum(x)'). AVG is not self-maintainable: maintain the sum " +
+          "and a non-null count as two columns and derive sum/count at " +
+          "query time; MIN/MAX go in the mins/maxes parameters (bounded " +
+          "dirty-group recompute), not in a sum.")
+    }
+
+  /** Table paths embed in the rendered dims property — refuse the
+    * delimiter characters rather than mis-parse later.
+    */
+  private[ops] def requireCleanPath(p: String): Unit =
+    require(!p.exists(c => c == '|' || c == ';' || c == ','),
+      s"materialized-view table path '$p' may not contain '|', ';' or ','")
 
   /** Parse a `name:sqlExpr;name:sqlExpr` list, refusing non-maintainable
     * aggregate shapes LOUDLY with the standard rewrite.
@@ -88,16 +295,7 @@ object MvSpec {
         s"materialized-view $what entry '$p' must be " +
           "'<output_col>:<sql expr over source columns>'")
       val (n, e) = (p.take(i).trim, p.drop(i + 1).trim)
-      Banned.findFirstIn(e).foreach { hit =>
-        throw new IllegalArgumentException(
-          s"materialized-view $what expression '$e' contains the aggregate " +
-            s"'$hit' — entries are ROW-LOCAL expressions; the view itself " +
-            "applies the per-group COUNT/SUM/MIN/MAX (write 'rev:x', not " +
-            "'rev:sum(x)'). AVG is not self-maintainable: maintain the sum " +
-            "and a non-null count as two columns and derive sum/count at " +
-            "query time; MIN/MAX go in the mins/maxes parameters (bounded " +
-            "dirty-group recompute), not in a sum.")
-      }
+      validateRowLocal(e, what)
       n -> e
     }
 
@@ -106,6 +304,17 @@ object MvSpec {
 
   private[ops] def renderPairs(ps: Seq[(String, String)]): String =
     ps.sortBy(_._1).map { case (n, e) => s"$n:$e" }.mkString(";")
+
+  private def parseDims(s: String): Seq[MvDim] =
+    s.split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { d =>
+      d.split('|') match {
+        case Array(src, ks) => MvDim(src, parseList(ks), Nil)
+        case Array(src, ks, cs) => MvDim(src, parseList(ks), parseList(cs))
+        case _ => throw new IllegalArgumentException(
+          s"materialized-view dims entry '$d' must be " +
+            "'<table path>|<join keys>|<columns>'")
+      }
+    }
 
   /** Build a spec from the procedure-argument shapes (validating). */
   def fromArgs(source: String, keys: String, countCol: String, sums: String,
@@ -146,7 +355,8 @@ object MvSpec {
   /** The stored spec, if this table is a materialized view. A PARTIAL
     * spec (some keys present, the required ones missing) is corruption
     * and refuses rather than guessing — with atomic storage it can only
-    * mean hand-edited properties.
+    * mean hand-edited properties. The r15 properties (where/dims/
+    * key_exprs) default empty so r14-stored views load unchanged.
     */
   def load(view: VersionedTable): Option[MvSpec] = {
     val p = view.tableProperties()
@@ -162,6 +372,9 @@ object MvSpec {
       parsePairs(p.getOrElse(SumsProp, ""), "sums"),
       parsePairs(p.getOrElse(MinsProp, ""), "mins"),
       parsePairs(p.getOrElse(MaxesProp, ""), "maxes"),
-      parseList(p.getOrElse(NetKeysProp, ""))))
+      parseList(p.getOrElse(NetKeysProp, "")),
+      where = Some(p.getOrElse(WhereProp, "")).filter(_.nonEmpty),
+      dims = parseDims(p.getOrElse(DimsProp, "")),
+      keyExprs = parsePairs(p.getOrElse(KeyExprsProp, ""), "key_exprs")))
   }
 }

@@ -926,7 +926,90 @@ object Versioned {
       .orderBy("o_orderstatus")
   }
 
+  /** JOIN-SHAPED durable materialized view, entirely through SQL — the
+    * r15 DDL surface: `CREATE MATERIALIZED VIEW ... AS SELECT <derived
+    * null-safe key>, COUNT/SUM/MIN/MAX FROM fact LEFT JOIN dim USING
+    * (pk) WHERE <row-local filter> GROUP BY <key>` (the reference's own
+    * gold-model shape, `03_gold_aggregate.py:78-110`). The storm hits
+    * BOTH sides: fact DML (delete, two WHERE-boundary-crossing updates)
+    * and a DIMENSION storm (a group-migrating update, a dim-row death
+    * dropping its facts to UNKNOWN, a late-arriving dim row lifting its
+    * facts out of UNKNOWN) — then ONE bare `REFRESH MATERIALIZED VIEW`
+    * repairs the dimension by the generic retract/re-add rule and
+    * applies the fact feed window, cursors pinned atomically. The
+    * DuckDB twin replays both storms relationally and aggregates the
+    * final join.
+    */
+  val qv18 = Q(
+    "qv18_mv_join_shaped",
+    """WITH fact0 AS (
+      |  SELECT o_orderkey AS okey, o_orderkey % 40 AS pk,
+      |    o_orderkey % 20 AS qty, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey <= 4000),
+      |fact1 AS (SELECT * FROM fact0 WHERE okey NOT BETWEEN 700 AND 1200),
+      |fact2 AS (SELECT okey, pk,
+      |  CASE WHEN qty = 3 THEN 0 WHEN qty = 1 THEN 9 ELSE qty END AS qty, price
+      |  FROM fact1),
+      |dim0 AS (SELECT c_custkey AS pk, c_mktsegment AS brand
+      |  FROM customer WHERE c_custkey <= 30),
+      |dim1 AS (SELECT pk, CASE WHEN pk < 10 THEN 'MIGRATED' ELSE brand END AS brand
+      |  FROM dim0 WHERE pk NOT BETWEEN 12 AND 18),
+      |dim2 AS (SELECT * FROM dim1 UNION ALL
+      |  SELECT pk, 'LATE' AS brand FROM (VALUES (31),(32),(33),(34),(35)) v(pk))
+      |SELECT coalesce(brand, 'UNKNOWN') AS brand_key,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(price) AS DOUBLE) AS total,
+      |  CAST(MIN(price) AS DOUBLE) AS lo,
+      |  CAST(MAX(price) AS DOUBLE) AS hi
+      |FROM fact2 LEFT JOIN dim2 USING (pk)
+      |WHERE qty > 2
+      |GROUP BY brand_key ORDER BY brand_key""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv18-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g18c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val fact = VersionedTable(s, s"$wh/db/fact")
+    fact.commitAppend(load(s, dir, "orders").filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey").as("okey"),
+        (col("o_orderkey") % 40).as("pk"),
+        (col("o_orderkey") % 20).as("qty"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price")))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    val dimT = VersionedTable(s, s"$wh/db/dim")
+    dimT.commitAppend(load(s, dir, "customer").filter(col("c_custkey") <= 30)
+      .select(col("c_custkey").as("pk"), col("c_mktsegment").as("brand")))
+    dimT.setTableProperty("graft.enableChangeDataFeed", "true")
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mv AS
+         |SELECT coalesce(brand, 'UNKNOWN') AS brand_key,
+         |  COUNT(*) AS n, SUM(price) AS total,
+         |  MIN(price) AS lo, MAX(price) AS hi
+         |FROM $cat.db.fact LEFT JOIN $cat.db.dim USING (pk)
+         |WHERE qty > 2
+         |GROUP BY brand_key""".stripMargin).collect()
+    // fact storm: plain SQL DML (two updates cross the WHERE boundary)
+    s.sql(s"DELETE FROM $cat.db.fact WHERE okey BETWEEN 700 AND 1200").collect()
+    s.sql(s"UPDATE $cat.db.fact SET qty = 0 WHERE qty = 3").collect()
+    s.sql(s"UPDATE $cat.db.fact SET qty = 9 WHERE qty = 1").collect()
+    // dimension storm: migration, death, late arrival
+    s.sql(s"UPDATE $cat.db.dim SET brand = 'MIGRATED' WHERE pk < 10").collect()
+    s.sql(s"DELETE FROM $cat.db.dim WHERE pk BETWEEN 12 AND 18").collect()
+    s.sql(
+      s"""MERGE INTO $cat.db.dim t USING (
+         |  SELECT CAST(pk AS BIGINT) AS pk, 'LATE' AS brand
+         |  FROM VALUES (31),(32),(33),(34),(35) AS v(pk)
+         |) s ON t.pk = s.pk WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .collect()
+    // ONE bare refresh: dimension repair, then the fact feed window
+    s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.mv").collect()
+    s.sql(
+      s"""SELECT brand_key, n, CAST(total AS DOUBLE) AS total,
+         |  CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+         |FROM $cat.db.mv ORDER BY brand_key""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12,
-      qv13, qv14, qv15, qv16, qv17)
+      qv13, qv14, qv15, qv16, qv17, qv18)
 }

@@ -125,8 +125,10 @@ object MvDdl {
   private def refuse(what: String): Nothing =
     throw new IllegalArgumentException(
       "CREATE MATERIALIZED VIEW takes the maintainable shape — " +
-        "SELECT <keys>, COUNT(*) AS <n>, then aliased SUM/MIN/MAX entries " +
-        "over row-local expressions, FROM <one source table> GROUP BY " +
+        "SELECT <keys and aliased row-local key expressions>, COUNT(*) " +
+        "AS <n>, then aliased SUM/MIN/MAX entries over row-local " +
+        "expressions, FROM <one source table> [LEFT JOIN <dimension " +
+        "table> USING (<keys>)]... [WHERE <row-local filter>] GROUP BY " +
         s"<keys> — but $what. AVG is not self-maintainable: maintain the " +
         "sum and a non-null count as two columns and derive at query time; " +
         "COUNT(DISTINCT k) becomes a row count over a one-row-per-k view.")
@@ -135,33 +137,98 @@ object MvDdl {
     * Strict by design: the statement IS the stored contract every future
     * refresh maintains, so anything outside the maintainable algebra
     * refuses here, at CREATE time, with the rewrite.
+    *
+    * Accepted FROM shapes: one source table, optionally LEFT-JOINed
+    * (USING only — the join key is one shared column set, which is what
+    * makes the dimension's retract/re-add repair derivable) with plain
+    * dimension tables, optionally filtered by a row-local WHERE. Every
+    * column reference must be unqualified and resolve to exactly ONE of
+    * the joined schemas — ambiguity refuses with the rename rewrite
+    * rather than silently picking a side.
     */
   def specOf(spark: SparkSession, select: LogicalPlan): MvSpec = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, UsingJoin}
     val agg = select match {
       case a: Aggregate => a
       case other => refuse(
         s"the statement parsed to ${other.nodeName}, not a single " +
-          "GROUP BY aggregate (no WHERE/JOIN/HAVING/ORDER/LIMIT/DISTINCT)")
+          "GROUP BY aggregate (no HAVING/ORDER/LIMIT/DISTINCT/subquery)")
     }
-    val srcParts = agg.child match {
-      case r: UnresolvedRelation => r.multipartIdentifier
-      case SubqueryAlias(_, r: UnresolvedRelation) => r.multipartIdentifier
-      case other => refuse(
-        s"the FROM clause is ${other.nodeName}, not one plain source table")
+    // peel WHERE, then the left-deep USING-join spine, down to the fact
+    val (whereSql, relTree) = agg.child match {
+      case Filter(cond, child) =>
+        (Some(cond.sql), child)
+      case other => (None, other)
     }
+    def relParts(p: LogicalPlan): Option[Seq[String]] = p match {
+      case r: UnresolvedRelation => Some(r.multipartIdentifier)
+      case SubqueryAlias(_, r: UnresolvedRelation) => Some(r.multipartIdentifier)
+      case _ => None
+    }
+    // dimension joins, innermost-first after the loop
+    var dimJoins = List.empty[(Seq[String], Seq[String])] // (table parts, using keys)
+    var spine: LogicalPlan = relTree
+    var guard = 0
+    while (spine.isInstanceOf[Join]) {
+      guard += 1
+      require(guard <= 16, "CREATE MATERIALIZED VIEW: too many joins")
+      val j = spine.asInstanceOf[Join]
+      val dimParts = relParts(j.right).getOrElse(refuse(
+        s"the JOIN right side is ${j.right.nodeName}, not one plain " +
+          "dimension table"))
+      j.joinType match {
+        case UsingJoin(LeftOuter, usingCols) =>
+          dimJoins = (dimParts, usingCols) :: dimJoins
+        case UsingJoin(Inner, _) => refuse(
+          "the JOIN is INNER — only LEFT JOIN ... USING (...) is " +
+            "maintainable (the dimension repair rule retracts/re-adds " +
+            "the left side's contributions); use LEFT JOIN, and filter " +
+            "a dimension column IS NOT NULL in WHERE if you need " +
+            "inner-join semantics")
+        case _: UsingJoin => refuse(
+          "the JOIN type is outside LEFT JOIN ... USING (...)")
+        case _ => refuse(
+          "the JOIN condition is an ON clause — dimension joins must be " +
+            "USING (<shared key columns>) so the repair rule knows the " +
+            "dimension's key")
+      }
+      spine = j.left
+    }
+    val srcParts = relParts(spine).getOrElse(refuse(
+      s"the FROM clause is ${spine.nodeName}, not one plain source table"))
     val (srcCat, srcIdent) = resolve(spark, srcParts)
     if (!srcCat.tableExists(srcIdent))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(srcIdent)
+    val factSchema = graft.ecom.VersionedTable(spark, srcCat.dirOf(srcIdent))
+      .read().schema
+    val dimTables = dimJoins.map { case (parts, usingCols) =>
+      val (cat, ident) = resolve(spark, parts)
+      if (!cat.tableExists(ident))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      val dir = cat.dirOf(ident)
+      val schema = graft.ecom.VersionedTable(spark, dir).read().schema
+      usingCols.foreach { k =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+          s"USING column '$k' is not in dimension ${parts.mkString(".")}")
+        require(factSchema.fieldNames.exists(_.equalsIgnoreCase(k)) ||
+          dimJoins.takeWhile(_._1 != parts).exists(_._2.contains(k)),
+          s"USING column '$k' is not in the source table")
+      }
+      (dir, usingCols, schema)
+    }
 
     val keyNames = agg.groupingExpressions.map {
       case a: UnresolvedAttribute if a.nameParts.length == 1 => a.nameParts.head
       case other => refuse(
-        s"GROUP BY entry '${other.sql}' is not a plain source column")
+        s"GROUP BY entry '${other.sql}' is not a plain column name — " +
+          "alias the expression in the SELECT list and GROUP BY the alias")
     }
     var countCol: Option[String] = None
     val sums = Seq.newBuilder[(String, String)]
     val mins = Seq.newBuilder[(String, String)]
     val maxes = Seq.newBuilder[(String, String)]
+    val keyExprs = Seq.newBuilder[(String, String)]
     def rowLocal(name: String, arg: Expression, what: String): (String, String) =
       // re-render through MvSpec's validator so a smuggled nested
       // aggregate gets the SAME loud refusal as the procedure form
@@ -169,7 +236,8 @@ object MvDdl {
     agg.aggregateExpressions.foreach {
       case a: UnresolvedAttribute if a.nameParts.length == 1 &&
           keyNames.contains(a.nameParts.head) => () // a grouping key
-      case Alias(f: UnresolvedFunction, name) if f.nameParts.length == 1 =>
+      case Alias(f: UnresolvedFunction, name) if f.nameParts.length == 1 &&
+          !keyNames.contains(name) =>
         val fn = f.nameParts.head.toLowerCase
         if (f.isDistinct) refuse(s"'$name' uses $fn(DISTINCT ...)")
         (fn, f.arguments) match {
@@ -185,15 +253,64 @@ object MvDdl {
           case ("max", Seq(arg)) => maxes += rowLocal(name, arg, "maxes")
           case _ => refuse(s"'$name' is $fn(...), outside COUNT/SUM/MIN/MAX")
         }
+      case Alias(e, name) if keyNames.contains(name) =>
+        // a DERIVED grouping key: a row-local expression (the null-safe
+        // coalesce over a dimension miss is the canonical use)
+        keyExprs += rowLocal(name, e, "key_exprs")
       case a: UnresolvedAttribute => refuse(
         s"select entry '${a.sql}' is not a GROUP BY key")
       case other => refuse(
-        s"select entry '${other.sql}' is not an aliased COUNT/SUM/MIN/MAX")
+        s"select entry '${other.sql}' is not an aliased COUNT/SUM/MIN/MAX " +
+          "or an aliased GROUP BY key expression")
+    }
+
+    // assign every referenced column to the fact or exactly one
+    // dimension — unknown and ambiguous names refuse at CREATE
+    val derived = keyExprs.result().map(_._1).toSet
+    val usingKeys = dimTables.flatMap(_._2).toSet
+    val referenced = collection.mutable.LinkedHashSet.empty[String]
+    def collectRefs(e: Expression): Unit = e.foreach {
+      case a: UnresolvedAttribute =>
+        if (a.nameParts.length > 1) refuse(
+          s"column reference '${a.sql}' is qualified — use unqualified " +
+            "names (rename colliding columns instead)")
+        referenced += a.nameParts.head
+      case _ => ()
+    }
+    agg.aggregateExpressions.foreach(collectRefs)
+    agg.groupingExpressions.foreach(collectRefs)
+    whereSql.foreach(_ => agg.child match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+        collectRefs(cond)
+      case _ => ()
+    })
+    val dimCols = collection.mutable.Map.empty[String, List[String]]
+      .withDefaultValue(Nil)
+    referenced.filterNot(derived).filterNot(usingKeys).foreach { n =>
+      val inFact = factSchema.fieldNames.exists(_.equalsIgnoreCase(n))
+      val owners = dimTables.filter(_._3.fieldNames.exists(_.equalsIgnoreCase(n)))
+      (inFact, owners) match {
+        case (true, Nil) => () // a plain fact column
+        case (false, Seq((dir, _, _))) =>
+          dimCols(dir) = n :: dimCols(dir)
+        case (false, Nil) => refuse(
+          s"column '$n' is in neither the source table nor any joined " +
+            "dimension")
+        case _ => refuse(
+          s"column '$n' exists in more than one joined table — rename it " +
+            "on one side so the reference is unambiguous")
+      }
+    }
+
+    val dims = dimTables.map { case (dir, usingCols, _) =>
+      graft.ops.MvDim(dir, usingCols, dimCols(dir).reverse)
     }
     MvSpec(srcCat.dirOf(srcIdent), keyNames,
       countCol.getOrElse(refuse("no COUNT(*) entry (the count column is " +
         "what lets group deaths DELETE)")),
-      sums.result(), mins.result(), maxes.result(), netKeys = Nil)
+      sums.result(), mins.result(), maxes.result(), netKeys = Nil,
+      where = whereSql.map { w => MvSpec.validateRowLocal(w, "where"); w },
+      dims = dims, keyExprs = keyExprs.result())
   }
 }
 

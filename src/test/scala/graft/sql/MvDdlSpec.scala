@@ -97,6 +97,89 @@ class MvDdlSpec extends SparkSuite {
     assert(e2.getMessage.contains("no stored materialized-view definition"))
   }
 
+  test("join-shaped MV: dim LEFT join + WHERE + derived key, maintained through fact AND dimension storms") {
+    // fact: (id, pk, qty, price); dim: (pk, brand) — brand drives a
+    // null-safe derived grouping key (a dim miss lands in UNKNOWN)
+    val fact = VersionedTable(spark, s"$warehouse/db/jfact")
+    fact.commitAppend((1L to 60L).map(i => (i, i % 7, i % 20, i * 10L))
+      .toDF("id", "pk", "qty", "price"))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    val dim = VersionedTable(spark, s"$warehouse/db/jdim")
+    dim.commitAppend((0L to 5L).map(k => (k, s"brand_${k % 3}"))
+      .toDF("pk", "brand")) // pk 6 deliberately missing -> UNKNOWN
+    dim.setTableProperty("graft.enableChangeDataFeed", "true")
+
+    def recomputeJoin(): Set[Row] =
+      fact.read().join(dim.read(), Seq("pk"), "left")
+        .filter(col("qty") > 2)
+        .withColumn("brand_key", coalesce(col("brand"), lit("UNKNOWN")))
+        .groupBy("brand_key")
+        .agg(count(lit(1)).as("n"), sum("price").as("total"),
+          min("price").as("lo"), max("price").as("hi"))
+        .collect().toSet
+
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmv.db.jmv AS
+        |SELECT coalesce(brand, 'UNKNOWN') AS brand_key,
+        |  COUNT(*) AS n, SUM(price) AS total,
+        |  MIN(price) AS lo, MAX(price) AS hi
+        |FROM gmv.db.jfact LEFT JOIN gmv.db.jdim USING (pk)
+        |WHERE qty > 2
+        |GROUP BY brand_key""".stripMargin)
+    val view = VersionedTable(spark, s"$warehouse/db/jmv")
+    def viewRows(): Set[Row] =
+      view.read().select("brand_key", "n", "total", "lo", "hi")
+        .collect().toSet
+    assert(viewRows() == recomputeJoin(), "bootstrap != recompute")
+    // the stored spec carries the join/filter/derived-key shape
+    val spec = MvSpec.load(view).get
+    assert(spec.where.contains("(qty > 2)"))
+    assert(spec.dims.map(d => (d.source, d.joinKeys, d.cols)) ==
+      Seq((s"$warehouse/db/jdim", Seq("pk"), Seq("brand"))))
+    assert(spec.keyExprs.map(_._1) == Seq("brand_key"))
+
+    // fact storm: delete, update across the WHERE boundary, insert
+    fact.delete(col("id") % 11 === 0)
+    fact.update(col("qty") === 3, Map("qty" -> lit(0))) // leaves the view
+    fact.update(col("qty") === 1, Map("qty" -> lit(9))) // enters the view
+    spark.sql(s"""MERGE INTO gmv.db.jfact t USING (
+      |SELECT CAST(901 AS BIGINT) AS id, CAST(6 AS BIGINT) AS pk,
+      |  CAST(8 AS INT) AS qty, CAST(5 AS BIGINT) AS price) s
+      |ON t.id = s.id WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.jmv")
+    assert(viewRows() == recomputeJoin(), "fact storm != recompute")
+
+    // DIMENSION storm: migrate brands (moves groups), delete a dim row
+    // (its facts fall to UNKNOWN), late-insert the missing pk 6 (its
+    // facts leave UNKNOWN) — repaired by retract/re-add, NO rebootstrap
+    val factVersions = fact.currentVersion()
+    dim.update(col("pk") === 1L, Map("brand" -> lit("brand_9")))
+    dim.delete(col("pk") === 2L)
+    spark.sql(s"""MERGE INTO gmv.db.jdim t USING (
+      |SELECT CAST(6 AS BIGINT) AS pk, 'brand_late' AS brand) s
+      |ON t.pk = s.pk WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.jmv")
+    assert(viewRows() == recomputeJoin(), "dimension storm != recompute")
+    assert(fact.currentVersion() == factVersions,
+      "dimension repair must not touch the fact table")
+    assert(view.currentBatchId(spec.dims.head.app) == dim.currentVersion(),
+      "the dimension cursor must sit at the repaired head")
+
+    // value-unchanged dim re-delivery: the retract/re-add pair nets out
+    // (synthetic per-row netting) — the cursor advances, the DATA stays
+    val dataBefore = viewRows()
+    dim.update(col("pk") === 3L, Map("brand" -> col("brand"))) // no-op values
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.jmv")
+    assert(viewRows() == dataBefore, "no-op re-delivery changed the view")
+    assert(view.currentBatchId(spec.dims.head.app) == dim.currentVersion())
+
+    // a dim change that retires a group's stored extreme: the bounded
+    // dirty recompute must re-derive it, not merge stale values
+    dim.update(col("pk") === 0L, Map("brand" -> lit("brand_9")))
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.jmv")
+    assert(viewRows() == recomputeJoin(), "extreme-retiring dim change != recompute")
+  }
+
   test("non-maintainable SELECT shapes refuse at CREATE time with the rewrite") {
     freshSrc("s3")
     def refuses(sql: String, hint: String): Unit = {
@@ -109,19 +192,32 @@ class MvDdlSpec extends SparkSuite {
     refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
       |SELECT grp, COUNT(DISTINCT amt) AS n
       |FROM gmv.db.s3 GROUP BY grp""".stripMargin, "DISTINCT")
-    // the Filter sits UNDER the Aggregate, so WHERE refuses as a
-    // non-plain FROM (same loud message, same rewrite)
+    // WHERE is maintainable since r15, but only row-locally — a
+    // smuggled aggregate inside it still refuses with the rewrite
     refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
       |SELECT grp, COUNT(*) AS n, SUM(amt) AS total
-      |FROM gmv.db.s3 WHERE amt > 0 GROUP BY grp""".stripMargin,
-      "is Filter, not one plain source table")
+      |FROM gmv.db.s3 WHERE amt > max(amt) GROUP BY grp""".stripMargin,
+      "ROW-LOCAL")
     refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
       |SELECT grp, COUNT(*) AS n, SUM(amt)
       |FROM gmv.db.s3 GROUP BY grp""".stripMargin, "aliased")
+    // an ON-clause join refuses (dimension joins must be USING so the
+    // repair rule knows the dimension's key); INNER refuses with the
+    // LEFT JOIN rewrite
     refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
       |SELECT a.grp, COUNT(*) AS n
       |FROM gmv.db.s3 a JOIN gmv.db.s3 b ON a.id = b.id
-      |GROUP BY a.grp""".stripMargin, "one plain source table")
+      |GROUP BY a.grp""".stripMargin, "USING")
+    refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
+      |SELECT grp, COUNT(*) AS n
+      |FROM gmv.db.s3 JOIN gmv.db.s3 USING (id)
+      |GROUP BY grp""".stripMargin, "LEFT JOIN")
+    refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
+      |SELECT grp, COUNT(*) AS n, SUM(gmv.db.s3.amt) AS total
+      |FROM gmv.db.s3 GROUP BY grp""".stripMargin, "qualified")
+    refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
+      |SELECT grp + 1, COUNT(*) AS n
+      |FROM gmv.db.s3 GROUP BY grp + 1""".stripMargin, "alias")
     refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
       |SELECT grp, SUM(amt) AS total FROM gmv.db.s3 GROUP BY grp""".stripMargin,
       "COUNT(*)")
