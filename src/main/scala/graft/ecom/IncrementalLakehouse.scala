@@ -374,6 +374,59 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** FILE-ARRIVAL-driven bronze landing — the reference's Auto Loader
+    * shape (`01_bronze/01_bronze_ingest.py:26`): a Spark file stream
+    * watches the CSV files under `rawDir/&lt;source&gt;/` (one
+    * subdirectory per bronze source), and each trigger SYNTHESIZES a
+    * wave from the newly
+    * arrived files — parsed with the source's bronze schema, stamped
+    * with the file's OWN path and modification time as
+    * `_source_file`/`_ingest_ts` (so latest-wins ordering follows
+    * arrival order with zero caller bookkeeping) — and lands it through
+    * [[landWave]]: bronze tables first, signal last. Chain this front
+    * with [[streamed]] and the whole medallion runs from raw CSV drops.
+    *
+    * Exactly-once end to end: the file source's checkpoint assigns each
+    * file to exactly one batch, wave ids ride the (monotone, replay-
+    * stable) batch id, and a replayed trigger re-lands as marker
+    * no-ops. Files must be immutable once dropped (the file source
+    * tracks paths, not contents — Auto Loader's own contract); an
+    * unknown subdirectory is ignored loudly via the sources filter.
+    *
+    * The watch stream reads arrived files ONCE as text purely to learn
+    * their paths (wave-sized, never table-sized); the actual parse
+    * happens batch-side against [[Bronze.Schemas]] with the raw
+    * all-string bronze schema, exactly like the batch CSV ingest.
+    */
+  def autoLand(rawDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .format("text")
+      .option("pathGlobFilter", "*.csv")
+      .load(s"$rawDir/*")
+      .select(col("_metadata.file_path").as("path"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val paths = batch.select("path").distinct()
+          .collect().map(_.getString(0)).sorted
+        val bySource = paths
+          .groupBy(p => new org.apache.hadoop.fs.Path(p).getParent.getName)
+          .filter { case (n, _) => bronzeWave.contains(n) }
+        if (bySource.nonEmpty) {
+          val frames = bySource.map { case (n, ps) =>
+            n -> spark.read.option("header", "true")
+              .schema(Schemas.all(n))
+              .csv(ps.toIndexedSeq: _*)
+              .withColumn("_ingest_ts",
+                col("_metadata.file_modification_time"))
+              .withColumn("_source_file", col("_metadata.file_path"))
+          }
+          landWave(frames, batchId + 1L)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** The re-attribution cursor: a txn marker on customer_360's rollup
     * (`reattr:<attrs dir>` → last attrs version whose state every
     * materialized contribution reflects). Set idempotently wherever it

@@ -318,6 +318,76 @@ class IncrementalLakehouseSpec extends SparkSuite {
       "an idle streamed restart must land nothing")
   }
 
+  test("file-arrival medallion: raw CSV drops drive autoLand + streamed == batch waves; idle restart lands nothing") {
+    // batch twin: the explicit-wave path
+    val incB = IncrementalLakehouse(spark, fresh())
+    val goldB = stepWaves(incB, rawWaves)
+
+    val whS = fresh()
+    val rawDir = s"$whS/_rawdrop"
+    val incS = IncrementalLakehouse(spark, whS)
+    val waves = rawWaves
+    // one CSV file per source per wave (a multi-part drop's files can
+    // straddle trigger boundaries), raw bronze shape (no audit columns
+    // — autoLand stamps path + mtime itself)
+    def dropWave(w: DataFrame, seen: Option[DataFrame], tag: String): Unit = {
+      val b0 = Medallion.bronzeSources(w)
+      val b = seen.fold(b0)(sc => b0.updated("sessions",
+        b0("sessions").join(sc, Seq("session_id"), "left_anti")))
+      b.foreach { case (n, df) =>
+        val tmp = Files.createTempDirectory("graft-csvdrop").toString
+        df.drop("_ingest_ts", "_source_file").coalesce(1)
+          .write.option("header", "true").mode("overwrite").csv(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".csv")).get
+        val dstDir = new java.io.File(s"$rawDir/$n")
+        dstDir.mkdirs()
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(dstDir, s"$tag.csv").toPath)
+        ()
+      }
+    }
+
+    dropWave(waves(0), None, "w1")
+    val qLand = incS.autoLand(rawDir, s"$whS/_ckpt_land")
+    qLand.processAllAvailable()
+    val qStep = incS.streamed(s"$whS/_ckpt_step", AsOf, LoadTs)
+    qStep.processAllAvailable()
+    // wave 2 arrives LIVE; a beat of mtime separation keeps latest-wins
+    // ordering aligned with arrival order
+    Thread.sleep(1100)
+    dropWave(waves(1),
+      Some(waves(0).select(col("user_id").cast(StringType).as("session_id"))
+        .distinct()), "w2")
+    qLand.processAllAvailable()
+    qStep.processAllAvailable()
+    qLand.stop(); qStep.stop()
+
+    val goldS = incS.goldRelations(AsOf, LoadTs)
+    for (name <- Seq("product_metrics", "product_funnel", "session_metrics",
+        "customer_360"))
+      assert(rows(goldS(name)) == rows(goldB(name)),
+        s"file-driven gold $name diverged from the batch waves")
+    // silvers match modulo the audit columns (mtime-stamped here)
+    assert(rows(incS.eventsClean.read().drop("_ingest_ts", "_source_file")) ==
+      rows(incB.eventsClean.read().drop("_ingest_ts", "_source_file")),
+      "file-driven events_clean diverged from the batch waves")
+
+    // idle restarts on the same checkpoints: no new files, no new waves,
+    // zero new versions anywhere in the chain
+    val before = (incS.eventsClean.currentVersion(),
+      incS.waveSignal.currentVersion(),
+      incS.gold.customerRollupMv.currentVersion())
+    val q2 = incS.autoLand(rawDir, s"$whS/_ckpt_land")
+    q2.processAllAvailable(); q2.stop()
+    val q3 = incS.streamed(s"$whS/_ckpt_step", AsOf, LoadTs)
+    q3.processAllAvailable(); q3.stop()
+    assert((incS.eventsClean.currentVersion(),
+      incS.waveSignal.currentVersion(),
+      incS.gold.customerRollupMv.currentVersion()) == before,
+      "an idle file-driven restart must land nothing")
+  }
+
   test("rebootstrapGold still recovers as the out-of-band escape hatch") {
     val wh = fresh()
     val inc = IncrementalLakehouse(spark, wh)
