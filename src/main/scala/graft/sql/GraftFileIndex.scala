@@ -76,8 +76,15 @@ final class GraftFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = StructType(Nil)
+  // qualified URI strings, exactly as the generic listing path reports
+  // them (`file:///...` — empty authority spelled out), so the two read
+  // paths expose interchangeable inputFiles
   override def inputFiles: Array[String] =
-    sized.map(t => s"${vt.tableDir}/${t._1}").toArray
+    sized.map { t =>
+      val u = fs.makeQualified(new Path(s"${vt.tableDir}/${t._1}")).toUri
+      new java.net.URI(u.getScheme,
+        Option(u.getAuthority).getOrElse(""), u.getPath, null, null).toString
+    }.toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = sized.map(_._2).sum
 

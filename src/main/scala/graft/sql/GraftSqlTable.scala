@@ -137,7 +137,11 @@ final case class GraftSqlTable(
       val index = new GraftFileIndex(spark, vt, meta)
       LogicalRelation(
         HadoopFsRelation(index, partitionSchema = StructType(Nil),
-          dataSchema = meta.schema, bucketSpec = None,
+          // asNullable: the vectorized reader refuses a REQUIRED column
+          // missing from a file footer — additively-evolved old commits
+          // lack the new columns by construction
+          dataSchema = org.apache.spark.sql.graft.shims.asNullable(meta.schema),
+          bucketSpec = None,
           fileFormat = new ParquetFileFormat, options = Map.empty)(spark))
     } else vt.readAt(version).queryExecution.analyzed
   }

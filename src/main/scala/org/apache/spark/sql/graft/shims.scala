@@ -51,6 +51,14 @@ object shims {
       : org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.sessionState.catalogManager.catalog(name)
 
+  /** `StructType.asNullable` is `private[sql]` — exposed for the
+    * manifest-backed scan paths, whose explicit dataSchema must be
+    * nullable (the vectorized parquet reader refuses a REQUIRED column
+    * missing from an additively-evolved old file's footer).
+    */
+  def asNullable(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = s.asNullable
+
   /** The session's CURRENT catalog plugin (for 2-part MV identifiers). */
   def currentCatalog(spark: SparkSession)
       : org.apache.spark.sql.connector.catalog.CatalogPlugin =

@@ -40,14 +40,19 @@ class VersionedPlanSpec extends SparkSuite {
       s"unread column b must be pruned from the scan:\n$plan")
   }
 
-  test("a filter over a multi-commit read pushes into EVERY commit's scan") {
+  test("a filter over a multi-commit read pushes into every scan (one fused scan on the fast path)") {
     val vt = table()
     val df = vt.read().filter(col("a") > 19000L).select("id")
     val plan = df.queryExecution.executedPlan.toString
-    // both commit dirs survive (no stats on a), so the union remains —
-    // and each branch's scan must carry the pushed predicate
+    // the plain fast path fuses all commits into ONE manifest-backed
+    // scan (GraftFileIndex); every FileScan present must carry the
+    // pushed predicate either way
+    val scans = plan.split(java.util.regex.Pattern.quote("FileScan parquet")).length - 1
     val pushed = plan.split(java.util.regex.Pattern.quote("GreaterThan(a,19000)")).length - 1
-    assert(pushed >= 2, s"filter must push into each commit's scan (found $pushed):\n$plan")
+    assert(scans >= 1 && pushed >= scans,
+      s"filter must push into each of the $scans scan(s) (found $pushed):\n$plan")
+    assert(plan.contains("GraftFileIndex"),
+      s"a plain multi-commit read must plan as one manifest-backed scan:\n$plan")
     assert(df.count() == 10000 - 9501 + 2000)
   }
 
