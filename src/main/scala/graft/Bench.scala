@@ -103,6 +103,33 @@ object Bench {
     val runsJson = passTotals.map(ms).mkString("[", ",", "]")
     // full-precision detail first, for humans and local archives…
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_med":${jmap(_._3)},"reps":$reps,"runs":$runsJson,"failed":$errs,"sf":"$sfDir"}""")
+    // …then an UNTIMED phase-profiled run of the lifecycle heavies:
+    // their headline seconds are dominated by per-wave commit machinery,
+    // and this block lets a reader attribute growth to a specific wave
+    // and phase (merge vs repair vs gold refresh) without re-running.
+    val heavies = Seq("q44_medallion_incremental", "q45_medallion_streamed")
+      .filter(SparkEntry.queries.contains)
+    if (heavies.nonEmpty) {
+      import graft.ecom.IncrementalLakehouse.StepProfile
+      val profiled = heavies.map { name =>
+        spark.catalog.clearCache()
+        StepProfile.drain() // discard anything stale
+        StepProfile.capture = true
+        try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case NonFatal(e) =>
+          System.err.println(s"[bench] phase profile of $name failed: ${e.getMessage}")
+        } finally StepProfile.capture = false
+        val byWave = StepProfile.drain().groupBy(_._1).toSeq.sortBy(_._1)
+        val wavesJson = byWave.map { case (wave, evs) =>
+          val phases = evs.map { case (_, p, sec) =>
+            "\"" + p + "\":" + ms(sec)
+          }.mkString("{", ",", "}")
+          s"""{"wave":$wave,"phases":$phases}"""
+        }.mkString("[", ",", "]")
+        "\"" + name + "\":" + wavesJson
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"phase_profile","unit":"sec","queries":$profiled,"sf":"$sfDir"}""")
+    }
     // …then the machine-readable line LAST, sized for the driver's
     // 2000-char stdout tail (r6's single full line was ~8 KB: the tail
     // cut its head and `parsed` came back null). Keys are each query's
