@@ -79,8 +79,15 @@ object ManifestTailSoak {
         (col("id") % 37L).as("grp"),
         (col("id") % 97L).cast("decimal(18,2)").as("amt")))
       if (i % vacuumEvery == 0) {
-        src.vacuum(keepVersions = 200)
-        view.vacuum(keepVersions = 50)
+        // 60s grace, not the production default (days — the soak's whole
+        // life fits inside it, so nothing would ever reclaim) and not 0
+        // (a grace-0 vacuum deletes files out from under the CONCURRENT
+        // maintainer's in-flight reads — the first soak attempt killed
+        // the stream exactly that way, which is WHY the grace exists):
+        // long enough to cover any in-flight trigger, short enough that
+        // the run demonstrates disk reclamation end to end
+        src.vacuum(keepVersions = 200, unreferencedGraceMs = 60000L)
+        view.vacuum(keepVersions = 50, unreferencedGraceMs = 60000L)
         ()
       }
       if (i % measureEvery == 0) {
