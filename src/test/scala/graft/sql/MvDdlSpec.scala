@@ -180,6 +180,39 @@ class MvDdlSpec extends SparkSuite {
     assert(viewRows() == recomputeJoin(), "extreme-retiring dim change != recompute")
   }
 
+  test("a dimension WITHOUT a change feed repairs via the snapshot symmetric-diff fallback") {
+    val fact = VersionedTable(spark, s"$warehouse/db/nfact")
+    fact.commitAppend((1L to 30L).map(i => (i, i % 5, i * 10L))
+      .toDF("id", "pk", "amt"))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    // dim: CDF deliberately NOT enabled — touched keys must come from
+    // the full-row snapshot diff
+    val dim = VersionedTable(spark, s"$warehouse/db/ndim")
+    dim.commitAppend((0L to 4L).map(k => (k, s"g$k")).toDF("pk", "tag"))
+
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmv.db.nmv AS
+        |SELECT coalesce(tag, 'UNKNOWN') AS tag_key, COUNT(*) AS n,
+        |  SUM(amt) AS total
+        |FROM gmv.db.nfact LEFT JOIN gmv.db.ndim USING (pk)
+        |GROUP BY tag_key""".stripMargin)
+    val view = VersionedTable(spark, s"$warehouse/db/nmv")
+    def recompute(): Set[Row] =
+      fact.read().join(dim.read(), Seq("pk"), "left")
+        .withColumn("tag_key", coalesce(col("tag"), lit("UNKNOWN")))
+        .groupBy("tag_key").agg(count(lit(1)).as("n"), sum("amt").as("total"))
+        .collect().toSet
+    def viewRows(): Set[Row] =
+      view.read().select("tag_key", "n", "total").collect().toSet
+    assert(viewRows() == recompute())
+
+    dim.update(col("pk") === 2L, Map("tag" -> lit("moved")))
+    dim.delete(col("pk") === 3L)
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.nmv")
+    assert(viewRows() == recompute(),
+      "feed-less dimension change must repair via the snapshot diff")
+  }
+
   test("non-maintainable SELECT shapes refuse at CREATE time with the rewrite") {
     freshSrc("s3")
     def refuses(sql: String, hint: String): Unit = {
