@@ -399,7 +399,15 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     * The watch stream reads arrived files ONCE as text purely to learn
     * their paths (wave-sized, never table-sized); the actual parse
     * happens batch-side against [[Bronze.Schemas]] with the raw
-    * all-string bronze schema, exactly like the batch CSV ingest.
+    * all-string bronze schema, exactly like the batch CSV ingest —
+    * PERMISSIVE with corrupt-record CAPTURE: a malformed line (wrong
+    * field count, broken quoting) lands in the source's QUARANTINE
+    * table ([[quarantine]]) with its raw text and audit stamps instead
+    * of silently null-filling into the pipeline (the batch ingest's
+    * [[Bronze.readCsvQuarantine]]/[[Bronze.splitQuarantine]] contract,
+    * Databricks' badRecordsPath shape). Quarantine commits land BEFORE
+    * the wave's clean landing, so the signal still commits last and a
+    * visible wave implies its quarantine is complete too.
     */
   def autoLand(rawDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -416,19 +424,46 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
           .groupBy(p => new org.apache.hadoop.fs.Path(p).getParent.getName)
           .filter { case (n, _) => bronzeWave.contains(n) }
         if (bySource.nonEmpty) {
-          val frames = bySource.map { case (n, ps) =>
+          val waveId = batchId + 1L
+          val parsed = bySource.map { case (n, ps) =>
+            val schema = Schemas.all(n)
+              .add(Bronze.CorruptCol, org.apache.spark.sql.types.StringType)
+            // persisted: the corrupt-column split may only run over a
+            // MATERIALIZED parse (Spark refuses filtering an unread
+            // scan by its corrupt column alone), and clean + quarantine
+            // both read it
             n -> spark.read.option("header", "true")
-              .schema(Schemas.all(n))
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", Bronze.CorruptCol)
+              .schema(schema)
               .csv(ps.toIndexedSeq: _*)
               .withColumn("_ingest_ts",
                 col("_metadata.file_modification_time"))
               .withColumn("_source_file", col("_metadata.file_path"))
+              .persist()
           }
-          landWave(frames, batchId + 1L)
+          try {
+            val split = parsed.map { case (n, df) =>
+              n -> Bronze.splitQuarantine(df)
+            }
+            split.foreach { case (n, (_, bad)) =>
+              if (!bad.isEmpty)
+                quarantine(n).commitAppendBatch(bad, waveId, s"waveq:$n"): Unit
+            }
+            landWave(split.map { case (n, (clean, _)) => n -> clean }, waveId)
+          } finally parsed.values.foreach(_.unpersist(blocking = false))
         }
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** A source's quarantine table — malformed raw lines captured by
+    * [[autoLand]]'s PERMISSIVE parse (schema columns as far as they
+    * parsed, the raw line in [[Bronze.CorruptCol]], audit stamps).
+    * Exactly-once per (source, wave) via the `waveq:` markers.
+    */
+  def quarantine(source: String): VersionedTable =
+    VersionedTable(spark, s"$warehouseDir/_bronze/_quarantine/$source")
 
   /** The re-attribution cursor: a txn marker on customer_360's rollup
     * (`reattr:<attrs dir>` → last attrs version whose state every

@@ -21,9 +21,11 @@ import graft.ops.MvSpec
   * REFRESH MATERIALIZED VIEW cat.ns.mv
   * }}}
   *
-  * Spark's grammar has neither statement, so a `ParserInterface`
-  * wrapper (injected via `SparkSessionExtensions.injectParser` —
-  * [[graft.functions.GraftExtensions]]) recognizes exactly these two
+  * Spark's grammar has none of the graft statements (the two above,
+  * `CREATE TABLE ... CLONE`, `OPTIMIZE`, `VACUUM`), so a
+  * `ParserInterface` wrapper (injected via
+  * `SparkSessionExtensions.injectParser` —
+  * [[graft.functions.GraftExtensions]]) recognizes exactly these
   * prefixes and DELEGATES everything else untouched. The SELECT body is
   * parsed by the DELEGATE parser (full Spark expression syntax, no
   * private grammar) and must be the maintainable shape — one Aggregate
@@ -78,7 +80,15 @@ object MvDdl {
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s+(?:SHALLOW\s+)?CLONE\s+""" +
       """((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
-  /** The three graft DDL statements, or None → the delegate owns the text. */
+  // OPTIMIZE t [ZORDER BY (c1, c2)] and VACUUM t [RETAIN n HOURS] —
+  // Delta's maintenance DDL. Neither word starts any Spark statement,
+  // so the intercept cannot shadow delegate syntax.
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$""".r
+
+  /** The graft DDL statements, or None → the delegate owns the text. */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
       case CreateRe(ifNotExists, name, select) =>
@@ -93,6 +103,15 @@ object MvDdl {
           delegate.parseMultipartIdentifier(target),
           delegate.parseMultipartIdentifier(source),
           Option(version).map(_.toLong), ifNotExists != null))
+      case OptimizeRe(name, zorder) =>
+        Some(OptimizeTableCommand(
+          delegate.parseMultipartIdentifier(name),
+          Option(zorder).toSeq.flatMap(_.split(',').map(_.trim.stripPrefix("`")
+            .stripSuffix("`")).filter(_.nonEmpty))))
+      case VacuumRe(name, retain) =>
+        Some(VacuumTableCommand(
+          delegate.parseMultipartIdentifier(name),
+          Option(retain).map(_.toDouble)))
       case _ => None
     }
 
@@ -358,6 +377,48 @@ case class CloneTableCommand(targetParts: Seq[String],
         .NoSuchNamespaceException(tgtIdent.namespace)
     VersionedTable(spark, srcCat.dirOf(srcIdent))
       .cloneTo(tgtCat.dirOf(tgtIdent), version.getOrElse(-1L)): Unit
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (c1, ...)]` — Delta's maintenance DDL face
+  * of [[graft.ecom.VersionedTable.optimize]]/`optimizeZOrder` (the
+  * `CALL graft.system.optimize`/`zorder` procedures' twin): bin-pack
+  * small files, or rewrite z-order-clustered on the given columns.
+  * dataChange=false semantics — readers, streams and feed windows see
+  * rowsPreserved versions.
+  */
+case class OptimizeTableCommand(tableParts: Seq[String],
+    zorderCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = MvDdl.resolve(spark, tableParts)
+    if (!cat.tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val vt = VersionedTable(spark, cat.dirOf(ident))
+    if (zorderCols.isEmpty) vt.optimize(): Unit
+    else vt.optimizeZOrder(zorderCols): Unit
+    Seq.empty
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS]` — Delta's retention DDL: drop versions
+  * whose commit is older than the retention window (default 168 hours,
+  * Delta's own default) and reclaim files no retained version
+  * references, with the same window as the unreferenced-file grace —
+  * an in-flight reader of a still-retained version can never lose its
+  * files.
+  */
+case class VacuumTableCommand(tableParts: Seq[String],
+    retainHours: Option[Double]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = MvDdl.resolve(spark, tableParts)
+    if (!cat.tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val hours = retainHours.getOrElse(168.0)
+    val ms = (hours * 3600 * 1000).toLong
+    VersionedTable(spark, cat.dirOf(ident))
+      .vacuumOlderThan(System.currentTimeMillis() - ms,
+        unreferencedGraceMs = ms)
     Seq.empty
   }
 }

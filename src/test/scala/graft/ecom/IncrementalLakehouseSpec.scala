@@ -388,6 +388,42 @@ class IncrementalLakehouseSpec extends SparkSuite {
       "an idle file-driven restart must land nothing")
   }
 
+  test("autoLand quarantines malformed CSV lines instead of null-filling them") {
+    val wh = fresh()
+    val inc = IncrementalLakehouse(spark, wh)
+    val rawDir = s"$wh/_raw"
+    new java.io.File(s"$rawDir/reviews").mkdirs()
+    val csv = Seq(
+      "review_id,order_id,product_id,rating,review_text,review_time",
+      "r1,o1,101,4,ok,2024-01-02T10:00:00.000Z",
+      // too many fields: the raw line must land in quarantine whole
+      "r2,o2,102,5,extra,field,count,broken,overflow").mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$rawDir/reviews/d1.csv"),
+      csv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val q = inc.autoLand(rawDir, s"$wh/_ckpt")
+    q.processAllAvailable(); q.stop()
+    // the clean row landed in bronze, WITHOUT the capture column
+    val landed = inc.bronzeWave("reviews").read()
+    assert(landed.count() == 1)
+    assert(landed.select("review_id").head().getString(0) == "r1")
+    assert(!landed.columns.contains(Bronze.CorruptCol))
+    // the malformed line landed in quarantine with its raw text + audit
+    val quar = inc.quarantine("reviews").read()
+    assert(quar.count() == 1)
+    assert(quar.select(Bronze.CorruptCol).head().getString(0).startsWith("r2,o2"))
+    assert(quar.columns.contains("_source_file"))
+
+    // idle restart: no new files, zero new versions on either table
+    val before = (inc.bronzeWave("reviews").currentVersion(),
+      inc.quarantine("reviews").currentVersion())
+    val q2 = inc.autoLand(rawDir, s"$wh/_ckpt")
+    q2.processAllAvailable(); q2.stop()
+    assert((inc.bronzeWave("reviews").currentVersion(),
+      inc.quarantine("reviews").currentVersion()) == before)
+  }
+
   test("rebootstrapGold still recovers as the out-of-band escape hatch") {
     val wh = fresh()
     val inc = IncrementalLakehouse(spark, wh)
