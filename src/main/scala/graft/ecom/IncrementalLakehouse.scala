@@ -146,6 +146,22 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     if (dst.currentVersion().isEmpty)
       return dst.commitAppendBatch(
         reduced0.select(stored.map(col): _*), waveId, app(dst))
+    // additive feed drift: a wave column the table predates evolves the
+    // silver schema FIRST (one empty additive append — the ALTER ADD
+    // COLUMN path; a replayed step skips it, the column exists by then).
+    // A stored column this wave's feed omitted simply stays out of the
+    // clause sets below: inserts null-fill it, updates keep the target's
+    // value — a feed that stops sending a drifted column never erases
+    // what it already delivered.
+    val tblSchema = dst.snapshotMeta(dst.currentVersion().get).schema
+    val drifted = stored.filterNot(c =>
+      tblSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (drifted.nonEmpty) {
+      val evolved = drifted.foldLeft(tblSchema)((sch, c) =>
+        sch.add(c, wave.schema(c).dataType, nullable = true))
+      dst.commitAppend(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)): Unit
+    }
     // steady state: materialize the reduced wave ONCE — the empty-wave
     // check, the discovery's broadcast sizing, and the merge's own
     // passes all read the cache instead of re-running the wave pipeline
@@ -326,6 +342,20 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
       .map(n => n -> VersionedTable(spark, s"$warehouseDir/_bronze/$n",
         statsColumns = Seq(WaveCol))).toMap
 
+  /** The RAW bronze frame shape for `source`: its declared all-string
+    * CSV schema plus the audit stamps the ingest adds — what every
+    * landed wave carries (minus the wave column).
+    */
+  private def bronzeSchema(source: String): org.apache.spark.sql.types.StructType =
+    Schemas.all(source)
+      .add("_ingest_ts", org.apache.spark.sql.types.TimestampType)
+      .add("_source_file", org.apache.spark.sql.types.StringType)
+
+  private def emptyBronze(source: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      bronzeSchema(source))
+
   /** The wave SIGNAL table (one row per landed wave) — the streamed
     * medallion's trigger source. Committed LAST by [[landWave]], so a
     * visible signal row implies every bronze table's wave committed:
@@ -369,7 +399,13 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
           .collect().map(_.getLong(0)).sorted
         ids.foreach { w =>
           val frames = bronzeWave.map { case (n, t) =>
-            n -> t.read().filter(col(WaveCol) === w).drop(WaveCol)
+            // a source no wave has delivered yet (a sparse/late feed, or
+            // files straddling trigger boundaries) reads as an EMPTY
+            // bronze frame instead of throwing "no committed version" —
+            // without this, one never-producing feed would crash-loop
+            // the whole medallion until its first file arrived
+            n -> t.currentVersion().fold(emptyBronze(n))(_ =>
+              t.read().filter(col(WaveCol) === w).drop(WaveCol))
           }
           step(frames, w, asOf, loadTs): Unit
         }
@@ -425,37 +461,116 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
           .filter { case (n, _) => bronzeWave.contains(n) }
         if (bySource.nonEmpty) {
           val waveId = batchId + 1L
+          // SCHEMA-DRIFT detection, per file, against the declared raw
+          // schema (a one-line driver-side header read per arrived file —
+          // wave-sized, never table-sized). Files group by header:
+          //  - header covers every declared column (exact or ADDITIVE
+          //    drift) → parse positionally in HEADER order (declared
+          //    columns keep their all-string raw types, drifted extras
+          //    land as strings) — the wave then carries the extra
+          //    columns and the bronze table evolves additively;
+          //  - header MISSING declared columns (non-additive drift —
+          //    removed/renamed feed columns) → the file's rows quarantine
+          //    LOUDLY with the drift named in the [[DriftCol]] column,
+          //    raw lines intact, instead of null-filling half a schema
+          //    into the pipeline.
           val parsed = bySource.map { case (n, ps) =>
-            val schema = Schemas.all(n)
-              .add(Bronze.CorruptCol, org.apache.spark.sql.types.StringType)
+            val expected = Schemas.all(n).fieldNames.toSeq
+            val byHeader = ps.toSeq.groupBy(p => headerOf(p))
+            val frames = byHeader.toSeq.map { case (headerLine, files) =>
+              val header = headerLine.split(',').map(_.trim).toSeq
+                .filter(_.nonEmpty)
+              val missing = expected.filterNot(c =>
+                header.exists(_.equalsIgnoreCase(c)))
+              if (missing.isEmpty) {
+                val schema = org.apache.spark.sql.types.StructType(
+                  header.map(org.apache.spark.sql.types.StructField(
+                    _, org.apache.spark.sql.types.StringType, nullable = true)))
+                  .add(Bronze.CorruptCol, org.apache.spark.sql.types.StringType)
+                spark.read.option("header", "true")
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", Bronze.CorruptCol)
+                  .schema(schema)
+                  .csv(files.toIndexedSeq: _*)
+                  .withColumn("_ingest_ts",
+                    col("_metadata.file_modification_time"))
+                  .withColumn("_source_file", col("_metadata.file_path"))
+                  .withColumn(DriftCol, lit(null).cast(
+                    org.apache.spark.sql.types.StringType))
+              } else {
+                // the raw text, headers dropped, every declared column
+                // null — nothing from a structurally-broken file reaches
+                // the clean pipeline, and the quarantine row SAYS WHY
+                expected.foldLeft(
+                  spark.read.text(files.toIndexedSeq: _*)
+                    .filter(col("value") =!= headerLine)
+                    .withColumn("_ingest_ts",
+                      col("_metadata.file_modification_time"))
+                    .withColumn("_source_file", col("_metadata.file_path"))
+                    .withColumnRenamed("value", Bronze.CorruptCol)
+                    .withColumn(DriftCol,
+                      lit(s"non-additive schema drift in $n: header " +
+                        s"(${header.mkString(", ")}) is missing declared " +
+                        s"column(s) ${missing.mkString(", ")}")))(
+                  (d, c) => d.withColumn(c, lit(null).cast(
+                    org.apache.spark.sql.types.StringType)))
+              }
+            }
+            // one frame per source across header groups — a group's
+            // missing columns (files that predate the drift) null-fill
+            val unioned = frames.reduce(
+              _.unionByName(_, allowMissingColumns = true))
             // persisted: the corrupt-column split may only run over a
             // MATERIALIZED parse (Spark refuses filtering an unread
             // scan by its corrupt column alone), and clean + quarantine
             // both read it
-            n -> spark.read.option("header", "true")
-              .option("mode", "PERMISSIVE")
-              .option("columnNameOfCorruptRecord", Bronze.CorruptCol)
-              .schema(schema)
-              .csv(ps.toIndexedSeq: _*)
-              .withColumn("_ingest_ts",
-                col("_metadata.file_modification_time"))
-              .withColumn("_source_file", col("_metadata.file_path"))
-              .persist()
+            n -> unioned.persist()
           }
           try {
             val split = parsed.map { case (n, df) =>
-              n -> Bronze.splitQuarantine(df)
+              val (clean, bad) = Bronze.splitQuarantine(
+                df.filter(col(DriftCol).isNull).drop(DriftCol))
+              val drifted = df.filter(col(DriftCol).isNotNull)
+              n -> (clean, bad.withColumn(DriftCol, lit(null).cast(
+                org.apache.spark.sql.types.StringType))
+                .unionByName(drifted, allowMissingColumns = true))
             }
             split.foreach { case (n, (_, bad)) =>
               if (!bad.isEmpty)
                 quarantine(n).commitAppendBatch(bad, waveId, s"waveq:$n"): Unit
             }
-            landWave(split.map { case (n, (clean, _)) => n -> clean }, waveId)
+            // a source with NO file yet and NO committed table lands an
+            // empty marker wave, so every bronze table is readable after
+            // wave 1 — a sparse or never-producing feed cannot wedge the
+            // chained streamed() medallion
+            val absent = bronzeWave.keys.toSeq
+              .filterNot(bySource.contains)
+              .filter(n => bronzeWave(n).currentVersion().isEmpty)
+              .map(n => n -> emptyBronze(n))
+            landWave(split.map { case (n, (clean, _)) => n -> clean } ++
+              absent, waveId)
           } finally parsed.values.foreach(_.unpersist(blocking = false))
         }
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** First (header) line of a CSV file, raw (driver-side, one small
+    * read per ARRIVED file — wave-sized). Columns derive by naive comma
+    * split: the raw feeds' headers are plain identifiers; a header that
+    * genuinely needs CSV quoting would mis-read as drift and quarantine
+    * loudly rather than mis-land.
+    */
+  private def headerOf(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8))
+      Option(r.readLine()).getOrElse("")
+    } finally in.close()
+  }
 
   /** A source's quarantine table — malformed raw lines captured by
     * [[autoLand]]'s PERMISSIVE parse (schema columns as far as they
@@ -510,6 +625,40 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
           "heal pins the cursor) before mutating session attrs, or call " +
           "rebootstrapGold()"))
     if (last >= head) return
+    // MANIFEST-LEVEL no-op gate (r15 verdict #3): the steady wave's
+    // attrs window is INSERT-ONLY — brand-new sessions, no existing row
+    // touched (provable from manifests alone: no file removed, no DV
+    // change). Repair is then needed ONLY if some inserted session
+    // already has materialized contributions (late attrs — events
+    // landed waves ago, rolled up under UNKNOWN). One bounded probe
+    // replaces the generic retract/re-add machinery (persist, synthetic
+    // netting columns, prepared-frame emptiness pass); the probe misses
+    // → the cursor advances alone and the wave's repair cost is one
+    // empty marker commit. Advancing per wave is load-bearing: this
+    // wave's OWN gold refresh consumes attrs AT HEAD right after this
+    // phase, so the cursor must say head before those contributions
+    // land.
+    val insertOnly = scala.util.Try(
+      sessionAttrs.insertOnlyWindow(last + 1L, head)).getOrElse(false)
+    if (insertOnly) {
+      val applied = gold.customerRollupMv
+        .currentBatchId(graft.ops.IncrementalAgg.appFor(gold.sessionRollupMv))
+      val touchedNew = sessionAttrs.changeFeed(last + 1L, head)
+        .select(col("session_id")).distinct()
+      val anyMaterialized = applied.exists(a =>
+        gold.sessionRollupMv.readAt(a)
+          .join(broadcast(touchedNew), Seq("session_id"), "left_semi")
+          .limit(1).count() > 0)
+      if (!anyMaterialized) {
+        val schema = gold.customerRollupMv.snapshotMeta(
+          gold.customerRollupMv.currentVersion().get).schema
+        gold.customerRollupMv.commitAppendBatch(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          head, ReattrApp)
+        return
+      }
+    }
     // persisted: the feed-window scan feeds the rollup probe and BOTH
     // bounded snapshots (4+ executions otherwise); broadcast turns each
     // snapshot read into a scan-side probe instead of a shuffle join
@@ -623,18 +772,26 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     if (sessionAttrs.currentBatchId(a).exists(_ >= waveId)) return
     val attrCols = Seq("customer_id", "session_start_ts", "device",
       "source", "country")
-    val reduced = graft.streaming.Sinks.latestWins(
+    val reduced0 = graft.streaming.Sinks.latestWins(
       waveSessions.filter(col("session_id").isNotNull)
         .select((("session_id" +: attrCols) :+ "_ingest_ts").map(col): _*),
       Seq("session_id"), struct(col("_ingest_ts"), col("session_start_ts")))
-      .persist()
+    // bootstrap writes straight from the lineage — ONE consumer (the
+    // append), and the bootstrap wave is this table's biggest; the
+    // persist + count below exist for the merge's multi-pass reads only
+    if (sessionAttrs.currentVersion().isEmpty) {
+      sessionAttrs.commitAppendBatch(reduced0, waveId, a)
+      ensureCdc(sessionAttrs) // before any post-bootstrap merge lands
+      return // bootstrap wave: gold rollup cannot predate the attrs
+    }
+    val reduced = reduced0.persist()
     try {
       val n = reduced.count()
-      if (sessionAttrs.currentVersion().isEmpty) {
-        sessionAttrs.commitAppendBatch(reduced, waveId, a)
-        ensureCdc(sessionAttrs) // before any post-bootstrap merge lands
-        return // bootstrap wave: gold rollup cannot predate the attrs
-      }
+      // an attrs-empty wave lands NOTHING (replay-safe: no marker, no
+      // version) — the attrs head stays put and the re-attribution
+      // detector short-circuits on its version compare, so a wave that
+      // delivers no session rows pays zero attrs-maintenance cost
+      if (n == 0L) return
       ensureCdc(sessionAttrs) // heal a crash between bootstrap and enable
       val s = (c: String) => col("s").getField(c)
       val t = (c: String) => col("t").getField(c)
@@ -710,4 +867,10 @@ object IncrementalLakehouse {
   val RepairDateCol: String = "_graft_repair_date"
   /** Wave stamp on the streamed medallion's bronze landing tables. */
   val WaveCol: String = "_graft_wave"
+  /** Quarantine column naming NON-ADDITIVE schema drift ([[autoLand]]):
+    * null for ordinary corrupt-record rows, the human-readable drift
+    * description (missing declared columns) for rows from a file whose
+    * header no longer covers the declared raw schema.
+    */
+  val DriftCol: String = "_graft_drift"
 }

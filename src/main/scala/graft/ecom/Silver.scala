@@ -27,9 +27,33 @@ object Silver {
   private def dedupByKey(df: DataFrame, keys: Seq[String], tie: String): DataFrame =
     dedupLatest(df, keys, Seq(col("_ingest_ts").desc, col(tie).desc_nulls_last))
 
+  /** The curated projection PLUS feed-drift passthrough: raw columns
+    * beyond the source's declared bronze schema (additive drift
+    * [[IncrementalLakehouse.autoLand]] landed) ride through the
+    * projection unchanged, so the silver table evolves additively with
+    * the feed instead of silently shedding new columns — rescued-data
+    * semantics. A drifted column whose name collides with a curated
+    * output (or the corrupt-record marker) stays bronze-only: the
+    * projection's meaning never silently changes under drift. On
+    * un-drifted input the extra list is empty and this IS the plain
+    * select. Row-local throughout (`.columns` is plan-side analysis,
+    * no job).
+    */
+  private def projectRescued(raw: DataFrame,
+      declared: org.apache.spark.sql.types.StructType,
+      projection: Seq[Column]): DataFrame = {
+    val out = raw.select(projection: _*).columns
+    val extra = raw.columns.toSeq
+      .filterNot(c => declared.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .filterNot(c => out.exists(_.equalsIgnoreCase(c)))
+      .filterNot(_.equalsIgnoreCase(Bronze.CorruptCol))
+      .map(col)
+    raw.select(projection ++ extra: _*)
+  }
+
   /** customers_clean (`02_silver_transform.py:53-69`). */
   def customers(raw: DataFrame): DataFrame = {
-    val projected = raw.select(
+    val projected = projectRescued(raw, Schemas.customers,
       Seq(
         cleanId(col("customer_id")).as("customer_id"),
         trim(col("name")).as("name"),
@@ -37,7 +61,7 @@ object Silver {
         trim(col("country")).as("country"),
         col("age").cast(IntegerType).as("age"),
         to_date(col("signup_date")).as("signup_date"),
-        col("marketing_opt_in").cast(BooleanType).as("marketing_opt_in")) ++ audit: _*)
+        col("marketing_opt_in").cast(BooleanType).as("marketing_opt_in")) ++ audit)
       .filter(col("customer_id").isNotNull)
     dedupByKey(projected, Seq("customer_id"), "email")
   }
@@ -48,7 +72,7 @@ object Silver {
     * transform; only the dedup below needs the full relation.
     */
   def eventsProjected(raw: DataFrame): DataFrame =
-    raw.select(
+    projectRescued(raw, Schemas.events,
       Seq(
         cleanId(col("event_id")).as("event_id"),
         cleanId(col("session_id")).as("session_id"),
@@ -60,7 +84,7 @@ object Silver {
         // untrimmed, as the reference takes it (`:90`)
         col("payment").as("payment"),
         col("discount_pct").cast(DoubleType).as("discount_pct"),
-        col("amount_usd").cast(DoubleType).as("amount_usd")) ++ audit: _*)
+        col("amount_usd").cast(DoubleType).as("amount_usd")) ++ audit)
       .withColumn("event_date", to_date(col("event_ts")))
       .filter(col("event_id").isNotNull)
 
@@ -78,7 +102,7 @@ object Silver {
 
   /** orders_clean (`02_silver_transform.py:115-137`). */
   def orders(raw: DataFrame): DataFrame = {
-    val projected = raw.select(
+    val projected = projectRescued(raw, Schemas.orders,
       Seq(
         cleanId(col("order_id")).as("order_id"),
         cleanId(col("customer_id")).as("customer_id"),
@@ -89,7 +113,7 @@ object Silver {
         col("total_usd").cast(DoubleType).as("total_usd"),
         trim(col("country")).as("country"),
         trim(col("device")).as("device"),
-        trim(col("source")).as("source")) ++ audit: _*)
+        trim(col("source")).as("source")) ++ audit)
       .withColumn("order_date", to_date(col("order_ts")))
       .filter(col("order_id").isNotNull)
     dedupByKey(projected, Seq("order_id"), "order_ts")
@@ -110,13 +134,13 @@ object Silver {
     * the date-fallback join must wait for.
     */
   def orderItemsProjected(raw: DataFrame): DataFrame = {
-    val projected = raw.select(
+    val projected = projectRescued(raw, Schemas.orderItems,
       Seq(
         cleanId(col("order_id")).as("order_id"),
         cleanId(col("product_id")).as("product_id"),
         col("unit_price_usd").cast(DoubleType).as("unit_price_usd"),
         col("quantity").cast(IntegerType).as("quantity"),
-        col("line_total_usd").cast(DoubleType).as("line_total_usd")) ++ audit: _*)
+        col("line_total_usd").cast(DoubleType).as("line_total_usd")) ++ audit)
       .filter(col("order_id").isNotNull)
       .filter(col("quantity") > 0)
     dedupByKey(projected, Seq("order_id", "product_id"), "line_total_usd")
@@ -133,28 +157,28 @@ object Silver {
 
   /** products_clean (`02_silver_transform.py:185-200`). */
   def products(raw: DataFrame): DataFrame = {
-    val projected = raw.select(
+    val projected = projectRescued(raw, Schemas.products,
       Seq(
         cleanId(col("product_id")).as("product_id"),
         trim(col("category")).as("category"),
         trim(col("name")).as("product_name"),
         col("price_usd").cast(DoubleType).as("price_usd"),
         col("cost_usd").cast(DoubleType).as("cost_usd"),
-        col("margin_usd").cast(DoubleType).as("margin_usd")) ++ audit: _*)
+        col("margin_usd").cast(DoubleType).as("margin_usd")) ++ audit)
       .filter(col("product_id").isNotNull)
     dedupByKey(projected, Seq("product_id"), "product_name")
   }
 
   /** reviews_clean (`02_silver_transform.py:213-228`). */
   def reviews(raw: DataFrame): DataFrame = {
-    val projected = raw.select(
+    val projected = projectRescued(raw, Schemas.reviews,
       Seq(
         cleanId(col("review_id")).as("review_id"),
         cleanId(col("order_id")).as("order_id"),
         cleanId(col("product_id")).as("product_id"),
         col("rating").cast(IntegerType).as("rating"),
         col("review_text").as("review_text"),
-        to_timestamp(col("review_time")).as("review_ts")) ++ audit: _*)
+        to_timestamp(col("review_time")).as("review_ts")) ++ audit)
       .filter(col("review_id").isNotNull)
     dedupByKey(projected, Seq("review_id"), "review_ts")
   }
@@ -165,14 +189,14 @@ object Silver {
     * ids and duplicate rows flow through exactly as they do there.
     */
   def sessions(raw: DataFrame): DataFrame =
-    raw.select(
+    projectRescued(raw, Schemas.sessions,
       Seq(
         cleanId(col("session_id")).as("session_id"),
         cleanId(col("customer_id")).as("customer_id"),
         to_timestamp(col("start_time")).as("session_start_ts"),
         trim(col("device")).as("device"),
         trim(col("source")).as("source"),
-        trim(col("country")).as("country")) ++ audit: _*)
+        trim(col("country")).as("country")) ++ audit)
 
   /** All seven transforms, given the bronze tables by name. */
   def transformAll(bronze: Map[String, DataFrame]): Map[String, DataFrame] = {

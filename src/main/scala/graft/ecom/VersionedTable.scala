@@ -2274,6 +2274,35 @@ final case class VersionedTable(
     None
   }
 
+  /** MANIFEST-ONLY classification of the version window [from, to]:
+    * true iff every data-change version in it only ADDED files — no
+    * data file removed, no deletion-vector change. Under copy-on-write
+    * that is exactly "the window INSERTED rows and touched no existing
+    * row": an update or delete always rewrites (or DV-masks) the file
+    * holding the old row. rowsPreserved maintenance versions
+    * (optimize / auto-compaction) rewrite files but change no rows and
+    * are skipped by op. Zero data-file reads and zero jobs — the IVM
+    * dimension-repair no-op gate ([[graft.ecom.IncrementalLakehouse]]).
+    * Overwrites classify as non-additive even when the old table was
+    * empty — callers fall back to the generic (scan-based) path, which
+    * is always correct.
+    */
+  def insertOnlyWindow(from: Long, to: Long): Boolean = {
+    require(from >= 1L && to >= from, s"bad version window [$from, $to]")
+    val vs = versions()
+    (from to to).forall { v =>
+      val m = readManifest(v)
+      if (!VersionedTable.DataChangeOps.contains(m.op)) true
+      else if (m.op == "overwrite" || m.op == "clone") false
+      else if (!vs.contains(v - 1)) false // predecessor vacuumed — unknowable
+      else {
+        val prev = readManifest(v - 1)
+        val cur = m.files.toSet
+        m.dv == prev.dv && prev.files.forall(cur.contains)
+      }
+    }
+  }
+
   /** Latest snapshot. The returned DataFrame is pinned to the version
     * current at call time: a subsequent commitOverwrite does not change
     * what it reads.

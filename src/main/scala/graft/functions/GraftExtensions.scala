@@ -93,6 +93,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DeltaAnalysis shape — names resolve via the catalog, reads run
     // through VersionedTable; see graft.sql.GraftRelationRule).
     ext.injectResolutionRule(session => graft.sql.GraftRelationRule(session))
+    // Durable SQL views over graft catalogs (CREATE VIEW cat.ns.v):
+    // reads substitute the stored SELECT, re-planned per query — the
+    // compose-at-read layer over materialized views (GraftViewRule;
+    // Spark 4.1 has no executable v2-view path of its own).
+    ext.injectResolutionRule(session => graft.sql.GraftViewRule(session))
     // SQL UPDATE / MERGE INTO for catalog tables — converts the
     // resolved commands into eager copy-on-write library ops
     // (graft.sql.GraftDmlRule; canonical upsert only, refuses the rest).
@@ -214,6 +219,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft", vt.tableDir, v, meta.files.size,
           meta.sizes.values.map(_._1).sum, vt.checkConstraints().size,
           vt.tableProperties())))
+      }))
+    // The vector/dedup INDEX ARTIFACTS' SQL probe face (their builds are
+    // CALL graft.system.create_ivf_index / create_cluster_index):
+    //   SELECT * FROM graft_ivf_topk('<artifactDir>'[, nprobe, topk])
+    //   SELECT * FROM graft_cluster_index('<artifactDir>')
+    // Both return the library's DISTRIBUTED read plan over the artifact
+    // alone (partition-pruned IVF cell lists / the labels parquet) —
+    // nothing driver-materialized beyond the k-row centroid matrix.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_ivf_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_ivf_topk"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.size <= 3 && args.forall(_.foldable),
+          "graft_ivf_topk(artifactDir[, nprobe, topk]) takes literal arguments")
+        val dir = args.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => String.valueOf(other)
+        }
+        def intAt(i: Int, default: Int): Int =
+          if (args.size <= i) default
+          else args(i).eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_ivf_topk: argument ${i + 1} must be integral, got $other")
+          }
+        graft.queries.LlmSimilarity.readIvfTopK(
+          org.apache.spark.sql.SparkSession.active, dir,
+          nprobe = intAt(1, 4), topk = intAt(2, 5))
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_cluster_index"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cluster_index"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1 && args.head.foldable,
+          "graft_cluster_index(artifactDir) takes one literal artifact path")
+        val dir = args.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => String.valueOf(other)
+        }
+        graft.queries.LlmDedup.readClusterIndex(
+          org.apache.spark.sql.SparkSession.active, dir)
+          .queryExecution.analyzed
       }))
   }
 }

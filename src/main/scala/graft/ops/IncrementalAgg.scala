@@ -355,21 +355,24 @@ object IncrementalAgg {
       changes, app, head)
 
     val d0 = deltaMinMax(changes, keys, countCol, sums, mins, maxes, netKeys)
+    val extremeCols = (mins.keys ++ maxes.keys).toSeq.sorted
+    val sumCols = sums.keys.toSeq.sorted
+    if (gold.currentVersion().isEmpty) {
+      // first-ever commit: all-insert bootstrap — inserted extremes ARE
+      // the group extremes (no preimages exist). ONE consumer (the
+      // append), so no persist: the bootstrap is the LARGEST frame this
+      // path ever sees, and caching it would trade the table's biggest
+      // write for memory pressure (the bulk-load rule the silver
+      // bootstrap already follows)
+      val outCols = keys.map(col) ++ (countCol +: sumCols).map(col) ++
+        extremeCols.map(c => col(insC(c)).as(c))
+      return gold.commitAppendBatch(d0.select(outCols: _*), head, app)
+    }
     // the delta is O(changed groups) — persist it: it feeds the
     // removal probe, the current-extremes join, (maybe) the dirty-key
     // semi-join, and the merge source
     d0.persist()
     try {
-      val extremeCols = (mins.keys ++ maxes.keys).toSeq.sorted
-      val sumCols = sums.keys.toSeq.sorted
-      val bootstrap = gold.currentVersion().isEmpty
-      if (bootstrap) {
-        // first-ever commit: all-insert bootstrap — inserted extremes
-        // ARE the group extremes (no preimages exist)
-        val outCols = keys.map(col) ++ (countCol +: sumCols).map(col) ++
-          extremeCols.map(c => col(insC(c)).as(c))
-        return gold.commitAppendBatch(d0.select(outCols: _*), head, app)
-      }
       val anyRemoval = d0
         .filter(extremeCols.map(c => col(remC(c)).isNotNull).reduce(_ || _))
         .limit(1).count() > 0

@@ -3,7 +3,7 @@ package graft.ops
 import scala.util.Try
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
 
 import graft.ecom.VersionedTable
 
@@ -65,6 +65,15 @@ final case class MvDim(source: String, joinKeys: Seq[String],
   * name: the binding survives catalog renames and works identically
   * from the SQL procedures, the Scala API, and the streaming
   * maintainer ([[graft.streaming.Sinks.mvMaintainStored]]).
+  *
+  * MV-OVER-MV (r16): the source may itself be a materialized view —
+  * the reference's customer_360 cascade (`03_gold_aggregate.py:
+  * 226-272`, an aggregate over another aggregate's change feed). A
+  * refresh first refreshes the source view (recursively — one bare
+  * REFRESH of the top repairs the whole chain), the source's change
+  * feed is auto-enabled at the level-2 view's first refresh, and a
+  * cycle refuses at CREATE (chain walk) and again at refresh (visited
+  * set) rather than recursing forever.
   */
 final case class MvSpec(source: String, keys: Seq[String], countCol: String,
     sums: Seq[(String, String)], mins: Seq[(String, String)],
@@ -109,8 +118,44 @@ final case class MvSpec(source: String, keys: Seq[String], countCol: String,
     * re-heals deterministically). Returns the last view version landed,
     * or None when already current.
     */
-  def refresh(spark: SparkSession, view: VersionedTable): Option[Long] = {
+  def refresh(spark: SparkSession, view: VersionedTable): Option[Long] =
+    refreshChain(spark, view, Set(view.tableDir))
+
+  /** [[refresh]] with the CASCADE walk's visited set — `view` plus every
+    * ancestor already being refreshed above it. A source that is ITSELF
+    * a materialized view (MV-over-MV: the reference's customer_360
+    * cascade, level 2 consuming level 1's change feed) refreshes FIRST,
+    * so one bare REFRESH of the top repairs the whole chain; a cycle
+    * smuggled into stored specs (impossible through [[ensure]], which
+    * walks the chain at CREATE) refuses here rather than recursing
+    * forever.
+    */
+  private def refreshChain(spark: SparkSession, view: VersionedTable,
+      visited: Set[String]): Option[Long] = {
     val fact = VersionedTable(spark, source)
+    MvSpec.load(fact).foreach { srcSpec =>
+      require(!visited.contains(source),
+        s"materialized-view cycle: $source is already being refreshed " +
+          "above this view in the cascade — a view can never (transitively) " +
+          "source itself")
+      // level 2 consumes the source view's CHANGE FEED: enable it before
+      // the first DML version level 2 will ever read — pre-refresh on an
+      // existing source (heals a crash between a past bootstrap and the
+      // property commit), immediately post-bootstrap otherwise
+      val srcBootstrap = fact.currentVersion().isEmpty
+      if (!srcBootstrap) MvSpec.ensureCdc(fact)
+      srcSpec.refreshChain(spark, fact, visited + source)
+      if (srcBootstrap) MvSpec.ensureCdc(fact)
+    }
+    // refuse an uncommitted dimension HERE, naming it — otherwise the
+    // first read of it deep inside the bootstrap throws a bare "has no
+    // committed version" with no hint which declared table is at fault
+    dims.foreach { d =>
+      require(VersionedTable(spark, d.source).currentVersion().isDefined,
+        s"materialized-view dimension ${d.source} has no committed " +
+          "version — commit the dimension table (an empty commit with its " +
+          "schema suffices) before creating or refreshing the view")
+    }
     dims.foreach(ensureDimCursor(spark, view, fact, _))
     val repaired = dims.flatMap(repairDim(spark, view, fact, _))
     def dimAtCursor(dim: MvDim): DataFrame = {
@@ -208,15 +253,28 @@ final case class MvSpec(source: String, keys: Seq[String], countCol: String,
   /** The distinct join keys whose dimension row changed in
     * (`last`, `head`]: the dimension's own change feed when readable
     * (O(changes)), else a full-row symmetric snapshot diff (O(dim) —
-    * dimensions are dimension-sized by contract).
+    * dimensions are dimension-sized by contract). The diff projects
+    * BOTH snapshots to the HEAD schema, null-filling columns the cursor
+    * snapshot predates — an additively-evolved dimension diffs instead
+    * of throwing, and a backfilled new column correctly reads as a
+    * change (old null vs new value); columns since dropped no longer
+    * reach `prepare`, so their historical values rightly don't count.
     */
   private def touchedKeys(dimT: VersionedTable, last: Long, head: Long,
       joinKeys: Seq[String]): DataFrame =
     Try(dimT.changeFeed(last + 1L, head).select(joinKeys.map(col): _*))
       .getOrElse {
-        val before = dimT.readAt(last)
         val after = dimT.readAt(head)
+        val before0 = dimT.readAt(last)
         val cols = after.columns.toSeq
+        require(joinKeys.forall(before0.columns.contains),
+          s"dimension ${dimT.tableDir}: join key(s) " +
+            s"${joinKeys.filterNot(before0.columns.contains).mkString(", ")} " +
+            s"missing from snapshot v$last — cannot diff for repair")
+        val before = after.schema.fields
+          .filterNot(f => before0.columns.contains(f.name))
+          .foldLeft(before0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
         before.select(cols.map(col): _*).exceptAll(after.select(cols.map(col): _*))
           .unionByName(
             after.select(cols.map(col): _*)
@@ -330,6 +388,17 @@ object MvSpec {
   def store(view: VersionedTable, spec: MvSpec): Long =
     view.setTableProperties(spec.props)
 
+  /** Change-feed property on, wherever found absent (and the table has
+    * a commit to attach it to) — never assume a prior call's property
+    * commit survived a crash.
+    */
+  private[ops] def ensureCdc(t: VersionedTable): Unit =
+    if (t.currentVersion().isDefined &&
+        !t.tableProperties().get(VersionedTable.CdcEnabledProp).contains("true")) {
+      t.setTableProperty(VersionedTable.CdcEnabledProp, "true")
+      ()
+    }
+
   /** The whole CREATE path, shared by `CALL graft.system.create_mv` and
     * the `CREATE MATERIALIZED VIEW` DDL: an identical stored definition
     * is idempotent, a DIFFERENT one refuses (the stored spec is the
@@ -347,6 +416,24 @@ object MvSpec {
           "spec is the contract every past refresh maintained). Drop the " +
           "view and re-create it to change the definition." +
           s"\n  stored:  ${stored.props}\n  offered: ${spec.props}")
+    }
+    // MV-over-MV cycle refusal, at CREATE: walk source → its stored
+    // spec's source → ... — the chain must never reach this view (or
+    // repeat), and must be finite
+    var cur = Option(spec.source)
+    var seen = Set(view.tableDir)
+    var depth = 0
+    while (cur.isDefined) {
+      val c = cur.get
+      require(!seen.contains(c),
+        s"$viewName: materialized-view cycle — source chain reaches " +
+          s"'$c', which is (or feeds) this view; a view can never " +
+          "(transitively) source itself")
+      depth += 1
+      require(depth <= 16, s"$viewName: materialized-view source chain " +
+        "exceeds 16 levels — flatten the cascade")
+      seen += c
+      cur = load(VersionedTable(spark, c)).map(_.source)
     }
     spec.refresh(spark, view)
     store(view, spec): Unit

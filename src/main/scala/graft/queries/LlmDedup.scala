@@ -1458,8 +1458,25 @@ object LlmDedup {
     lshVerifiedPairs(idx.read().select("doc_id", "sh", "sig"))
   }
 
+  // ---------------------------------------------------------------------
+  // qd26 — the cluster-index artifact driven ENTIRELY from SQL (r16):
+  // build via `CALL graft.system.create_cluster_index(...)`, consume via
+  // the `graft_cluster_index` table-valued function — qd24's capability
+  // with zero Scala, hash-pinned to the same oracle.
+  private val qd26Counter = new java.util.concurrent.atomic.AtomicInteger()
+  val qd26 = Q("qd26_cluster_index_sql", qd24.sql.get) { (s, dir) =>
+    val wh = java.nio.file.Files.createTempDirectory("graft-qd26-wh-").toString
+    val art = java.nio.file.Files.createTempDirectory("graft-qd26-").toString
+    val cat = s"g26d${qd26Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CALL $cat.system.create_cluster_index(corpus_dir => '$dir', " +
+      s"artifact_dir => '$art')").collect()
+    s.sql(s"SELECT * FROM graft_cluster_index('$art')")
+  }
+
   val all: Seq[Q] =
     Seq(qd01, qd02, qd03, qd04, qd05, qd06, qd07, qd08, qd09, qd10, qd11, qd12,
       qd13, qd14, qd15, qd16, qd17, qd18, qd19, qd20, qd21, qd22, qd23, qd24,
-      qd25)
+      qd25, qd26)
 }

@@ -935,8 +935,27 @@ object LlmSimilarity {
       queries, centroids, nprobe = 4, topk = 5)
   }
 
+  // ---------------------------------------------------------------------
+  // qs12 — the IVF index artifact driven ENTIRELY from SQL (r16): the
+  // build is `CALL graft.system.create_ivf_index(...)`, the probe is the
+  // `graft_ivf_topk` table-valued function — qs10's capability with zero
+  // Scala in the user's hands, hash-pinned to the SAME oracle as
+  // qs03/qs10 (the probe must equal the library pipeline bit-for-bit).
+  private val qs12Counter = new java.util.concurrent.atomic.AtomicInteger()
+  val qs12 = Q("qs12_ivf_index_sql", Qs03Sql.sql) { (s, dir) =>
+    val wh = java.nio.file.Files.createTempDirectory("graft-qs12-wh-").toString
+    val art = java.nio.file.Files.createTempDirectory("graft-qs12-").toString
+    val cat = s"g12s${qs12Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CALL $cat.system.create_ivf_index(corpus_dir => '$dir', " +
+      s"artifact_dir => '$art')").collect()
+    s.sql(s"SELECT * FROM graft_ivf_topk('$art')")
+  }
+
   val all: Seq[Q] =
-    Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07, qs08, qs09, qs10, qs11)
+    Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07, qs08, qs09, qs10, qs11,
+      qs12)
 }
 
 /** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its

@@ -1009,7 +1009,169 @@ object Versioned {
          |FROM $cat.db.mv ORDER BY brand_key""".stripMargin)
   }
 
+  /** MV-OVER-MV, entirely through SQL — the r16 cascade surface: level 1
+    * is a maintained aggregate over the fact table, level 2 is a
+    * maintained aggregate over LEVEL 1 (grouping by a derived key), the
+    * reference's customer_360 shape (`03_gold_aggregate.py:226-272` — an
+    * aggregate consuming another aggregate's change feed). The storm
+    * hits the BASE only (delete retiring per-group extremes, an update
+    * storm, inserts creating new level-1 groups); then ONE bare
+    * `REFRESH MATERIALIZED VIEW` of LEVEL 2 repairs the whole cascade —
+    * level 1 from the fact feed window, level 2 from level 1's own
+    * change feed, extremes re-derived by the bounded dirty-group
+    * recompute at both levels. The DuckDB twin replays the storm
+    * relationally and recomputes the two-level rollup.
+    */
+  val qv19 = Q(
+    "qv19_mv_cascade",
+    """WITH fact0 AS (
+      |  SELECT o_orderkey AS okey, o_orderkey % 500 AS skey,
+      |    o_orderkey % 20 AS qty, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_orderkey <= 6000),
+      |fact1 AS (SELECT * FROM fact0 WHERE okey NOT BETWEEN 1000 AND 1500),
+      |fact2 AS (SELECT okey, skey, qty,
+      |  CASE WHEN qty = 5 THEN CAST(price + 1000 AS DECIMAL(18,2))
+      |       ELSE price END AS price
+      |  FROM fact1),
+      |l1 AS (SELECT skey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    SUM(price) AS rev, MAX(qty) AS max_qty
+      |  FROM fact2 GROUP BY skey),
+      |l2 AS (SELECT skey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |    CAST(SUM(rev) AS DOUBLE) AS total_rev,
+      |    CAST(MIN(n_rows) AS BIGINT) AS min_rows,
+      |    CAST(MAX(max_qty) AS BIGINT) AS max_q
+      |  FROM l1 GROUP BY bucket)
+      |SELECT bucket, n_groups, total_rev, min_rows, max_q
+      |FROM l2 ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv19-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g19c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val fact = VersionedTable(s, s"$wh/db/fact")
+    fact.commitAppend(load(s, dir, "orders").filter(col("o_orderkey") <= 6000)
+      .select(col("o_orderkey").as("okey"),
+        (col("o_orderkey") % 500).as("skey"),
+        (col("o_orderkey") % 20).as("qty"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price")))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.l1 AS
+         |SELECT skey, COUNT(*) AS n_rows, SUM(price) AS rev,
+         |  MAX(qty) AS max_qty
+         |FROM $cat.db.fact GROUP BY skey""".stripMargin).collect()
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.l2 AS
+         |SELECT skey % 10 AS bucket, COUNT(*) AS n_groups,
+         |  SUM(rev) AS total_rev, MIN(n_rows) AS min_rows,
+         |  MAX(max_qty) AS max_q
+         |FROM $cat.db.l1 GROUP BY bucket""".stripMargin).collect()
+    // base storm: plain SQL DML against the FACT only
+    s.sql(s"DELETE FROM $cat.db.fact WHERE okey BETWEEN 1000 AND 1500").collect()
+    s.sql(s"UPDATE $cat.db.fact SET price = CAST(price + 1000 AS DECIMAL(18,2)) " +
+      "WHERE qty = 5").collect()
+    // ONE bare refresh of the TOP view repairs the whole cascade
+    s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.l2").collect()
+    s.sql(
+      s"""SELECT bucket, n_groups, CAST(total_rev AS DOUBLE) AS total_rev,
+         |  CAST(min_rows AS BIGINT) AS min_rows,
+         |  CAST(max_q AS BIGINT) AS max_q
+         |FROM $cat.db.l2 ORDER BY bucket""".stripMargin)
+  }
+
+  /** The reference's product_metrics COMPOSE, fully declarative — two
+    * maintained aggregates over two independent facts plus a durable
+    * `CREATE VIEW` that full-outer-joins them, zero-fills, and LEFT-joins
+    * the dimension (`03_gold/03_gold_aggregate.py:78-108`'s exact
+    * shape: event metrics ⟗ order metrics ⟕ dims). The view re-plans at
+    * read, so after a storm on BOTH facts + two bare REFRESHes it is
+    * exactly as fresh as the aggregates under it — the r16 answer to
+    * "the MV DDL can't declare product_metrics": two MVs + one view,
+    * zero Scala. The DuckDB twin replays the storms and computes the
+    * same compose relationally.
+    */
+  val qv20 = Q(
+    "qv20_view_compose_mvs",
+    """WITH fa0 AS (
+      |  SELECT o_orderkey AS okey, o_orderkey % 120 AS pk
+      |  FROM orders WHERE o_orderkey <= 5000),
+      |fa AS (SELECT * FROM fa0 WHERE okey NOT BETWEEN 2000 AND 2400),
+      |fb0 AS (
+      |  SELECT o_orderkey AS okey, o_orderkey % 90 AS pk,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    o_orderkey % 7 AS units
+      |  FROM orders WHERE o_orderkey <= 3000),
+      |fb AS (SELECT okey, pk,
+      |    CASE WHEN units = 2 THEN CAST(price * 2 AS DECIMAL(18,2))
+      |         ELSE price END AS price, units
+      |  FROM fb0),
+      |dim AS (SELECT c_custkey AS pk, c_mktsegment AS brand
+      |  FROM customer WHERE c_custkey <= 80),
+      |ma AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN okey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS view_count
+      |  FROM fa GROUP BY pk),
+      |mb AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_b,
+      |    SUM(price) AS revenue, CAST(SUM(units) AS BIGINT) AS units
+      |  FROM fb GROUP BY pk)
+      |SELECT pk, coalesce(brand, 'UNKNOWN') AS brand,
+      |  CAST(coalesce(n_a, 0) AS BIGINT) AS n_events,
+      |  CAST(coalesce(view_count, 0) AS BIGINT) AS view_count,
+      |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(revenue, 0) AS DOUBLE) AS revenue,
+      |  CAST(coalesce(units, 0) AS BIGINT) AS units
+      |FROM ma FULL OUTER JOIN mb USING (pk) LEFT JOIN dim USING (pk)
+      |ORDER BY pk""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv20-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g20c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val orders = load(s, dir, "orders")
+    val fa = VersionedTable(s, s"$wh/db/fa")
+    fa.commitAppend(orders.filter(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey").as("okey"), (col("o_orderkey") % 120).as("pk")))
+    fa.setTableProperty("graft.enableChangeDataFeed", "true")
+    val fb = VersionedTable(s, s"$wh/db/fb")
+    fb.commitAppend(orders.filter(col("o_orderkey") <= 3000)
+      .select(col("o_orderkey").as("okey"), (col("o_orderkey") % 90).as("pk"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+        (col("o_orderkey") % 7).as("units")))
+    fb.setTableProperty("graft.enableChangeDataFeed", "true")
+    val dim = VersionedTable(s, s"$wh/db/dim")
+    dim.commitAppend(load(s, dir, "customer").filter(col("c_custkey") <= 80)
+      .select(col("c_custkey").as("pk"), col("c_mktsegment").as("brand")))
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.ma AS
+         |SELECT pk, COUNT(*) AS n_a,
+         |  SUM(CASE WHEN okey % 3 = 0 THEN 1 ELSE 0 END) AS view_count
+         |FROM $cat.db.fa GROUP BY pk""".stripMargin).collect()
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.mb AS
+         |SELECT pk, COUNT(*) AS n_b, SUM(price) AS revenue,
+         |  SUM(units) AS units
+         |FROM $cat.db.fb GROUP BY pk""".stripMargin).collect()
+    // the durable compose view — the reference's product_metrics select
+    s.sql(
+      s"""CREATE VIEW $cat.db.pm AS
+         |SELECT pk, coalesce(brand, 'UNKNOWN') AS brand,
+         |  CAST(coalesce(n_a, 0) AS BIGINT) AS n_events,
+         |  CAST(coalesce(view_count, 0) AS BIGINT) AS view_count,
+         |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_orders,
+         |  CAST(coalesce(revenue, 0) AS DOUBLE) AS revenue,
+         |  CAST(coalesce(units, 0) AS BIGINT) AS units
+         |FROM $cat.db.ma FULL OUTER JOIN $cat.db.mb USING (pk)
+         |LEFT JOIN $cat.db.dim USING (pk)""".stripMargin).collect()
+    // storms on BOTH facts, then two bare refreshes
+    s.sql(s"DELETE FROM $cat.db.fa WHERE okey BETWEEN 2000 AND 2400").collect()
+    s.sql(s"UPDATE $cat.db.fb SET price = CAST(price * 2 AS DECIMAL(18,2)) " +
+      "WHERE units = 2").collect()
+    s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.ma").collect()
+    s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.mb").collect()
+    s.sql(s"SELECT * FROM $cat.db.pm ORDER BY pk")
+  }
+
   val all: Seq[Q] =
     Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12,
-      qv13, qv14, qv15, qv16, qv17, qv18)
+      qv13, qv14, qv15, qv16, qv17, qv18, qv19, qv20)
 }

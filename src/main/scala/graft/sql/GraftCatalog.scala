@@ -79,6 +79,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new Path(nsPath(ident.namespace), ident.name)
   private def isTable(p: Path): Boolean =
     fs.exists(new Path(p, "_graft_log"))
+  // a VIEW directory (GraftViews marker) is neither a table nor a
+  // namespace — it must not surface in namespace listings
+  private def isView(p: Path): Boolean =
+    fs.exists(new Path(p, GraftViews.MarkerFile))
 
   private def open(ident: Identifier): VersionedTable =
     VersionedTable(spark, tablePath(ident).toString)
@@ -308,10 +312,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** Parse a procedure's `ns.table` string argument with the SESSION
+    * parser, not `split('.')`: backquoted parts containing dots survive,
+    * and a single-part name refuses with a clear message instead of an
+    * empty-namespace lookup's confusing NoSuchNamespaceException.
+    */
+  private def identArg(name: String, what: String): Identifier = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+    require(parts.length >= 2,
+      s"$what '$name' must be namespace-qualified (ns.table) — it " +
+        "resolves inside this catalog's warehouse")
+    Identifier.of(parts.init.toArray, parts.last)
+  }
+
   private def tableArg(input: InternalRow): VersionedTable = {
-    val name = input.getUTF8String(0).toString
-    val parts = name.split('.')
-    val ident = Identifier.of(parts.init, parts.last)
+    val ident = identArg(input.getUTF8String(0).toString, "procedure table argument")
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     open(ident)
   }
@@ -325,7 +340,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("vacuum", "optimize", "optimize_range", "zorder", "restore",
-        "clone", "create_mv", "refresh_mv")
+        "clone", "create_mv", "refresh_mv", "create_ivf_index",
+        "create_cluster_index")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -333,8 +349,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[graft.ops.MvSpec]] stores (catalog-name-independent).
     */
   private def resolveDir(name: String): String = {
-    val parts = name.split('.')
-    val ident = Identifier.of(parts.init, parts.last)
+    val ident = identArg(name, "procedure table argument")
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     tablePath(ident).toString
   }
@@ -380,16 +395,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           inDefault("version", LongType, "-1")))(
         input => {
           val src = tableArg(input)
-          val tName = input.getUTF8String(1).toString
-          // the session parser, not split('.'): backquoted parts with
-          // dots survive, and a single-part name gets the parser's
-          // clear error instead of an empty-namespace lookup
-          val parts =
-            spark.sessionState.sqlParser.parseMultipartIdentifier(tName)
-          require(parts.length >= 2,
-            s"system.clone target '$tName' must be namespace-qualified " +
-              "(ns.table) — it is created inside this catalog's warehouse")
-          val tIdent = Identifier.of(parts.init.toArray, parts.last)
+          val tIdent = identArg(input.getUTF8String(1).toString,
+            "system.clone target")
           if (tableExists(tIdent))
             throw new TableAlreadyExistsException(tIdent)
           // the namespace must already exist (CREATE TABLE's rule);
@@ -415,9 +422,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         input => {
           def str(i: Int): String =
             if (input.isNullAt(i)) "" else input.getUTF8String(i).toString
-          val viewName = str(0)
-          val parts = viewName.split('.')
-          val ident = Identifier.of(parts.init, parts.last)
+          val ident = identArg(str(0), "create_mv view")
           if (!fs.exists(nsPath(ident.namespace)))
             throw new NoSuchNamespaceException(ident.namespace)
           val spec = graft.ops.MvSpec.fromArgs(resolveDir(str(1)), str(2),
@@ -444,8 +449,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         input => {
           def str(i: Int): String =
             if (input.isNullAt(i)) "" else input.getUTF8String(i).toString
-          val parts = str(0).split('.')
-          val ident = Identifier.of(parts.init, parts.last)
+          val ident = identArg(str(0), "refresh_mv view")
           if (!tableExists(ident)) throw new NoSuchTableException(ident)
           val view = open(ident)
           val stored = graft.ops.MvSpec.load(view)
@@ -474,9 +478,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
           spec.refresh(spark, view): Unit
         })
+      case "create_ivf_index" => new Proc("create_ivf_index",
+        "build the persisted IVF ANN index artifact — centroids parquet " +
+          "plus cell-partitioned inverted lists — from the embeddings " +
+          "corpus under corpus_dir (the qs10 build); probe it from pure " +
+          "SQL with SELECT * FROM graft_ivf_topk('<artifact_dir>')",
+        Array(in("corpus_dir", StringType), in("artifact_dir", StringType)))(
+        input => graft.queries.LlmSimilarity.writeIvfIndex(spark,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString))
+      case "create_cluster_index" => new Proc("create_cluster_index",
+        "run duplicate-cluster detection ONCE over the documents corpus " +
+          "under corpus_dir and persist the (doc_id, cluster_id) labels " +
+          "(the qd24 build); consume from pure SQL with SELECT * FROM " +
+          "graft_cluster_index('<artifact_dir>')",
+        Array(in("corpus_dir", StringType), in("artifact_dir", StringType)))(
+        input => graft.queries.LlmDedup.writeClusterIndex(spark,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString))
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other — known: vacuum, optimize, " +
-          "optimize_range, zorder, restore, refresh_mv")
+          "optimize_range, zorder, restore, refresh_mv, create_mv, " +
+          "clone, create_ivf_index, create_cluster_index")
     }
   }
 
@@ -486,7 +507,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = new Path(warehouse)
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filterNot(isTable).map(d => Array(d.getName))
+      .filterNot(isTable).filterNot(isView).map(d => Array(d.getName))
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
@@ -494,12 +515,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else {
       if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
       fs.listStatus(nsPath(namespace)).filter(_.isDirectory).map(_.getPath)
-        .filterNot(isTable).map(d => namespace :+ d.getName)
+        .filterNot(isTable).filterNot(isView).map(d => namespace :+ d.getName)
     }
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val p = nsPath(namespace)
-    fs.exists(p) && !isTable(p)
+    fs.exists(p) && !isTable(p) && !isView(p)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {

@@ -88,6 +88,31 @@ object MvDdl {
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$""".r
 
+  // CREATE [OR REPLACE] VIEW / DROP VIEW for GRAFT catalogs only —
+  // Spark 4.1 ships no executable v2-view path (ViewCatalog exists but
+  // neither CREATE VIEW planning nor read resolution consults it), so
+  // these intercept EXACTLY when the identifier's head names a
+  // registered GraftCatalog in the active session; every other view
+  // statement (session-catalog views, TEMPORARY/GLOBAL TEMP views —
+  // which never match, the keyword sits between CREATE and VIEW)
+  // delegates untouched.
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s*;?\s*$""".r
+
+  /** Whether `parts` EXPLICITLY addresses a registered [[GraftCatalog]]
+    * (head resolves to one). Parse-time gate for the view intercepts:
+    * anything else — including unqualified names in a graft current
+    * catalog, which Spark's own temp-view machinery must see first —
+    * stays with the delegate.
+    */
+  private def headIsGraftCatalog(parts: Seq[String]): Boolean =
+    parts.length >= 2 && scala.util.Try(
+      org.apache.spark.sql.graft.shims.catalogPlugin(
+        SparkSession.active, parts.head)).toOption
+      .exists(_.isInstanceOf[GraftCatalog])
+
   /** The graft DDL statements, or None → the delegate owns the text. */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
     sqlText match {
@@ -112,6 +137,15 @@ object MvDdl {
         Some(VacuumTableCommand(
           delegate.parseMultipartIdentifier(name),
           Option(retain).map(_.toDouble)))
+      case CreateViewRe(orReplace, ifNotExists, name, select)
+          if headIsGraftCatalog(delegate.parseMultipartIdentifier(name)) =>
+        Some(CreateGraftViewCommand(
+          delegate.parseMultipartIdentifier(name), select,
+          orReplace != null, ifNotExists != null))
+      case DropViewRe(ifExists, name)
+          if headIsGraftCatalog(delegate.parseMultipartIdentifier(name)) =>
+        Some(DropGraftViewCommand(
+          delegate.parseMultipartIdentifier(name), ifExists != null))
       case _ => None
     }
 
@@ -404,9 +438,18 @@ case class OptimizeTableCommand(tableParts: Seq[String],
 /** `VACUUM t [RETAIN n HOURS]` — Delta's retention DDL: drop versions
   * whose commit is older than the retention window (default 168 hours,
   * Delta's own default) and reclaim files no retained version
-  * references, with the same window as the unreferenced-file grace —
-  * an in-flight reader of a still-retained version can never lose its
-  * files.
+  * references.
+  *
+  * Safety (Delta's retentionDurationCheck, same default): a retention
+  * under [[VacuumTableCommand.MinRetainHours]] REFUSES — a grace-0
+  * vacuum reclaims a concurrent writer's not-yet-published commit dir
+  * and files under in-flight readers (the exact hazard the repo's
+  * manifest-tail soak documents). An operator who accepts that risk
+  * disables the check explicitly with
+  * `SET graft.vacuum.retentionCheck.enabled=false` (tests, single-
+  * writer reclaim); with the check ON, the unreferenced-file grace is
+  * additionally floored at the library default so the retention window
+  * can never shrink the orphan grace below it.
   */
 case class VacuumTableCommand(tableParts: Seq[String],
     retainHours: Option[Double]) extends LeafRunnableCommand {
@@ -414,11 +457,83 @@ case class VacuumTableCommand(tableParts: Seq[String],
     val (cat, ident) = MvDdl.resolve(spark, tableParts)
     if (!cat.tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    val hours = retainHours.getOrElse(168.0)
+    val hours = retainHours.getOrElse(VacuumTableCommand.MinRetainHours)
+    val checkOn = spark.conf
+      .getOption(VacuumTableCommand.RetentionCheckKey).forall(_.toBoolean)
+    if (checkOn && hours < VacuumTableCommand.MinRetainHours)
+      throw new IllegalArgumentException(
+        s"VACUUM ${tableParts.mkString(".")} RETAIN $hours HOURS is under " +
+          s"the ${VacuumTableCommand.MinRetainHours.toLong}-hour safety " +
+          "minimum — a short window deletes files out from under in-flight " +
+          "readers and concurrent writers' unpublished commits. If you " +
+          "accept that risk, disable the check first with SET " +
+          s"${VacuumTableCommand.RetentionCheckKey}=false")
     val ms = (hours * 3600 * 1000).toLong
     VersionedTable(spark, cat.dirOf(ident))
       .vacuumOlderThan(System.currentTimeMillis() - ms,
-        unreferencedGraceMs = ms)
+        unreferencedGraceMs =
+          if (checkOn) math.max(ms, VersionedTable.DefaultVacuumGraceMs) else ms)
+    Seq.empty
+  }
+}
+
+object VacuumTableCommand {
+  /** Delta's default retention window (168 h) doubles as the safety
+    * minimum the retention check enforces.
+    */
+  val MinRetainHours: Double = 168.0
+  /** Session config disabling the minimum-retention refusal (Delta's
+    * `retentionDurationCheck.enabled` shape). Default: enabled.
+    */
+  val RetentionCheckKey: String = "graft.vacuum.retentionCheck.enabled"
+}
+
+/** `CREATE [OR REPLACE] VIEW cat.ns.v AS SELECT ...` against a graft
+  * catalog: validate the SELECT NOW (parse + full analysis, resolving
+  * tables, MVs and other views), refuse a transitive self-reference
+  * (the analyzer's fixed point cannot terminate on a view cycle), and
+  * persist the text atomically ([[GraftViews.store]]). Reads re-plan
+  * the stored text per query ([[GraftViewRule]]) — the compose-at-read
+  * layer the reference's product_metrics needs over its maintained
+  * aggregates.
+  */
+case class CreateGraftViewCommand(viewParts: Seq[String], selectText: String,
+    orReplace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = MvDdl.resolve(spark, viewParts)
+    if (cat.tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    if (!cat.namespaceExists(ident.namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(ident.namespace)
+    val dir = cat.dirOf(ident)
+    val exists = GraftViews.isViewDir(spark, dir)
+    if (exists && ifNotExists) return Seq.empty
+    if (exists && !orReplace)
+      throw new IllegalArgumentException(
+        s"view ${viewParts.mkString(".")} already exists — use CREATE OR " +
+          "REPLACE VIEW to redefine it, or DROP VIEW first")
+    require(!GraftViews.referencedViews(spark, selectText).contains(dir),
+      s"view ${viewParts.mkString(".")}: the SELECT (transitively) " +
+        "references the view itself — view definitions must be acyclic")
+    // full analysis now: unknown tables/columns refuse at CREATE, with
+    // the statement in hand, not at first read
+    spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(selectText)).assertAnalyzed()
+    GraftViews.store(spark, dir, selectText)
+    Seq.empty
+  }
+}
+
+/** `DROP VIEW [IF EXISTS] cat.ns.v` for graft-catalog views. */
+case class DropGraftViewCommand(viewParts: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = MvDdl.resolve(spark, viewParts)
+    val dropped = GraftViews.drop(spark, cat.dirOf(ident))
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     Seq.empty
   }
 }

@@ -224,6 +224,43 @@ class IncrementalLakehouseSpec extends SparkSuite {
       "a replayed attrs wave must be a marker no-op end to end")
   }
 
+  test("a PURE-insert attrs wave: new-session inserts skip via the manifest gate, a late insert for a rolled-up session still repairs") {
+    val wh = fresh()
+    val inc = IncrementalLakehouse(spark, wh)
+    val w1 = rawWaves(0)
+    val b1 = Medallion.bronzeSources(w1)
+    // user 3's session row is WITHHELD: its events roll up as UNKNOWN
+    inc.step(b1.updated("sessions",
+      b1("sessions").filter(col("session_id") =!= "3")), 1L, AsOf, LoadTs)
+    val unknownBefore = inc.goldRelations(AsOf, LoadTs)("customer_360")
+      .filter(col("customer_id") === "3").select("total_sessions")
+      .collect().map(_.getInt(0)).headOption.getOrElse(0)
+    assert(unknownBefore == 0, "user 3 must start UNKNOWN-attributed")
+
+    // wave 2: ONLY user 3's late session row — an INSERT-ONLY attrs
+    // window whose inserted session ALREADY has materialized
+    // contributions; the manifest fast path must detect that and run
+    // the full repair, not skip
+    inc.step(attrsWave(Seq(
+      ("3", "3", Timestamp.valueOf("2024-01-04 11:59:00"), "web", "ads", "US")),
+      Timestamp.valueOf("2024-05-01 00:00:00")), 2L, AsOf, LoadTs)
+    assert(rows(inc.goldRelations(AsOf, LoadTs)("customer_360")) ==
+      rows(c360Recompute(inc)),
+      "late insert-only attrs must re-attribute the UNKNOWN contributions")
+
+    // wave 3: a BRAND-NEW session (no contributions anywhere) — the
+    // fast path's probe misses and only the cursor advances; the gold
+    // stays equal to the recompute and the rollup's ROWS are untouched
+    val rollupBefore = rows(inc.gold.customerRollupMv.read())
+    inc.step(attrsWave(Seq(
+      ("999", "5", Timestamp.valueOf("2024-01-05 10:00:00"), "web", "ads", "US")),
+      Timestamp.valueOf("2024-05-02 00:00:00")), 3L, AsOf, LoadTs)
+    assert(rows(inc.goldRelations(AsOf, LoadTs)("customer_360")) ==
+      rows(c360Recompute(inc)))
+    assert(rows(inc.gold.customerRollupMv.read()) == rollupBefore,
+      "a no-contribution insert wave must not rewrite rollup rows")
+  }
+
   test("audit-only attrs re-delivery is a provable no-op for the rollup") {
     val wh = fresh()
     val inc = IncrementalLakehouse(spark, wh)
@@ -422,6 +459,102 @@ class IncrementalLakehouseSpec extends SparkSuite {
     q2.processAllAvailable(); q2.stop()
     assert((inc.bronzeWave("reviews").currentVersion(),
       inc.quarantine("reviews").currentVersion()) == before)
+  }
+
+  test("autoLand schema drift: additive column evolves bronze and silver; non-additive quarantines loudly") {
+    val wh = fresh()
+    val inc = IncrementalLakehouse(spark, wh)
+    val rawDir = s"$wh/_raw"
+    new java.io.File(s"$rawDir/reviews").mkdirs()
+    def drop(name: String, lines: Seq[String]): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$rawDir/reviews/$name"),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    // wave 1: the declared raw schema
+    drop("w1.csv", Seq(
+      "review_id,order_id,product_id,rating,review_text,review_time",
+      "1,11,101,4,ok,2024-01-02T10:00:00.000Z"))
+    val q = inc.autoLand(rawDir, s"$wh/_ckpt")
+    q.processAllAvailable()
+    // wave 2 (live): ADDITIVE drift — the feed gained `verified`
+    Thread.sleep(1100)
+    drop("w2.csv", Seq(
+      "review_id,order_id,product_id,rating,review_text,review_time,verified",
+      "2,12,102,5,fine,2024-01-03T10:00:00.000Z,true"))
+    q.processAllAvailable()
+    val landed = inc.bronzeWave("reviews").read()
+    assert(landed.columns.contains("verified"),
+      "additive drift must evolve the bronze landing table")
+    assert(landed.count() == 2)
+    val byId = landed.collect()
+      .map(r => r.getString(r.fieldIndex("review_id")) ->
+        Option(r.getString(r.fieldIndex("verified")))).toMap
+    assert(byId("1").isEmpty, "pre-drift rows null-fill the new column")
+    assert(byId("2").contains("true"))
+    // the silver table evolves too, through the streamed step's
+    // rescued-column passthrough + merge-side additive evolution
+    val qs = inc.streamed(s"$wh/_ckpt_step", AsOf, LoadTs)
+    qs.processAllAvailable(); qs.stop()
+    val silver = inc.reviewsClean.read()
+    assert(silver.columns.contains("verified"),
+      "additive drift must evolve the silver table")
+    val sById = silver.collect()
+      .map(r => r.getString(r.fieldIndex("review_id")) ->
+        Option(r.getString(r.fieldIndex("verified")))).toMap
+    assert(sById("1").isEmpty && sById("2").contains("true"))
+
+    // wave 3 (live): NON-ADDITIVE drift — `rating` renamed to `stars`;
+    // the file's rows quarantine with the drift NAMED, nothing lands clean
+    Thread.sleep(1100)
+    drop("w3.csv", Seq(
+      "review_id,order_id,product_id,stars,review_text,review_time",
+      "3,13,103,2,bad,2024-01-04T10:00:00.000Z"))
+    q.processAllAvailable(); q.stop()
+    assert(inc.bronzeWave("reviews").read().count() == 2,
+      "non-additive drift rows must never reach the clean landing")
+    val drift = inc.quarantine("reviews").read()
+      .filter(col(IncrementalLakehouse.DriftCol).isNotNull)
+    assert(drift.count() == 1)
+    val msg = drift.select(IncrementalLakehouse.DriftCol).head().getString(0)
+    assert(msg.contains("rating"), s"the drift message must name the missing column, got: $msg")
+    assert(drift.select(Bronze.CorruptCol).head().getString(0).startsWith("3,13"),
+      "the raw line must survive intact in quarantine")
+
+    // signal committed last every wave; an idle restart lands nothing
+    val before = (inc.bronzeWave("reviews").currentVersion(),
+      inc.waveSignal.currentVersion(),
+      inc.quarantine("reviews").currentVersion())
+    val q2 = inc.autoLand(rawDir, s"$wh/_ckpt")
+    q2.processAllAvailable(); q2.stop()
+    assert((inc.bronzeWave("reviews").currentVersion(),
+      inc.waveSignal.currentVersion(),
+      inc.quarantine("reviews").currentVersion()) == before,
+      "an idle restart must land nothing")
+  }
+
+  test("streamed survives a first wave missing sources that never landed") {
+    val wh = fresh()
+    val inc = IncrementalLakehouse(spark, wh)
+    val b = Medallion.bronzeSources(rawWaves(0))
+    // only two of the seven feeds produce in wave 1 — the others are
+    // late or legitimately sparse; the step must not crash-loop on them
+    inc.landWave(Map("events" -> b("events"), "sessions" -> b("sessions")), 1L)
+    val q = inc.streamed(s"$wh/_ckpt", AsOf, LoadTs)
+    q.processAllAvailable()
+    assert(inc.eventsClean.read().count() > 0,
+      "the landed feed must flow to silver")
+    assert(inc.ordersClean.read().count() == 0,
+      "a never-landed feed reads as an empty silver, not a crash")
+    val gold1 = inc.goldRelations(AsOf, LoadTs)
+    assert(gold1("customer_360").count() == 0, "no customers landed yet")
+    // the late feeds arrive in wave 2 and the medallion catches up
+    inc.landWave(b - "events" - "sessions", 2L)
+    q.processAllAvailable(); q.stop()
+    assert(inc.ordersClean.read().count() > 0,
+      "a late feed's first wave must land normally")
+    assert(inc.goldRelations(AsOf, LoadTs)("customer_360").count() > 0)
   }
 
   test("rebootstrapGold still recovers as the out-of-band escape hatch") {

@@ -414,6 +414,21 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.table("graft.maint.t").count() == 40)
   }
 
+  test("procedure table arguments parse as identifiers, not split('.')") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pid")
+    // a backquoted table name CONTAINING a dot must resolve as one part
+    spark.sql("CREATE TABLE graft.pid.`dotted.name` (id BIGINT)")
+    spark.sql("INSERT INTO graft.pid.`dotted.name` VALUES (1), (2)")
+    spark.sql("CALL graft.system.optimize(table => 'pid.`dotted.name`')")
+    assert(spark.table("graft.pid.`dotted.name`").count() == 2)
+    // a single-part name refuses with a CLEAR message, not an
+    // empty-namespace NoSuchNamespace/NoSuchTable confusion
+    val e = intercept[Exception](
+      spark.sql("CALL graft.system.optimize(table => 'bare')"))
+    assert(e.getMessage.contains("namespace-qualified"),
+      s"single-part procedure arg must refuse clearly, got: ${e.getMessage}")
+  }
+
   test("ALTER TABLE ADD/RENAME/DROP COLUMN route through the column-mapping ops") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ddl")
     spark.sql("CREATE TABLE graft.ddl.c (id BIGINT, v STRING)")

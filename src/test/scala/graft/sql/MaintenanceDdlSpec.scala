@@ -43,12 +43,25 @@ class MaintenanceDdlSpec extends SparkSuite {
     assert(vt.currentVersion().get == vBefore,
       "OPTIMIZE of an already-packed table must not land a version")
 
-    // RETAIN 0 HOURS: every non-head version is older than the cutoff
+    // RETAIN under the 168-hour safety minimum REFUSES by default
+    // (Delta's retentionDurationCheck shape) — a grace-0 vacuum deletes
+    // files out from under in-flight readers and concurrent writers
+    val versionsBefore = vt.versions()
+    val e = intercept[Exception](spark.sql("VACUUM gmnt.db.t1 RETAIN 0 HOURS"))
+    assert(e.getMessage.contains("retentionCheck"),
+      s"the refusal must name the disable config, got: ${e.getMessage}")
+    assert(vt.versions() == versionsBefore,
+      "a refused VACUUM must not touch history")
+
+    // with the check explicitly disabled, RETAIN 0 reclaims as before
     val head = vt.currentVersion().get
-    spark.sql("VACUUM gmnt.db.t1 RETAIN 0 HOURS")
-    assert(vt.versions() == Seq(head),
-      "VACUUM RETAIN 0 must drop all history but the head")
-    assert(vt.read().as[(Long, Long)].collect().toSet == rows)
+    spark.conf.set("graft.vacuum.retentionCheck.enabled", "false")
+    try {
+      spark.sql("VACUUM gmnt.db.t1 RETAIN 0 HOURS")
+      assert(vt.versions() == Seq(head),
+        "VACUUM RETAIN 0 must drop all history but the head")
+      assert(vt.read().as[(Long, Long)].collect().toSet == rows)
+    } finally spark.conf.unset("graft.vacuum.retentionCheck.enabled")
 
     // a missing table refuses with the standard error
     intercept[Exception](spark.sql("OPTIMIZE gmnt.db.nope"))

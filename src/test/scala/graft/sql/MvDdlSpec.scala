@@ -213,6 +213,128 @@ class MvDdlSpec extends SparkSuite {
       "feed-less dimension change must repair via the snapshot diff")
   }
 
+  test("MV-over-MV: one bare REFRESH of level 2 repairs the whole cascade") {
+    val base = VersionedTable(spark, s"$warehouse/db/cbase")
+    base.commitAppend((1L to 40L).map(i => (i, i % 8, i * 10L))
+      .toDF("id", "skey", "amt"))
+    base.setTableProperty("graft.enableChangeDataFeed", "true")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmv.db.cl1 AS
+        |SELECT skey, COUNT(*) AS n_rows, SUM(amt) AS rev, MAX(amt) AS maxa
+        |FROM gmv.db.cbase GROUP BY skey""".stripMargin)
+    // level 2 sources LEVEL 1 — the reference's customer_360 shape
+    // (an aggregate over another aggregate's change feed), with a
+    // derived grouping key
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmv.db.cl2 AS
+        |SELECT skey % 2 AS bucket, COUNT(*) AS n_groups, SUM(rev) AS total,
+        |  MIN(n_rows) AS min_rows, MAX(maxa) AS max_amt
+        |FROM gmv.db.cl1 GROUP BY bucket""".stripMargin)
+    val l1 = VersionedTable(spark, s"$warehouse/db/cl1")
+    val l2 = VersionedTable(spark, s"$warehouse/db/cl2")
+    def recompute(): (Set[Row], Set[Row]) = {
+      val r1 = base.read().groupBy("skey")
+        .agg(count(lit(1)).as("n_rows"), sum("amt").as("rev"),
+          max("amt").as("maxa"))
+      (r1.collect().toSet,
+        r1.withColumn("bucket", col("skey") % 2).groupBy("bucket")
+          .agg(count(lit(1)).as("n_groups"), sum("rev").as("total"),
+            min("n_rows").as("min_rows"), max("maxa").as("max_amt"))
+          .collect().toSet)
+    }
+    val (e1a, e2a) = recompute()
+    assert(l1.read().select("skey", "n_rows", "rev", "maxa")
+      .collect().toSet == e1a)
+    assert(l2.read().select("bucket", "n_groups", "total", "min_rows", "max_amt")
+      .collect().toSet == e2a)
+
+    // storm on the BASE only: deletes (retiring l1 rows and extremes),
+    // updates, inserts — then ONE bare refresh of the TOP view
+    base.delete(col("id") > 35L)
+    base.update(col("skey") === 3L, Map("amt" -> (col("amt") + 1000L)))
+    base.commitAppend(Seq((100L, 9L, 7L), (101L, 9L, 9L))
+      .toDF("id", "skey", "amt")) // a NEW skey → an l1 INSERT flows to l2
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.cl2")
+    val (e1b, e2b) = recompute()
+    assert(l1.read().select("skey", "n_rows", "rev", "maxa")
+      .collect().toSet == e1b,
+      "the bare level-2 refresh must have repaired level 1 first")
+    assert(l2.read().select("bucket", "n_groups", "total", "min_rows", "max_amt")
+      .collect().toSet == e2b,
+      "level 2 must reflect level 1's post-storm state")
+  }
+
+  test("an MV cycle refuses at CREATE, and a hand-stored cycle refuses at REFRESH") {
+    // a plain table hand-stamped with a spec SOURCING the view we then
+    // try to create over it — the CREATE-time chain walk must refuse
+    val a = VersionedTable(spark, s"$warehouse/db/cyca")
+    a.commitAppend(Seq((1L, 2L)).toDF("k", "v"))
+    a.setTableProperty("graft.enableChangeDataFeed", "true")
+    MvSpec.store(a, MvSpec(s"$warehouse/db/cycb", Seq("k"), "n",
+      Nil, Nil, Nil, Nil))
+    val e = intercept[Exception](spark.sql(
+      """CREATE MATERIALIZED VIEW gmv.db.cycb AS
+        |SELECT k, COUNT(*) AS n FROM gmv.db.cyca GROUP BY k""".stripMargin))
+    assert(e.getMessage.contains("cycle"),
+      s"CREATE over a cyclic chain must refuse, got: ${e.getMessage}")
+    // a mutual cycle smuggled in by hand-stored specs refuses at refresh
+    // instead of recursing forever
+    val b = VersionedTable(spark, s"$warehouse/db/cycb")
+    b.commitAppend(Seq((1L, 2L)).toDF("k", "v"))
+    MvSpec.store(b, MvSpec(s"$warehouse/db/cyca", Seq("k"), "n",
+      Nil, Nil, Nil, Nil))
+    val e2 = intercept[Exception](
+      MvSpec.load(b).get.refresh(spark, b))
+    assert(e2.getMessage.contains("cycle"),
+      s"refresh of a cyclic chain must refuse, got: ${e2.getMessage}")
+  }
+
+  test("a feed-less dimension that evolved additively still repairs via the diff") {
+    val fact = VersionedTable(spark, s"$warehouse/db/efact")
+    fact.commitAppend((1L to 30L).map(i => (i, i % 5, i * 10L))
+      .toDF("id", "pk", "amt"))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    val dim = VersionedTable(spark, s"$warehouse/db/edim") // no CDF
+    dim.commitAppend((0L to 4L).map(k => (k, s"g$k")).toDF("pk", "tag"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmv.db.emv AS
+        |SELECT coalesce(tag, 'UNKNOWN') AS tag_key, COUNT(*) AS n,
+        |  SUM(amt) AS total
+        |FROM gmv.db.efact LEFT JOIN gmv.db.edim USING (pk)
+        |GROUP BY tag_key""".stripMargin)
+    val view = VersionedTable(spark, s"$warehouse/db/emv")
+    // the dimension EVOLVES between cursor and head (a new column the
+    // cursor snapshot predates) AND changes a tag — the symmetric diff
+    // must null-fill the old snapshot and repair, not throw on the
+    // missing column
+    dim.commitAppend(Seq((9L, "late", "x")).toDF("pk", "tag", "note"))
+    dim.update(col("pk") === 1L, Map("tag" -> lit("moved")))
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.emv")
+    val expect = fact.read().join(dim.read(), Seq("pk"), "left")
+      .withColumn("tag_key", coalesce(col("tag"), lit("UNKNOWN")))
+      .groupBy("tag_key").agg(count(lit(1)).as("n"), sum("amt").as("total"))
+      .collect().toSet
+    assert(view.read().select("tag_key", "n", "total").collect().toSet == expect,
+      "diff repair must survive additive dimension evolution")
+  }
+
+  test("a declared dimension with NO committed version refuses with the dim named") {
+    val fact = VersionedTable(spark, s"$warehouse/db/ufact")
+    fact.commitAppend((1L to 10L).map(i => (i, i % 3, i * 10L))
+      .toDF("id", "pk", "amt"))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    val spec = MvSpec(s"$warehouse/db/ufact", Seq("pk"), "n",
+      sums = Seq("total" -> "amt"), mins = Nil, maxes = Nil, netKeys = Nil,
+      dims = Seq(graft.ops.MvDim(s"$warehouse/db/nevercommitted",
+        Seq("pk"), Seq("tag"))))
+    val view = VersionedTable(spark, s"$warehouse/db/umv")
+    val e = intercept[IllegalArgumentException](
+      MvSpec.ensure(spark, view, spec, "gmv.db.umv"))
+    assert(e.getMessage.contains("nevercommitted") &&
+      e.getMessage.contains("no committed version"),
+      s"the refusal must name the dimension, got: ${e.getMessage}")
+  }
+
   test("non-maintainable SELECT shapes refuse at CREATE time with the rewrite") {
     freshSrc("s3")
     def refuses(sql: String, hint: String): Unit = {
