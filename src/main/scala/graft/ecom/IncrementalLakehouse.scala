@@ -252,11 +252,18 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
           // items reference — semi-restricting the post-merge orders
           // table first turns a whole-table shuffle join into a
           // scan-side probe plus a broadcast of the handful of matching
-          // orders (O(wave), with the orders scan reading two columns)
-          val ordersForDate = ordersClean.read()
-            .select("order_id", "order_date")
-            .join(broadcast(d.select("order_id").distinct()),
+          // orders (O(wave), with the orders scan reading two columns).
+          // NOT on the bootstrap wave: there the wave IS the table, the
+          // "bounded" key set is a table-sized distinct broadcast
+          // (driver pressure at 100 TB, pure overhead at any scale) —
+          // the batch twin's plain join is the right plan for a bulk
+          // load, and AQE picks its strategy
+          val ordersForDate = {
+            val o = ordersClean.read().select("order_id", "order_date")
+            if (orderItemsClean.currentVersion().isEmpty) o
+            else o.join(broadcast(d.select("order_id").distinct()),
               Seq("order_id"), "left_semi")
+          }
           val itemsWave = Silver.orderItemsDated(d, ordersForDate)
             // null product_id rows survive silver (the reference keeps
             // them, `02_silver_transform.py:157-158`); merge keys cannot
