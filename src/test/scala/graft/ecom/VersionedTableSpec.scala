@@ -276,4 +276,37 @@ class VersionedTableSpec extends SparkSuite {
     assert(got.count() == 0)
     assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
   }
+
+  test("insertOnlyWindow classifies windows from manifests alone") {
+    val vt = VersionedTable(spark, freshDir())
+    vt.commitOverwrite((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")) // v1
+    vt.commitAppend(Seq((21L, "v21")).toDF("id", "v"))                    // v2 append
+    vt.commitAppend(Seq((22L, "v22")).toDF("id", "v"))                    // v3 append
+    assert(vt.insertOnlyWindow(2L, 3L), "pure appends are insert-only")
+    // an UPDATE rewrites the file holding the old row — not insert-only
+    vt.update(col("id") === 1L, Map("v" -> lit("x")))                     // v4
+    assert(!vt.insertOnlyWindow(2L, 4L))
+    assert(!vt.insertOnlyWindow(4L, 4L))
+    vt.commitAppend(Seq((23L, "v23")).toDF("id", "v"))                    // v5
+    assert(vt.insertOnlyWindow(5L, 5L))
+    // a DELETE removes (or DV-masks) a file — not insert-only
+    vt.delete(col("id") === 2L)                                           // v6
+    assert(!vt.insertOnlyWindow(5L, 6L))
+    // rowsPreserved maintenance inside a window is IGNORED by op
+    vt.commitAppend(Seq((24L, "v24")).toDF("id", "v"))                    // v7
+    vt.optimize()                                                         // v8 (maybe)
+    val head = vt.currentVersion().get
+    assert(vt.insertOnlyWindow(7L, head),
+      "append + optimize must classify insert-only")
+    // an OVERWRITE can remove rows — never insert-only, even from empty
+    vt.commitOverwrite(Seq((1L, "o")).toDF("id", "v"))
+    val ow = vt.currentVersion().get
+    assert(!vt.insertOnlyWindow(ow, ow))
+    // a vacuumed predecessor makes the classification unknowable → false
+    vt.commitAppend(Seq((2L, "p")).toDF("id", "v"))
+    val last = vt.currentVersion().get
+    vt.vacuum(keepVersions = 1, unreferencedGraceMs = 0L)
+    assert(!vt.insertOnlyWindow(last, last),
+      "a window whose predecessor manifest is gone must classify false")
+  }
 }
