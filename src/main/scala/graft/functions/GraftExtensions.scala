@@ -249,6 +249,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           nprobe = intAt(1, 4), topk = intAt(2, 5))
           .queryExecution.analyzed
       }))
+    // SHOW VIEWS for graft catalogs (Spark's own SHOW VIEWS is a
+    // session-catalog v1 command and cannot route here):
+    //   SELECT * FROM graft_views('<warehouse dir>')
+    // — one row per durable view under the warehouse (namespace, view
+    // name, stored SELECT), from the marker files alone (driver-side
+    // two-level listing, no table reads).
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_views"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_views"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1 && args.head.foldable,
+          "graft_views(warehouseDir) takes one literal warehouse path")
+        val wh = args.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => String.valueOf(other)
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val views =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).filter(_.isDirectory).map(_.getPath).toSeq
+            .flatMap { ns =>
+              fs.listStatus(ns).filter(_.isDirectory).map(_.getPath).toSeq
+                .flatMap { d =>
+                  graft.sql.GraftViews.loadSql(spark, d.toString)
+                    .map(sql => (ns.getName, d.getName, sql))
+                }
+            }
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        import org.apache.spark.sql.types.StringType
+        val out = Seq(
+          AttributeReference("namespace", StringType, nullable = false)(),
+          AttributeReference("view", StringType, nullable = false)(),
+          AttributeReference("sql", StringType, nullable = false)())
+        LocalRelation.fromExternalRows(out,
+          views.sortBy(v => (v._1, v._2)).map(v =>
+            org.apache.spark.sql.Row(v._1, v._2, v._3)))
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("graft_cluster_index"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cluster_index"),

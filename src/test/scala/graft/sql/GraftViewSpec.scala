@@ -106,5 +106,10 @@ class GraftViewSpec extends SparkSuite {
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW plain_tmp AS SELECT 5 AS x")
     assert(spark.sql("SELECT x FROM plain_tmp").head().getInt(0) == 5)
     spark.sql("DROP VIEW plain_tmp")
+    // graft_views lists the durable views (dropped v2 is gone; v1 stays)
+    val listed = spark.sql(s"SELECT namespace, view FROM graft_views('$warehouse')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(listed.contains(("db", "v1")) && !listed.contains(("db", "v2")),
+      s"graft_views must list live views only, got: $listed")
   }
 }
