@@ -508,12 +508,25 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
                 // the raw text, headers dropped, every declared column
                 // null — nothing from a structurally-broken file reaches
                 // the clean pipeline, and the quarantine row SAYS WHY
+                // drop the header — but exactly ONE header-equal line
+                // per file: a DATA row byte-identical to the header must
+                // survive into quarantine, and since such rows are
+                // indistinguishable, removing any single one per file is
+                // exactly "remove the header" (every file in this group
+                // starts with headerLine — that is how it was grouped)
                 expected.foldLeft(
                   spark.read.text(files.toIndexedSeq: _*)
-                    .filter(col("value") =!= headerLine)
+                    .withColumn("_source_file", col("_metadata.file_path"))
                     .withColumn("_ingest_ts",
                       col("_metadata.file_modification_time"))
-                    .withColumn("_source_file", col("_metadata.file_path"))
+                    .withColumn("_hdr_rn", row_number().over(
+                      org.apache.spark.sql.expressions.Window
+                        .partitionBy(col("_source_file"),
+                          col("value") === headerLine)
+                        .orderBy(lit(1))))
+                    .filter(!(col("value") === headerLine &&
+                      col("_hdr_rn") === 1))
+                    .drop("_hdr_rn")
                     .withColumnRenamed("value", Bronze.CorruptCol)
                     .withColumn(DriftCol,
                       lit(s"non-additive schema drift in $n: header " +

@@ -2285,7 +2285,9 @@ final case class VersionedTable(
     * dimension-repair no-op gate ([[graft.ecom.IncrementalLakehouse]]).
     * Overwrites classify as non-additive even when the old table was
     * empty — callers fall back to the generic (scan-based) path, which
-    * is always correct.
+    * is always correct. A restore is a data change (the feed derives
+    * delete+insert from its file diff) and classifies through the same
+    * file-diff rule: one that removed files is non-additive.
     */
   def insertOnlyWindow(from: Long, to: Long): Boolean = {
     require(from >= 1L && to >= from, s"bad version window [$from, $to]")
@@ -3449,7 +3451,12 @@ object VersionedTable {
     * the set auto-compaction may trigger after.
     */
   private val DataChangeOps: Set[String] =
-    Set("append", "overwrite", "merge", "update", "delete", "clone")
+    Set("append", "overwrite", "merge", "update", "delete", "clone",
+      // restore reverts rows (changeFeed derives delete+insert from its
+      // file diff) — leaving it out made insertOnlyWindow classify a
+      // window containing a restore as "no data change", silently
+      // skipping repair for any caller of that public predicate
+      "restore")
 
   /** Opt-in post-commit auto-compaction (Delta's
     * `delta.autoOptimize.autoCompact` shape) + its two thresholds.

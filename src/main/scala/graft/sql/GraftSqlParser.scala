@@ -531,6 +531,14 @@ case class DropGraftViewCommand(viewParts: Seq[String], ifExists: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val (cat, ident) = MvDdl.resolve(spark, viewParts)
+    // an existing TABLE (or materialized view) at the identifier is a
+    // different object class: refuse loudly — IF EXISTS must not mask
+    // "the object exists but is not a view" as a silent success, and a
+    // bare DROP VIEW must not claim nothing is there
+    if (cat.tableExists(ident))
+      throw new IllegalArgumentException(
+        s"${viewParts.mkString(".")} is a table (or materialized view), " +
+          "not a view — use DROP TABLE")
     val dropped = GraftViews.drop(spark, cat.dirOf(ident))
     if (!dropped && !ifExists)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)

@@ -45,6 +45,30 @@ object GraftViews {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Memoized marker lookups for the analyzer hot path: [[GraftViewRule]]
+    * probes every UnresolvedRelation on every analyzer iteration, and an
+    * unmemoized probe costs a filesystem round-trip per table read per
+    * iteration — noticeable on object-store warehouses. Entries
+    * invalidate immediately on [[store]]/[[drop]] in this JVM and expire
+    * after [[CacheTtlMs]] so an out-of-band writer's CREATE/DROP is
+    * picked up within one TTL.
+    */
+  private val sqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[String])]()
+  private[sql] val CacheTtlMs: Long = 30000L
+
+  /** [[loadSql]] through the TTL cache — the read-path entry. */
+  def cachedSql(spark: SparkSession, dir: String): Option[String] = {
+    val now = System.currentTimeMillis()
+    val hit = sqlCache.get(dir)
+    if (hit != null && now - hit._1 < CacheTtlMs) hit._2
+    else {
+      val v = loadSql(spark, dir)
+      sqlCache.put(dir, (now, v))
+      v
+    }
+  }
+
   /** The stored SELECT text, if `dir` is a view directory. */
   def loadSql(spark: SparkSession, dir: String): Option[String] = {
     val p = markerPath(dir)
@@ -73,15 +97,33 @@ object GraftViews {
       node.put("sql", sql)
       out.write(mapper.writeValueAsBytes(node))
     } finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new IllegalStateException(s"could not publish view marker $p")
+    // Publish with an OVERWRITE-capable rename: the delete-then-rename
+    // sequence had a window (crash after the delete, or a concurrent
+    // reader between the two calls) where CREATE OR REPLACE lost the
+    // existing definition / read "view not found". FileContext renames
+    // atomically over the old marker where the filesystem supports it.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no FileContext binding (rare object-store shims): the old
+        // two-step fallback — the marker is still never HALF-written,
+        // only the replace loses atomicity
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new IllegalStateException(s"could not publish view marker $p")
+    }
+    sqlCache.put(dir, (System.currentTimeMillis(), Some(sql)))
   }
 
   def drop(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    isViewDir(spark, dir) && fs.delete(p, true)
+    val dropped = isViewDir(spark, dir) && fs.delete(p, true)
+    sqlCache.remove(dir)
+    dropped
   }
 
   /** Resolve `parts` to a graft-catalog view directory, when the head
@@ -92,7 +134,7 @@ object GraftViews {
     scala.util.Try {
       val (cat, ident) = MvDdl.resolve(spark, parts)
       cat.dirOf(ident)
-    }.toOption.filter(isViewDir(spark, _))
+    }.toOption.filter(cachedSql(spark, _).isDefined)
 
   /** Every view directory the SELECT text references, transitively
     * through stored view definitions — the CREATE-time cycle walk:
@@ -109,7 +151,7 @@ object GraftViews {
     }
     rels.flatMap(viewDirOf(spark, _)).foldLeft(visited) { (seen, dir) =>
       if (seen.contains(dir)) seen
-      else loadSql(spark, dir) match {
+      else cachedSql(spark, dir) match {
         case Some(s) => referencedViews(spark, s, seen + dir)
         case None => seen + dir
       }
@@ -146,7 +188,7 @@ case class GraftViewRule(spark: SparkSession)
       case r: UnresolvedRelation if !writeTargets.contains(r) &&
           !r.isStreaming && r.options.isEmpty =>
         GraftViews.viewDirOf(spark, r.multipartIdentifier)
-          .flatMap(GraftViews.loadSql(spark, _))
+          .flatMap(GraftViews.cachedSql(spark, _))
           .map { sql =>
             SubqueryAlias(r.multipartIdentifier.last,
               spark.sessionState.sqlParser.parsePlan(sql))

@@ -508,19 +508,29 @@ class IncrementalLakehouseSpec extends SparkSuite {
     // wave 3 (live): NON-ADDITIVE drift — `rating` renamed to `stars`;
     // the file's rows quarantine with the drift NAMED, nothing lands clean
     Thread.sleep(1100)
+    // ...including a DATA row byte-identical to the header line: exactly
+    // one header-equal line per file is the header; the other is data
+    // and must be preserved as a raw quarantine line
     drop("w3.csv", Seq(
       "review_id,order_id,product_id,stars,review_text,review_time",
-      "3,13,103,2,bad,2024-01-04T10:00:00.000Z"))
+      "3,13,103,2,bad,2024-01-04T10:00:00.000Z",
+      "review_id,order_id,product_id,stars,review_text,review_time"))
     q.processAllAvailable(); q.stop()
     assert(inc.bronzeWave("reviews").read().count() == 2,
       "non-additive drift rows must never reach the clean landing")
     val drift = inc.quarantine("reviews").read()
       .filter(col(IncrementalLakehouse.DriftCol).isNotNull)
-    assert(drift.count() == 1)
+    assert(drift.count() == 2,
+      "both data lines (one header-identical) must quarantine")
     val msg = drift.select(IncrementalLakehouse.DriftCol).head().getString(0)
     assert(msg.contains("rating"), s"the drift message must name the missing column, got: $msg")
-    assert(drift.select(Bronze.CorruptCol).head().getString(0).startsWith("3,13"),
+    val rawLines = drift.select(Bronze.CorruptCol).collect()
+      .map(_.getString(0)).toSet
+    assert(rawLines.exists(_.startsWith("3,13")),
       "the raw line must survive intact in quarantine")
+    assert(rawLines.contains(
+      "review_id,order_id,product_id,stars,review_text,review_time"),
+      "a data row byte-identical to the header must survive in quarantine")
 
     // signal committed last every wave; an idle restart lands nothing
     val before = (inc.bronzeWave("reviews").currentVersion(),

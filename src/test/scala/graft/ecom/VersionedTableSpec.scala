@@ -302,6 +302,14 @@ class VersionedTableSpec extends SparkSuite {
     vt.commitOverwrite(Seq((1L, "o")).toDF("id", "v"))
     val ow = vt.currentVersion().get
     assert(!vt.insertOnlyWindow(ow, ow))
+    // a RESTORE reverts rows (delete+insert in the change feed) — it is
+    // a data change, and one that drops files classifies non-additive
+    vt.commitAppend(Seq((3L, "q")).toDF("id", "v"))
+    val beforeRestore = vt.currentVersion().get
+    vt.restore(ow)
+    val rv = vt.currentVersion().get
+    assert(!vt.insertOnlyWindow(rv, rv),
+      s"restore to v$ow from v$beforeRestore removed files — not insert-only")
     // a vacuumed predecessor makes the classification unknowable → false
     vt.commitAppend(Seq((2L, "p")).toDF("id", "v"))
     val last = vt.currentVersion().get

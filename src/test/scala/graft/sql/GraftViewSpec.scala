@@ -102,6 +102,15 @@ class GraftViewSpec extends SparkSuite {
     spark.sql("DROP VIEW gvw.db.v2")
     spark.sql("DROP VIEW IF EXISTS gvw.db.v2")
     intercept[Exception](spark.sql("SELECT * FROM gvw.db.v2").collect())
+    // DROP VIEW on a TABLE refuses loudly — and IF EXISTS must not mask
+    // "exists but is not a view" as a silent success
+    val e4 = intercept[Exception](spark.sql("DROP VIEW gvw.db.vt1"))
+    assert(e4.getMessage.contains("DROP TABLE"),
+      s"DROP VIEW on a table must point at DROP TABLE, got: ${e4.getMessage}")
+    val e5 = intercept[Exception](spark.sql("DROP VIEW IF EXISTS gvw.db.vt1"))
+    assert(e5.getMessage.contains("DROP TABLE"))
+    assert(spark.sql("SELECT * FROM gvw.db.vt1").count() == 1,
+      "the table must survive both refused DROP VIEW statements")
     // ordinary temp views still go through Spark untouched
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW plain_tmp AS SELECT 5 AS x")
     assert(spark.sql("SELECT x FROM plain_tmp").head().getInt(0) == 5)
