@@ -249,6 +249,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           nprobe = intAt(1, 4), topk = intAt(2, 5))
           .queryExecution.analyzed
       }))
+    // AD-HOC probes against the IVF artifact (r17 — graft_ivf_topk only
+    // replays the artifact's frozen query set):
+    //   SELECT * FROM graft_ivf_search('<dir>', array(0.1, ...)[, np, k])
+    //     → (neighbor_id, rank, cos_sim) for that ONE vector;
+    //   SELECT * FROM graft_ivf_search('<dir>', '<queryTableOrPath>'[, np, k])
+    //     → (query_id, neighbor_id, rank, cos_sim) for EVERY row of the
+    //       named table/view (or parquet path) — the join-a-query-table
+    //       shape. (A correlated LATERAL argument cannot resolve through
+    //       injectTableFunction — arguments must be literal at analysis —
+    //       so the multi-probe face takes the table by NAME instead.)
+    // Literal-supplied doubles/decimals cast to float so ad-hoc vectors
+    // score with exactly the corpus' float math; nothing is
+    // self-excluded (an ad-hoc probe has no corpus identity).
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_ivf_search"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_ivf_search"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 2 && args.size <= 4 && args.forall(_.foldable),
+          "graft_ivf_search(artifactDir, queryVecOrTable[, nprobe, topk]) " +
+            "takes literal arguments (the probe is an array literal, or a " +
+            "query table's name/path as a string)")
+        def strAt(i: Int): String = args(i).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => String.valueOf(other)
+        }
+        def intAt(i: Int, default: Int): Int =
+          if (args.size <= i) default
+          else args(i).eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_ivf_search: argument ${i + 1} must be integral, got $other")
+          }
+        val dir = strAt(0)
+        val spark = org.apache.spark.sql.SparkSession.active
+        args(1).dataType match {
+          case at: org.apache.spark.sql.types.ArrayType =>
+            val ad = args(1).eval()
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            require(ad != null, "graft_ivf_search: the query vector is null")
+            val vec = ad.toObjectArray(at.elementType).map {
+              case d: org.apache.spark.sql.types.Decimal => d.toFloat
+              case n: java.lang.Number => n.floatValue()
+              case other => throw new IllegalArgumentException(
+                s"graft_ivf_search: non-numeric vector element $other")
+            }
+            graft.queries.LlmSimilarity.ivfSearchVector(
+              spark, dir, vec, intAt(2, 4), intAt(3, 5))
+              .queryExecution.analyzed
+          case _: org.apache.spark.sql.types.StringType =>
+            val t = strAt(1)
+            val queries =
+              if (t.contains("/")) spark.read.parquet(t) else spark.table(t)
+            graft.queries.LlmSimilarity.ivfSearch(
+              spark, dir, queries, intAt(2, 4), intAt(3, 5))
+              .queryExecution.analyzed
+          case other => throw new IllegalArgumentException(
+            "graft_ivf_search: the second argument must be an array literal " +
+              s"(one probe vector) or a string (query table/path), got $other")
+        }
+      }))
     // SHOW VIEWS for graft catalogs (Spark's own SHOW VIEWS is a
     // session-catalog v1 command and cannot route here):
     //   SELECT * FROM graft_views('<warehouse dir>')

@@ -176,7 +176,8 @@ object LlmSimilarity {
     * (artifact lists). `queries` = (query_id, qe).
     */
   private def ivfRank(corpus: DataFrame, queries: DataFrame,
-      centroids: Seq[Array[Double]], nprobe: Int, topk: Int): DataFrame = {
+      centroids: Seq[Array[Double]], nprobe: Int, topk: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val qs = queries.select(col("query_id"), col("qe"),
       // ranking by dot-with-unit-centroid == ranking by cosine
       posexplode(array(centroids.map(c => dot(col("qe"), ivfLitVec(ivfUnit(c)))): _*))
@@ -189,7 +190,9 @@ object LlmSimilarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     corpus.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+      // corpus-member queries exclude themselves; AD-HOC queries
+      // (ivfSearch) have no corpus identity, so nothing is excluded
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
@@ -953,9 +956,89 @@ object LlmSimilarity {
     s.sql(s"SELECT * FROM graft_ivf_topk('$art')")
   }
 
+  /** Probe the persisted IVF artifact with AD-HOC query vectors — the
+    * real vector-index entry ("top-k neighbors of THIS embedding"),
+    * vs [[readIvfTopK]] which probes the query set frozen into the
+    * artifact. `queries` carries an id column (`query_id` or `vec_id`)
+    * and a vector column (`qe` or `embedding`, cast to array&lt;float&gt;
+    * so literal-supplied doubles score with the corpus' float math).
+    * Ad-hoc queries have no corpus identity, so nothing is
+    * self-excluded: a query equal to a stored vector surfaces it at
+    * cos=1. Same scale shape as every IVF probe here: the k×dim
+    * centroid collect is the only driver state, assignment is map-side,
+    * and only the probed cells' lists are scanned.
+    */
+  def ivfSearch(s: SparkSession, artifactDir: String, queries: DataFrame,
+      nprobe: Int = 4, topk: Int = 5): DataFrame = {
+    val centroids: Seq[Array[Double]] = s.read.parquet(s"$artifactDir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray).toSeq
+    def pick(cands: Seq[String], what: String): String =
+      cands.flatMap(c => queries.columns.find(_.equalsIgnoreCase(c))).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"ivfSearch: the query frame needs a $what column " +
+            s"(one of ${cands.mkString(", ")}); has " +
+            queries.columns.mkString(", ")))
+    val idCol = pick(Seq("query_id", "vec_id"), "query-id")
+    val vecCol = pick(Seq("qe", "embedding"), "vector")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("qe"))
+    val lists = s.read.parquet(s"$artifactDir/lists")
+    ivfRank(lists.select(col("vec_id"), col("embedding"), col("cell")),
+      q, centroids, nprobe, topk, excludeSelf = false)
+  }
+
+  /** [[ivfSearch]] for ONE ad-hoc vector (the SQL array-literal face of
+    * `graft_ivf_search`) — no query id to report, so the result is just
+    * (neighbor_id, rank, cos_sim).
+    */
+  def ivfSearchVector(s: SparkSession, artifactDir: String,
+      vec: Array[Float], nprobe: Int = 4, topk: Int = 5): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("qe", ArrayType(FloatType), nullable = false)))
+    val one = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(0L, vec.toSeq)), schema)
+    ivfSearch(s, artifactDir, one, nprobe, topk).drop("query_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // qs13 — AD-HOC probes against the IVF artifact from SQL (r17): the
+  // r16 `graft_ivf_topk` face could only replay the artifact's frozen
+  // query set; `graft_ivf_search` takes the probe itself — a query
+  // TABLE by name (every row probed) or ONE vector as a SQL array
+  // literal. The query exercises both faces and pins them to each
+  // other; the oracle replays qs03's full pipeline WITHOUT the
+  // self-exclusion (an ad-hoc probe has no corpus identity — a stored
+  // vector equal to the probe must surface at cos=1).
+  private val qs13Counter = new java.util.concurrent.atomic.AtomicInteger()
+  val qs13 = Q("qs13_ivf_search_sql", Qs03Sql.searchSql) { (s, dir) =>
+    val art = java.nio.file.Files.createTempDirectory("graft-qs13-").toString
+    writeIvfIndex(s, dir, art)
+    // face 1 — query table by name: the vec_id < 8 vectors as a view
+    val vn = s"qs13_queries_${qs13Counter.incrementAndGet()}"
+    emb(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .createOrReplaceTempView(vn)
+    val fromTable = s.sql(s"SELECT * FROM graft_ivf_search('$art', '$vn')")
+    // face 2 — one ad-hoc ARRAY LITERAL (query 0's vector, spelled out
+    // as floats) must reproduce the table face's query-0 rows exactly
+    val v0 = emb(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val litSql = v0.map(f => s"CAST('$f' AS FLOAT)")
+      .mkString("array(", ", ", ")")
+    val one = s.sql(s"SELECT * FROM graft_ivf_search('$art', $litSql)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val zero = fromTable.filter(col("query_id") === 0)
+      .select("neighbor_id", "rank", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    require(one == zero,
+      s"array-literal probe must equal the table probe for query 0: got $one, want $zero")
+    fromTable
+  }
+
   val all: Seq[Q] =
     Seq(qs01, qs02, qs03, qs04, qs05, qs06, qs07, qs08, qs09, qs10, qs11,
-      qs12)
+      qs12, qs13)
 }
 
 /** DuckDB twin of qs03's driver-side k-means + IVF probe. Kept in its
@@ -980,7 +1063,8 @@ private object Qs03Sql {
   // centroid chain (c0..cu2) always derives from `e` (the BUILD corpus);
   // `src` is the corpus probed/served — qs03/qs10 probe the build corpus
   // itself, qs11 probes the maintained final state (extraCtes replays it)
-  def sqlOver(src: String, extraCtes: String): String =
+  def sqlOver(src: String, extraCtes: String,
+      excludeSelf: Boolean = true): String =
     s"""WITH e AS (SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings),$extraCtes
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, emb AS cent
        |       FROM e ORDER BY vec_id LIMIT $K),
@@ -1004,7 +1088,7 @@ private object Qs03Sql {
        |    FROM $src q, cu2 c WHERE q.vec_id < 8) t WHERE pr <= $NPROBE),
        |scored AS (SELECT p.query_id, co.vec_id AS neighbor_id, ${cosine("p.qe", "co.embedding")} AS cos_sim
        |           FROM corpus co JOIN probes p ON co.cell = p.cell
-       |           WHERE co.vec_id <> p.query_id)
+       |           ${if (excludeSelf) "WHERE co.vec_id <> p.query_id" else ""})
        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -1013,6 +1097,12 @@ private object Qs03Sql {
        |ORDER BY query_id, rank""".stripMargin
 
   val sql: String = sqlOver("e", "")
+
+  /** qs13's twin: the same pipeline with NO self-exclusion — ad-hoc
+    * probes have no corpus identity, so a stored vector equal to the
+    * probe legitimately ranks first at cos=1.
+    */
+  val searchSql: String = sqlOver("e", "", excludeSelf = false)
 }
 
 /** DuckDB twin of qs08's PQ pipeline — codebook slicing, first-min-wins

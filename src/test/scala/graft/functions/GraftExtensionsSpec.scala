@@ -69,6 +69,51 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(viaSql == 32L)
   }
 
+  test("graft_ivf_search: both probe faces, defaults nprobe=4/topk=5, bad args refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsearch").toString
+    // a tiny deterministic corpus (vec_id, 4-dim float embedding) —
+    // written as the embeddings parquet layout writeIvfIndex expects
+    val rnd = new scala.util.Random(7)
+    (0L until 40L).map(i =>
+        (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val art = s"$dir/art"
+    graft.queries.LlmSimilarity.writeIvfIndex(spark, dir, art)
+    // table face: defaults give top-5 per probe row
+    spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 3)
+      .createOrReplaceTempView("ivfsearch_q")
+    val t = spark.sql(s"SELECT * FROM graft_ivf_search('$art', 'ivfsearch_q')")
+      .collect()
+    assert(t.length == 15, s"3 probes x default topk=5, got ${t.length}")
+    assert(t.count(r => r.getLong(1) == r.getLong(0) && r.getDouble(3) > 0.999999) == 3,
+      "an ad-hoc probe equal to a stored vector must surface it at cos=1 " +
+        "(no self-exclusion)")
+    // vector face: query 0's embedding as an array literal reproduces
+    // the table face's query-0 neighbors; explicit topk=2 truncates
+    val v0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val litSql = v0.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ", ", ")")
+    val v = spark.sql(s"SELECT * FROM graft_ivf_search('$art', $litSql, 4, 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = t.filter(_.getLong(0) == 0L).sortBy(_.getLong(2)).take(2)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(v.toSeq == want.toSeq,
+      s"vector face must equal table face truncated to topk=2: $v vs ${want.toSeq}")
+    // a non-literal probe refuses at analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_ivf_search('x', array(rand()))").collect()
+    }
+    assert(e.getMessage.contains("literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("literal")))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ivf_search('$art', 42)").collect()
+    }
+    assert(e2.getMessage.contains("array literal") ||
+      Option(e2.getCause).exists(_.getMessage.contains("array literal")))
+  }
+
   test("non-literal mult rejects at analysis instead of silently misbehaving") {
     import spark.implicits._
     // own view: must not depend on a sibling test having run first
