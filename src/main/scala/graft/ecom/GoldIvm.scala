@@ -72,9 +72,17 @@ final case class GoldIvm(spark: SparkSession, warehouseDir: String) {
   /** rating sum + counts per product_id over reviews_clean. */
   val reviewMetricsMv: VersionedTable = mv("review_metrics")
   /** per-session event rollup (level 1 of customer_360) — CDC-enabled,
-    * because level 2 consumes ITS feed.
+    * because level 2 consumes ITS feed. session_id is BLOOM-indexed
+    * (recorded per file at commit, atomic with the data): the
+    * steady-wave re-attribution gate answers "does any inserted attrs
+    * session already have materialized contributions?" from the
+    * MANIFEST blooms alone instead of scanning the rollup — 2^18 bits
+    * holds ~25k sessions per file at <1e-4 false positives; a
+    * saturated bloom only costs the fallback probe, never correctness.
     */
-  val sessionRollupMv: VersionedTable = mv("session_rollup")
+  val sessionRollupMv: VersionedTable = VersionedTable(
+    spark, s"$warehouseDir/_mv/session_rollup",
+    bloomColumns = Seq("session_id"), bloomBits = 1 << 18)
   /** per-customer rollup (level 2 of customer_360). */
   val customerRollupMv: VersionedTable = mv("customer_rollup")
 

@@ -197,10 +197,37 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     * maintained aggregates).
     */
   def step(bronze: Map[String, DataFrame], waveId: Long, asOf: LocalDate,
-      loadTs: Timestamp): Map[String, DataFrame] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+      loadTs: Timestamp): Map[String, DataFrame] =
+    step(bronze, waveId, asOf, loadTs, refreshGold = true)
+
+  /** [[step]] with the gold family switchable off: `refreshGold = false`
+    * maintains ONLY the silver tables (merges, repair, attrs — the
+    * re-attribution no-ops while the GoldIvm rollups were never
+    * bootstrapped) and returns an empty map. The declared-gold run
+    * (q46) drives this: silvers advance through the engine, gold is
+    * maintained ENTIRELY by `REFRESH MATERIALIZED VIEW` statements over
+    * the SQL-declared cascade — zero GoldIvm wiring.
+    */
+  def step(bronze: Map[String, DataFrame], waveId: Long, asOf: LocalDate,
+      loadTs: Timestamp, refreshGold: Boolean): Map[String, DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    // BOOTSTRAP wave (empty warehouse): seven TABLE-SIZED writes racing
+    // on the global pool thrash the 32 cores 7 ways — each write is big
+    // enough to use the whole machine, so capping to 3 concurrent
+    // tables gives each real cores and still hides commit latency
+    // (SOAK_r16: the contended 7-way silver bootstrap was the remaining
+    // bulk-load wall). Steady waves keep full-width futures: their
+    // merges are wave-sized and commit machinery dominates, so
+    // parallelism is pure latency hiding there. The futures are
+    // continuation-chained (nothing blocks inside a pooled task), so a
+    // small fixed pool cannot deadlock the DAG.
+    val bootstrapPool =
+      if (eventsClean.currentVersion().isDefined) None
+      else Some(java.util.concurrent.Executors.newFixedThreadPool(3))
+    implicit val stepEc: ExecutionContext = bootstrapPool
+      .map(ExecutionContext.fromExecutorService(_))
+      .getOrElse(ExecutionContext.global)
     def phase[T](name: String)(f: => T): T =
       if (!Profile && !StepProfile.capture) f
       else {
@@ -306,34 +333,54 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
     // PRE-merge attrs head (a crash between a gold bootstrap and its
     // cursor commit is only recoverable before new attrs versions
     // land), and the repair must see the POST-merge feed. The whole
-    // chain touches only sessionAttrs + customer_360's rollup, so it
-    // runs beside the silver merges.
-    val fAttrs = Future(phase("attrs") {
-      ensureReattrCursor()
-      maintainSessionAttrs(waveId, sessionsWave)
-      ensureAutoCompact(sessionAttrs)
-      reattribute()
-    })
+    // chain touches only sessionAttrs + customer_360's rollup — but it
+    // runs AFTER the sessions append, not beside it: both consume the
+    // shared persisted sessionsWave, and racing the append meant the
+    // attrs chain re-materialized the wave lineage from scratch (the
+    // whole 1.8 s of a steady wave's attrs phase was that duplicate
+    // scan — r16 verdict #3). Chained, the attrs emptiness check and
+    // merge read the cache the append just populated; the critical
+    // path is unchanged (events gates gold:c360 longer than
+    // sessions+attrs).
+    val fAttrs = fSessions.map { _ =>
+      phase("attrs") {
+        ensureReattrCursor()
+        maintainSessionAttrs(waveId, sessionsWave)
+        ensureAutoCompact(sessionAttrs)
+        reattribute()
+      }
+    }
     // gold: the maintained aggregates advance over the silvers'
     // accumulated feed windows (self-windowing, exactly-once); the two
     // families maintain disjoint MV tables, so they run concurrently
-    val fPm = for {
-      _ <- fEvents; _ <- fItems; _ <- fReviews
-    } yield phase("gold:pm")(
-      gold.refreshProductMetrics(eventsClean, orderItemsClean, reviewsClean))
-    val fC360 = for {
-      _ <- fEvents; _ <- fAttrs
-    } yield phase("gold:c360")(
-      gold.refreshCustomer360(eventsClean, sessionAttrs.read()))
+    val fPm =
+      if (!refreshGold) Future.successful(())
+      else for {
+        _ <- fEvents; _ <- fItems; _ <- fReviews
+      } yield phase("gold:pm")(
+        gold.refreshProductMetrics(eventsClean, orderItemsClean, reviewsClean)): Unit
+    val fC360 =
+      if (!refreshGold) Future.successful(())
+      else for {
+        _ <- fEvents; _ <- fAttrs
+      } yield phase("gold:c360")(
+        gold.refreshCustomer360(eventsClean, sessionAttrs.read())): Unit
     try Await.result(
       Future.sequence(Seq(fCustomers, fProducts, fSessions,
-        fPm.map(_ => ()), fC360.map(_ => ()))), Duration.Inf)
-    finally sessionsWave.unpersist(blocking = false): Unit
+        fPm, fC360) ++
+        // silver-only: the items/events merges are awaited directly
+        // (with gold on, fPm/fC360 already imply them)
+        (if (refreshGold) Nil else Seq(fEvents, fItems, fReviews, fAttrs))),
+      Duration.Inf)
+    finally {
+      sessionsWave.unpersist(blocking = false)
+      bootstrapPool.foreach(_.shutdown())
+    }
     // a gold bootstrap this wave consumed the attrs head maintainSession-
     // Attrs left — pin it as the re-attribution cursor before returning
     ensureReattrCursor()
 
-    goldRelations(asOf, loadTs)
+    if (refreshGold) goldRelations(asOf, loadTs) else Map.empty
   }
 
   // ---- the medallion as ONE continuous stream --------------------------
@@ -665,10 +712,32 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
         .currentBatchId(graft.ops.IncrementalAgg.appFor(gold.sessionRollupMv))
       val touchedNew = sessionAttrs.changeFeed(last + 1L, head)
         .select(col("session_id")).distinct()
-      val anyMaterialized = applied.exists(a =>
-        gold.sessionRollupMv.readAt(a)
-          .join(broadcast(touchedNew), Seq("session_id"), "left_semi")
-          .limit(1).count() > 0)
+      // r17: the rollup's session_id is bloom-indexed at commit, so
+      // "no inserted session is materialized" is usually provable from
+      // the MANIFEST blooms + one wave-sized hash collect — the rollup
+      // itself is not scanned. A bloom hit (or missing blooms on a
+      // pre-r17 warehouse / saturated file) falls back to the exact
+      // semi-join probe, which is the correct failure direction.
+      def timed[T](what: String)(f: => T): T =
+        if (!Profile) f
+        else {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"      [reattr] $what%-12s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+          r
+        }
+      val anyMaterialized = applied.exists { a =>
+        timed("bloom-gate")(
+          gold.sessionRollupMv.bloomDisjoint(a, "session_id", touchedNew)) match {
+          case Some(true) => false
+          case d =>
+            if (Profile) println(s"      [reattr] bloom-gate undecided ($d), semi-join probe")
+            timed("semi-probe")(
+              gold.sessionRollupMv.readAt(a)
+                .join(broadcast(touchedNew), Seq("session_id"), "left_semi")
+                .limit(1).count() > 0)
+        }
+      }
       if (!anyMaterialized) {
         val schema = gold.customerRollupMv.snapshotMeta(
           gold.customerRollupMv.currentVersion().get).schema

@@ -592,6 +592,37 @@ final case class VersionedTable(
     cand
   }
 
+  /** MANIFEST-BLOOM disjointness gate: Some(true) ⟹ NO row of version
+    * `version` shares a `keyCol` value with `src` (sound — provable
+    * from the per-file blooms alone, zero data-file reads on THIS
+    * table); Some(false) ⟹ a bloom hit (maybe a real match, maybe a
+    * false positive — the caller runs its exact probe); None ⟹
+    * undecidable (column not bloom-indexed on every file, or `src`
+    * has more than `cap` distinct keys). The one job is the tiny
+    * hash-pair collect over `src` — the IVM steady-wave gate's shape,
+    * where `src` is a wave-sized change feed and this table is the
+    * rollup that would otherwise be scanned.
+    */
+  def bloomDisjoint(version: Long, keyCol: String, src: DataFrame,
+      cap: Int = VersionedTable.BroadcastKeyCap.toInt): Option[Boolean] = {
+    val m = readManifest(version)
+    if (m.files.isEmpty) return Some(true)
+    val t = m.schema.fields.find(_.name.equalsIgnoreCase(keyCol))
+      .getOrElse(return None).dataType
+    if (!m.files.forall(f => m.blooms.get(f).exists(_.contains(keyCol))))
+      return None
+    val (h1c, h2c) = graft.util.BloomSketch.hashCols(col(keyCol).cast(t))
+    val hashes = src.filter(col(keyCol).isNotNull)
+      .select(h1c.as("h1"), h2c.as("h2")).distinct()
+      .limit(cap + 1).collect()
+    if (hashes.length > cap) return None
+    Some(!m.files.exists { f =>
+      val (kk, bits) = m.blooms(f)(keyCol)
+      hashes.exists(r => graft.util.BloomSketch.mightContain(
+        bits, kk, r.getLong(0), r.getLong(1)))
+    })
+  }
+
   private def deleteFrom(base: Long, m: Manifest, candidates: Seq[String],
       predicate: Column): Long = {
     val touched = touchedFiles(m, candidates, coalesce(predicate, lit(false)))

@@ -269,6 +269,24 @@ class VersionedTableSpec extends SparkSuite {
     assert(vt.readRange("id", 10000L, 10050L).count() == 51L)
   }
 
+  test("bloomDisjoint: manifest-only membership gate") {
+    val vt = VersionedTable(spark, freshDir(), bloomColumns = Seq("k"))
+    vt.commitAppend(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
+    val v = vt.currentVersion().get
+    assert(vt.bloomDisjoint(v, "k", Seq("x", "y").toDF("k")).contains(true),
+      "absent keys must prove disjoint from the manifest blooms alone")
+    assert(vt.bloomDisjoint(v, "k", Seq("a", "x").toDF("k")).contains(false),
+      "a present key must register a bloom hit")
+    // a column without a bloom index is undecidable, never guessed
+    assert(vt.bloomDisjoint(v, "v", Seq(99L).toDF("v")).isEmpty)
+    // more distinct keys than the cap: undecidable (collect stays bounded)
+    assert(vt.bloomDisjoint(v, "k",
+      Seq("p", "q", "r").toDF("k"), cap = 2).isEmpty)
+    // null keys match nothing and never constrain
+    assert(vt.bloomDisjoint(v, "k",
+      Seq[Option[String]](None).toDF("k")).contains(true))
+  }
+
   test("empty-table commit round-trips schema") {
     val vt = VersionedTable(spark, freshDir())
     vt.commitOverwrite(Seq.empty[(Long, String)].toDF("id", "v"))
