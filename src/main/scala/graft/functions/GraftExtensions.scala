@@ -349,6 +349,73 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           views.sortBy(v => (v._1, v._2)).map(v =>
             org.apache.spark.sql.Row(v._1, v._2, v._3)))
       }))
+    // SHOW MATERIALIZED VIEWS with STALENESS (r17): an operator of a
+    // 100-table lakehouse needs to see what is stale before trusting a
+    // read. One row per stored MV spec under the warehouse:
+    //   SELECT * FROM graft_materialized_views('<warehouse dir>')
+    // refreshed_source_version = the view's fact cursor (the source
+    // version the last refresh applied), source_head = the source's
+    // current version, stale = head ahead of a cursor (fact or any
+    // dimension) at THIS level — a cascade's transitive staleness is
+    // read off the source view's own row. Driver-side manifest reads
+    // only (cursors are txn markers, heads are manifest pointers) —
+    // zero jobs, zero data-file IO.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_materialized_views"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graft_materialized_views"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1 && args.head.foldable,
+          "graft_materialized_views(warehouseDir) takes one literal warehouse path")
+        val wh = args.head.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => String.valueOf(other)
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = new org.apache.hadoop.fs.Path(wh)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val rows =
+          if (!fs.exists(root)) Seq.empty
+          else for {
+            ns <- fs.listStatus(root).filter(_.isDirectory).map(_.getPath).toSeq
+            d <- fs.listStatus(ns).filter(_.isDirectory).map(_.getPath).toSeq
+            vt = graft.ecom.VersionedTable(spark, d.toString)
+            spec <- scala.util.Try(graft.ops.MvSpec.load(vt)).toOption.flatten
+          } yield {
+            val src = graft.ecom.VersionedTable(spark, spec.source)
+            val srcHead = src.currentVersion()
+            val cursor = vt.currentBatchId(
+              graft.ops.IncrementalAgg.appFor(src))
+            val dimStates = spec.dims.map { dim =>
+              val dt = graft.ecom.VersionedTable(spark, dim.source)
+              (dim.source, vt.currentBatchId(dim.app), dt.currentVersion())
+            }
+            val stale = srcHead.exists(h => cursor.forall(_ < h)) ||
+              dimStates.exists { case (_, cur, head) =>
+                head.exists(h => cur.forall(_ < h)) }
+            org.apache.spark.sql.Row(
+              ns.getName, d.getName, spec.source,
+              cursor.map(Long.box).orNull, srcHead.map(Long.box).orNull,
+              stale,
+              dimStates.map { case (p, cur, head) =>
+                s"$p@${cur.getOrElse("-")}/${head.getOrElse("-")}"
+              }.mkString(";"))
+          }
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+        val out = Seq(
+          AttributeReference("namespace", StringType, nullable = false)(),
+          AttributeReference("view", StringType, nullable = false)(),
+          AttributeReference("source", StringType, nullable = false)(),
+          AttributeReference("refreshed_source_version", LongType,
+            nullable = true)(),
+          AttributeReference("source_head", LongType, nullable = true)(),
+          AttributeReference("stale", BooleanType, nullable = false)(),
+          AttributeReference("dims", StringType, nullable = false)())
+        LocalRelation.fromExternalRows(out,
+          rows.sortBy(r => (r.getString(0), r.getString(1))))
+      }))
     ext.injectTableFunction((
       FunctionIdentifier("graft_cluster_index"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cluster_index"),

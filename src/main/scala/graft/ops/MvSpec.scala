@@ -79,7 +79,8 @@ final case class MvSpec(source: String, keys: Seq[String], countCol: String,
     sums: Seq[(String, String)], mins: Seq[(String, String)],
     maxes: Seq[(String, String)], netKeys: Seq[String],
     where: Option[String] = None, dims: Seq[MvDim] = Nil,
-    keyExprs: Seq[(String, String)] = Nil) {
+    keyExprs: Seq[(String, String)] = Nil,
+    avgs: Seq[(String, String)] = Nil) {
 
   require(source.nonEmpty, "materialized-view spec needs a source table path")
   require(keys.nonEmpty, "materialized-view spec needs at least one key")
@@ -87,6 +88,16 @@ final case class MvSpec(source: String, keys: Seq[String], countCol: String,
   require(keyExprs.map(_._1).forall(keys.contains),
     "every derived key expression must name a grouping key")
   where.foreach(MvSpec.validateRowLocal(_, "where"))
+  // AVG(x) is stored DECOMPOSED (SUM(x) + a non-null count, both plain
+  // maintained sums under reserved hidden names) and re-derived at
+  // read — the avgs entries are the read-face contract, so their
+  // hidden carriers must actually be maintained
+  avgs.foreach { case (a, _) =>
+    require(sums.exists(_._1 == MvSpec.hiddenSum(a)) &&
+      sums.exists(_._1 == MvSpec.hiddenCnt(a)),
+      s"materialized-view avg '$a' needs its decomposed sum/count " +
+        s"columns (${MvSpec.hiddenSum(a)}, ${MvSpec.hiddenCnt(a)}) in sums")
+  }
 
   private def cols(ps: Seq[(String, String)]): Map[String, Column] =
     ps.map { case (n, e) => n -> expr(e) }.toMap
@@ -298,7 +309,28 @@ final case class MvSpec(source: String, keys: Seq[String], countCol: String,
     MvSpec.NetKeysProp -> netKeys.mkString(","),
     MvSpec.WhereProp -> where.getOrElse(""),
     MvSpec.DimsProp -> dims.map(_.render).mkString(";"),
-    MvSpec.KeyExprsProp -> MvSpec.renderPairs(keyExprs))
+    MvSpec.KeyExprsProp -> MvSpec.renderPairs(keyExprs)) ++
+    // only written when present, so pre-r17 stored specs (and specs
+    // without AVG) round-trip to byte-identical property maps
+    (if (avgs.isEmpty) Map.empty
+     else Map(MvSpec.AvgsProp -> MvSpec.renderPairs(avgs)))
+
+  /** The USER-FACING projection of the stored view table — hidden
+    * decomposition columns dropped, each AVG re-derived as
+    * sum / NULLIF(count, 0) (null when every contributing value was
+    * null, exactly SQL's AVG). Row-local: applies per partition on top
+    * of any snapshot scan, costs no shuffle, and every filter on
+    * visible columns still pushes into the scan below.
+    */
+  def readFace(df: DataFrame): DataFrame = {
+    if (avgs.isEmpty) return df
+    val visible = df.columns.filterNot(_.startsWith(MvSpec.HiddenPrefix))
+    val withAvgs = avgs.foldLeft(df) { case (d, (a, _)) =>
+      d.withColumn(a, expr(
+        s"`${MvSpec.hiddenSum(a)}` / NULLIF(`${MvSpec.hiddenCnt(a)}`, 0)"))
+    }
+    withAvgs.select((visible.toSeq ++ avgs.map(_._1)).map(col): _*)
+  }
 }
 
 object MvSpec {
@@ -312,6 +344,15 @@ object MvSpec {
   val WhereProp: String = "graft.mv.where"
   val DimsProp: String = "graft.mv.dims"
   val KeyExprsProp: String = "graft.mv.key_exprs"
+  val AvgsProp: String = "graft.mv.avgs"
+
+  /** Reserved prefix for generated decomposition columns (the stored
+    * SUM/count carriers of an AVG) — hidden from the SQL read face;
+    * user-declared output columns may not use it.
+    */
+  val HiddenPrefix: String = "__mv_"
+  def hiddenSum(alias: String): String = s"${HiddenPrefix}sum_$alias"
+  def hiddenCnt(alias: String): String = s"${HiddenPrefix}cnt_$alias"
 
   // aggregates (and aggregate-ish collectors) that cannot appear inside
   // a ROW-LOCAL entry: the view itself applies the per-group algebra
@@ -462,6 +503,7 @@ object MvSpec {
       parseList(p.getOrElse(NetKeysProp, "")),
       where = Some(p.getOrElse(WhereProp, "")).filter(_.nonEmpty),
       dims = parseDims(p.getOrElse(DimsProp, "")),
-      keyExprs = parsePairs(p.getOrElse(KeyExprsProp, ""), "key_exprs")))
+      keyExprs = parsePairs(p.getOrElse(KeyExprsProp, ""), "key_exprs"),
+      avgs = parsePairs(p.getOrElse(AvgsProp, ""), "avgs")))
   }
 }

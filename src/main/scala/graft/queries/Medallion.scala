@@ -448,5 +448,238 @@ object Medallion {
     out
   }
 
-  val all: Seq[Q] = Seq(q35, q41, q44, q45)
+  /** The medallion with gold maintained ENTIRELY by DECLARED SQL
+    * (r17): silvers advance through the incremental engine exactly as
+    * q44 (same waves, same attrs storm), but the four gold models are
+    * `CREATE MATERIALIZED VIEW` / `CREATE VIEW` statements over the
+    * silver CATALOG — the em/om/rm aggregates (rm through the r17 AVG
+    * decomposition), the session rollup, the customer cascade over its
+    * change feed with the attrs DIMENSION declared (its storm repairs
+    * via the generic retract/re-add dim rule), and four compose-at-read
+    * views — maintained by bare `REFRESH MATERIALIZED VIEW` statements
+    * per wave. Zero GoldIvm wiring; hash-pinned to the SAME oracle as
+    * q35/q41/q44/q45 — the FIFTH execution strategy of the identical
+    * pipeline.
+    */
+  val q46 = Q("q46_medallion_declared_gold", medallionOracle) { (s, dir) =>
+    val tmp = Files.createTempDirectory("graft-medallion-dcl-").toString
+    val wh = s"$tmp/lake"
+    new java.io.File(s"$tmp/gold").mkdirs()
+    val cat = s"g46c${q46Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
+    val raw = rawEvents(s, dir).persist()
+    val inFirst = to_date(col("ts")) <= lit("2024-01-15").cast(DateType)
+    val waves = Seq(
+      raw.filter(coalesce(inFirst, lit(false))),
+      raw.filter(coalesce(!inFirst, lit(true))))
+    val inc = graft.ecom.IncrementalLakehouse(s, wh)
+
+    def refreshDeclared(): Unit = {
+      // independent MV families; the cascade's ONE bare top refresh
+      // chains srl1 and repairs the attrs dimension first
+      Seq("em", "om", "rm", "attrs_dim").foreach(v =>
+        s.sql(s"REFRESH MATERIALIZED VIEW $cat.gold.$v").collect())
+      s.sql(s"REFRESH MATERIALIZED VIEW $cat.gold.crl2").collect()
+    }
+
+    // wave 1 (silver only), then DECLARE the whole gold layer in SQL
+    var seen: Option[DataFrame] = None
+    def silverStep(b: Map[String, DataFrame], waveId: Long): Unit = {
+      inc.step(b, waveId, AsOf, LoadTs, refreshGold = false)
+      ()
+    }
+    silverStep(bronzeSources(waves(0)), 1L)
+    seen = Some(waves(0)
+      .select(col("user_id").cast(StringType).as("session_id")).distinct())
+    declareGold(s, cat)
+    // waves 2–4: silver steps + bare declared refreshes (wave 3–4 are
+    // the q44 attrs storm — sessions migrate customer and back, repaired
+    // by the declared dimension rule, never a rebuild)
+    val b0 = bronzeSources(waves(1))
+    silverStep(b0.updated("sessions",
+      b0("sessions").join(seen.get, Seq("session_id"), "left_anti")), 2L)
+    refreshDeclared()
+    def stormSessions(customer: Column, stamp: java.sql.Timestamp): DataFrame =
+      Bronze.stampAt(
+        raw.filter(col("user_id") % 20 === 0)
+          .groupBy(col("user_id"))
+          .agg((min(col("ts")) - expr("INTERVAL 60 SECONDS")).as("start_time"))
+          .select(
+            col("user_id").cast(StringType).as("session_id"),
+            customer.cast(StringType).as("customer_id"),
+            col("start_time"),
+            lit("web").as("device"), lit("ads").as("source"),
+            lit("US").as("country")),
+        "sessions.reattr", stamp)
+    val emptyBronze = bronzeSources(raw.limit(0))
+    silverStep(emptyBronze.updated("sessions",
+      stormSessions(col("user_id") + 1,
+        java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))), 3L)
+    refreshDeclared()
+    silverStep(emptyBronze.updated("sessions",
+      stormSessions(col("user_id"),
+        java.sql.Timestamp.valueOf("2024-02-03 00:00:00"))), 4L)
+    refreshDeclared()
+
+    val gold = Map(
+      "product_metrics" -> s.sql(s"SELECT * FROM $cat.gold.product_metrics"),
+      "product_funnel" -> s.sql(s"SELECT * FROM $cat.gold.product_funnel"),
+      "session_metrics" -> s.sql(s"SELECT * FROM $cat.gold.session_metrics"),
+      "customer_360" -> s.sql(s"SELECT * FROM $cat.gold.customer_360"))
+    val out = fingerprints(s, gold)
+    raw.unpersist(blocking = false)
+    out
+  }
+
+  private val q46Counter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** The reference's four gold models as pure SQL DDL over the silver
+    * catalog (`cat.lake.*` are the engine-maintained silver tables;
+    * `cat.gold.*` is the declared layer). Mirrors GoldIvm's algebra
+    * statement-for-statement — the DDL is the product surface, GoldIvm
+    * the library one; `DeclarativeGoldSpec` pins the per-model parity,
+    * q46 pins the end-to-end hash.
+    */
+  private def declareGold(s: SparkSession, cat: String): Unit = {
+    // product_metrics family (03_gold_aggregate.py:38-108)
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.gold.em AS
+         |SELECT coalesce(cast(event_date AS string), chr(0)) AS date_key,
+         |  product_id, COUNT(*) AS n_events,
+         |  SUM(CASE WHEN event_type = 'page_view' THEN 1 ELSE 0 END) AS view_count,
+         |  SUM(CASE WHEN event_type = 'add_to_cart' THEN 1 ELSE 0 END) AS cart_count,
+         |  MIN(event_date) AS event_date_e
+         |FROM $cat.lake.events_clean
+         |WHERE product_id IS NOT NULL
+         |GROUP BY date_key, product_id""".stripMargin).collect()
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.gold.om AS
+         |SELECT coalesce(cast(order_date AS string), chr(0)) AS date_key,
+         |  product_id, COUNT(*) AS n_items,
+         |  SUM(cast(line_total_usd AS decimal(18,2))) AS total_revenue,
+         |  SUM(cast(quantity AS bigint)) AS purchase_count,
+         |  MIN(order_date) AS event_date_o
+         |FROM $cat.lake.order_items_clean
+         |WHERE product_id IS NOT NULL
+         |GROUP BY date_key, product_id""".stripMargin).collect()
+    // review metrics through the r17 AVG decomposition — the DDL states
+    // the reference's avg(rating) directly
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.gold.rm AS
+         |SELECT product_id, COUNT(*) AS review_count,
+         |  AVG(cast(rating AS bigint)) AS avg_rating
+         |FROM $cat.lake.reviews_clean
+         |WHERE product_id IS NOT NULL
+         |GROUP BY product_id""".stripMargin).collect()
+    s.sql(
+      s"""CREATE VIEW $cat.gold.product_metrics AS
+         |SELECT coalesce(event_date_e, event_date_o) AS event_date,
+         |  product_id, product_name, category,
+         |  CAST(coalesce(view_count, 0) AS INT) AS view_count,
+         |  CAST(coalesce(cart_count, 0) AS INT) AS cart_count,
+         |  CAST(coalesce(purchase_count, 0) AS INT) AS purchase_count,
+         |  CAST(coalesce(CAST(total_revenue AS DOUBLE), 0.0) AS DOUBLE)
+         |    AS total_revenue,
+         |  round(coalesce(avg_rating, 0.0), 2) AS avg_rating,
+         |  CAST(coalesce(review_count, 0) AS INT) AS review_count
+         |FROM $cat.gold.em FULL OUTER JOIN $cat.gold.om
+         |  USING (date_key, product_id)
+         |LEFT JOIN $cat.lake.products_clean USING (product_id)
+         |LEFT JOIN $cat.gold.rm USING (product_id)
+         |WHERE product_id IS NOT NULL""".stripMargin).collect()
+    s.sql(
+      s"""CREATE VIEW $cat.gold.product_funnel AS
+         |SELECT event_date, product_id, product_name, category,
+         |  view_count, cart_count, purchase_count,
+         |  least(CAST(100.0 AS DOUBLE), CASE WHEN view_count > 0
+         |    THEN round(CAST(cart_count AS DOUBLE) / view_count * 100.0, 2)
+         |    ELSE 0.0 END) AS view_to_cart_pct,
+         |  least(CAST(100.0 AS DOUBLE), CASE WHEN cart_count > 0
+         |    THEN round(CAST(purchase_count AS DOUBLE) / cart_count * 100.0, 2)
+         |    ELSE 0.0 END) AS cart_to_purchase_pct,
+         |  least(CAST(100.0 AS DOUBLE), CASE WHEN view_count > 0
+         |    THEN round(CAST(purchase_count AS DOUBLE) / view_count * 100.0, 2)
+         |    ELSE 0.0 END) AS overall_conversion_pct
+         |FROM $cat.gold.product_metrics""".stripMargin).collect()
+    // customer_360 family: per-session rollup, the unique-per-session
+    // attrs DIMENSION (renamed so the level-2 derived key can alias
+    // customer_id), the cascade, and the two compose views
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.gold.srl1 AS
+         |SELECT coalesce(cast(session_id AS string), chr(0)) AS session_key,
+         |  COUNT(*) AS total_events,
+         |  SUM(CASE WHEN event_type = 'purchase'
+         |      THEN cast(amount_usd AS decimal(18,2))
+         |      ELSE cast(0 AS decimal(18,2)) END) AS session_revenue,
+         |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS has_purchased,
+         |  MIN(session_id) AS session_id,
+         |  MIN(event_ts) AS session_start_ts_events,
+         |  MIN(event_date) AS session_date,
+         |  MAX(event_ts) AS session_end_ts
+         |FROM $cat.lake.events_clean
+         |GROUP BY session_key""".stripMargin).collect()
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.gold.attrs_dim AS
+         |SELECT session_id, COUNT(*) AS n_attr,
+         |  MIN(customer_id) AS attr_customer_id,
+         |  MIN(session_start_ts) AS attr_start_ts
+         |FROM $cat.lake.`_session_attrs`
+         |GROUP BY session_id""".stripMargin).collect()
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.gold.crl2 AS
+         |SELECT coalesce(attr_customer_id, 'UNKNOWN') AS customer_id,
+         |  COUNT(*) AS total_sessions,
+         |  SUM(session_revenue) AS customer_total_revenue,
+         |  SUM(has_purchased) AS total_orders,
+         |  MIN(coalesce(session_start_ts_events, attr_start_ts))
+         |    AS first_active_ts,
+         |  MAX(session_end_ts) AS last_active_ts
+         |FROM $cat.gold.srl1 LEFT JOIN $cat.gold.attrs_dim USING (session_id)
+         |WHERE cast(session_end_ts AS bigint) -
+         |  cast(coalesce(session_start_ts_events, attr_start_ts) AS bigint) >= 0
+         |GROUP BY customer_id""".stripMargin).collect()
+    s.sql(
+      s"""CREATE VIEW $cat.gold.session_metrics AS
+         |SELECT r.session_id,
+         |  coalesce(sa.customer_id, 'UNKNOWN') AS customer_id,
+         |  r.session_date,
+         |  coalesce(r.session_start_ts_events, sa.session_start_ts)
+         |    AS session_start_ts,
+         |  r.session_end_ts,
+         |  CAST(r.session_end_ts AS BIGINT) -
+         |    CAST(coalesce(r.session_start_ts_events, sa.session_start_ts)
+         |      AS BIGINT) AS session_duration_sec,
+         |  r.total_events,
+         |  coalesce(sa.device, 'UNKNOWN') AS device,
+         |  coalesce(sa.source, 'UNKNOWN') AS source,
+         |  coalesce(sa.country, 'UNKNOWN') AS country,
+         |  CAST(r.session_revenue AS DOUBLE) AS session_revenue,
+         |  CAST(r.has_purchased AS INT) AS has_purchased
+         |FROM $cat.gold.srl1 r
+         |LEFT JOIN $cat.lake.`_session_attrs` sa USING (session_id)
+         |WHERE CAST(r.session_end_ts AS BIGINT) -
+         |  CAST(coalesce(r.session_start_ts_events, sa.session_start_ts)
+         |    AS BIGINT) >= 0""".stripMargin).collect()
+    s.sql(
+      s"""CREATE VIEW $cat.gold.customer_360 AS
+         |SELECT customer_id, name, email, country, age, signup_date,
+         |  marketing_opt_in,
+         |  coalesce(CAST(customer_total_revenue AS DOUBLE), 0.0)
+         |    AS customer_total_revenue,
+         |  CAST(coalesce(total_orders, 0) AS INT) AS total_orders,
+         |  CAST(coalesce(total_sessions, 0) AS INT) AS total_sessions,
+         |  first_active_ts, last_active_ts,
+         |  round(CASE WHEN coalesce(total_orders, 0) <> 0
+         |    THEN coalesce(CAST(customer_total_revenue AS DOUBLE), 0.0) /
+         |      total_orders END, 2) AS average_order_value,
+         |  datediff(DATE '$AsOf', signup_date) AS days_since_signup,
+         |  TIMESTAMP '$LoadTs' AS scd_load_ts
+         |FROM $cat.lake.customers_clean LEFT JOIN $cat.gold.crl2
+         |  USING (customer_id)
+         |WHERE customer_id IS NOT NULL""".stripMargin).collect()
+  }
+
+  val all: Seq[Q] = Seq(q35, q41, q44, q45, q46)
 }

@@ -1171,7 +1171,138 @@ object Versioned {
     s.sql(s"SELECT * FROM $cat.db.pm ORDER BY pk")
   }
 
+  /** AVG / COUNT(expr) in MV DDL (r17) — the reference's review_metrics
+    * is `avg(rating)` + a conditional count (`03_gold/03_gold_aggregate
+    * .py:70-75`); r16 refused both with a manual-decomposition hint.
+    * Now the parser decomposes mechanically: AVG(x) → two maintained
+    * sums (SUM(x) + non-null count) under reserved hidden names with
+    * the catalog READ face deriving sum/NULLIF(count,0) and hiding the
+    * carriers; COUNT(expr) → SUM(CASE WHEN expr IS NOT NULL...). The
+    * storm exercises the null edges that make AVG non-trivial: deletes
+    * retract, an UPDATE flips values to NULL (avg must drop them), and
+    * one group goes all-NULL (avg = NULL, not 0/0). DuckDB recomputes
+    * the final state relationally.
+    */
+  val qv21 = Q(
+    "qv21_mv_avg_rewrite",
+    """WITH f0 AS (
+      |  SELECT o_orderkey AS okey, o_orderkey % 100 AS pk,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderkey % 5 + 1 END AS rating,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'y' ELSE NULL END AS vr,
+      |    o_orderkey % 9 AS units
+      |  FROM orders WHERE o_orderkey <= 6000),
+      |f1 AS (SELECT * FROM f0 WHERE okey NOT BETWEEN 1200 AND 1700),
+      |f AS (SELECT okey, pk,
+      |    CASE WHEN units = 4 THEN NULL
+      |         WHEN units = 2 THEN 5 ELSE rating END AS rating, vr, units
+      |  FROM f1)
+      |SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_reviews,
+      |  CAST(AVG(rating) AS DOUBLE) AS avg_rating,
+      |  CAST(COUNT(vr) AS BIGINT) AS n_verified,
+      |  CAST(SUM(units) AS BIGINT) AS total_units
+      |FROM f GROUP BY pk ORDER BY pk""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv21-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g21c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val fact = VersionedTable(s, s"$wh/db/fact")
+    fact.commitAppend(load(s, dir, "orders").filter(col("o_orderkey") <= 6000)
+      .select(col("o_orderkey").as("okey"),
+        (col("o_orderkey") % 100).as("pk"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 5 + 1).as("rating"),
+        when(col("o_orderkey") % 3 === 0, lit("y")).as("vr"),
+        (col("o_orderkey") % 9).as("units")))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.rm AS
+         |SELECT pk, COUNT(*) AS n_reviews, AVG(rating) AS avg_rating,
+         |  COUNT(vr) AS n_verified, SUM(units) AS total_units
+         |FROM $cat.db.fact GROUP BY pk""".stripMargin).collect()
+    // the storm: retract a range, flip one stratum's ratings to NULL,
+    // pin another stratum to 5
+    s.sql(s"DELETE FROM $cat.db.fact WHERE okey BETWEEN 1200 AND 1700").collect()
+    s.sql(s"UPDATE $cat.db.fact SET rating = NULL WHERE units = 4").collect()
+    s.sql(s"UPDATE $cat.db.fact SET rating = 5 WHERE units = 2").collect()
+    s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.rm").collect()
+    // the read face hides the decomposition carriers
+    val visible = s.table(s"$cat.db.rm").columns
+    require(!visible.exists(_.startsWith("__mv_")),
+      s"hidden decomposition columns leaked into the read face: " +
+        visible.mkString(", "))
+    require(visible.contains("avg_rating"),
+      s"avg_rating missing from the read face: ${visible.mkString(", ")}")
+    s.sql(
+      s"""SELECT pk, CAST(n_reviews AS BIGINT) AS n_reviews,
+         |  CAST(avg_rating AS DOUBLE) AS avg_rating,
+         |  CAST(n_verified AS BIGINT) AS n_verified,
+         |  CAST(total_units AS BIGINT) AS total_units
+         |FROM $cat.db.rm ORDER BY pk""".stripMargin)
+  }
+
+  /** MV observability (r17): `graft_materialized_views('<wh>')` — one
+    * row per stored MV spec with refresh-cursor vs source-head
+    * staleness, all from manifests/txn markers (zero jobs). The query
+    * walks a two-level cascade through a storm and observes the lag at
+    * three points: after the fact storm (level 1 stale by exactly the
+    * two DML commits, level 2 fresh — ITS source hasn't moved), after
+    * refreshing ONLY level 1 (level 1 fresh, level 2 now stale by the
+    * one merge commit the refresh landed), and after the bare top-level
+    * refresh (everything fresh). Version arithmetic is deterministic,
+    * so the DuckDB twin is the literal expected table.
+    */
+  val qv22 = Q(
+    "qv22_mv_staleness",
+    """SELECT * FROM (VALUES
+      |  ('p1_storm', 'ml1', CAST(2 AS BIGINT), true),
+      |  ('p1_storm', 'ml2', CAST(0 AS BIGINT), false),
+      |  ('p2_l1_refreshed', 'ml1', CAST(0 AS BIGINT), false),
+      |  ('p2_l1_refreshed', 'ml2', CAST(1 AS BIGINT), true),
+      |  ('p3_top_refreshed', 'ml1', CAST(0 AS BIGINT), false),
+      |  ('p3_top_refreshed', 'ml2', CAST(0 AS BIGINT), false)
+      |) t(phase, view, lag, stale)
+      |ORDER BY phase, view""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv22-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g22c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val fact = VersionedTable(s, s"$wh/db/mfact")
+    fact.commitAppend(load(s, dir, "orders").filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey").as("okey"),
+        (col("o_orderkey") % 200).as("skey"),
+        (col("o_orderkey") % 11).as("qty")))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.ml1 AS
+         |SELECT skey, COUNT(*) AS n_rows, SUM(qty) AS total_qty
+         |FROM $cat.db.mfact GROUP BY skey""".stripMargin).collect()
+    s.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.db.ml2 AS
+         |SELECT skey % 10 AS bucket, COUNT(*) AS n_groups,
+         |  SUM(total_qty) AS bucket_qty
+         |FROM $cat.db.ml1 GROUP BY bucket""".stripMargin).collect()
+    def observe(phase: String) = s.sql(
+      s"""SELECT '$phase' AS phase, view,
+         |  CAST(source_head - coalesce(refreshed_source_version, 0) AS BIGINT)
+         |    AS lag, stale
+         |FROM graft_materialized_views('$wh')""".stripMargin)
+    // the storm: two DML commits on the fact only
+    s.sql(s"DELETE FROM $cat.db.mfact WHERE okey BETWEEN 500 AND 900").collect()
+    s.sql(s"UPDATE $cat.db.mfact SET qty = qty + 1 WHERE qty = 3").collect()
+    val p1 = observe("p1_storm")
+    s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.ml1").collect()
+    val p2 = observe("p2_l1_refreshed")
+    s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.ml2").collect()
+    val p3 = observe("p3_top_refreshed")
+    p1.unionAll(p2).unionAll(p3)
+      .select(col("phase"), col("view"), col("lag"), col("stale"))
+      .orderBy("phase", "view")
+  }
+
   val all: Seq[Q] =
     Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12,
-      qv13, qv14, qv15, qv16, qv17, qv18, qv19, qv20)
+      qv13, qv14, qv15, qv16, qv17, qv18, qv19, qv20, qv21, qv22)
 }

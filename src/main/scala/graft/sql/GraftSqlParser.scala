@@ -282,6 +282,7 @@ object MvDdl {
     val mins = Seq.newBuilder[(String, String)]
     val maxes = Seq.newBuilder[(String, String)]
     val keyExprs = Seq.newBuilder[(String, String)]
+    val avgs = Seq.newBuilder[(String, String)]
     def rowLocal(name: String, arg: Expression, what: String): (String, String) =
       // re-render through MvSpec's validator so a smuggled nested
       // aggregate gets the SAME loud refusal as the procedure form
@@ -292,19 +293,44 @@ object MvDdl {
       case Alias(f: UnresolvedFunction, name) if f.nameParts.length == 1 &&
           !keyNames.contains(name) =>
         val fn = f.nameParts.head.toLowerCase
-        if (f.isDistinct) refuse(s"'$name' uses $fn(DISTINCT ...)")
+        if (f.isDistinct) refuse(
+          s"'$name' uses $fn(DISTINCT ...) — a distinct aggregate is not " +
+            "incrementally maintainable in one level; use a TWO-LEVEL MV " +
+            "cascade: level 1 GROUPs BY the distinct column (its rows ARE " +
+            "the distinct values), level 2 COUNT(*)s level 1's change feed " +
+            "— the customer_360 shape")
+        require(!name.toLowerCase.startsWith(graft.ops.MvSpec.HiddenPrefix),
+          s"CREATE MATERIALIZED VIEW: output column '$name' uses the " +
+            s"reserved prefix '${graft.ops.MvSpec.HiddenPrefix}'")
         (fn, f.arguments) match {
           case ("count", Seq(_: UnresolvedStar)) | ("count", Seq(Literal(_, _))) =>
             require(countCol.isEmpty,
               "CREATE MATERIALIZED VIEW: more than one COUNT(*) entry")
             countCol = Some(name)
+          case ("count", Seq(arg)) =>
+            // COUNT(expr) is mechanically a maintained SUM of the
+            // row-local null indicator — stored directly under the
+            // output name (no read-face derivation needed)
+            val (_, e) = rowLocal(name, arg, "sums")
+            sums += name -> s"CASE WHEN ($e) IS NOT NULL THEN 1 ELSE 0 END"
           case ("count", _) => refuse(
-            s"'$name' is COUNT(<expr>) — only COUNT(*) is stored; a " +
-              "non-null count is SUM(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END)")
+            s"'$name' is COUNT with ${f.arguments.length} arguments — " +
+              "only COUNT(*) and COUNT(<expr>) are supported")
+          case ("avg" | "mean", Seq(arg)) =>
+            // AVG(x) decomposes into two maintained sums (SUM(x) and the
+            // non-null count) under reserved hidden names; the read face
+            // re-derives sum / NULLIF(count, 0) and hides the carriers —
+            // exactly SQL's AVG (null iff no non-null value), maintained
+            // incrementally
+            val (_, e) = rowLocal(name, arg, "avgs")
+            avgs += name -> e
+            sums += graft.ops.MvSpec.hiddenSum(name) -> e
+            sums += graft.ops.MvSpec.hiddenCnt(name) ->
+              s"CASE WHEN ($e) IS NOT NULL THEN 1 ELSE 0 END"
           case ("sum", Seq(arg)) => sums += rowLocal(name, arg, "sums")
           case ("min", Seq(arg)) => mins += rowLocal(name, arg, "mins")
           case ("max", Seq(arg)) => maxes += rowLocal(name, arg, "maxes")
-          case _ => refuse(s"'$name' is $fn(...), outside COUNT/SUM/MIN/MAX")
+          case _ => refuse(s"'$name' is $fn(...), outside COUNT/SUM/AVG/MIN/MAX")
         }
       case Alias(e, name) if keyNames.contains(name) =>
         // a DERIVED grouping key: a row-local expression (the null-safe
@@ -363,7 +389,7 @@ object MvDdl {
         "what lets group deaths DELETE)")),
       sums.result(), mins.result(), maxes.result(), netKeys = Nil,
       where = whereSql.map { w => MvSpec.validateRowLocal(w, "where"); w },
-      dims = dims, keyExprs = keyExprs.result())
+      dims = dims, keyExprs = keyExprs.result(), avgs = avgs.result())
   }
 }
 

@@ -86,10 +86,30 @@ final case class GraftSqlTable(
           VersionedTable.CdcTimestampCol, org.apache.spark.sql.types.TimestampType)))
     case None =>
       pinnedVersion.orElse(vt.currentVersion()) match {
-        case Some(v) => vt.snapshotMeta(v).schema
+        case Some(v) =>
+          val stored = vt.snapshotMeta(v).schema
+          mvReadSpec.fold(stored) { spec =>
+            // derive the projected schema (incl. the ratio's type) from
+            // the same readFace expression the plan conversion applies —
+            // an empty local frame, zero jobs
+            spec.readFace(vt.spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              stored)).schema
+          }
         case None => StructType(Nil)
       }
   }
+
+  /** The AVG read-face spec, when this table is a materialized view
+    * whose definition decomposed AVG into hidden sum/count carriers:
+    * plain reads present the RATIO and hide the carriers
+    * ([[graft.ops.MvSpec.readFace]]). The change-feed handle is exempt
+    * — a cascade consumes the STORED columns (sums re-aggregate;
+    * ratios don't).
+    */
+  private lazy val mvReadSpec: Option[graft.ops.MvSpec] =
+    if (cdfWindow.isDefined) None
+    else graft.ops.MvSpec.load(vt).filter(_.avgs.nonEmpty)
 
   override def schema(): StructType = resolvedSchema
 
@@ -133,17 +153,23 @@ final case class GraftSqlTable(
     */
   def v1Plan(spark: SparkSession, version: Long): LogicalPlan = {
     val meta = vt.snapshotMeta(version)
-    if (meta.plainScan) {
-      val index = new GraftFileIndex(spark, vt, meta)
-      LogicalRelation(
-        HadoopFsRelation(index, partitionSchema = StructType(Nil),
-          // asNullable: the vectorized reader refuses a REQUIRED column
-          // missing from a file footer — additively-evolved old commits
-          // lack the new columns by construction
-          dataSchema = org.apache.spark.sql.graft.shims.asNullable(meta.schema),
-          bucketSpec = None,
-          fileFormat = new ParquetFileFormat, options = Map.empty)(spark))
-    } else vt.readAt(version).queryExecution.analyzed
+    val raw =
+      if (meta.plainScan) {
+        val index = new GraftFileIndex(spark, vt, meta)
+        LogicalRelation(
+          HadoopFsRelation(index, partitionSchema = StructType(Nil),
+            // asNullable: the vectorized reader refuses a REQUIRED column
+            // missing from a file footer — additively-evolved old commits
+            // lack the new columns by construction
+            dataSchema = org.apache.spark.sql.graft.shims.asNullable(meta.schema),
+            bucketSpec = None,
+            fileFormat = new ParquetFileFormat, options = Map.empty)(spark))
+      } else vt.readAt(version).queryExecution.analyzed
+    // the MV AVG read face — a row-local Project on top of the scan:
+    // column pruning and visible-column filters still push through it
+    mvReadSpec.fold(raw)(spec =>
+      spec.readFace(org.apache.spark.sql.graft.shims.dataFrame(spark, raw))
+        .queryExecution.analyzed)
   }
 
   // ---- DELETE FROM / TRUNCATE TABLE -----------------------------------
@@ -203,8 +229,12 @@ final case class GraftSqlTable(
   override def truncateTable(): Boolean = {
     refuseTimeTravelWrite("TRUNCATE")
     val spark = vt.spark
+    // the STORED schema, not the read face: truncating an AVG-bearing
+    // materialized view must keep its hidden decomposition columns
+    val stored = vt.currentVersion()
+      .map(v => vt.snapshotMeta(v).schema).getOrElse(schema())
     vt.commitOverwrite(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema()))
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored))
     true
   }
 

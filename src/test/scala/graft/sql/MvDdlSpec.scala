@@ -335,18 +335,98 @@ class MvDdlSpec extends SparkSuite {
       s"the refusal must name the dimension, got: ${e.getMessage}")
   }
 
+  test("AVG / COUNT(expr) decompose mechanically; the read face hides the carriers") {
+    val t = VersionedTable(spark, s"$warehouse/db/savg")
+    // rating NULL on a stratum; one group (grp 3 after the storm) all-NULL
+    t.commitAppend((1L to 40L).map(i =>
+        (i, i % 4, if (i % 5 == 0) None else Some(i % 7), i * 2L))
+      .toDF("id", "grp", "rating", "amt"))
+    t.setTableProperty("graft.enableChangeDataFeed", "true")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmv.db.mvavg AS
+        |SELECT grp, COUNT(*) AS n, AVG(rating) AS avg_r,
+        |  COUNT(rating) AS n_rated, SUM(amt) AS total
+        |FROM gmv.db.savg GROUP BY grp""".stripMargin)
+    def expect(): Set[Row] = t.read().groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        avg("rating").as("avg_r"),
+        count(col("rating")).as("n_rated"),
+        sum("amt").as("total"))
+      .select(col("grp"), col("n"), col("avg_r"), col("n_rated"), col("total"))
+      .collect().toSet
+    def got(): Set[Row] = spark.sql(
+      "SELECT grp, n, CAST(avg_r AS DOUBLE) AS avg_r, n_rated, total " +
+        "FROM gmv.db.mvavg").collect().toSet
+    // the catalog face hides the decomposition and derives the ratio
+    val cols = spark.table("gmv.db.mvavg").columns.toSeq
+    assert(!cols.exists(_.startsWith(MvSpec.HiddenPrefix)),
+      s"hidden carriers leaked: $cols")
+    assert(cols.contains("avg_r") && cols.contains("n_rated"))
+    assert(got() == expect())
+    // storm: retract rows, flip a stratum to all-NULL ratings
+    t.delete(col("id") <= 8L)
+    t.update(col("grp") === 3, Map("rating" -> lit(null)))
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.mvavg")
+    assert(got() == expect(),
+      "maintained AVG/COUNT(expr) must equal the recompute after the storm")
+    // the all-NULL group reads avg NULL (not 0/0), n_rated 0
+    val g3 = spark.sql(
+      "SELECT avg_r, n_rated FROM gmv.db.mvavg WHERE grp = 3").head()
+    assert(g3.isNullAt(0) && g3.getLong(1) == 0L,
+      s"all-NULL group must read avg=NULL, n_rated=0, got $g3")
+    // SELECT * through the catalog also hides the carriers
+    assert(!spark.sql("SELECT * FROM gmv.db.mvavg").columns
+      .exists(_.startsWith(MvSpec.HiddenPrefix)))
+  }
+
+  test("graft_materialized_views reports dimension staleness from manifests") {
+    val fact = VersionedTable(spark, s"$warehouse/db/obsfact")
+    fact.commitAppend((1L to 20L).map(i => (i, i % 3, i * 10L))
+      .toDF("id", "pk", "amt"))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    val dim = VersionedTable(spark, s"$warehouse/db/obsdim")
+    dim.commitAppend(Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("pk", "tag"))
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmv.db.obsmv AS
+        |SELECT tag, COUNT(*) AS n, SUM(amt) AS total
+        |FROM gmv.db.obsfact LEFT JOIN gmv.db.obsdim USING (pk)
+        |GROUP BY tag""".stripMargin)
+    def row() = spark.sql(
+      s"SELECT stale, dims FROM graft_materialized_views('$warehouse') " +
+        "WHERE view = 'obsmv'").head()
+    assert(!row().getBoolean(0), "freshly created MV must not be stale")
+    // a DIMENSION-only change flips staleness (fact cursor untouched)
+    dim.update(col("pk") === 1L, Map("tag" -> lit("moved")))
+    val r = row()
+    assert(r.getBoolean(0), "a moved dimension must read stale")
+    assert(r.getString(1).contains("obsdim@"),
+      s"dims summary must name the dimension with cursor/head: ${r.getString(1)}")
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.obsmv")
+    assert(!row().getBoolean(0), "the dimension repair must clear staleness")
+    // non-MV objects (plain tables) never list
+    assert(spark.sql(s"SELECT * FROM graft_materialized_views('$warehouse') " +
+      "WHERE view = 'obsfact'").count() == 0)
+  }
+
   test("non-maintainable SELECT shapes refuse at CREATE time with the rewrite") {
     freshSrc("s3")
     def refuses(sql: String, hint: String): Unit = {
       val e = intercept[Exception](spark.sql(sql))
       assert(e.getMessage.contains(hint), s"for: $sql\ngot: ${e.getMessage}")
     }
+    // AVG is ACCEPTED since r17 (decomposed into hidden sums) — but a
+    // non-decomposable aggregate still refuses, naming the accepted set
     refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
-      |SELECT grp, COUNT(*) AS n, AVG(amt) AS a
-      |FROM gmv.db.s3 GROUP BY grp""".stripMargin, "avg(")
+      |SELECT grp, COUNT(*) AS n, STDDEV(amt) AS sd
+      |FROM gmv.db.s3 GROUP BY grp""".stripMargin, "outside COUNT/SUM/AVG/MIN/MAX")
+    // COUNT(DISTINCT) refusal names the two-level cascade rewrite
     refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
       |SELECT grp, COUNT(DISTINCT amt) AS n
-      |FROM gmv.db.s3 GROUP BY grp""".stripMargin, "DISTINCT")
+      |FROM gmv.db.s3 GROUP BY grp""".stripMargin, "TWO-LEVEL MV cascade")
+    // user aliases may not squat on the reserved decomposition prefix
+    refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
+      |SELECT grp, COUNT(*) AS n, SUM(amt) AS __mv_sum_x
+      |FROM gmv.db.s3 GROUP BY grp""".stripMargin, "reserved prefix")
     // WHERE is maintainable since r15, but only row-locally — a
     // smuggled aggregate inside it still refuses with the rewrite
     refuses("""CREATE MATERIALIZED VIEW gmv.db.bad AS
