@@ -154,6 +154,81 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","keying":"name prefix before first _","queries":$qsShort,"reps":$reps,"runs":$runsJson,"failed":$errs,"sf":"$sfDir"}""")
+    // PAIRED A/B vs a prior round's jar (r16 verdict #7): the ±2x host
+    // steal makes cross-run BENCH comparisons weather-bound; pairing
+    // times each query on BOTH trees back-to-back in one wall-clock
+    // window. The old tree runs in a CHILD JVM whose classpath LEADS
+    // with the old jar (graft.* resolves old; Spark/scala shared), so
+    // its closures/expressions deserialize against their own classes —
+    // a child-first loader in THIS JVM cannot do that (the executor's
+    // loader only sees the new tree). Order alternates per rep (old
+    // first on odd reps) so JIT/page-cache drift cancels.
+    sys.env.get("SPARK_GRAFT_COMPARE_JAR").foreach { jar =>
+      require(new java.io.File(jar).isFile, s"compare jar not found: $jar")
+      val cp = jar + java.io.File.pathSeparator + System.getProperty("java.class.path")
+      val pb = new ProcessBuilder("java", "-cp", cp,
+        "-Xmx16g", "graft.BenchServer", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val toChild = new java.io.PrintWriter(proc.getOutputStream, true)
+      val fromChild = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      def awaitLine(prefix: String): String = {
+        var l = fromChild.readLine()
+        while (l != null && !l.startsWith(prefix)) l = fromChild.readLine()
+        require(l != null, s"bench server died awaiting '$prefix'")
+        l
+      }
+      try {
+        awaitLine("READY")
+        toChild.println("QUERIES")
+        val oldNames = awaitLine("Q ").drop(2).split(',').toSet
+        toChild.println(s"WARM $warmDir"); awaitLine("T "): Unit
+        val common = ordered.map(_._1).filter(oldNames)
+        val pairedReps = sys.env.getOrElse("SPARK_GRAFT_PAIRED_REPS", "2").toInt
+        val oldMin = collection.mutable.Map.empty[String, Double]
+        val newMin = collection.mutable.Map.empty[String, Double]
+        def keep(m: collection.mutable.Map[String, Double], k: String, v: Double): Unit =
+          if (v >= 0) m.update(k, math.min(m.getOrElse(k, Double.MaxValue), v))
+          else if (!m.contains(k)) m.update(k, -1.0)
+        for (r <- 1 to pairedReps; name <- common) {
+          def runOld(): Double = {
+            toChild.println(s"RUN $name")
+            awaitLine("T ").drop(2).toDouble
+          }
+          def runNew(): Double = {
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case NonFatal(_) => -1.0 }
+          }
+          val (o, n) =
+            if (r % 2 == 1) { val a = runOld(); val b = runNew(); (a, b) }
+            else { val b = runNew(); val a = runOld(); (a, b) }
+          keep(oldMin, name, o); keep(newMin, name, n)
+        }
+        val rows = common.map { name =>
+          val (o, n) = (oldMin(name), newMin(name))
+          val ratio = if (o > 0 && n >= 0) n / o else -1.0
+          (name, o, n, ratio)
+        }
+        val qjson = rows.map { case (name, o, n, ratio) =>
+          "\"" + name + s"""":{"old":${ms(o)},"new":${ms(n)},"ratio":${ms(ratio)}}"""
+        }.mkString("{", ",", "}")
+        val okRows = rows.filter(_._4 > 0)
+        val (oSum, nSum) = (okRows.map(_._2).sum, okRows.map(_._3).sum)
+        val geo =
+          if (okRows.isEmpty) -1.0
+          else math.exp(okRows.map(r => math.log(r._4)).sum / okRows.size)
+        println(s"""{"metric":"paired","baseline_jar":"$jar","paired_reps":$pairedReps,"n_queries":${rows.size},"total_old":${ms(oSum)},"total_new":${ms(nSum)},"ratio_total":${ms(if (oSum > 0) nSum / oSum else -1.0)},"ratio_geomean":${ms(geo)},"queries":$qjson,"sf":"$sfDir"}""")
+      } finally {
+        try { toChild.println("EXIT"); proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS): Unit }
+        finally proc.destroyForcibly(): Unit
+      }
+    }
     spark.stop()
   }
 }
