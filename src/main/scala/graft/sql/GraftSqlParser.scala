@@ -101,6 +101,13 @@ object MvDdl {
   private val DropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s*;?\s*$""".r
 
+  // DESCRIBE MATERIALIZED VIEW v — the per-view detail face of the
+  // graft_materialized_views TVF: the stored definition plus freshness
+  // cursors, one (property, value) row each. Spark's own DESCRIBE
+  // grammar has no MATERIALIZED form, so the intercept shadows nothing.
+  private val DescribeMvRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+MATERIALIZED\s+VIEW\s+((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s*;?\s*$""".r
+
   /** Whether `parts` EXPLICITLY addresses a registered [[GraftCatalog]]
     * (head resolves to one). Parse-time gate for the view intercepts:
     * anything else — including unqualified names in a graft current
@@ -146,6 +153,9 @@ object MvDdl {
           if headIsGraftCatalog(delegate.parseMultipartIdentifier(name)) =>
         Some(DropGraftViewCommand(
           delegate.parseMultipartIdentifier(name), ifExists != null))
+      case DescribeMvRe(name) =>
+        Some(DescribeMaterializedViewCommand(
+          delegate.parseMultipartIdentifier(name)))
       case _ => None
     }
 
@@ -569,6 +579,68 @@ case class DropGraftViewCommand(viewParts: Seq[String], ifExists: Boolean)
     if (!dropped && !ifExists)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     Seq.empty
+  }
+}
+
+/** `DESCRIBE MATERIALIZED VIEW v` — the stored definition plus
+  * freshness, one (property, value) row each: the declared algebra
+  * exactly as persisted (source, keys, count column, measure entries,
+  * WHERE, dimensions, derived keys, AVG read-face entries) and the
+  * operational state the TVF lists (refresh cursor vs source head,
+  * per-dimension cursors, the stale flag). Manifest/txn-marker reads
+  * only — zero jobs.
+  */
+case class DescribeMaterializedViewCommand(viewParts: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("property", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident) = MvDdl.resolve(spark, viewParts)
+    if (!cat.tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val view = VersionedTable(spark, cat.dirOf(ident))
+    val spec = MvSpec.load(view).getOrElse(throw new IllegalArgumentException(
+      s"${viewParts.mkString(".")} carries no stored materialized-view " +
+        "definition — it is a plain table (DESCRIBE TABLE) or a view " +
+        "(its SELECT is in graft_views)"))
+    val src = VersionedTable(spark, spec.source)
+    val cursor = view.currentBatchId(graft.ops.IncrementalAgg.appFor(src))
+    val head = src.currentVersion()
+    val dimStates = spec.dims.map { d =>
+      (d, view.currentBatchId(d.app),
+        VersionedTable(spark, d.source).currentVersion())
+    }
+    val stale = head.exists(h => cursor.forall(_ < h)) ||
+      dimStates.exists { case (_, cur, h) => h.exists(v => cur.forall(_ < v)) }
+    def pairs(ps: Seq[(String, String)]): String =
+      ps.map { case (n, e) => s"$n: $e" }.mkString("; ")
+    def opt(o: Option[Long]): String = o.fold("-")(_.toString)
+    Seq(
+      Some("source" -> spec.source),
+      Some("keys" -> spec.keys.mkString(", ")),
+      Some("count_col" -> spec.countCol),
+      Some("sums" -> pairs(spec.sums)).filter(_ => spec.sums.nonEmpty),
+      Some("mins" -> pairs(spec.mins)).filter(_ => spec.mins.nonEmpty),
+      Some("maxes" -> pairs(spec.maxes)).filter(_ => spec.maxes.nonEmpty),
+      Some("avgs" -> pairs(spec.avgs)).filter(_ => spec.avgs.nonEmpty),
+      spec.where.map("where" -> _),
+      Some("key_exprs" -> pairs(spec.keyExprs)).filter(_ => spec.keyExprs.nonEmpty),
+      Some("net_keys" -> spec.netKeys.mkString(", "))
+        .filter(_ => spec.netKeys.nonEmpty),
+      Some("refreshed_source_version" -> opt(cursor)),
+      Some("source_head" -> opt(head)),
+      Some("stale" -> stale.toString)
+    ).flatten.map { case (k, v) => Row(k, v) } ++
+      dimStates.map { case (d, cur, h) =>
+        Row(s"dim:${d.source}",
+          s"keys=${d.joinKeys.mkString(",")} cols=${d.cols.mkString(",")} " +
+            s"cursor=${opt(cur)} head=${opt(h)}")
+      }
   }
 }
 

@@ -408,6 +408,40 @@ class MvDdlSpec extends SparkSuite {
       "WHERE view = 'obsfact'").count() == 0)
   }
 
+  test("DESCRIBE MATERIALIZED VIEW: stored definition + freshness, per row") {
+    val t = VersionedTable(spark, s"$warehouse/db/dsrc")
+    t.commitAppend((1L to 20L).map(i => (i, i % 3, i * 10L))
+      .toDF("id", "pk", "amt"))
+    t.setTableProperty("graft.enableChangeDataFeed", "true")
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gmv.db.dmv AS
+        |SELECT pk, COUNT(*) AS n, SUM(amt) AS total, AVG(amt) AS avg_amt
+        |FROM gmv.db.dsrc GROUP BY pk""".stripMargin)
+    def props(): Map[String, String] =
+      spark.sql("DESCRIBE MATERIALIZED VIEW gmv.db.dmv").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val p = props()
+    assert(p("source").endsWith("/db/dsrc"))
+    assert(p("keys") == "pk" && p("count_col") == "n")
+    assert(p("sums").contains("total: amt"))
+    assert(p("avgs") == "avg_amt: amt",
+      s"the avg read-face entry must describe, got: ${p.get("avgs")}")
+    assert(p("stale") == "false")
+    // a source-side commit flips staleness; refresh clears it
+    t.delete(col("id") === 1L)
+    assert(props()("stale") == "true")
+    spark.sql("REFRESH MATERIALIZED VIEW gmv.db.dmv")
+    val after = props()
+    assert(after("stale") == "false" &&
+      after("refreshed_source_version") == after("source_head"))
+    // a plain table refuses with the redirect
+    val e = intercept[Exception](
+      spark.sql("DESCRIBE MATERIALIZED VIEW gmv.db.dsrc").collect())
+    assert(e.getMessage.contains("no stored materialized-view"))
+    // ordinary DESCRIBE statements still delegate untouched
+    assert(spark.sql("DESCRIBE SELECT 1 AS one").count() >= 1)
+  }
+
   test("non-maintainable SELECT shapes refuse at CREATE time with the rewrite") {
     freshSrc("s3")
     def refuses(sql: String, hint: String): Unit = {
