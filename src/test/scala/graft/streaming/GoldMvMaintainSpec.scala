@@ -74,4 +74,40 @@ class GoldMvMaintainSpec extends SparkSuite {
     run()
     assert(ivm.eventMetricsMv.currentVersion() == before)
   }
+
+  test("the streaming maintainer serves a DDL-created AVG view; the catalog face derives the ratio") {
+    val wh = Files.createTempDirectory("graft-gold-mv-avg").toString
+    spark.conf.set("spark.sql.catalog.gsm", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsm.warehouse", wh)
+    new java.io.File(s"$wh/db").mkdirs()
+    val src = VersionedTable(spark, s"$wh/db/ratings")
+    src.commitAppend((1L to 30L).map(i =>
+        (i, i % 4, if (i % 6 == 0) None else Some((i % 5).toInt)))
+      .toDF("id", "grp", "rating"))
+    src.setTableProperty(VersionedTable.CdcEnabledProp, "true")
+    // the DDL writes the decomposed spec; the maintainer loads THAT
+    // stored spec — avgs ride through as plain maintained sums
+    spark.sql(
+      """CREATE MATERIALIZED VIEW gsm.db.ravg AS
+        |SELECT grp, COUNT(*) AS n, AVG(rating) AS avg_r
+        |FROM gsm.db.ratings GROUP BY grp""".stripMargin)
+    val view = VersionedTable(spark, s"$wh/db/ravg")
+    def run(): Unit = {
+      val q = Sinks.mvMaintainStored(spark, view, s"$wh/ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    def expect(): Set[(Long, Long, Option[Double])] = src.read().groupBy("grp")
+      .agg(count(lit(1)).as("n"), avg("rating").as("a"))
+      .as[(Long, Long, Option[Double])].collect().toSet
+    def got(): Set[(Long, Long, Option[Double])] = spark.sql(
+      "SELECT grp, n, CAST(avg_r AS DOUBLE) FROM gsm.db.ravg")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(got() == expect(), "DDL bootstrap must serve the ratio face")
+    // storm through the STREAM trigger only — nobody refreshes by hand
+    src.delete(col("id") <= 5L)
+    src.update(col("grp") === 2, Map("rating" -> lit(null)))
+    run()
+    assert(got() == expect(),
+      "stream-maintained AVG view must equal the recompute after the storm")
+  }
 }
