@@ -108,6 +108,12 @@ object MvDdl {
   private val DescribeMvRe =
     """(?is)^\s*DESC(?:RIBE)?\s+MATERIALIZED\s+VIEW\s+((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)\s*;?\s*$""".r
 
+  // SHOW MATERIALIZED VIEWS [IN cat[.ns]] — catalog-scoped listing with
+  // staleness (the TVF takes a warehouse PATH; this takes names).
+  // Spark's SHOW grammar has no MATERIALIZED form either.
+  private val ShowMvRe =
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS(?:\s+(?:IN|FROM)\s+((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*))?\s*;?\s*$""".r
+
   /** Whether `parts` EXPLICITLY addresses a registered [[GraftCatalog]]
     * (head resolves to one). Parse-time gate for the view intercepts:
     * anything else — including unqualified names in a graft current
@@ -156,6 +162,9 @@ object MvDdl {
       case DescribeMvRe(name) =>
         Some(DescribeMaterializedViewCommand(
           delegate.parseMultipartIdentifier(name)))
+      case ShowMvRe(target) =>
+        Some(ShowMaterializedViewsCommand(Option(target).toSeq
+          .flatMap(delegate.parseMultipartIdentifier)))
       case _ => None
     }
 
@@ -641,6 +650,73 @@ case class DescribeMaterializedViewCommand(viewParts: Seq[String])
           s"keys=${d.joinKeys.mkString(",")} cols=${d.cols.mkString(",")} " +
             s"cursor=${opt(cur)} head=${opt(h)}")
       }
+  }
+}
+
+/** `SHOW MATERIALIZED VIEWS [IN cat[.ns]]` — every stored MV spec in
+  * the scope (a whole graft catalog, one namespace, or the session's
+  * current catalog when unqualified) with its freshness: refresh
+  * cursor vs source head and the stale flag — the name-scoped twin of
+  * the path-scoped `graft_materialized_views('<wh>')` TVF. Manifest
+  * and txn-marker reads only.
+  */
+case class ShowMaterializedViewsCommand(scope: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("view", StringType, nullable = false)(),
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("stale", BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, nss) = scope match {
+      case Nil =>
+        org.apache.spark.sql.graft.shims.currentCatalog(spark) match {
+          case g: GraftCatalog => (g, g.listNamespaces().toSeq)
+          case other => throw new IllegalArgumentException(
+            "SHOW MATERIALIZED VIEWS: the current catalog " +
+              s"('${other.name}') is not a graft catalog — qualify the " +
+              "scope (SHOW MATERIALIZED VIEWS IN <cat>[.<ns>])")
+        }
+      case head +: rest =>
+        scala.util.Try(org.apache.spark.sql.graft.shims
+            .catalogPlugin(spark, head)).toOption match {
+          case Some(g: GraftCatalog) =>
+            (g, if (rest.isEmpty) g.listNamespaces().toSeq
+                else Seq(rest.toArray))
+          case Some(other) => throw new IllegalArgumentException(
+            s"SHOW MATERIALIZED VIEWS: '$head' is not a graft catalog " +
+              s"(${other.getClass.getName})")
+          case None =>
+            org.apache.spark.sql.graft.shims.currentCatalog(spark) match {
+              case g: GraftCatalog => (g, Seq(scope.toArray))
+              case other => throw new IllegalArgumentException(
+                s"SHOW MATERIALIZED VIEWS: '$head' names no catalog and " +
+                  s"the current catalog ('${other.name}') is not a graft " +
+                  "catalog")
+            }
+        }
+    }
+    (for {
+      ns <- nss
+      ident <- cat.listTables(ns)
+      view = VersionedTable(spark, cat.dirOf(ident))
+      spec <- scala.util.Try(MvSpec.load(view)).toOption.flatten
+    } yield {
+      val src = VersionedTable(spark, spec.source)
+      val head = src.currentVersion()
+      val cursor = view.currentBatchId(graft.ops.IncrementalAgg.appFor(src))
+      val stale = head.exists(h => cursor.forall(_ < h)) ||
+        spec.dims.exists { d =>
+          val cur = view.currentBatchId(d.app)
+          VersionedTable(spark, d.source).currentVersion()
+            .exists(v => cur.forall(_ < v))
+        }
+      Row(ns.mkString("."), ident.name(), spec.source, stale)
+    }).sortBy(r => (r.getString(0), r.getString(1)))
   }
 }
 

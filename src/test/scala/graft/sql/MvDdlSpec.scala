@@ -440,6 +440,17 @@ class MvDdlSpec extends SparkSuite {
     assert(e.getMessage.contains("no stored materialized-view"))
     // ordinary DESCRIBE statements still delegate untouched
     assert(spark.sql("DESCRIBE SELECT 1 AS one").count() >= 1)
+    // SHOW MATERIALIZED VIEWS: catalog- and namespace-scoped listings,
+    // MVs only (plain tables and views never list), staleness included
+    val listed = spark.sql("SHOW MATERIALIZED VIEWS IN gmv.db").collect()
+      .map(r => (r.getString(1), r.getBoolean(3))).toMap
+    assert(listed.contains("dmv") && !listed.contains("dsrc"),
+      s"namespace listing must show MVs only, got: ${listed.keySet}")
+    assert(listed("dmv") == false, "just-refreshed MV must list fresh")
+    val catWide = spark.sql("SHOW MATERIALIZED VIEWS IN gmv").collect()
+      .map(_.getString(1)).toSet
+    assert(catWide.contains("dmv"),
+      s"catalog-wide listing must include every namespace, got: $catWide")
   }
 
   test("non-maintainable SELECT shapes refuse at CREATE time with the rewrite") {
