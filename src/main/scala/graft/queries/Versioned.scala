@@ -1302,7 +1302,59 @@ object Versioned {
       .orderBy("phase", "view")
   }
 
+  /** The SHOW / DESCRIBE MATERIALIZED VIEW statements inside the oracle
+    * gate (r17 — the TVF face is qv22): two MVs over one fact, a storm,
+    * one refresh — SHOW's (view, stale) rows and DESCRIBE's
+    * deterministic property rows (keys, count column, cursor, head,
+    * stale) are pinned against a literal table. Version arithmetic:
+    * fact append=v1, CDF property=v2 (both MVs bootstrap with cursor 2),
+    * the storm's one DML=v3; refreshing sm1 moves ITS cursor to 3, sm2
+    * stays at 2 and reads stale.
+    */
+  val qv23 = Q(
+    "qv23_mv_show_describe",
+    """SELECT * FROM (VALUES
+      |  ('describe:sm2:count_col', 'n2'),
+      |  ('describe:sm2:keys', 'pk'),
+      |  ('describe:sm2:refreshed_source_version', '2'),
+      |  ('describe:sm2:source_head', '3'),
+      |  ('describe:sm2:stale', 'true'),
+      |  ('show:sm1', 'false'),
+      |  ('show:sm2', 'true')
+      |) t(k, v)
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val wh = Files.createTempDirectory("graft-qv23-").toString
+    new java.io.File(s"$wh/db").mkdirs()
+    val cat = s"g23c${q10Counter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val fact = VersionedTable(s, s"$wh/db/sfact")
+    fact.commitAppend(load(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+      .select(col("o_orderkey").as("okey"),
+        (col("o_orderkey") % 60).as("pk"),
+        (col("o_orderkey") % 13).as("qty")))
+    fact.setTableProperty("graft.enableChangeDataFeed", "true")
+    s.sql(s"CREATE MATERIALIZED VIEW $cat.db.sm1 AS " +
+      s"SELECT pk, COUNT(*) AS n1, SUM(qty) AS t1 FROM $cat.db.sfact " +
+      "GROUP BY pk").collect()
+    s.sql(s"CREATE MATERIALIZED VIEW $cat.db.sm2 AS " +
+      s"SELECT pk, COUNT(*) AS n2, MAX(qty) AS m2 FROM $cat.db.sfact " +
+      "GROUP BY pk").collect()
+    s.sql(s"DELETE FROM $cat.db.sfact WHERE okey BETWEEN 100 AND 400").collect()
+    s.sql(s"REFRESH MATERIALIZED VIEW $cat.db.sm1").collect()
+    val shown = s.sql(s"SHOW MATERIALIZED VIEWS IN $cat.db")
+      .select(concat(lit("show:"), col("view")).as("k"),
+        col("stale").cast("string").as("v"))
+    val described = s.sql(s"DESCRIBE MATERIALIZED VIEW $cat.db.sm2")
+      .filter(col("property").isin(
+        "keys", "count_col", "refreshed_source_version", "source_head",
+        "stale"))
+      .select(concat(lit("describe:sm2:"), col("property")).as("k"),
+        col("value").as("v"))
+    shown.unionAll(described).orderBy("k")
+  }
+
   val all: Seq[Q] =
     Seq(qv01, qv02, qv03, qv04, qv05, qv06, qv07, qv08, qv09, qv10, qv11, qv12,
-      qv13, qv14, qv15, qv16, qv17, qv18, qv19, qv20, qv21, qv22)
+      qv13, qv14, qv15, qv16, qv17, qv18, qv19, qv20, qv21, qv22, qv23)
 }
