@@ -72,6 +72,20 @@ object IncrementalAgg {
   /** The txn-marker namespace recording the last applied source version. */
   def appFor(silver: VersionedTable): String = s"ivm:${silver.tableDir}"
 
+  /** Dev-only sub-phase walls (same flag as the step/merge profiles). */
+  private def Profile: Boolean =
+    sys.props.get("graft.inc.profile").contains("true") ||
+      sys.env.get("GRAFT_INC_PROFILE").contains("true")
+  private def timed[T](view: VersionedTable, what: String)(f: => T): T =
+    if (!Profile) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"        [ia ${view.tableDir.split('/').last}%-18s] $what%-10s " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      r
+    }
+
   /** Synthetic per-row netting key stamped by [[reattribute]] when the
     * caller declares no row key: both change sides read the SAME
     * persisted fact frame, so `monotonically_increasing_id` assigns
@@ -231,6 +245,16 @@ object IncrementalAgg {
     })
     require(changes.columns.contains(VersionedTable.CdcTypeCol),
       s"prepare must preserve the ${VersionedTable.CdcTypeCol} column")
+    // MANIFEST-level fast path (guide §2.4 — remove passes the metadata
+    // already disproves): an INSERT-ONLY feed window (no file removed,
+    // no DV change — the append-only fact cadence) cannot contain
+    // update/delete images, so the pair-netting window pass (a full
+    // shuffle+sort of the feed window) and the removal probe are
+    // provably no-ops. Zero jobs to classify; a vacuumed predecessor or
+    // any non-additive op conservatively keeps the generic path. The
+    // all-inserts bootstrap frame is insert-only by construction.
+    val insertOnly = last.fold(true)(v =>
+      scala.util.Try(silver.insertOnlyWindow(v + 1L, head)).getOrElse(false))
     // default recompute source: the prepared head snapshot — for plain
     // stored keys the recompute's dirty-key semi-join pushes to the
     // scan; `boundedAuth` lets a computed-key caller (GoldIvm level 2)
@@ -239,7 +263,8 @@ object IncrementalAgg {
       txn = (app, head),
       authoritative = boundedAuth.fold(
         (_: DataFrame) => prepare(silver.readAt(head)))(
-        f => (dirty: DataFrame) => f(head, dirty)))
+        f => (dirty: DataFrame) => f(head, dirty)),
+      insertOnly = insertOnly)
   }
 
   /** The maintained view's STORED schema for a given prepared source
@@ -307,7 +332,7 @@ object IncrementalAgg {
         Seq(SynthNetCol))
     val f = f0.persist()
     try {
-      if (f.isEmpty) {
+      if (timed(gold, "f.isEmpty")(f.isEmpty)) {
         val spark = gold.spark
         return gold.commitAppendBatch(
           spark.createDataFrame(
@@ -347,14 +372,21 @@ object IncrementalAgg {
       countCol: String, sums: Map[String, Column],
       mins: Map[String, Column], maxes: Map[String, Column],
       netKeys: Seq[String], txn: (String, Long),
-      authoritative: DataFrame => DataFrame): Option[Long] = {
+      authoritative: DataFrame => DataFrame,
+      // caller-proved "the change frame holds ONLY insert rows" (e.g.
+      // from the source manifest, [[VersionedTable.insertOnlyWindow]]):
+      // skips the pair-netting window pass (no pairs can exist) and the
+      // removal probe job (no removed extremes can exist) — both
+      // provable no-ops for an all-inserts frame. False is always safe.
+      insertOnly: Boolean = false): Option[Long] = {
     val (app, head) = txn
     if (gold.currentBatchId(app).exists(_ >= head)) return None
     val minmax = mins.nonEmpty || maxes.nonEmpty
     if (!minmax) return refreshSums(gold, keys, countCol, sums,
       changes, app, head)
 
-    val d0 = deltaMinMax(changes, keys, countCol, sums, mins, maxes, netKeys)
+    val d0 = deltaMinMax(changes, keys, countCol, sums, mins, maxes,
+      if (insertOnly) Nil else netKeys)
     val extremeCols = (mins.keys ++ maxes.keys).toSeq.sorted
     val sumCols = sums.keys.toSeq.sorted
     if (gold.currentVersion().isEmpty) {
@@ -370,12 +402,14 @@ object IncrementalAgg {
     }
     // the delta is O(changed groups) — persist it: it feeds the
     // removal probe, the current-extremes join, (maybe) the dirty-key
-    // semi-join, and the merge source
-    d0.persist()
+    // semi-join, and the merge source. On the insert-only path the
+    // merge source is the delta's only consumer and mergeClauses
+    // persists it there — a second cache copy here would be waste.
+    if (!insertOnly) d0.persist()
     try {
-      val anyRemoval = d0
+      val anyRemoval = !insertOnly && timed(gold, "anyRemoval")(d0
         .filter(extremeCols.map(c => col(remC(c)).isNotNull).reduce(_ || _))
-        .limit(1).count() > 0
+        .limit(1).count() > 0)
       val d =
         if (!anyRemoval)
           // no removal touched any extreme column: pure merge, no
@@ -438,7 +472,8 @@ object IncrementalAgg {
           dj.withColumn(DirtyC,
             threatened.reduce(_ || _) && !coalesce(countsToZero, lit(false)))
         }
-      val anyDirty = anyRemoval && d.filter(col(DirtyC)).limit(1).count() > 0
+      val anyDirty = anyRemoval &&
+        timed(gold, "anyDirty")(d.filter(col(DirtyC)).limit(1).count() > 0)
       val dAuth =
         if (!anyDirty)
           extremeCols.foldLeft(d)((f, c) => f.withColumn(authC(c), lit(null)))
@@ -489,7 +524,7 @@ object IncrementalAgg {
         // a racing refresh applied this window first — already current
         case _: VersionedTable.ReplayLandedException => None
       }
-    } finally d0.unpersist(blocking = false)
+    } finally if (!insertOnly) d0.unpersist(blocking = false): Unit
   }
 
   /** The count/sum-only path (no extremes): zero-net groups drop, no
