@@ -332,24 +332,52 @@ final case class Lakehouse(
     */
   def runAll(bronze: Map[String, DataFrame], asOf: LocalDate,
       loadTs: java.sql.Timestamp = null, enforceDq: Boolean = true): Map[String, DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val ts = Option(loadTs).getOrElse(java.sql.Timestamp.valueOf(asOf.atStartOfDay))
     val silver = Silver.transformAll(bronze)
-    silver.foreach { case (name, df) => write(name, df) }
+    // the seven silver writes are independent table-sized jobs: run
+    // them on a SMALL pool (guide §2.6 — overlap so one write's commit
+    // latency backfills another's idle cores; capped at 3 because seven
+    // table-sized writes racing the whole machine thrash each other,
+    // the same rule the incremental bootstrap wave applies). Content
+    // and layout per table are unchanged — only the false serialization
+    // between tables is gone.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    locally {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence(silver.toSeq.map { case (name, df) =>
+          Future(write(name, df))
+        }), Duration.Inf): Unit
+      finally pool.shutdown()
+    }
     val silverRead = silver.keys.map(n => n -> read(n)).toMap
     // STAGED gold writes, exactly as the reference notebook sequences
     // them (`03_gold_aggregate.py`): product_funnel derives FROM the
     // WRITTEN product_metrics table (`:122`), customer_360 FROM the
     // WRITTEN session_metrics table (`:229`) — each downstream model
     // reads its input back from disk rather than recomputing the plan.
-    val pm = Gold.productMetrics(
-      silverRead("events_clean"), silverRead("order_items_clean"),
-      silverRead("products_clean"), silverRead("reviews_clean"))
-    write("product_metrics", pm)
-    write("product_funnel", Gold.productFunnel(read("product_metrics")))
-    val sm = Gold.sessionMetrics(silverRead("events_clean"), silverRead("sessions_clean"))
-    write("session_metrics", sm)
-    write("customer_360",
-      Gold.customer360(silverRead("customers_clean"), read("session_metrics"), asOf, ts))
+    // The two FAMILIES are independent chains and overlap (§2.6); the
+    // in-chain order (pm before funnel, sm before c360) stays.
+    locally {
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fProduct = Future {
+        val pm = Gold.productMetrics(
+          silverRead("events_clean"), silverRead("order_items_clean"),
+          silverRead("products_clean"), silverRead("reviews_clean"))
+        write("product_metrics", pm)
+        write("product_funnel", Gold.productFunnel(read("product_metrics")))
+      }
+      val fSession = Future {
+        val sm = Gold.sessionMetrics(
+          silverRead("events_clean"), silverRead("sessions_clean"))
+        write("session_metrics", sm)
+        write("customer_360",
+          Gold.customer360(silverRead("customers_clean"), read("session_metrics"), asOf, ts))
+      }
+      Await.result(Future.sequence(Seq(fProduct, fSession)), Duration.Inf): Unit
+    }
     val goldRead = Seq("product_metrics", "product_funnel", "session_metrics", "customer_360")
       .map(n => n -> read(n)).toMap
     if (enforceDq) DqChecks.enforceAll(goldRead)

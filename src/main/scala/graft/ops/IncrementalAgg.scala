@@ -406,10 +406,23 @@ object IncrementalAgg {
     // merge source is the delta's only consumer and mergeClauses
     // persists it there — a second cache copy here would be waste.
     if (!insertOnly) d0.persist()
+    // ONE aggregation over the (cached) delta answers BOTH driver
+    // questions of this refresh — "did any removal touch an extreme
+    // column?" (the scan-avoidance gate) and "how many delta groups?"
+    // (the merge discovery's broadcast-vs-shuffle decision, which
+    // otherwise costs its own count job on the same frame). The delta
+    // is key-unique by construction, so the count IS the distinct key
+    // count the discovery needs.
+    var deltaRows: Option[Long] = None
     try {
-      val anyRemoval = !insertOnly && timed(gold, "anyRemoval")(d0
-        .filter(extremeCols.map(c => col(remC(c)).isNotNull).reduce(_ || _))
-        .limit(1).count() > 0)
+      val anyRemoval = !insertOnly && timed(gold, "anyRemoval") {
+        val r = d0.agg(
+          org.apache.spark.sql.functions.count(lit(1)),
+          coalesce(max(extremeCols.map(c =>
+            col(remC(c)).isNotNull).reduce(_ || _)), lit(false))).head()
+        deltaRows = Some(r.getLong(0))
+        r.getBoolean(1)
+      }
       val d =
         if (!anyRemoval)
           // no removal touched any extreme column: pure merge, no
@@ -520,7 +533,8 @@ object IncrementalAgg {
           // an unmatched zero-count group was created AND fully
           // removed inside the window — nothing to insert
           MergeWhen(Some(s(countCol) =!= 0L), MergeInsert(insertSet))),
-        txn = Some((app, head)), sourceKeyUnique = true)) catch {
+        txn = Some((app, head)), sourceKeyUnique = true,
+        sourceRowsHint = deltaRows)) catch {
         // a racing refresh applied this window first — already current
         case _: VersionedTable.ReplayLandedException => None
       }

@@ -315,35 +315,64 @@ object Medallion {
     val inFirst = to_date(col("timestamp")) <= lit("2024-01-15").cast(DateType)
     evSrc.commitOverwrite(events.filter(coalesce(inFirst, lit(false))))
     val evStream = lh.versioned("events_clean")
-    VersionedPipe.step(evSrc, evStream, Silver.eventsProjected)
-    evSrc.commitAppend(events.filter(coalesce(!inFirst, lit(true))))
-    VersionedPipe.step(evSrc, evStream, Silver.eventsProjected)
-    val eventsClean = Silver.eventsDedup(evStream.read())
-
-    // remaining silver: atomic versioned overwrites, snapshot re-reads
+    // the silver commits are independent table-sized writes — overlap
+    // them on a small pool (guide §2.6; capped at 3, the bulk-load rule)
+    // with the one real order kept: orders BEFORE items (the items'
+    // date fallback reads the committed orders snapshot). The events
+    // pipe runs on its own future beside them. Same commits, same
+    // versions per table; only the false serialization is gone.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val q41Ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val fEvents = Future {
+      VersionedPipe.step(evSrc, evStream, Silver.eventsProjected)
+      evSrc.commitAppend(events.filter(coalesce(!inFirst, lit(true))))
+      VersionedPipe.step(evSrc, evStream, Silver.eventsProjected)
+      Silver.eventsDedup(evStream.read())
+    }
     val ordersVt = lh.versioned("orders_clean")
-    ordersVt.commitOverwrite(Silver.orders(bronze("orders")))
     val itemsVt = lh.versioned("order_items_clean")
-    itemsVt.commitOverwrite(Silver.orderItems(bronze("order_items"), ordersVt.read()))
+    val fItems = Future {
+      ordersVt.commitOverwrite(Silver.orders(bronze("orders")))
+      itemsVt.commitOverwrite(Silver.orderItems(bronze("order_items"), ordersVt.read()))
+    }
     val productsVt = lh.versioned("products_clean")
-    productsVt.commitOverwrite(Silver.products(bronze("products")))
+    val fProducts = Future(
+      productsVt.commitOverwrite(Silver.products(bronze("products"))))
     val reviewsVt = lh.versioned("reviews_clean")
-    reviewsVt.commitOverwrite(Silver.reviews(bronze("reviews")))
+    val fReviews = Future(
+      reviewsVt.commitOverwrite(Silver.reviews(bronze("reviews"))))
     val sessionsVt = lh.versioned("sessions_clean")
-    sessionsVt.commitOverwrite(Silver.sessions(bronze("sessions")))
+    val fSessions = Future(
+      sessionsVt.commitOverwrite(Silver.sessions(bronze("sessions"))))
     val customersVt = lh.versioned("customers_clean")
-    customersVt.commitOverwrite(Silver.customers(bronze("customers")))
+    val fCustomers = Future(
+      customersVt.commitOverwrite(Silver.customers(bronze("customers"))))
 
-    // gold: staged versioned commits in reference notebook order
+    // gold: staged versioned commits in reference notebook order — the
+    // two families are independent chains, each gated on exactly the
+    // silver futures it reads
     val pmVt = lh.versioned("product_metrics")
-    pmVt.commitOverwrite(Gold.productMetrics(
-      eventsClean, itemsVt.read(), productsVt.read(), reviewsVt.read()))
     val pfVt = lh.versioned("product_funnel")
-    pfVt.commitOverwrite(Gold.productFunnel(pmVt.read()))
+    val fProductGold = for {
+      eventsClean <- fEvents; _ <- fItems; _ <- fProducts; _ <- fReviews
+    } yield {
+      pmVt.commitOverwrite(Gold.productMetrics(
+        eventsClean, itemsVt.read(), productsVt.read(), reviewsVt.read()))
+      pfVt.commitOverwrite(Gold.productFunnel(pmVt.read()))
+    }
     val smVt = lh.versioned("session_metrics")
-    smVt.commitOverwrite(Gold.sessionMetrics(eventsClean, sessionsVt.read()))
     val c360Vt = lh.versioned("customer_360")
-    c360Vt.commitOverwrite(Gold.customer360(customersVt.read(), smVt.read(), AsOf, LoadTs))
+    val fSessionGold = for {
+      eventsClean <- fEvents; _ <- fSessions; _ <- fCustomers
+    } yield {
+      smVt.commitOverwrite(Gold.sessionMetrics(eventsClean, sessionsVt.read()))
+      c360Vt.commitOverwrite(Gold.customer360(customersVt.read(), smVt.read(), AsOf, LoadTs))
+    }
+    try Await.result(
+      Future.sequence(Seq(fProductGold, fSessionGold)), Duration.Inf): Unit
+    finally pool.shutdown()
 
     val gold = Map(
       "product_metrics" -> pmVt.read(), "product_funnel" -> pfVt.read(),
