@@ -131,10 +131,30 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
         f"${(System.nanoTime() - t0) / 1e9}%6.1fs")
   }
 
+  /** PLAN-side emptiness: true iff the optimizer folded the frame to an
+    * empty LocalRelation (a `limit(0)`-derived wave, or a filter the
+    * optimizer proved false) — zero jobs, vs the count() a lazily-empty
+    * wave otherwise pays per table per wave. A frame whose emptiness is
+    * not plan-provable (an empty RDD source, an empty file) returns
+    * false and takes the counted path, which is always correct.
+    */
+  private def planEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
   private def mergeLatestWins0(dst: VersionedTable, wave: DataFrame,
       keys: Seq[String], tie: String, waveId: Long,
       extraMatched: Seq[MergeWhen]): Option[Long] = {
     if (dst.currentBatchId(app(dst)).exists(_ >= waveId)) return None
+    // an optimizer-provably-empty wave lands nothing (same contract as
+    // the counted n == 0 branch below) — zero jobs instead of one
+    // materialization job per table per storm wave. Bootstrap is
+    // excluded: an empty FIRST wave still commits the schema-bearing
+    // v1 through the branch below, exactly as before.
+    if (dst.currentVersion().isDefined && planEmpty(wave)) return None
     val reduced0 = graft.streaming.Sinks.latestWins(wave, keys,
       struct(col("_ingest_ts"), col(tie)))
     // the repair/marker columns steer clauses only — never stored
@@ -406,8 +426,13 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
       .add("_source_file", org.apache.spark.sql.types.StringType)
 
   private def emptyBronze(source: String): DataFrame =
+    // LocalRelation-backed (List overload), NOT an empty RDD: the
+    // optimizer can then FOLD transforms over it to a provably-empty
+    // plan, so [[mergeLatestWins0]]'s planEmpty gate skips the
+    // per-table materialization job a never-producing source would
+    // otherwise pay on every streamed wave
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       bronzeSchema(source))
 
   /** The wave SIGNAL table (one row per landed wave) — the streamed
@@ -810,9 +835,11 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
             MergeUpdate(Map("order_date" -> desired))))): Unit
     }
 
-  /** Existing items of the orders changed by this wave (none on the
-    * bootstrap wave, on a replay of a no-op orders wave, or when no
-    * earlier items reference the changed orders).
+  /** Existing items of the orders changed by this wave (None — by
+    * manifest-level guards alone — on the bootstrap wave, on a replay
+    * of a no-op orders wave, or pre-CDC; possibly an EMPTY frame when
+    * no earlier items reference the changed orders, which folds into
+    * the wave merge as a never-firing clause).
     */
   private def repairRows(itemsWave: DataFrame, waveId: Long): Option[DataFrame] = {
     // the wave's orders version is the last DATA version, not the head:
@@ -839,7 +866,11 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
       .withColumn(RepairCol, lit(true))
       .select(itemsWave.columns.filterNot(_ == RepairDateCol).map(col)
         :+ col(RepairDateCol): _*)
-    if (existing.isEmpty) None else Some(existing)
+    // no emptiness probe: an empty repair frame folds into the wave
+    // merge as a clause that never fires — byte-identical result — and
+    // the probe itself was a full items-scan join job per wave (the
+    // merge pays that scan exactly once either way)
+    Some(existing)
   }
 
   /** Maintain the unique-per-session attrs table from THIS WAVE's
@@ -859,6 +890,10 @@ final case class IncrementalLakehouse(spark: SparkSession, warehouseDir: String)
   private def maintainSessionAttrs(waveId: Long, waveSessions: DataFrame): Unit = {
     val a = app(sessionAttrs)
     if (sessionAttrs.currentBatchId(a).exists(_ >= waveId)) return
+    // plan-provably-empty wave: nothing to land (the counted n == 0
+    // branch's contract), zero jobs — bootstrap excluded as in
+    // mergeLatestWins0
+    if (sessionAttrs.currentVersion().isDefined && planEmpty(waveSessions)) return
     val attrCols = Seq("customer_id", "session_start_ts", "device",
       "source", "country")
     val reduced0 = graft.streaming.Sinks.latestWins(
