@@ -962,6 +962,9 @@ final case class VersionedTable(
     val callerCached =
       source.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val src = if (callerCached) source else source.persist()
+    // set when the CDC two-pass cache below engages; released in the
+    // finally so a mid-merge failure cannot strand it in executor cache
+    var cdcCache: DataFrame = null
     try {
     val profT = if (VersionedTable.Profile) System.nanoTime() else 0L
     def prof(what: String, t0: Long): Long = {
@@ -1089,6 +1092,22 @@ final case class VersionedTable(
             lit(rewriteFiles.nonEmpty).as(rwC)): _*)
         tDf.join(sDf, keys.map(kCols).toSeq, "full_outer")
       }
+    // With CDC on and files to rewrite, the SAME classify join runs
+    // twice — once for the rewrite, once for the change sidecar — and
+    // the second pass re-scans every touched file. Persist the joined
+    // frame when the touched bytes are SMALL (manifest-recorded sizes
+    // under the cap; unknown sizes never qualify): one scan + join
+    // instead of two. At 100 TB a merge whose touched set exceeds the
+    // cap keeps the two-pass shape — caching a table-scale join there
+    // would trade one columnar re-scan for executor-memory pressure.
+    val cacheJoined = cdcEnabled(m) && rewriteFiles.nonEmpty && {
+      val cap = spark.conf.getOption(VersionedTable.CdcCacheMaxBytesKey)
+        .map(_.toLong).getOrElse(VersionedTable.CdcCacheMaxBytes)
+      rewriteFiles.forall(m.sizes.contains) &&
+        rewriteFiles.map(m.sizes(_)._1).sum <= cap
+    }
+    val joinedC = if (cacheJoined) { cdcCache = joined.persist(); cdcCache }
+      else joined
     val tp = coalesce(col(tpC), lit(false))
     val sp = coalesce(col(spC), lit(false))
     val rw = coalesce(col(rwC), lit(false))
@@ -1098,7 +1117,7 @@ final case class VersionedTable(
       when(tp && sp, when(rw, chain(matched, col("t"))).otherwise(nullRow))
         .when(!tp && sp, chain(notMatched, nullRow))
         .otherwise(when(rw, chain(notMatchedBySource, col("t"))).otherwise(nullRow))
-    val rewritten = joined.select(result.as("_graft_r"))
+    val rewritten = joinedC.select(result.as("_graft_r"))
       .filter(col("_graft_r").isNotNull)
       .select(m.schema.map(f => col("_graft_r").getField(f.name).as(f.name)): _*)
     // change data feed: a second clause chain over the SAME joined
@@ -1140,7 +1159,7 @@ final case class VersionedTable(
           when(tp && sp, when(rw, cdcChain(matched)).otherwise(none))
             .when(!tp && sp, cdcChain(notMatched))
             .otherwise(when(rw, cdcChain(notMatchedBySource)).otherwise(none))
-        val cdcRows = joined.select(explode(cdcExpr).as("_graft_c"))
+        val cdcRows = joinedC.select(explode(cdcExpr).as("_graft_c"))
           .select(m.schema.map(f => col("_graft_c").getField(f.name).as(f.name)) :+
             col("_graft_c").getField(ct).as(ct): _*)
         writeCdcFiles(cdcRows)
@@ -1150,7 +1169,10 @@ final case class VersionedTable(
       txn = txn, cdcFiles = cdcFiles)
     if (VersionedTable.Profile) prof("publish", profT3): Unit
     out
-    } finally if (!callerCached) src.unpersist(blocking = false): Unit
+    } finally {
+      if (cdcCache ne null) cdcCache.unpersist(blocking = false): Unit
+      if (!callerCached) src.unpersist(blocking = false): Unit
+    }
   }
 
   /** Delta's `ALTER TABLE ... ADD CONSTRAINT name CHECK (sqlExpr)`:
@@ -3477,6 +3499,17 @@ object VersionedTable {
     * Spark's own broadcast-join sizing targets).
     */
   val BroadcastKeyCap: Long = 2000000L
+
+  /** Cap (bytes, manifest-recorded sizes of the touched files) under
+    * which a CDC-enabled merge caches its classify join for the
+    * rewrite + sidecar passes instead of scanning the touched files
+    * twice. Runtime-overridable per cluster via
+    * [[CdcCacheMaxBytesKey]]; 256 MiB keeps the cached two-struct rows
+    * comfortably inside one executor's storage fraction while covering
+    * every wave-sized merge.
+    */
+  val CdcCacheMaxBytes: Long = 256L << 20
+  val CdcCacheMaxBytesKey: String = "graft.merge.cdcCacheMaxBytes"
 
   /** Ops whose commit changes table DATA (vs metadata/compaction) —
     * the set auto-compaction may trigger after.
