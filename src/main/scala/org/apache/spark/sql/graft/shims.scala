@@ -63,4 +63,12 @@ object shims {
   def currentCatalog(spark: SparkSession)
       : org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.sessionState.catalogManager.currentCatalog
+
+  /** Drain the async listener bus (`private[spark]`) so a just-finished
+    * action's task-end events have all been delivered before the bench
+    * reads its task-time accumulator — the zero-sleep alternative to a
+    * fixed drain pause per timed rep.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

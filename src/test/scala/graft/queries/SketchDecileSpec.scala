@@ -13,14 +13,19 @@ import graft.SparkSuite
 class SketchDecileSpec extends SparkSuite {
   import spark.implicits._
 
-  test("qt18 plan contains no Window operator; qt15's does (the contrast being replaced)") {
+  test("qt18 plan contains no Window operator; neither does qt15 (r18)") {
     val dir = "/root/testdata/sf0.001"
     val sketchPlan = LlmText.qt18.fn(spark, dir).queryExecution.optimizedPlan
     assert(sketchPlan.collect { case w: WindowNode => w }.isEmpty,
       s"sketch deciles must not plan a Window:\n$sketchPlan")
+    // r18: qt15's exact ntile no longer uses the single-partition global
+    // window either — it range-partitions by the NTILE ordering and
+    // assigns deciles arithmetically from per-partition rank offsets
+    // (same rows, oracle-pinned). NO plan in either decile query may
+    // move the corpus to one executor.
     val ntilePlan = LlmText.qt15.fn(spark, dir).queryExecution.optimizedPlan
-    assert(ntilePlan.collect { case w: WindowNode => w }.nonEmpty,
-      "qt15 is the exact-ntile contrast; if it lost its Window update this spec")
+    assert(ntilePlan.collect { case w: WindowNode => w }.isEmpty,
+      s"qt15's exact deciles must not plan a Window either:\n$ntilePlan")
   }
 
   test("sketch deciles agree with exact ntile except a bounded boundary fringe") {
