@@ -47,13 +47,22 @@ object DqChecks {
     df => df.filter(pctPred), Some(pctPred))
 
   /** Run the full reference gate over the gold tables; raise on failure
-    * (`04_data_quality_checks.py:25-34`).
+    * (`04_data_quality_checks.py:25-34`). The four checks are one
+    * aggregate job each over four DISJOINT relations — they run
+    * CONCURRENTLY (guide §2.6), so the gate costs the slowest check's
+    * latency, not the sum of four sequential driver round-trips.
     */
-  def runAll(gold: Map[String, DataFrame]): Seq[DqResult] =
-    run(gold("product_metrics"), Seq(nullProductDims)) ++
-      run(gold("customer_360"), Seq(uniqueCustomerId)) ++
-      run(gold("session_metrics"), Seq(nonNegativeSession)) ++
-      run(gold("product_funnel"), Seq(funnelPctCapped))
+  def runAll(gold: Map[String, DataFrame]): Seq[DqResult] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence(Seq(
+      Future(run(gold("product_metrics"), Seq(nullProductDims))),
+      Future(run(gold("customer_360"), Seq(uniqueCustomerId))),
+      Future(run(gold("session_metrics"), Seq(nonNegativeSession))),
+      Future(run(gold("product_funnel"), Seq(funnelPctCapped))))),
+      Duration.Inf).flatten
+  }
 
   def enforceAll(gold: Map[String, DataFrame]): Unit = {
     val failed = runAll(gold).filter(!_.passed)

@@ -332,14 +332,11 @@ object IncrementalAgg {
         Seq(SynthNetCol))
     val f = f0.persist()
     try {
-      if (timed(gold, "f.isEmpty")(f.isEmpty)) {
-        val spark = gold.spark
-        return gold.commitAppendBatch(
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            gold.snapshotMeta(gold.currentVersion().get).schema),
-          txn._2, txn._1)
-      }
+      // no emptiness probe (r18): empty facts make an EMPTY delta, and
+      // [[applyChanges]]'s fused delta aggregation already detects that
+      // at zero extra jobs and advances the marker with an empty commit
+      // — the probe was one whole Spark job ahead of every storm repair
+      // (facts nonempty there, so it never fired where it was paid)
       def side(dim: DataFrame, ct: String): DataFrame =
         prepareUnder(dim)(f)
           .withColumn(VersionedTable.CdcTypeCol, lit(ct))
@@ -383,45 +380,72 @@ object IncrementalAgg {
     if (gold.currentBatchId(app).exists(_ >= head)) return None
     val minmax = mins.nonEmpty || maxes.nonEmpty
     if (!minmax) return refreshSums(gold, keys, countCol, sums,
-      changes, app, head)
+      changes, app, head, insertOnly)
 
     val d0 = deltaMinMax(changes, keys, countCol, sums, mins, maxes,
       if (insertOnly) Nil else netKeys)
     val extremeCols = (mins.keys ++ maxes.keys).toSeq.sorted
     val sumCols = sums.keys.toSeq.sorted
-    if (gold.currentVersion().isEmpty) {
-      // first-ever commit: all-insert bootstrap — inserted extremes ARE
-      // the group extremes (no preimages exist). ONE consumer (the
-      // append), so no persist: the bootstrap is the LARGEST frame this
-      // path ever sees, and caching it would trade the table's biggest
-      // write for memory pressure (the bulk-load rule the silver
-      // bootstrap already follows)
+    // APPEND fast path (r18): with a provably insert-only change frame
+    // and a target holding ZERO data files (brand-new table, or only
+    // marker/cursor commits so far — the `CREATE MATERIALIZED VIEW`
+    // bootstrap whose dim cursor committed an empty v1 first), no
+    // source row can match a target row, no removal can exist, and the
+    // merge IS an append of the delta: inserted extremes ARE the group
+    // extremes. The merge machinery (dup check, candidate discovery,
+    // classify join, CDC chain) is all provable no-ops — manifest-level
+    // proof, zero jobs spent deciding. ONE consumer (the append), so no
+    // persist: this is the LARGEST frame the path ever sees, and
+    // caching it would trade the table's biggest write for memory
+    // pressure (the bulk-load rule the silver bootstrap follows).
+    val emptyTarget = gold.currentVersion()
+      .fold(true)(v => gold.snapshotMeta(v).files.isEmpty)
+    if (gold.currentVersion().isEmpty || (insertOnly && emptyTarget)) {
       val outCols = keys.map(col) ++ (countCol +: sumCols).map(col) ++
         extremeCols.map(c => col(insC(c)).as(c))
       return gold.commitAppendBatch(d0.select(outCols: _*), head, app)
     }
-    // the delta is O(changed groups) — persist it: it feeds the
-    // removal probe, the current-extremes join, (maybe) the dirty-key
-    // semi-join, and the merge source. On the insert-only path the
-    // merge source is the delta's only consumer and mergeClauses
-    // persists it there — a second cache copy here would be waste.
-    if (!insertOnly) d0.persist()
+    // the delta is O(changed groups) — persist it: it feeds the fused
+    // probe/count aggregation, the current-extremes join, (maybe) the
+    // dirty-key semi-join, and the merge source (which otherwise
+    // re-runs the WHOLE feed-window lineage once more inside the merge;
+    // r18 measured that second run at 1-3 s per refresh at sf0.1).
+    d0.persist()
     // ONE aggregation over the (cached) delta answers BOTH driver
     // questions of this refresh — "did any removal touch an extreme
     // column?" (the scan-avoidance gate) and "how many delta groups?"
     // (the merge discovery's broadcast-vs-shuffle decision, which
     // otherwise costs its own count job on the same frame). The delta
     // is key-unique by construction, so the count IS the distinct key
-    // count the discovery needs.
+    // count the discovery needs. On the insert-only path the removal
+    // question is already answered (no removals can exist) — a plain
+    // count populates the cache instead.
     var deltaRows: Option[Long] = None
+    var dCached: DataFrame = null // the cur-joined frame, when persisted
     try {
-      val anyRemoval = !insertOnly && timed(gold, "anyRemoval") {
-        val r = d0.agg(
-          org.apache.spark.sql.functions.count(lit(1)),
-          coalesce(max(extremeCols.map(c =>
-            col(remC(c)).isNotNull).reduce(_ || _)), lit(false))).head()
-        deltaRows = Some(r.getLong(0))
-        r.getBoolean(1)
+      val anyRemoval =
+        if (insertOnly) {
+          deltaRows = Some(timed(gold, "deltaCount")(d0.count()))
+          false
+        } else timed(gold, "anyRemoval") {
+          val r = d0.agg(
+            org.apache.spark.sql.functions.count(lit(1)),
+            coalesce(max(extremeCols.map(c =>
+              col(remC(c)).isNotNull).reduce(_ || _)), lit(false))).head()
+          deltaRows = Some(r.getLong(0))
+          r.getBoolean(1)
+        }
+      // an EMPTY delta (a fully-netted window, or a re-attribution
+      // whose touched facts don't exist / didn't change) needs no merge
+      // at all: advance the marker with an empty commit — one commit
+      // instead of the full discovery/classify/publish machinery
+      if (deltaRows.contains(0L)) {
+        val spark = gold.spark
+        return gold.commitAppendBatch(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            gold.snapshotMeta(gold.currentVersion().get).schema),
+          head, app)
       }
       val d =
         if (!anyRemoval)
@@ -485,6 +509,10 @@ object IncrementalAgg {
           dj.withColumn(DirtyC,
             threatened.reduce(_ || _) && !coalesce(countsToZero, lit(false)))
         }
+      // the cur-join frame has up to three consumers on the removal
+      // path (the dirty probe, the dirty-key semi-join, the merge
+      // source) — each would re-run the gold semi-join scan; cache it
+      if (anyRemoval) { dCached = d.persist() }
       val anyDirty = anyRemoval &&
         timed(gold, "anyDirty")(d.filter(col(DirtyC)).limit(1).count() > 0)
       val dAuth =
@@ -538,38 +566,66 @@ object IncrementalAgg {
         // a racing refresh applied this window first — already current
         case _: VersionedTable.ReplayLandedException => None
       }
-    } finally if (!insertOnly) d0.unpersist(blocking = false): Unit
+    } finally {
+      if (dCached ne null) dCached.unpersist(blocking = false): Unit
+      d0.unpersist(blocking = false): Unit
+    }
   }
 
   /** The count/sum-only path (no extremes): zero-net groups drop, no
-    * dirty probe, no persist — one delta aggregation and one merge.
+    * dirty probe — one delta aggregation and one merge. The delta is
+    * persisted + counted once (r18): the count feeds the merge
+    * discovery's broadcast decision (which otherwise re-runs the whole
+    * feed-window lineage for its own count), an empty delta advances
+    * the marker without any merge machinery, and an insert-only delta
+    * into a zero-data-file target appends directly (the SQL
+    * `CREATE MATERIALIZED VIEW` bootstrap after its cursor commit).
     */
   private def refreshSums(gold: VersionedTable,
       keys: Seq[String], countCol: String, sums: Map[String, Column],
-      changes: DataFrame, app: String, head: Long): Option[Long] = {
+      changes: DataFrame, app: String, head: Long,
+      insertOnly: Boolean): Option[Long] = {
     val d = delta(changes, keys, countCol, sums)
-    if (gold.currentVersion().isEmpty)
-      // first-ever commit: the delta IS the table, marker attached
+    val emptyTarget = gold.currentVersion()
+      .fold(true)(v => gold.snapshotMeta(v).files.isEmpty)
+    if (gold.currentVersion().isEmpty || (insertOnly && emptyTarget))
+      // first-ever commit: the delta IS the table, marker attached —
+      // one pass, no cache (the bulk-load rule)
       gold.commitAppendBatch(d, head, app)
     else {
-      import VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
-      val t = (c: String) => col("t").getField(c)
-      val s = (c: String) => col("s").getField(c)
-      def add(c: String): Column =
-        coalesce(t(c), lit(0)) + coalesce(s(c), lit(0))
-      val measureCols = countCol +: sums.keys.toSeq.sorted
-      try Some(gold.mergeClauses(d, keys,
-        matched = Seq(
-          // the group's last row left: the group leaves gold with it
-          MergeWhen(Some(t(countCol) + s(countCol) === 0L), MergeDelete),
-          MergeWhen(None, MergeUpdate(
-            measureCols.map(c => c -> add(c)).toMap))),
-        notMatched = Seq(MergeWhen(None, MergeInsert(
-          (keys.map(k => k -> s(k)) ++ measureCols.map(c => c -> s(c))).toMap))),
-        txn = Some((app, head)), sourceKeyUnique = true)) catch {
-        // a racing refresh applied this window first — already current
-        case _: VersionedTable.ReplayLandedException => None
-      }
+      val dc = d.persist()
+      try {
+        val n = timed(gold, "deltaCount")(dc.count())
+        if (n == 0L) {
+          // fully-netted window: advance the marker with an empty
+          // commit instead of the discovery/classify/publish machinery
+          val spark = gold.spark
+          return gold.commitAppendBatch(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              gold.snapshotMeta(gold.currentVersion().get).schema),
+            head, app)
+        }
+        import VersionedTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
+        val t = (c: String) => col("t").getField(c)
+        val s = (c: String) => col("s").getField(c)
+        def add(c: String): Column =
+          coalesce(t(c), lit(0)) + coalesce(s(c), lit(0))
+        val measureCols = countCol +: sums.keys.toSeq.sorted
+        try Some(gold.mergeClauses(dc, keys,
+          matched = Seq(
+            // the group's last row left: the group leaves gold with it
+            MergeWhen(Some(t(countCol) + s(countCol) === 0L), MergeDelete),
+            MergeWhen(None, MergeUpdate(
+              measureCols.map(c => c -> add(c)).toMap))),
+          notMatched = Seq(MergeWhen(None, MergeInsert(
+            (keys.map(k => k -> s(k)) ++ measureCols.map(c => c -> s(c))).toMap))),
+          txn = Some((app, head)), sourceKeyUnique = true,
+          sourceRowsHint = Some(n))) catch {
+          // a racing refresh applied this window first — already current
+          case _: VersionedTable.ReplayLandedException => None
+        }
+      } finally dc.unpersist(blocking = false): Unit
     }
   }
 }

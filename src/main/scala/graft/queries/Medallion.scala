@@ -254,16 +254,24 @@ object Medallion {
     */
   private def fingerprints(s: SparkSession, gold: Map[String, DataFrame]): DataFrame = {
     import s.implicits._
-    val dq = DqChecks.runAll(gold)
+    // every gold relation feeds TWO consumers — its DQ check and its
+    // fingerprint aggregate — and in the MV-composed variants each
+    // consumer re-runs the whole compose-at-read join chain. Persist
+    // the four relations (computed once, read twice); the DQ actions
+    // below populate the cache and the returned fingerprint plan reads
+    // it. Bench/Verify clear the cache between queries (the qd04
+    // caller-owns-the-cache discipline).
+    val cached = gold.map { case (n, df) => n -> df.persist() }
+    val dq = DqChecks.runAll(cached)
     val dqRow = Seq(("dq", dq.count(_.passed).toLong, 0.0, dq.map(_.badCount).sum))
       .toDF("relation", "n_rows", "total_money", "total_units")
-    fp("product_metrics", gold("product_metrics"),
+    fp("product_metrics", cached("product_metrics"),
         col("total_revenue"), col("view_count") + col("cart_count") + col("purchase_count"))
-      .unionByName(fp("product_funnel", gold("product_funnel"),
+      .unionByName(fp("product_funnel", cached("product_funnel"),
         col("overall_conversion_pct"), col("view_count") + col("cart_count") + col("purchase_count")))
-      .unionByName(fp("session_metrics", gold("session_metrics"),
+      .unionByName(fp("session_metrics", cached("session_metrics"),
         col("session_revenue"), col("total_events")))
-      .unionByName(fp("customer_360", gold("customer_360"),
+      .unionByName(fp("customer_360", cached("customer_360"),
         col("customer_total_revenue"), col("total_orders")))
       .unionByName(dqRow)
       .orderBy("relation")
@@ -522,19 +530,20 @@ object Medallion {
       // overlap independent jobs so one refresh's driver/commit latency
       // backfills another's idle cores): em/om/rm/attrs_dim maintain
       // disjoint view tables from disjoint feeds. The cascade's ONE
-      // bare top refresh then chains srl1 and repairs the (just
-      // refreshed) attrs dimension — same statements, same commits,
-      // same exactly-once markers; only the false serialization between
-      // independent tables is gone.
+      // bare top refresh chains srl1 itself and repairs the attrs
+      // dimension — so its only real dependency is attrs_dim, and it
+      // runs CONCURRENTLY with em/om/rm (r18: waiting on all four
+      // serialized the most expensive statement behind three unrelated
+      // ones). Same statements, same commits, same exactly-once
+      // markers; only the false serialization is gone.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      Await.result(Future.sequence(Seq("em", "om", "rm", "attrs_dim").map(v =>
-        Future(timed(s"refresh:$v")(
-          s.sql(s"REFRESH MATERIALIZED VIEW $cat.gold.$v").collect())))),
-        Duration.Inf): Unit
-      timed("refresh:crl2")(
-        s.sql(s"REFRESH MATERIALIZED VIEW $cat.gold.crl2").collect())
+      def refresh(v: String): Unit = timed(s"refresh:$v")(
+        s.sql(s"REFRESH MATERIALIZED VIEW $cat.gold.$v").collect()): Unit
+      val fCascade = Future { refresh("attrs_dim"); refresh("crl2") }
+      val fRest = Seq("em", "om", "rm").map(v => Future(refresh(v)))
+      Await.result(Future.sequence(fCascade +: fRest), Duration.Inf): Unit
     }
 
     // wave 1 (silver only), then DECLARE the whole gold layer in SQL
